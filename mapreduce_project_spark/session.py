@@ -1,0 +1,69 @@
+"""SparkSession factory and session preparation.
+
+The reference engine's "session" is a docker-compose cluster of a gRPC
+master + HDFS namenode and N workers (``docker-compose.yml:1-33``,
+``master.py:441-455``). Here the equivalent is a SparkSession; the
+cluster manager, scheduler, shuffle, retries and health monitoring that
+the reference hand-builds (``master.py:266-326``, ``master.py:85-136``)
+are Spark built-ins.
+
+Scale design: AQE is enabled so partition counts and skew handling
+re-plan at runtime; shuffle partitions default to the local core count
+for tests but on a real cluster should be ~2-3x total cores (set via
+``spark.sql.shuffle.partitions`` at submit time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "mapreduce_project_spark") -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this engine.
+
+    On a real cluster, drop ``master`` and let spark-submit decide; every
+    config below except the local driver memory applies unchanged.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Normalize runtime-settable conf on an externally-provided session.
+
+    The driver hands us its own SparkSession for ``entry``/``queries``;
+    only runtime-mutable confs may be touched here. UTC pinning keeps
+    timestamp semantics identical to the DuckDB oracle (whose timestamps
+    are UTC-naive); AQE/arrow settings are idempotent performance knobs.
+    """
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # pragma: no cover - conf may be static in some harnesses
+            pass
+    return spark

@@ -1,0 +1,21 @@
+from mapreduce_project_spark.sources.io import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_binary_files,
+    read_text_lines,
+    read_whole_text_files,
+    write_parquet,
+    write_text_lines,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_binary_files",
+    "read_text_lines",
+    "read_whole_text_files",
+    "write_parquet",
+    "write_text_lines",
+]

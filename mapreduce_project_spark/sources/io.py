@@ -1,0 +1,125 @@
+"""Sources and sinks.
+
+Reference parity (SURVEY.md §2.A):
+
+- A1 (HDFS file-scan source, ``worker.py:129-132``) → ``spark.read``
+  over any Hadoop-compatible FS; local paths in tests.
+- A2 (default line iterator: one record per line, key = line number,
+  ``worker.py:141-145``) → `read_text_lines` (line number via a window
+  over ``monotonically_increasing_id`` per file when requested).
+- A3 (custom whole-file iterator, ``worker.py:123,131-138``;
+  ``client_folder/jobs/word_count.py:10-21``) → `read_whole_text_files`
+  / `read_binary_files` with ``file_path`` and ``size`` metadata columns
+  (≡ the reference's metadata dict, ``worker.py:133``).
+- A10 (text-lines sink, ``worker.py:52-58,209``) → `write_text_lines`;
+  the engine-native sink is Parquet (`write_parquet`).
+
+Scale notes: parquet reads are split by
+``spark.sql.files.maxPartitionBytes`` (128 MB default) — at 100 TB that
+is ~800k input splits, which Spark's scheduler handles; binary
+whole-file reads keep one file per row, so extremely large single files
+should instead flow through the streaming/text paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver's synthetic test tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic parquet table from ``sf_dir``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
+    """Load several tables at once as a dict name → DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_text_lines(
+    spark: SparkSession, paths: str | list[str], with_file: bool = False
+) -> DataFrame:
+    """One row per text line (≡ the reference's default iterator,
+    ``worker.py:141-145``), column ``value: string``.
+
+    ``with_file=True`` adds the originating path (≡ the reference's
+    ``metadata["file_path"]``). The reference keys each line by its line
+    number; Spark has no stable global line index without a sort, so
+    callers that need it should derive one per-file downstream — the
+    shipped jobs never use the line-number key (both override
+    ``iterator_fn`` to whole-file mode).
+    """
+    df = spark.read.text(paths)
+    if with_file:
+        df = df.withColumn("file_path", F.input_file_name())
+    return df
+
+
+def read_whole_text_files(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """One row per file: (file_path, size, content) — ≡ the reference's
+    whole-file iterator input (``worker.py:131-138``): user iterators get
+    ``(file_bytes, {"size", "file_path"})``.
+
+    Returns columns ``file_path string, size long, content string``.
+    """
+    df = read_binary_files(spark, paths)
+    return df.select(
+        F.col("path").alias("file_path"),
+        F.col("length").alias("size"),
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+    )
+
+
+def read_binary_files(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Whole files as bytes via the ``binaryFile`` source: columns
+    ``path, modificationTime, length, content: binary``.
+
+    This is the multimodal ingestion path too (images/audio/video as
+    opaque binary + metadata; SURVEY.md §2.C C5).
+    """
+    reader = spark.read.format("binaryFile")
+    if isinstance(paths, str):
+        return reader.load(paths)
+    return reader.load(list(paths))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Engine-native sink. ``partition_by`` enables partition pruning for
+    downstream readers — at 100 TB, partition on coarse query keys
+    (date, source) but never on high-cardinality keys."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Byte-compat demo sink (≡ A10 ``worker.py:52-58``): one line per
+    row. The DataFrame must have a single string column; callers wanting
+    the reference's ``key\\tvalue`` line format should
+    ``select(concat_ws('\\t', key, value))`` first.
+
+    We deliberately do NOT reproduce the reference's accidental
+    alternating key/value line format (SURVEY.md §1.1) — typed sinks are
+    the engine default.
+    """
+    if len(df.columns) != 1:
+        raise ValueError("write_text_lines expects a single-column DataFrame")
+    df.select(F.col(df.columns[0]).cast("string").alias("value")).write.mode(mode).text(path)

@@ -1,0 +1,92 @@
+"""Shared fixtures: one local SparkSession per test session, a DuckDB
+connection with the testdata tables registered as views (mirroring the
+driver's oracle setup), and the differential comparison helper.
+
+The comparison reproduces the driver contract: sort columns by name,
+compare row count, column names, and an order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from mapreduce_project_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("tests")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for order-insensitive comparison across engines."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 vs 0.0 and float32/64 repr noise
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return repr(v) if not isinstance(v, str) else v
+
+
+def rows_of(df_pandas):
+    cols = sorted(df_pandas.columns)
+    recs = df_pandas[cols].to_dict("records")
+    return sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in recs),
+        key=lambda t: tuple("" if x is None else str(x) for x in t),
+    )
+
+
+def assert_matches_oracle(spark_df, duck_con, sql, approx_cols=()):
+    """Differential check ≡ the driver's: same columns, same multiset of
+    rows (after per-cell normalization)."""
+    got = spark_df.toPandas()
+    want = duck_con.sql(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    g, w = rows_of(got), rows_of(want)
+    mismatches = [(a, b) for a, b in zip(g, w) if a != b]
+    assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"

@@ -1,0 +1,38 @@
+"""Differential oracle tests — every declared query in
+``__spark_entry__.queries()`` is checked against its DuckDB twin on the
+deterministic testdata fixtures, mirroring the driver's per-round
+CORRECTNESS check (and the reference's own local-oracle pattern,
+``client_folder/scripts/test.py:122-139``).
+
+Queries without an oracle entry get a weaker smoke check (runs, stable
+schema, deterministic across two executions).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle, rows_of
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    if name in ORACLES:
+        assert_matches_oracle(df, duck, ORACLES[name])
+    else:
+        # rows-only determinism check for non-SQL-expressible ops
+        a = rows_of(df.toPandas())
+        b = rows_of(QUERIES[name](spark, SF_DIR).toPandas())
+        assert a == b
+        assert len(a) >= 0
