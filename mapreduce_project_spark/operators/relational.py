@@ -1,0 +1,116 @@
+"""Relational operators — the capability surface users of the reference
+write as map/reduce functions (SURVEY.md §2.B, mechanism
+``worker.py:134-145`` + ``worker.py:193-207``), exposed natively.
+
+Every helper is a thin, composable wrapper over DataFrame ops so
+Catalyst sees the declarative plan (predicate pushdown, column pruning,
+partial aggregation are free). No Python UDFs here.
+
+Cross-engine determinism conventions (shared with the DuckDB oracle):
+
+- **Money/quantity sums** run through ``DECIMAL(18,2)`` and cast back to
+  ``DOUBLE`` — decimal addition is exact and associative, so the result
+  is bit-identical regardless of partitioning / aggregation order. A
+  plain double sum is order-dependent and may differ in the last ulp
+  between engines (and between runs at different partition counts!).
+- **Collected sets** are emitted sorted and comma-joined (stable
+  representation; ``collect_set`` order is undefined otherwise).
+
+Scale notes: grouped aggregations compile to partial (map-side) +
+final aggregation — the combiner the reference lacks (its reducer
+materializes the full value list per key, ``worker.py:198``). At 100 TB
+prefer these algebraic forms; ``collect_set``-style holistic aggs are
+bounded by group cardinality and should only run on bounded-cardinality
+columns (enforce upstream with ``approx_count_distinct`` sanity checks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to decimal for exact, order-independent arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Exact sum of a money-like double column, returned as double.
+
+    ≡ oracle ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+    """
+    return F.sum(dec(col)).cast("double")
+
+
+def dec_avg(col: Column | str) -> Column:
+    """Deterministic average: exact decimal sum / count, double division.
+
+    ≡ oracle ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c)).cast("double") / F.count(c)
+
+
+def sorted_set_str(col: Column | str, sep: str = ",") -> Column:
+    """``collect_set`` → sorted → comma-joined string (deterministic
+    representation of a per-group set; ≡ the reference's
+    ``sorted(set(values))``, ``inverted_index.py:61``).
+
+    ≡ oracle ``array_to_string(list_sort(list(DISTINCT x)), sep)``.
+    """
+    return F.array_join(
+        F.transform(F.array_sort(F.collect_set(col)), lambda x: x.cast("string")), sep
+    )
+
+
+def project(df: DataFrame, cols: Iterable[Column | str]) -> DataFrame:
+    """B4 projection — ``df.select``; Catalyst prunes the parquet scan
+    to exactly these columns (check ``ReadSchema`` in explain)."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, *conds: Column) -> DataFrame:
+    """B4 filter — conjunctive predicates; pushed into the parquet scan
+    (check ``PushedFilters`` in explain)."""
+    out = df
+    for c in conds:
+        out = out.filter(c)
+    return out
+
+
+def explode_col(df: DataFrame, arr: Column, alias: str, keep: Iterable[str] = ()) -> DataFrame:
+    """B5 flatMap/explode — one output row per array element."""
+    return df.select(*keep, F.explode(arr).alias(alias))
+
+
+def grouped_agg(df: DataFrame, keys: Iterable[str], **aggs: Column) -> DataFrame:
+    """B6 grouped aggregation; aliases from kwarg names."""
+    return df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+def distinct_rows(df: DataFrame, cols: Iterable[str] | None = None) -> DataFrame:
+    """B3 distinct / dropDuplicates. With ``cols``, keeps the distinct
+    key combinations only (projection first, so the shuffle carries just
+    the key columns)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """B10 global top-k. ``order`` must be a total order (include a
+    unique tie-breaker column) for deterministic results.
+
+    At scale this is a TakeOrderedAndProject — each partition keeps k
+    rows, the driver merges; no full sort."""
+    return df.orderBy(*order).limit(k)
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """B11 union by name."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,361 @@
+"""Relational query inventory — SURVEY.md §2.B rows B3-B14 as declared,
+oracle-checked queries over the TPC-H-ish fixtures.
+
+Each query pairs a Spark callable with a DuckDB SQL twin; aliases and
+arithmetic (decimal-exact money math) are kept identical on both sides
+so the driver's order-insensitive value hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.join import anti_join, join, semi_join
+from mapreduce_project_spark.operators.relational import (
+    dec,
+    dec_sum,
+    distinct_rows,
+    filter_rows,
+    grouped_agg,
+    sorted_set_str,
+    top_k,
+    union_all,
+)
+from mapreduce_project_spark.operators.windows import (
+    lag_gap_ms,
+    running_dec_sum,
+    top_k_per_group,
+)
+from mapreduce_project_spark.queries_registry import query, t
+
+
+@query(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount <= 0.05
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: predicate + projection; both push into the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return filter_rows(
+        li,
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")),
+        F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")),
+        F.col("l_discount") <= 0.05,
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (TPC-H Q1 analog): multi-agg groupBy; Catalyst plans partial +
+    final HashAggregate (the map-side combiner the reference lacks)."""
+    li = t(spark, sf_dir, "lineitem")
+    return grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        sum_qty=dec_sum("l_quantity"),
+        sum_base_price=dec_sum("l_extendedprice"),
+        sum_disc_price=F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+            "double"
+        ),
+        avg_qty=F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"),
+        count_order=F.count(F.lit(1)),
+    )
+
+
+@query(
+    "group_collect_set",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_group_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: per-key set collection, deterministically serialized."""
+    return grouped_agg(
+        t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        priorities=sorted_set_str("o_orderpriority"),
+        n_orders=F.count(F.lit(1)),
+    )
+
+
+@query("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: distinct (projection first, so only the key column shuffles)."""
+    return distinct_rows(t(spark, sf_dir, "customer"), ["c_mktsegment"])
+
+
+@query(
+    "count_distinct_parts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: exact distinct counts (expand + two-phase agg in Spark). At
+    100 TB prefer approx_count_distinct (see rows-only query)."""
+    return grouped_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        n_parts=F.countDistinct("l_partkey"),
+        n_supps=F.countDistinct("l_suppkey"),
+        n_rows=F.count(F.lit(1)),
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: FK-chain join. nation/region are broadcast (no shuffle);
+    orders⋈customer shuffles on the customer key once."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = (
+        join(orders, customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    return grouped_agg(
+        joined,
+        ["r_name", "n_name"],
+        revenue=dec_sum("o_totalprice"),
+        n_orders=F.count(F.lit(1)),
+    )
+
+
+@query(
+    "join_semi_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def q_join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 left-semi (EXISTS): only the key column of orders shuffles."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return semi_join(
+        customer, orders, customer.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_anti_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q_join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 left-anti (NOT EXISTS): customers with no pending ('P')
+    orders. (The unfiltered variant is empty at sf>=0.01 — every
+    customer has orders — so the filter keeps the check non-trivial.)"""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return anti_join(
+        customer, orders, customer.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "outer_join_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 outer join: zero-order customers kept with count 0."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return grouped_agg(
+        join(customer, orders, customer.c_custkey == orders.o_custkey, "left"),
+        ["c_custkey"],
+        n_orders=F.count("o_orderkey"),
+    )
+
+
+@query(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 global top-k: TakeOrderedAndProject (per-partition k + driver
+    merge, never a full sort). Tie-break on the unique key."""
+    return top_k(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        10,
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@query(
+    "top_lineitems_per_supplier",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      FROM lineitem
+    ) WHERE rk <= 3
+    """,
+)
+def q_top_lineitems_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 per-group top-k via row_number window."""
+    return top_k_per_group(
+        t(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        3,
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+
+
+@query(
+    "union_party_keys",
+    """
+    SELECT c_custkey AS party_key, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS party_key, 'supplier' AS src FROM supplier
+    """,
+)
+def q_union_party_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 union-all of two sources with a provenance tag."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"), F.lit("customer").alias("src")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"), F.lit("supplier").alias("src")
+    )
+    return union_all(c, s)
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           regexp_extract(lower(p_type), '^([a-z]+)', 1) AS type_head,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 scalar string functions (all JVM-side, codegen'd)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract(F.lower(F.col("p_type")), "^([a-z]+)", 1).alias("type_head"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "running_order_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+    FROM orders
+    """,
+)
+def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer (window frame), exact math."""
+    return running_dec_sum(
+        t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        "o_totalprice",
+        "run_total",
+    ).select("o_custkey", "o_orderkey", "run_total")
+
+
+@query(
+    "event_gaps",
+    """
+    SELECT user_id, event_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+    FROM events
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: ms since previous event per user (integer
+    epoch math — no float drift)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ms = F.unix_millis(F.col("ts"))
+    return ev.select(
+        "user_id", "event_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    )
+
+
+@query("approx_distinct_parts")
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 at scale: HyperLogLog++ distinct count (rows-only check — the
+    sketch is engine-specific so no SQL oracle can hash-match; the exact
+    twin is ``count_distinct_parts``)."""
+    return grouped_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        approx_parts=F.approx_count_distinct("l_partkey", 0.01),
+    )

@@ -44,8 +44,20 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic parquet table from ``sf_dir``."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one synthetic parquet table from ``sf_dir``.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microsecond timestamps with integer division (``div`` — a double
+    division would lose precision at ns-epoch magnitude). DuckDB
+    truncates ns → µs the same way, so oracle timestamps agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES) -> dict[str, DataFrame]:
