@@ -1,0 +1,83 @@
+"""Event-time windowing operators (SURVEY.md §2.C C6).
+
+The reference is batch-only (one-shot jobs, ``master.py:164-208``); the
+driver's ``events`` fixture mandates the streaming-shaped surface:
+tumbling / sliding / session windows over event time. These operators
+run in batch here and are written so the identical expressions drop
+into Structured Streaming (see ``streaming/``) — ``F.window`` and
+``F.session_window`` are the same function in both modes.
+
+Scale notes: windowed aggregation shuffles on (window, keys) — at
+100 TB bound the shuffle with a coarse enough window and pre-filter;
+session windows shuffle on the session key (user) which is naturally
+high-cardinality and well-distributed. In streaming, add
+``withWatermark`` before these aggs to bound state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.relational import dec
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def fmt_ts(col: Column, alias: str) -> Column:
+    """Engine-portable string form of a timestamp (session TZ is UTC)."""
+    return F.date_format(col, TS_FMT).alias(alias)
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str], **aggs: Column
+) -> DataFrame:
+    """Fixed (tumbling) windows: one bucket per ``duration`` per key."""
+    win = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(*[v.alias(k) for k, v in aggs.items()])
+        .select(fmt_ts(F.col("w.start"), "window_start"), *keys, *aggs.keys())
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame, ts_col: str, duration: str, slide: str, keys: list[str], **aggs: Column
+) -> DataFrame:
+    """Overlapping (sliding) windows: each event lands in
+    duration/slide windows."""
+    win = F.window(F.col(ts_col), duration, slide)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(*[v.alias(k) for k, v in aggs.items()])
+        .select(fmt_ts(F.col("w.start"), "window_start"), *keys, *aggs.keys())
+    )
+
+
+def session_window_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], **aggs: Column
+) -> DataFrame:
+    """Session windows: events closer than ``gap`` merge into one
+    session; session end = last event + gap (Spark semantics).
+
+    Batch twin of the streaming sessionization; the DuckDB oracle mirrors
+    it with gaps-and-islands (lag + cumulative flag sum).
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(*[v.alias(k) for k, v in aggs.items()])
+        .select(
+            *keys,
+            fmt_ts(F.col("w.start"), "session_start"),
+            fmt_ts(F.col("w.end"), "session_end"),
+            *aggs.keys(),
+        )
+    )
+
+
+def extract_json_field(df: DataFrame, json_col: str, path: str, alias: str) -> DataFrame:
+    """Scalar JSON extraction (``get_json_object``, JVM-side). For full
+    document parsing use ``from_json`` with an explicit schema instead —
+    schema inference on 100 TB of JSON is a full extra pass."""
+    return df.withColumn(alias, F.get_json_object(F.col(json_col), path))

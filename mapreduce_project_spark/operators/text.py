@@ -1,0 +1,105 @@
+"""Text-analysis operators (SURVEY.md §2.C C4) — the per-document
+statistics, language-ID, quality-scoring, token-counting and
+fingerprinting stages of an LLM training-data pipeline.
+
+Everything is a pure Column expression (JVM-side) over the shared
+tokenizer (`functions.textfns.tokens`), so at 100 TB these run inside
+whole-stage codegen with zero Python cost and no shuffle at all —
+they are per-row maps; only downstream aggregations shuffle.
+
+Cross-engine parity: formulas are written with explicit parenthesization
+and integer→double divisions mirrored verbatim in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.functions import tokens
+
+# Marker stopwords per language for the n-gram/heuristic language ID.
+# Tiny on purpose: deterministic, SQL-mirrorable, and a placeholder for
+# a real fastText-style model (which would be a pandas_udf stage).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "de", "y", "es"),
+}
+# BPE-ish token counting: alpha runs are split into <=4-char chunks,
+# digits and punctuation count one each (a cheap, deterministic proxy
+# for a real BPE vocab; swap in a pandas_udf tokenizer for production).
+BPE_PATTERN = "([a-z]{1,4}|[0-9]|[^a-z0-9\\s])"
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / n_distinct_tokens / n_chars_measured / avg_token_len
+    / type-token-ratio columns."""
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    n_dis = F.size(F.array_distinct(tok))
+    total_len = F.aggregate(tok, F.lit(0), lambda acc, x: acc + F.length(x))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct_tokens", n_dis)
+        .withColumn("n_chars_measured", F.length(text_col))
+        .withColumn("avg_token_len", total_len.cast("double") / n_tok)
+        .withColumn("ttr", n_dis.cast("double") / n_tok)
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality score:
+    ``0.5*least(n_tokens/100, 1) + 0.3*ttr + 0.2*least(avg_len/8, 1)``
+    (length, lexical diversity, word-length components — the shape of
+    C4/Gopher-style quality heuristics, reduced to SQL-mirrorable form).
+    """
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    ttr = F.size(F.array_distinct(tok)).cast("double") / n_tok
+    total_len = F.aggregate(tok, F.lit(0), lambda acc, x: acc + F.length(x))
+    avg_len = total_len.cast("double") / n_tok
+    return (
+        F.lit(0.5) * F.least(n_tok.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * ttr
+        + F.lit(0.2) * F.least(avg_len / 8, F.lit(1.0))
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Marker-hit counts per language (count of tokens in each marker
+    set)."""
+    tok = tokens(text_col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(tok, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def predicted_lang(text_col: str = "text") -> Column:
+    """Argmax language with deterministic tie-break (en > de > fr > es;
+    'und' when no marker hits)."""
+    s = lang_scores(text_col)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (last WHEN built = first checked)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Deterministic BPE-ish token count (regex chunks, see BPE_PATTERN)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), F.lit(1))
+    )
+
+
+def doc_fingerprint(text_col: str = "text") -> Column:
+    """Canonical content fingerprint: md5 over the normalized token
+    stream (whitespace/punctuation-insensitive — two docs with the same
+    token sequence collide by design). Engine-portable: DuckDB
+    ``md5(array_to_string(tokens, ' '))`` is identical."""
+    return F.md5(F.encode(F.array_join(tokens(text_col), " "), "UTF-8"))

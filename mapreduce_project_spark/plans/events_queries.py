@@ -1,0 +1,127 @@
+"""Event windowing queries (C6) with DuckDB oracles.
+
+Window starts are epoch-aligned in both engines (Spark windows align to
+the epoch; DuckDB ``time_bucket`` to 2000-01-01, which coincides for
+divisors of a day), and are emitted as UTC strings. Sums go through
+decimals for cross-engine exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.events import (
+    extract_json_field,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from mapreduce_project_spark.operators.relational import dec, dec_sum
+from mapreduce_project_spark.queries_registry import query, t
+
+
+@query(
+    "events_tumbling_hour",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: 1-hour tumbling windows per event type."""
+    return tumbling_window_agg(
+        t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        n_events=F.count(F.lit(1)),
+        sum_value=dec_sum("value"),
+    )
+
+
+@query(
+    "events_sliding_hour",
+    """
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+             value, ts
+      FROM events, (SELECT unnest([0,1,2,3]) AS k)
+    )
+    WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+)
+def q_events_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: 1-hour windows sliding by 15 min (each event in 4 windows).
+    The oracle expands the 4 covering windows per event explicitly."""
+    return sliding_window_agg(
+        t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        "15 minutes",
+        [],
+        n_events=F.count(F.lit(1)),
+        sum_value=dec_sum("value"),
+    )
+
+
+@query(
+    "events_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: session windows per user, 30-minute gap. Spark semantics:
+    a new session starts when the gap is >= 30 min (window end is
+    exclusive); session end = last event + gap. The oracle mirrors this
+    with gaps-and-islands."""
+    return session_window_agg(
+        t(spark, sf_dir, "events"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        n_events=F.count(F.lit(1)),
+        sum_value=dec_sum("value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction from the props payload (B13-adjacent)."""
+    df = extract_json_field(t(spark, sf_dir, "events"), "props", "$.k", "k_raw")
+    return df.select(
+        "event_id", "event_type", F.col("k_raw").cast("bigint").alias("k_val")
+    )

@@ -1,0 +1,204 @@
+"""Text-analysis + dedup query inventory (C1/C2/C4) with DuckDB twins
+where exactly SQL-expressible; MinHash/SimHash are rows-only (their
+sketches are verified against the exact-Jaccard oracle in tests).
+
+Counts are cast to BIGINT on the Spark side (Spark ``size``/``length``
+return INT; DuckDB ``len`` returns BIGINT — the driver compares schemas).
+Score formulas avoid rounding entirely: identical operand order means
+identical IEEE doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from mapreduce_project_spark.operators.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    predicted_lang,
+    quality_score,
+    with_token_stats,
+)
+from mapreduce_project_spark.queries_registry import query, t
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: per-document token statistics (pure codegen'd expressions)."""
+    return with_token_stats(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+        F.col("n_chars_measured").cast("bigint").alias("n_chars_measured"),
+        "avg_token_len",
+        "ttr",
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           0.5 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+         + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         + 0.2 * least((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 8, 1.0)
+           AS quality
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: deterministic quality score (length / diversity / word-length
+    mix, Gopher-rule shaped)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+_LANG_CASE = """
+    CASE WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+         WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+         WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+         WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+         ELSE 'und' END
+"""
+
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang, {_LANG_CASE} AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+             len(list_filter(toks, x -> list_contains(['el','los','de','y','es'], x))) AS es
+      FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    )
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: marker-stopword language ID with deterministic tie-break
+    (placeholder for a pandas_udf fastText stage; same plumbing)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", predicted_lang("text").alias("pred_lang")
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '([a-z]{1,4}|[0-9]|[^a-z0-9\\s])')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: BPE-ish subword token count (regex proxy; leftmost-first
+    alternation semantics agree between Java regex and RE2 here)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count("text").cast("bigint").alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: canonical content fingerprint (md5 of normalized tokens)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup via content-digest hash-groupBy. Deterministic
+    min-id representative (dropDuplicates keeps an arbitrary row). At
+    100 TB the shuffle carries 32-byte digests, not documents."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+    return exact_dedup(docs, ["fp"], "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+    ), sizes AS (
+      SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+    ), common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jac
+    FROM common
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 exact: all doc pairs with 3-gram Jaccard >= 0.8 (the fixture
+    plants ~25 near-dup pairs at >=0.96 with a wide gap below, so the
+    threshold is numerically safe cross-engine)."""
+    return jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8)
+
+
+@query("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 scalable: MinHash(64) + LSH(16x4) candidates, exact-Jaccard
+    verified. Rows-only driver check; tests assert the result is a
+    subset of `dedup_ngram_jaccard` with full recall on the fixtures."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 3, 64, 16, 0.8
+    ).select("id_a", "id_b", "jac")
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 sketch: SimHash64 pairs with Hamming <= 3 via pigeonhole chunk
+    join. Rows-only driver check (sketch is engine-seeded)."""
+    return simhash_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3).select(
+        "id_a", "id_b", "hamming"
+    )

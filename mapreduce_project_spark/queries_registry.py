@@ -57,3 +57,5 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Import side-effect: each module registers its queries via @query.
 from mapreduce_project_spark.plans import core_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import relational_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import events_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import text_queries  # noqa: E402,F401

@@ -1,0 +1,39 @@
+"""Dedup operator properties beyond the oracle diff: the approximate
+sketch variants (MinHash+LSH, SimHash) are validated against the exact
+Jaccard join — subset + recall on the fixture's planted near-dups.
+"""
+
+from __future__ import annotations
+
+from mapreduce_project_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from mapreduce_project_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_subset_and_recall(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pairs(jaccard_pairs(docs, "doc_id", "text", 3, 0.8))
+    mh = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8))
+    assert mh <= exact, f"false positives: {mh - exact}"
+    assert exact, "fixture should contain planted near-dup pairs"
+    recall = len(mh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall} < 0.9 ({len(mh)}/{len(exact)})"
+
+
+def test_simhash_finds_planted_dups(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pairs(jaccard_pairs(docs, "doc_id", "text", 3, 0.9))
+    sh = _pairs(simhash_pairs(docs, "doc_id", "text", 3))
+    assert sh, "simhash should find at least the closest planted dups"
+    # hamming<=3 on 64-bit simhash is a much stricter notion than
+    # jaccard>=0.9; every simhash pair should be a true near-dup pair
+    found = len(sh & exact) / len(sh)
+    assert found >= 0.8, f"precision vs jaccard-0.9 pairs: {found} ({sh - exact})"
