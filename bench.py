@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every declared query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). Per-query wall time includes Catalyst planning —
+that is the user-visible latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from mapreduce_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # JVM/session warmup so the first measured query isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            df = queries[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": f"total_declared_query_seconds_sf{sf}",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

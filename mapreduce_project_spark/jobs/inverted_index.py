@@ -37,3 +37,4 @@ def inverted_index(
             F.array_join(F.transform("postings_arr", lambda x: x.cast("string")), ",").alias("postings"),
         )
     )
+

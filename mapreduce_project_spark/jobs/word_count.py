@@ -27,3 +27,4 @@ def word_count(df: DataFrame, text_col: str | Column = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+

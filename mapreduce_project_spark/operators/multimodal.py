@@ -1,0 +1,104 @@
+"""Multimodal-column operators (SURVEY.md §2.C C5).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct; ingestion comes from the ``binaryFile`` source
+(`sources.io.read_binary_files`) or any parquet with binary columns.
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked stub (`decode_media`) — but the Spark-side plumbing is
+real and tested: schemas, Arrow batch shapes, ``mapInPandas``
+signatures, and deterministic byte-level feature extraction
+(`byte_features`) run end-to-end on real bytes.
+
+Scale notes: binary payloads ride along columns — keep them OUT of
+shuffles (extract features first, join features later by id). The
+``mapInPandas`` stages below are narrow (no shuffle) and Arrow-batched;
+at 100 TB tune ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a
+batch of payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata struct from
+    the documents table (stand-in for real image/audio bytes; the
+    downstream operators treat it as opaque binary).
+
+    Columns added: ``payload binary``, ``media struct<format, width,
+    height, n_bytes>``.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpg"), F.lit("wav")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.withColumn("payload", payload).withColumn(
+        "media",
+        F.struct(
+            fmt.alias("format"),
+            (64 * (F.col("doc_id") % 16 + 1)).alias("width"),
+            (64 * ((F.col("doc_id") / 16).cast("bigint") % 16 + 1)).alias("height"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ),
+    )
+
+
+def byte_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic per-payload byte statistics via ``mapInPandas``
+    (the feature-extraction stage shape: binary in → small typed
+    features out, Arrow-batched, no shuffle).
+
+    Output: (id, n_bytes, byte_sum, mean_byte, n_frames) where frames
+    are fixed 256-byte chunks (the frame-sampling analog for video).
+    """
+    out_schema = (
+        f"{id_col} long, n_bytes long, byte_sum long, mean_byte double, n_frames long"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n = len(b)
+                s = sum(b)
+                rows.append(
+                    {
+                        id_col: rid,
+                        "n_bytes": n,
+                        "byte_sum": s,
+                        "mean_byte": (s / n) if n else 0.0,
+                        "n_frames": (n + 255) // 256,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "byte_sum", "mean_byte", "n_frames"])
+
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload", format_col: str = "media.format") -> DataFrame:
+    """STUB — real image/audio decode (PIL/librosa are not in this
+    container). The function validates the plumbing (schema + batch
+    iteration) and raises ``NotImplementedError`` on execution of the
+    decode branch. Swap the body for a real decoder in production; the
+    surrounding pipeline (binary source → mapInPandas → typed features)
+    is the tested, scale-correct part.
+    """
+    out_schema = "doc_id long, decoded_ok boolean"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raise NotImplementedError(
+                "media decode requires image/audio libs not present in this "
+                "container; use byte_features for the deterministic test path"
+            )
+            yield pdf  # pragma: no cover
+
+    return df.select("doc_id", payload_col).mapInPandas(decode, out_schema)

@@ -1,0 +1,211 @@
+"""Embedding similarity operators (SURVEY.md §2.C C3) — brute-force
+cosine top-k, threshold similarity join, random-hyperplane LSH ANN, and
+the per-label centroid building block of an IVF index.
+
+Numeric determinism: cosine is computed as a **left fold** over the
+element products in double precision —
+``dot = (((0+x1y1)+x2y2)+...)``, ``cos = dot/(sqrt(na)*sqrt(nb))`` —
+which the DuckDB oracle mirrors verbatim with ``list_reduce``. IEEE
+arithmetic with identical operand order gives bit-identical doubles, so
+thresholds and rank tie-breaks agree across engines with no rounding
+tricks.
+
+Scale design:
+- brute-force top-k is O(Q x N): correct baseline, fine when Q is small
+  (broadcast the queries) — the N x N self-join variant is the oracle
+  only;
+- LSH ANN: L hash tables x b hyperplane sign bits; candidates = union
+  of same-bucket rows over tables, exact re-rank on candidates. Shuffle
+  is on (table, bucket) keys — uniform by construction; cost
+  O(N*L + candidates), the 100 TB path. Recall is tunable via (L, b);
+- centroids: per-(label, dim) decimal sums — exact, order-independent,
+  and the coarse quantizer for an IVF variant (assign→search-own-cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LSH_SEED = 42
+
+
+def as_double(arr: Column) -> Column:
+    """array<float> → array<double> (exact widening, both engines)."""
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def fold_sum(arr: Column) -> Column:
+    """Left-fold sum with 0.0 init — ≡ DuckDB ``list_reduce(l, (a,b)->a+b)``
+    (whose implicit init is the first element; ``0.0 + x1 == x1`` exactly,
+    so the fold sequences are identical)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two double arrays."""
+    return fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm(a: Column) -> Column:
+    """Deterministic L2 norm."""
+    return F.sqrt(fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine: ``dot/(norm_a*norm_b)`` — mirror this exact
+    operand order in any oracle."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_col: str | None = None
+) -> DataFrame:
+    """All-pairs cosine similarity join: (id_a, id_b, cos) with
+    cos >= threshold. Optional ``block_col`` restricts pairs to equal
+    blocking keys (turns the cross join into an equi-join — the
+    classic scale lever when a cheap partition key exists)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def topk_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self):
+    (query_id, neighbor_id, rk, cos). ``queries`` is broadcast — the
+    corpus is scanned once, no shuffle of the corpus side; the window
+    for ranking partitions by query_id (small)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "cos")
+    )
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = _LSH_SEED) -> list[list[list[float]]]:
+    """Deterministic pseudo-gaussian hyperplanes via a seeded LCG
+    (no numpy at plan-build time keeps the plan reproducible anywhere)."""
+    state = seed
+    planes = []
+    for _ in range(n_tables):
+        table = []
+        for _ in range(n_bits):
+            vec = []
+            for _ in range(dim):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+                # sum of 4 uniforms ~ gaussian enough for LSH
+                u = ((state >> 11) % 10**9) / 10**9
+                vec.append(u - 0.5)
+            table.append(vec)
+        planes.append(table)
+    return planes
+
+
+def lsh_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_tables: int, n_bits: int, dim: int
+) -> DataFrame:
+    """(table, bucket, id, v) — random-hyperplane signatures: bucket =
+    sign-bit integer of the vector's dot products with each plane."""
+    planes = _hyperplanes(n_tables, n_bits, dim)
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    tables = []
+    for ti, table in enumerate(planes):
+        bucket = F.lit(0)
+        for bi, plane in enumerate(table):
+            p = F.array(*[F.lit(x) for x in plane])
+            bucket = bucket + F.when(dot(F.col("v"), p) > 0, F.lit(1 << bi)).otherwise(F.lit(0))
+        tables.append(base.select(F.lit(ti).alias("table"), bucket.alias("bucket"), "id", "v"))
+    out = tables[0]
+    for t_ in tables[1:]:
+        out = out.unionByName(t_)
+    return out
+
+
+def topk_ann_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query
+    in >=1 of ``n_tables`` tables; exact cosine re-rank on candidates.
+    Same output shape as `topk_bruteforce` (recall measured in tests)."""
+    from pyspark.sql import Window
+
+    corpus_b = lsh_buckets(df, id_col, vec_col, n_tables, n_bits, dim)
+    query_b = lsh_buckets(queries, id_col, vec_col, n_tables, n_bits, dim).select(
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+    )
+    cand = (
+        corpus_b.join(
+            F.broadcast(query_b),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("id").alias("neighbor_id"), "qv", "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "cos")
+    )
+
+
+def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """(label, dim, centroid_val) — exact per-dimension means via
+    DECIMAL(18,9) sums (order-independent, engine-identical). This is
+    the coarse quantizer of an IVF index: assign = argmin distance to
+    centroid; search = scan own cell only."""
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x")).alias(
+            "centroid_val"
+        )
+    )

@@ -1,0 +1,99 @@
+"""MapReduce-facade + multimodal query inventory.
+
+The ``*_mr`` queries run the reference's programming model through
+``mapreduce.run_job`` and reproduce its stringly-typed output semantics
+(every key/value coerced to str at the shuffle, ``worker.py:137-138``;
+reduce values arrive as strings — so the inverted index collects
+*string* doc ids and sorts lexicographically, exactly what the
+reference's own tests parse back with ``ast.literal_eval``,
+``test.py:99-101``). The oracles mirror that coercion in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.jobs import inverted_index_mr as ii
+from mapreduce_project_spark.jobs import word_count_mr as wc
+from mapreduce_project_spark.mapreduce import run_job
+from mapreduce_project_spark.operators.multimodal import attach_payload, byte_features
+from mapreduce_project_spark.queries_registry import query, t
+
+
+def _docs_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+
+
+@query(
+    "word_count_mr",
+    """
+    SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def q_word_count_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A9 facade: word count through run_job (map emits (word,1),
+    reduce sums) — differentially equal to the native `word_count`."""
+    return run_job(spark, _docs_kv(spark, sf_dir), wc.mr_map, wc.mr_reduce, num_partitions=8)
+
+
+@query(
+    "inverted_index_mr",
+    """
+    SELECT word AS key,
+           '[' || array_to_string(
+                    list_transform(list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))),
+                                   x -> '''' || x || ''''), ', ')
+               || ']' AS value
+    FROM (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS word
+      FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def q_inverted_index_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A9 facade: inverted index through run_job. Doc ids are strings
+    at the shuffle (reference type-erasure), so postings sort
+    lexicographically and serialize as a Python list repr — the oracle
+    reconstructs that exact string."""
+    return run_job(spark, _docs_kv(spark, sf_dir), ii.mr_map, ii.mr_reduce, num_partitions=8)
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           ['png','jpg','wav'][(doc_id % 3 + 1)] AS format,
+           64 * (doc_id % 16 + 1) AS width,
+           64 * ((doc_id // 16) % 16 + 1) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: binary payload + typed metadata struct (format/width/height/
+    n_bytes); the payload itself stays out of the comparison (opaque)."""
+    df = attach_payload(t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("media.format").alias("format"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.n_bytes").alias("n_bytes"),
+    )
+
+
+@query("multimodal_byte_features")
+def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: Arrow-batched mapInPandas feature extraction over the binary
+    payload (frame counting = the video frame-sample analog). Rows-only
+    driver check; tests recompute the features in pure Python."""
+    return byte_features(attach_payload(t(spark, sf_dir, "documents")))

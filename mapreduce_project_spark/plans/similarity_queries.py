@@ -1,0 +1,97 @@
+"""Similarity-search query inventory (C3 + embedding near-dup) with
+DuckDB twins built on the identical left-fold cosine (see
+``operators/similarity.py`` — bit-identical doubles across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.similarity import (
+    cosine_pairs,
+    label_centroids,
+    topk_ann_lsh,
+    topk_bruteforce,
+)
+from mapreduce_project_spark.queries_registry import query, t
+
+# DuckDB twin of operators.similarity.cosine: left-fold dot / (norm*norm).
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]), (x,y) -> x+y)"
+        f" / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
+        f" * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))"
+    )
+
+
+@query(
+    "similarity_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('q.v', 'c.v')} AS cos
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 baseline: exact top-5 cosine neighbors for query vectors
+    (vec_id < 10). Queries broadcast; corpus scanned once."""
+    emb = t(spark, sf_dir, "embeddings")
+    return topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    )
+
+
+@query(
+    "embedding_cosine_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cos('a.v', 'b.v')} AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cos('a.v', 'b.v')} >= 0.3
+    """,
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.3) blocked on the label
+    column — the blocking key turns the O(N^2) cross join into a
+    per-block equi-join (the scale lever when any cheap partition key
+    exists; without one, use the LSH variant)."""
+    return cosine_pairs(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3, "label")
+
+
+@query("similarity_ann_lsh")
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path: random-hyperplane LSH (8 tables x 4 bits) ANN
+    top-5 with exact re-rank of candidates. Rows-only driver check;
+    tests measure recall vs `similarity_topk`."""
+    emb = t(spark, sf_dir, "embeddings")
+    return topk_ann_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, i - 1 AS dim,
+           CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(v[i]) AS centroid_val
+    FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer building block: exact per-(label, dim) means
+    via DECIMAL(18,9) sums (order-independent, engine-identical)."""
+    return label_centroids(t(spark, sf_dir, "embeddings"), "label", "embedding").select(
+        "label", F.col("dim").cast("bigint").alias("dim"), "centroid_val"
+    )

@@ -59,3 +59,5 @@ from mapreduce_project_spark.plans import core_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import relational_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import events_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import text_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import similarity_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import compat_queries  # noqa: E402,F401
