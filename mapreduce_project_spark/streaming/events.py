@@ -1,0 +1,120 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is strictly batch (one-shot jobs, ``master.py:164-208``);
+this module is the streaming-native expression of the C6 event
+operators — the *same* ``window`` / ``session_window`` expressions as
+``operators/events.py``, wrapped in ``readStream``/``writeStream`` with
+watermarks for bounded state, plus an ``applyInPandasWithState``
+example of an arbitrary stateful operator (the streaming analog of the
+reference's per-key reduce).
+
+Scale notes: watermark delay bounds state size; windowed state is
+per (window x key); the file source here is a stand-in for Kafka —
+swap ``readStream.format("kafka")`` in production, everything
+downstream is unchanged. Tests drive these to completion with
+``trigger(availableNow=True)`` + memory sink and compare against the
+batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which Spark
+# reads as long under nanosAsLong (see sources/io.py) — converted right
+# after read.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source event stream (one parquet file per micro-batch read;
+    Kafka in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling-window counts/sums per event type; watermark
+    bounds state and admits late data up to ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows per user (same expression as batch)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful operator via ``applyInPandasWithState``: a
+    running per-user event count + value total carried across
+    micro-batches (the streaming analog of the reference's per-key
+    reduce with explicit state instead of a full value list)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update") -> None:
+    """Drive a streaming DataFrame to completion synchronously
+    (availableNow trigger + memory sink); results land in table
+    ``name``. Session-window aggregations require ``complete`` mode
+    (sessions merge, so per-row updates are undefined)."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,57 @@
+"""Plan-quality tests: assert the physical plans have the shape that
+survives a 100x scale-up — filters pushed to the scan, columns pruned,
+small dimensions broadcast, aggregates partial+final, global top-k as
+TakeOrderedAndProject (never a full sort).
+"""
+
+from __future__ import annotations
+
+from mapreduce_project_spark.plans.inspect import (
+    count_node,
+    has_node,
+    pushed_filters,
+    read_schemas,
+)
+from mapreduce_project_spark.queries_registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_filter_project_pushdown_and_pruning(spark):
+    df = QUERIES["filter_project"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("l_discount" in f or "l_shipdate" in f for f in pf), pf
+    schemas = read_schemas(df)
+    # scan must read only the 4 projected + 2 filter columns, not all 11
+    assert schemas and all("l_returnflag" not in s and "l_tax" not in s for s in schemas), schemas
+
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    df = QUERIES["join_revenue_by_nation"](spark, SF_DIR)
+    assert count_node(df, "BroadcastHashJoin") >= 2  # nation and region
+    # orders joins customer on the shuffle; fact side never broadcast as build
+
+
+def test_word_count_partial_aggregation(spark):
+    df = QUERIES["word_count"](spark, SF_DIR)
+    # partial (map-side) + final HashAggregate around one exchange
+    assert count_node(df, "HashAggregate") >= 2
+    assert count_node(df, "Exchange") == 1
+
+
+def test_top_orders_takeordered(spark):
+    df = QUERIES["top_orders"](spark, SF_DIR)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert not has_node(df, "GlobalSort")
+
+
+def test_semi_join_prunes_right_columns(spark):
+    df = QUERIES["join_semi_customers"](spark, SF_DIR)
+    # the orders scan must read only the join key + filter column
+    schemas = [s for s in read_schemas(df) if "o_" in s]
+    assert schemas and all("o_totalprice" not in s for s in schemas), schemas
+
+
+def test_tumbling_window_single_shuffle(spark):
+    df = QUERIES["events_tumbling_hour"](spark, SF_DIR)
+    assert count_node(df, "Exchange") == 1
+    assert count_node(df, "HashAggregate") >= 2  # partial+final

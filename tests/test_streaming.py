@@ -1,0 +1,88 @@
+"""Structured Streaming tests: each streaming query is driven to
+completion (availableNow + memory sink) and compared against its batch
+twin on the same fixture — the stream/batch-parity property Spark's
+unified model promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.events import tumbling_window_agg
+from mapreduce_project_spark.operators.relational import dec_sum
+from mapreduce_project_spark.sources import load_table
+from mapreduce_project_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    running_user_totals_stream,
+    session_stream,
+    tumbling_counts_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    stream = tumbling_counts_stream(read_event_stream(spark, SF_DIR))
+    run_to_memory(stream, "stream_tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+    }
+    batch = tumbling_window_agg(
+        load_table(spark, SF_DIR, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        n_events=F.count(F.lit(1)),
+    )
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_match_batch(spark):
+    run_to_memory(
+        session_stream(read_event_stream(spark, SF_DIR)), "stream_sessions", "complete"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    from mapreduce_project_spark.operators.events import session_window_agg
+
+    batch = session_window_agg(
+        load_table(spark, SF_DIR, "events"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        n_events=F.count(F.lit(1)),
+    )
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals(spark):
+    run_to_memory(
+        running_user_totals_stream(read_event_stream(spark, SF_DIR)), "stream_state"
+    )
+    # final state per user (last update) must equal the batch aggregate
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM stream_state
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch}
+    assert got == want
