@@ -64,12 +64,16 @@ def cosine_pairs(
     """All-pairs cosine similarity join: (id_a, id_b, cos) with
     cos >= threshold. Optional ``block_col`` restricts pairs to equal
     blocking keys (turns the cross join into an equi-join — the
-    classic scale lever when a cheap partition key exists)."""
+    classic scale lever when a cheap partition key exists).
+
+    Norms are computed once per row *before* the join (N norm folds,
+    not 2x per pair); ``dot/(norm_a*norm_b)`` is unchanged bit-for-bit,
+    so the oracle twin still matches exactly."""
     base = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -79,7 +83,7 @@ def cosine_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -100,11 +104,17 @@ def topk_bruteforce(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    c = df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    ).withColumn("qnrm", norm(F.col("qv")))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    ).withColumn("nnrm", norm(F.col("nv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -140,17 +150,28 @@ def lsh_buckets(
     sign-bit integer of the vector's dot products with each plane."""
     planes = _hyperplanes(n_tables, n_bits, dim)
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    tables = []
-    for ti, table in enumerate(planes):
-        bucket = F.lit(0)
-        for bi, plane in enumerate(table):
-            p = F.array(*[F.lit(x) for x in plane])
-            bucket = bucket + F.when(dot(F.col("v"), p) > 0, F.lit(1 << bi)).otherwise(F.lit(0))
-        tables.append(base.select(F.lit(ti).alias("table"), bucket.alias("bucket"), "id", "v"))
-    out = tables[0]
-    for t_ in tables[1:]:
-        out = out.unionByName(t_)
-    return out
+    # broadcast-join the (table, bit, plane) rows instead of inlining
+    # n_tables*n_bits dot folds into one projection: same FLOPs, compact
+    # codegen (one dot expression), and the plane set can grow without
+    # blowing up the plan. Rows per input: n_tables * n_bits.
+    spark = df.sparkSession
+    plane_rows = [
+        (ti, bi, table[bi]) for ti, table in enumerate(planes) for bi in range(n_bits)
+    ]
+    planes_df = spark.createDataFrame(plane_rows, "table int, bit int, plane array<double>")
+    signs = (
+        base.crossJoin(F.broadcast(planes_df))
+        .select(
+            "id",
+            "table",
+            F.when(dot(F.col("v"), F.col("plane")) > 0, F.expr("shiftleft(1, bit)"))
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+        .groupBy("id", "table")
+        .agg(F.sum("bitval").cast("int").alias("bucket"))
+    )
+    return signs.join(base, "id").select("table", "bucket", "id", "v")
 
 
 def topk_ann_lsh(
