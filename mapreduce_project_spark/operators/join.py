@@ -44,3 +44,84 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
     """B9 NOT EXISTS — rows of ``left`` without a match in ``right``."""
     return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *conds: Column,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Non-equi (interval/band) join: match rows on inequality predicates
+    (e.g. ``lo <= x < hi``). With no equi-key Catalyst would plan a
+    cartesian product; broadcasting the small side (the band/dimension
+    table — the common case) turns it into BroadcastNestedLoopJoin: the
+    fact side is scanned once with zero shuffle.
+
+    At 100 TB never range-join two fact tables directly — bucket one side
+    into equi-join keys first (e.g. truncate timestamps to the bucket
+    width and equi-join on the bucket, then refine with the inequality).
+    """
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts <= left_ts`` within the same key group (or nulls
+    when none exists) — the point-in-time lookup the reference could only
+    express as a reduce over the full per-key value list
+    (``worker.py:198-207``).
+
+    Implementation is the scalable union trick, not a correlated
+    subquery: tag left/right rows, union them (``allowMissingColumns``
+    fills the other side's columns with nulls), sort each key group by
+    (ts, side) with a single window, and carry the last non-null right
+    payload forward with ``last(ignorenulls=True)``. One shuffle on
+    ``keys``, linear work per row — survives any data volume whose
+    single-key timeline fits a partition (salt the key by coarse time
+    ranges with boundary duplication if even that is too hot).
+
+    Right rows sort *before* left rows at equal timestamps, giving the
+    inclusive ``<=`` semantics; ties among right rows at the same ts are
+    broken by the payload struct ordering (largest wins), so the result
+    is deterministic.
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    right_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_evt_ts"),
+        payload.alias("_payload"),
+        F.lit(0).alias("_side"),
+    )
+    left_cols = left.columns
+    left_tagged = left.withColumn("_evt_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_evt_ts"), F.col("_side"), F.col("_payload"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    return matched.filter(F.col("_side") == 1).select(
+        *left_cols,
+        F.col("_m._ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

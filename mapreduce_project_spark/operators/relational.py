@@ -114,3 +114,62 @@ def union_all(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def rollup_agg(df: DataFrame, keys: Iterable[str], **aggs: Column) -> DataFrame:
+    """Hierarchical subtotals: one result row per key prefix plus the
+    grand total (nulls mark the rolled-up levels). Executes as a single
+    Expand + partial/final HashAggregate — one shuffle for all levels,
+    not one aggregation per level."""
+    return df.rollup(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+def cube_agg(df: DataFrame, keys: Iterable[str], **aggs: Column) -> DataFrame:
+    """All 2^k key-subset subtotals in one pass (Expand multiplies each
+    input row by 2^k — keep k small at scale)."""
+    return df.cube(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+def grouping_sets_agg(
+    df: DataFrame, sets: list[list[str]], keys: Iterable[str], **aggs: Column
+) -> DataFrame:
+    """Explicit GROUPING SETS — only the requested key subsets, cheaper
+    than cube when few subtotal combinations are needed."""
+    return df.groupingSets(sets, *keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (distinct) — plans as a left-semi join + distinct."""
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set difference (distinct) — plans as a left-anti join + distinct."""
+    return a.exceptAll(b).distinct()
+
+
+def pivot_count(
+    df: DataFrame, key: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Pivot ``pivot_col`` into one count column per value. Passing the
+    value list explicitly skips the extra distinct-collection job Spark
+    otherwise runs, and compiles to plain conditional aggregation (one
+    shuffle). Missing combinations are 0, not null (matches SQL
+    ``COUNT(*) FILTER``)."""
+    pivoted = df.groupBy(key).pivot(pivot_col, values).agg(F.count(F.lit(1)))
+    return pivoted.select(
+        key, *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values]
+    )
+
+
+def percentiles(
+    df: DataFrame, keys: Iterable[str], col: Column | str, probs: dict[str, float]
+) -> DataFrame:
+    """Exact interpolated percentiles per group (alias → probability).
+    ``percentile`` is a holistic aggregate (sorts each group's values);
+    at 100 TB prefer ``approx_percentile`` (t-digest sketch, algebraic).
+    ≡ oracle ``quantile_cont(x, p)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.groupBy(*keys).agg(
+        *[F.percentile(c, F.lit(p)).alias(name) for name, p in probs.items()]
+    )

@@ -217,6 +217,99 @@ def topk_ann_lsh(
     )
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Deterministic squared euclidean distance of two double arrays."""
+    return fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list[list[float]], id_col: str = "id", vec_col: str = "v"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: (id, v, cid).
+
+    The quantizer is small by construction, so it is inlined as literal
+    arrays and the argmin is ``array_min`` over (dist, cid) structs —
+    a **pure projection**: zero shuffle, O(k) distance folds per row,
+    fully pipelined with the scan. Ties take the lowest cid
+    (lexicographic struct order) — deterministic. At 100 TB the IVF
+    build cost is exactly this one map-side pass over the corpus."""
+    v = F.col(vec_col)
+    dcs = F.array(
+        *[
+            F.struct(
+                sq_dist(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, cv in enumerate(centroids)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.array_min(dcs).getField("cid").alias("cid"),
+    )
+
+
+def topk_ivf(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """C3 IVF ANN: coarse-quantize the corpus into ``n_clusters`` cells,
+    probe the ``n_probe`` nearest cells per query, exact cosine re-rank
+    within the probed cells only. Output shape matches `topk_bruteforce`.
+
+    Centroids here are the vectors of the ``n_clusters`` smallest ids —
+    deterministic and dependency-free; a production build would Lloyd-
+    iterate (`label_centroids` is the update step), but the scale-defining
+    plumbing — broadcast quantizer, cell assignment, probe join — is
+    identical. Search cost is O(N/n_clusters × n_probe) per query instead
+    of O(N): the 100 TB path when no blocking key exists.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    seed_rows = base.orderBy("id").limit(n_clusters).collect()
+    centroids = [list(r["v"]) for r in seed_rows]
+    cells = ivf_assign(base, centroids)
+
+    # probe set per query: the n_probe nearest cells, again as a pure
+    # projection (sort the inline (dist, cid) array, slice, explode)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qdcs = F.array(
+        *[
+            F.struct(
+                sq_dist(F.col("qv"), F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, cv in enumerate(centroids)
+        ]
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(F.slice(F.array_sort(qdcs), 1, n_probe)).alias("p"),
+    ).select("query_id", "qv", F.col("p.cid").alias("cid"))
+    cand = cells.join(F.broadcast(probes), "cid").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", F.col("id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "cos")
+    )
+
+
 def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """(label, dim, centroid_val) — exact per-dimension means via
     DECIMAL(18,9) sums (order-independent, engine-identical). This is

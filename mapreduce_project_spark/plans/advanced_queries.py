@@ -1,0 +1,294 @@
+"""Advanced relational query inventory — multi-level aggregation
+(rollup/cube/grouping sets), set operations, pivot, scalar date/array
+functions, range and as-of joins, exact percentiles, and the IVF ANN
+variant.
+
+None of these exist in the reference in any form (SURVEY.md §2.B "not
+present" list) — they extend the §2.B capability surface the same way a
+user of the reference would have to hand-write them as map/reduce jobs
+(mechanism ``design.md:48-49``), and each SQL-expressible one carries a
+DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.join import asof_join, range_join
+from mapreduce_project_spark.operators.relational import (
+    cube_agg,
+    dec_sum,
+    except_rows,
+    grouping_sets_agg,
+    intersect_rows,
+    percentiles,
+    pivot_count,
+    rollup_agg,
+)
+from mapreduce_project_spark.operators.similarity import topk_ivf
+from mapreduce_project_spark.queries_registry import query, t
+
+
+@query(
+    "rollup_customer_balance",
+    """
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+    """,
+)
+def q_rollup_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (segment → segment×nation → grand total)
+    in one Expand + one shuffle."""
+    return rollup_agg(
+        t(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        n_customers=F.count(F.lit(1)),
+        total_bal=dec_sum("c_acctbal"),
+    )
+
+
+@query(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 subtotal combinations in one pass."""
+    return cube_agg(
+        t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        n_orders=F.count(F.lit(1)),
+        revenue=dec_sum("o_totalprice"),
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — only the requested subtotals."""
+    return grouping_sets_agg(
+        t(spark, sf_dir, "lineitem"),
+        [["l_returnflag"], ["l_linestatus"], []],
+        ["l_returnflag", "l_linestatus"],
+        n_rows=F.count(F.lit(1)),
+        sum_qty=dec_sum("l_quantity"),
+    )
+
+
+@query(
+    "intersect_nation_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: nations with both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect_rows(c, s)
+
+
+@query(
+    "except_order_keys",
+    """
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: high-value orders that are not finished."""
+    orders = t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return except_rows(hi, fin)
+
+
+@query(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mo,
+           dayofweek(o_orderdate) + 1 AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13-adjacent scalar date functions (all JVM-side, codegen'd).
+    Spark's dayofweek is 1-based Sunday; DuckDB's is 0-based — the
+    oracle shifts by one."""
+    od = F.col("o_orderdate")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.quarter(od).alias("qtr"),
+        F.month(od).alias("mo"),
+        F.dayofweek(od).alias("dow"),
+        F.date_format(F.date_trunc("month", od), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(od, F.lit("1995-01-01")).alias("days_since_95"),
+    )
+
+
+@query(
+    "array_functions",
+    """
+    SELECT p_partkey,
+           len(words) AS n_words,
+           words[1] AS first_word,
+           array_to_string(list_sort(words), ',') AS sorted_words,
+           list_contains(words, 'red') AS has_red
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13-adjacent array functions over tokenized part names."""
+    words = F.split(F.col("p_name"), " ")
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
+        F.array_contains(words, "red").alias("has_red"),
+    )
+
+
+@query(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns; explicit value list → single
+    shuffle, no distinct-collection pre-job."""
+    return pivot_count(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus", ["F", "O", "P"]
+    )
+
+
+@query(
+    "range_join_price_bands",
+    """
+    SELECT band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN (VALUES ('lt100k', 0.0, 100000.0),
+                 ('100k-200k', 100000.0, 200000.0),
+                 ('200k-300k', 200000.0, 300000.0),
+                 ('300k-400k', 300000.0, 400000.0),
+                 ('ge400k', 400000.0, 1e12)) AS b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: the band table is broadcast, so the fact
+    side is scanned once with zero shuffle before the aggregation."""
+    bands = spark.createDataFrame(
+        [
+            ("lt100k", 0.0, 100000.0),
+            ("100k-200k", 100000.0, 200000.0),
+            ("200k-300k", 200000.0, 300000.0),
+            ("300k-400k", 300000.0, 400000.0),
+            ("ge400k", 400000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = t(spark, sf_dir, "orders")
+    joined = range_join(
+        orders, bands, F.col("o_totalprice") >= F.col("lo"), F.col("o_totalprice") < F.col("hi")
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
+    "asof_view_before_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most
+    recent view at-or-before it (null if none). Single shuffle on
+    user_id via the union + carry-forward window — no correlated
+    subquery, no per-pair work."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(purchases, views, ["user_id"], "ts", "ts", [])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts_matched"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.col("ts_matched"))).alias("gap_ms"),
+    )
+
+
+@query(
+    "percentile_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per return flag. Quantity values are
+    small integers, so the interpolation arithmetic is exact in double
+    on both engines. At 100 TB swap for approx_percentile."""
+    return percentiles(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75},
+    )
+
+
+@query("similarity_topk_ivf")
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 IVF ANN top-5 (16 cells, 4 probes): zero-shuffle quantizer
+    assignment + probe join + exact re-rank within probed cells. Rows-
+    only driver check; tests measure recall vs `similarity_topk`."""
+    emb = t(spark, sf_dir, "embeddings")
+    return topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    )

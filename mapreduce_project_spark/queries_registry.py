@@ -61,3 +61,4 @@ from mapreduce_project_spark.plans import events_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import text_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import similarity_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import compat_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import advanced_queries  # noqa: E402,F401

@@ -1,0 +1,79 @@
+"""Advanced operators: as-of join semantics on a hand-built frame,
+IVF ANN recall, multi-level aggregation oracle diffs, and set ops."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.join import asof_join
+from mapreduce_project_spark.operators.similarity import topk_bruteforce, topk_ivf
+from mapreduce_project_spark.queries_registry import QUERIES, ORACLES
+from mapreduce_project_spark.sources import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    # trades/quotes classic: each trade gets the latest quote <= its ts
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:05")),
+            (2, "A", _ts("2024-01-01 10:00:00")),  # equal-ts quote matches (<=)
+            (3, "B", _ts("2024-01-01 09:00:00")),  # no quote yet -> nulls
+        ],
+        "trade_id int, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:03"), 101.0),
+            ("A", _ts("2024-01-01 10:00:07"), 102.0),  # after trade 1 -> ignored
+            ("B", _ts("2024-01-01 12:00:00"), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    out = {
+        r["trade_id"]: (r["ts_matched"], r["px_matched"])
+        for r in asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"]).collect()
+    }
+    assert out[1] == (_ts("2024-01-01 10:00:03"), 101.0)
+    assert out[2] == (_ts("2024-01-01 10:00:00"), 100.0)
+    assert out[3] == (None, None)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_ivf(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+    assert exact
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall} too low ({len(ivf)} rows)"
+
+
+def test_multilevel_aggs_match_oracle(spark, duck):
+    for name in ("rollup_customer_balance", "cube_order_stats", "grouping_sets_lineitem"):
+        assert_matches_oracle(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+
+
+def test_setops_and_joins_match_oracle(spark, duck):
+    for name in (
+        "intersect_nation_keys",
+        "except_order_keys",
+        "range_join_price_bands",
+        "asof_view_before_purchase",
+        "pivot_priority_status",
+        "percentile_quantity",
+    ):
+        assert_matches_oracle(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
