@@ -28,8 +28,11 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # JVM/session warmup so the first measured query isn't charged for it
+    # JVM/session warmup so the first measured query isn't charged for
+    # one-time costs: codegen bootstrap and parquet datasource/class
+    # init (via the smallest table); no measured table is touched.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

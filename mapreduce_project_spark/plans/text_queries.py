@@ -185,6 +185,54 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8)
 
 
+@query(
+    "tfidf_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, df,
+           CAST(tf AS DOUBLE) * (n_docs / CAST(df AS DOUBLE)) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE tf >= 3
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: per-(doc, term) TF-IDF over the corpus. The IDF factor is the
+    raw ratio n_docs/df rather than its log — IEEE division is exactly
+    rounded so both engines agree bit-for-bit, where ln() is not
+    correctly-rounded in either. Three shuffles (doc-term agg, term agg,
+    term join) — all partial-aggregated; the corpus-size scalar joins as
+    a broadcast."""
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("tf") >= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * (F.col("n_docs") / F.col("df").cast("double"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
 @query("dedup_minhash_lsh")
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 scalable: MinHash(64) + LSH(16x4) candidates, exact-Jaccard

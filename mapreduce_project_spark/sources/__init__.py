@@ -3,8 +3,12 @@ from mapreduce_project_spark.sources.io import (
     load_table,
     load_tables,
     read_binary_files,
+    read_csv,
+    read_json_lines,
     read_text_lines,
     read_whole_text_files,
+    write_csv,
+    write_json_lines,
     write_parquet,
     write_text_lines,
 )
@@ -14,8 +18,12 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_binary_files",
+    "read_csv",
+    "read_json_lines",
     "read_text_lines",
     "read_whole_text_files",
+    "write_csv",
+    "write_json_lines",
     "write_parquet",
     "write_text_lines",
 ]

@@ -112,6 +112,49 @@ def read_binary_files(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return reader.load(list(paths))
 
 
+def read_json_lines(
+    spark: SparkSession, paths: str | list[str], schema: str | None = None
+) -> DataFrame:
+    """Newline-delimited JSON source. Pass an explicit ``schema`` DDL
+    string in production — schema inference is a full extra pass over
+    the data (prohibitive at 100 TB) and can mis-type sparse fields."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source. Same schema guidance as JSON; additionally CSV files
+    are only splittable when uncompressed or bzip2 — at scale prefer
+    converting to parquet at the ingest boundary (`write_parquet`)."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(paths)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON sink (interchange/debug; parquet is the
+    engine-native sink)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, sep: str = ","
+) -> None:
+    """CSV sink (interchange/debug; parquet is the engine-native sink)."""
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Engine-native sink. ``partition_by`` enables partition pruning for
     downstream readers — at 100 TB, partition on coarse query keys

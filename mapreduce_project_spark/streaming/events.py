@@ -105,6 +105,23 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming deduplication: first occurrence per key wins; the
+    watermark bounds the dedup state (keys older than the watermark are
+    evicted — the unbounded-state streaming analog of batch
+    ``dropDuplicates``, C1 at stream time)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch equi-joins the (broadcast-
+    size) static dimension — the streaming analog of the B8 dimension
+    join; no streaming state at all."""
+    return events.join(F.broadcast(dim), on)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update") -> None:
     """Drive a streaming DataFrame to completion synchronously
     (availableNow trigger + memory sink); results land in table

@@ -1,0 +1,72 @@
+"""Source/sink roundtrips: text, JSON lines, CSV, parquet, binaryFile —
+the A1/A10/A19 surface generalized to the formats a pipeline ingests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.sources import (
+    read_binary_files,
+    read_csv,
+    read_json_lines,
+    read_text_lines,
+    read_whole_text_files,
+    write_csv,
+    write_json_lines,
+    write_parquet,
+    write_text_lines,
+)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    lines = ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    out = str(tmp_path / "txt")
+    write_text_lines(df, out)
+    back = read_text_lines(spark, out)
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, score double"
+    )
+    out = str(tmp_path / "json")
+    write_json_lines(df, out)
+    back = read_json_lines(spark, out, "id long, name string, score double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x,comma", 10.0), (2, "plain", 20.0)], "id long, label string, v double"
+    )
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, "id long, label string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_parquet_partitioned_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, part string"
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out)
+    # partition pruning: reading part=a must scan only that directory
+    only_a = back.filter(F.col("part") == "a")
+    assert only_a.count() == 2
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_whole_and_binary_file_metadata(spark, tmp_path):
+    p = tmp_path / "f1.txt"
+    p.write_text("hello world")
+    whole = read_whole_text_files(spark, str(tmp_path / "*.txt")).collect()
+    assert len(whole) == 1
+    assert whole[0]["content"] == "hello world"
+    assert whole[0]["size"] == 11
+    assert whole[0]["file_path"].endswith("f1.txt")
+    binary = read_binary_files(spark, str(tmp_path / "*.txt")).collect()
+    assert bytes(binary[0]["content"]) == b"hello world"

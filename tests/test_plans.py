@@ -55,3 +55,29 @@ def test_tumbling_window_single_shuffle(spark):
     df = QUERIES["events_tumbling_hour"](spark, SF_DIR)
     assert count_node(df, "Exchange") == 1
     assert count_node(df, "HashAggregate") >= 2  # partial+final
+
+
+def test_range_join_broadcasts_band_table(spark):
+    df = QUERIES["range_join_price_bands"](spark, SF_DIR)
+    # non-equi join against the broadcast band table: the fact side is
+    # scanned once with zero pre-join shuffle
+    assert has_node(df, "BroadcastNestedLoopJoin")
+    assert count_node(df, "Exchange") == 1  # only the final aggregation
+
+
+def test_asof_join_single_shuffle(spark):
+    df = QUERIES["asof_view_before_purchase"](spark, SF_DIR)
+    # union + carry-forward window: exactly one exchange (on user_id),
+    # one window, no join operator at all
+    assert count_node(df, "Exchange") == 1
+    assert count_node(df, "Window") == 1
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_ivf_topk_plan_shape(spark):
+    df = QUERIES["similarity_topk_ivf"](spark, SF_DIR)
+    # quantizer assignment is a projection (no extra exchange); the
+    # per-query top-k rank is pushed down as WindowGroupLimit
+    assert count_node(df, "Exchange") <= 2
+    assert has_node(df, "WindowGroupLimit")

@@ -64,6 +64,52 @@ def test_streaming_sessions_match_batch(spark):
     assert got == want
 
 
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from mapreduce_project_spark.streaming.events import dedup_stream
+
+    stream = dedup_stream(read_event_stream(spark, SF_DIR), ["user_id", "event_type"])
+    run_to_memory(stream, "stream_dedup", "append")
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("SELECT user_id, event_type FROM stream_dedup").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join(spark):
+    from mapreduce_project_spark.streaming.events import stream_static_join
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = stream_static_join(read_event_stream(spark, SF_DIR), dim, "event_type")
+    run_to_memory(
+        stream.groupBy("category").count(), "stream_joined", "complete"
+    )
+    got = {
+        r["category"]: r["count"]
+        for r in spark.sql("SELECT * FROM stream_joined").collect()
+    }
+    want = {
+        r["category"]: r["count"]
+        for r in load_table(spark, SF_DIR, "events")
+        .join(dim, "event_type")
+        .groupBy("category")
+        .count()
+        .collect()
+    }
+    assert got == want
+
+
 def test_stateful_running_totals(spark):
     run_to_memory(
         running_user_totals_stream(read_event_stream(spark, SF_DIR)), "stream_state"
