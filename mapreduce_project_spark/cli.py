@@ -1,0 +1,129 @@
+"""Command-line entry point — the analog of the reference's host CLI
+(`map_reduce.py:10-67,91-133`, A20) and its job-file function loading
+(`worker.py:40-50`, A18), minus the cluster lifecycle subcommands that
+Spark's own tooling replaces (`start`/`stop`/`logs` ≡ spark-submit /
+cluster manager UX).
+
+Subcommands:
+
+- ``list`` — print every declared query name (the engine's surface).
+- ``run QUERY [--sf-dir DIR] [--show N] [--output DIR]`` — run one
+  declared query; print N rows or write parquet.
+- ``mapreduce --job JOB.py --inputs F... [--map NAME] [--reduce NAME]
+  [--iterator NAME] [--partitions N] [--output DIR]`` — run a classic
+  map/reduce job from a user .py file through the compatibility facade
+  (≡ `interactive_client.py:160-172` submission + `worker.py:40-50`
+  dynamic loading; function-name defaults match the reference's
+  ``map_function``/``reduce_function``/``iterator_function``
+  convention, `master_client.proto:14-16`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def load_user_function(job_path: str, fn_name: str):
+    """Load a function by name from a user job file (≡ the reference
+    worker's download + exec + getattr, ``worker.py:40-50`` — but via
+    importlib, scoped to a real module instead of a shared exec dict).
+
+    On a cluster the file must also be shipped to executors
+    (``spark.sparkContext.addPyFile``) — the facade's lambdas close over
+    the loaded function, so Spark's closure serialization handles the
+    common case.
+    """
+    spec = importlib.util.spec_from_file_location("_user_job", job_path)
+    if spec is None or spec.loader is None:
+        raise FileNotFoundError(f"cannot load job file: {job_path}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn = getattr(mod, fn_name, None)
+    if fn is None:
+        # ≡ the reference failing on a wrong function name (test.py:288-310)
+        raise AttributeError(f"{job_path} has no function {fn_name!r}")
+    return fn
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mapreduce_project_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="print declared query names")
+
+    runp = sub.add_parser("run", help="run one declared query")
+    runp.add_argument("query")
+    runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    runp.add_argument("--show", type=int, default=20)
+    runp.add_argument("--output", help="write result parquet here instead of printing")
+
+    mrp = sub.add_parser("mapreduce", help="run a map/reduce job file via the facade")
+    mrp.add_argument("--job", required=True)
+    mrp.add_argument("--inputs", nargs="+", required=True)
+    mrp.add_argument("--map", dest="map_name", default="map_function")
+    mrp.add_argument("--reduce", dest="reduce_name", default="reduce_function")
+    mrp.add_argument("--iterator", dest="iterator_name", default=None)
+    mrp.add_argument("--partitions", type=int, default=2)
+    mrp.add_argument("--output", help="write key\\tvalue text here instead of printing")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from mapreduce_project_spark.queries_registry import QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+
+    if spark is None:
+        from mapreduce_project_spark.session import get_spark
+
+        spark = get_spark("cli")
+
+    if args.cmd == "run":
+        if args.query not in QUERIES:
+            print(f"unknown query: {args.query} (see `list`)", file=sys.stderr)
+            return 2
+        df = QUERIES[args.query](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+        else:
+            df.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "mapreduce":
+        from mapreduce_project_spark.mapreduce import run_job
+        from mapreduce_project_spark.sources.io import write_text_lines
+
+        from pyspark.sql import functions as F
+
+        map_fn = load_user_function(args.job, args.map_name)
+        reduce_fn = load_user_function(args.job, args.reduce_name)
+        iterator_fn = (
+            load_user_function(args.job, args.iterator_name)
+            if args.iterator_name
+            else None
+        )
+        out = run_job(
+            spark, args.inputs, map_fn, reduce_fn, iterator_fn, args.partitions
+        )
+        if args.output:
+            write_text_lines(
+                out.select(F.concat_ws("\t", "key", "value")), args.output
+            )
+        else:
+            for row in out.collect():
+                print(f"{row['key']}\t{row['value']}")
+        return 0
+
+    return 2  # pragma: no cover - argparse enforces the subcommand set
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -46,6 +46,32 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the left (skewed/fact) side gets a
+    random salt in [0, n_salt); the right side is replicated once per
+    salt value; the join key becomes (key, salt), splitting each hot
+    key's rows across ``n_salt`` reducers. Output is identical to
+    ``left.join(right, key, how)`` for every salt assignment.
+
+    Prefer AQE's skew-join handling (on by default here) — salting is
+    for the cases AQE can't split: skewed *aggregation* inputs feeding
+    the join, or engines/paths where AQE is off. Cost: right side
+    ×n_salt (keep the replicated side the smaller one).
+    """
+    salted_left = left.withColumn(
+        "_salt", F.floor(F.rand(seed=42) * n_salt).cast("int")
+    )
+    salts = left.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    replicated_right = right.crossJoin(F.broadcast(salts))
+    return salted_left.join(replicated_right, [key, "_salt"], how).drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,65 @@
+"""CLI tests (A20/A18 parity): query listing/running and map/reduce job
+files loaded by function name, including the wrong-name negative case
+(≡ reference test.py:288-310)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_project_spark.cli import load_user_function, main
+from tests.conftest import SF_DIR
+
+JOB_SRC = '''
+def iterator_function(content, metadata):
+    yield metadata["file_path"], content
+
+def map_function(key, value):
+    for tok in str(value).split():
+        yield tok, 1
+
+def reduce_function(key, values):
+    return key, sum(int(v) for v in values)
+'''
+
+
+def test_list_prints_queries(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.split()
+    assert "word_count" in out and "similarity_topk" in out
+
+
+def test_run_query(spark, capsys):
+    assert main(["run", "word_count", "--sf-dir", SF_DIR, "--show", "3"], spark=spark) == 0
+    assert "word" in capsys.readouterr().out
+
+
+def test_run_unknown_query(spark, capsys):
+    assert main(["run", "nope", "--sf-dir", SF_DIR], spark=spark) == 2
+
+
+def test_mapreduce_job_file(spark, tmp_path, capsys):
+    job = tmp_path / "job.py"
+    job.write_text(JOB_SRC)
+    data = tmp_path / "in.txt"
+    data.write_text("a b a")
+    rc = main(
+        [
+            "mapreduce",
+            "--job", str(job),
+            "--inputs", str(data),
+            "--iterator", "iterator_function",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = dict(
+        line.split("\t") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert got == {"a": "2", "b": "1"}
+
+
+def test_load_user_function_wrong_name(tmp_path):
+    job = tmp_path / "job.py"
+    job.write_text(JOB_SRC)
+    with pytest.raises(AttributeError, match="no_such_fn"):
+        load_user_function(str(job), "no_such_fn")
