@@ -83,6 +83,34 @@ def byte_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 256,
+    every: int = 4,
+) -> DataFrame:
+    """Deterministic frame sampling (the video keyframe-extraction
+    shape): emit every ``every``-th fixed-size frame of each payload as
+    its own row — binary in, (id, frame_idx, frame) rows out, Arrow-
+    batched ``mapInPandas``, no shuffle. Downstream per-frame feature
+    UDFs consume these rows without ever reshuffling full payloads."""
+    out_schema = f"{id_col} long, frame_idx long, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for fi in range(0, (len(b) + frame_size - 1) // frame_size, every):
+                    ids.append(rid)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_size : (fi + 1) * frame_size])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(sample, out_schema)
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload", format_col: str = "media.format") -> DataFrame:
     """STUB — real image/audio decode (PIL/librosa are not in this
     container). The function validates the plumbing (schema + batch

@@ -186,6 +186,50 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    marked AS (
+      SELECT doc_id, toks,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+             len(list_filter(toks, x -> list_contains(['el','los','de','y','es'], x))) AS es
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             {_LANG_CASE} AS pred_lang,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.2 * least((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 8, 1.0)
+             AS quality,
+             md5(array_to_string(toks, ' ')) AS fp
+      FROM marked
+    ),
+    filt AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM filt GROUP BY fp)
+    SELECT f.doc_id, f.quality, f.fp FROM filt f JOIN keep USING (fp, doc_id)
+    """,
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep composition: language filter →
+    quality threshold → exact near-dup collapse (min-id representative).
+    One scan, one digest-only shuffle for the dedup, one key-join back —
+    the whole chain stays declarative, so Catalyst fuses the scoring
+    into the scan projection and prunes `text` before any exchange."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        predicted_lang("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fp"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return scored.join(keep, ["fp", "doc_id"]).select("doc_id", "quality", "fp")
+
+
+@query(
     "tfidf_terms",
     f"""
     WITH toks AS (
