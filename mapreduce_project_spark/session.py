@@ -41,6 +41,8 @@ def get_spark(app_name: str = "mapreduce_project_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # keep managed tables (bucketing demos/tests) out of the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
