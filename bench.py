@@ -31,7 +31,11 @@ def main() -> None:
     # JVM/session warmup so the first measured query isn't charged for
     # one-time costs: codegen bootstrap and parquet datasource/class
     # init (via the smallest table); no measured table is touched.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr(
+        "sum(id)",
+        "sum(cast(id as decimal(18,2)))",
+        "count(distinct id)",
+    ).collect()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}

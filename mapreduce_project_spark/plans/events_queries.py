@@ -112,6 +112,38 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rollup_day_hour",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           hour(ts) AS hr,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), hour(ts)), (date_trunc('day', ts)))
+    """,
+)
+def q_events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly and daily
+    aggregates of the event stream in ONE pass (grouping sets → one
+    Expand + one shuffle), the batch form of a continuous-aggregate
+    hierarchy. Exact distinct-user counts per bucket; swap for
+    approx_count_distinct at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    hr = F.hour(F.col("ts")).alias("hr")
+    return (
+        ev.select(day, hr, "user_id", "value")
+        .groupingSets([["day", "hr"], ["day"]], "day", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
     "events_json_extract",
     """
     SELECT event_id, event_type,

@@ -186,6 +186,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning pass: whitespace collapse + lowercasing + digit
+    masking — the canonicalization step before fingerprinting (pure
+    codegen'd regexp_replace, no shuffle)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("digits_masked"),
+    )
+
+
+@query(
     "pipeline_clean_corpus",
     f"""
     WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
