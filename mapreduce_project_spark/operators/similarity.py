@@ -180,13 +180,14 @@ def topk_ann_lsh(
     id_col: str,
     vec_col: str,
     k: int,
-    n_tables: int = 8,
+    n_tables: int = 12,
     n_bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket with the query
     in >=1 of ``n_tables`` tables; exact cosine re-rank on candidates.
-    Same output shape as `topk_bruteforce` (recall measured in tests)."""
+    Same output shape as `topk_bruteforce` (recall measured in tests;
+    12x4 measured ~0.94 recall@5 on the sf0.1 fixture)."""
     from pyspark.sql import Window
 
     corpus_b = lsh_buckets(df, id_col, vec_col, n_tables, n_bits, dim)

@@ -70,7 +70,7 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_ann_lsh")
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 scale path: random-hyperplane LSH (8 tables x 4 bits) ANN
+    """C3 scale path: random-hyperplane LSH (12 tables x 4 bits) ANN
     top-5 with exact re-rank of candidates. Rows-only driver check;
     tests measure recall vs `similarity_topk`."""
     emb = t(spark, sf_dir, "embeddings")

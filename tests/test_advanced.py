@@ -46,6 +46,41 @@ def test_asof_join_semantics(spark):
     assert out[3] == (None, None)
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _key = st.integers(min_value=0, max_value=2)
+    _t = st.integers(min_value=0, max_value=50)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(_key, _t), min_size=1, max_size=8),
+        rights=st.lists(st.tuples(_key, _t, st.integers(0, 99)), min_size=0, max_size=8),
+    )
+    def test_asof_join_property(spark, lefts, rights):
+        """asof_join == per-row brute-force max(right_ts <= left_ts)."""
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+            "lid int, k int, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, base + dt.timedelta(seconds=s), v) for k, s, v in rights],
+            "k int, ts timestamp, v int",
+        ) if rights else spark.createDataFrame([], "k int, ts timestamp, v int")
+        got = {
+            r["lid"]: r["ts_matched"]
+            for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+        }
+        assert set(got) == set(range(len(lefts)))
+        for i, (k, s) in enumerate(lefts):
+            cand = [rs for rk, rs, _ in rights if rk == k and rs <= s]
+            want = base + dt.timedelta(seconds=max(cand)) if cand else None
+            assert got[i] == want, (i, lefts, rights)
+except ImportError:  # pragma: no cover - hypothesis is expected in this env
+    pass
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -23,7 +23,7 @@ def test_ann_recall_vs_bruteforce(spark):
     }
     assert exact, "brute force should return 50 rows"
     recall = len(ann & exact) / len(exact)
-    assert recall >= 0.5, f"ANN recall {recall} too low ({len(ann)} rows)"
+    assert recall >= 0.7, f"ANN recall {recall} too low ({len(ann)} rows)"
 
 
 def test_ann_is_subset_quality(spark):
