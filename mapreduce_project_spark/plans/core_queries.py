@@ -42,3 +42,28 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 (inverted_index.py:25-62): word → sorted distinct doc list."""
     return inverted_index(t(spark, sf_dir, "documents")).select("word", "postings")
+
+
+@query(
+    "posexplode_tokens",
+    """
+    SELECT doc_id, u.pos, u.token FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks)),
+                                   i -> {'pos': CAST(i - 1 AS BIGINT), 'token': toks[i]})) AS u
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents WHERE doc_id < 20)
+    )
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 positional explode: (doc, position, token) rows — the ordered
+    token stream downstream sequence models consume."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")

@@ -65,6 +65,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES)
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> None:
+    """Register the testdata tables as temp views so the full Spark SQL
+    surface works directly: ``spark.sql("SELECT ... FROM lineitem")``.
+    The reference has no SQL layer at all (SURVEY.md §4); on this engine
+    every declared query could equivalently be issued as SQL against
+    these views — same Catalyst plans either way."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def read_text_lines(
     spark: SparkSession, paths: str | list[str], with_file: bool = False
 ) -> DataFrame:

@@ -60,6 +60,33 @@ def test_parquet_partitioned_write(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
 
 
+def test_sql_surface_over_registered_views(spark, duck):
+    from mapreduce_project_spark.sources import register_tables
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    register_tables(spark, SF_DIR)
+    sql = """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus
+    """
+    assert_matches_oracle(spark.sql(sql), duck, sql)
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    from mapreduce_project_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, part string"
+    )
+    out = str(tmp_path / "pq_pruned")
+    write_parquet(df, out, partition_by=["part"])
+    pruned = spark.read.parquet(out).filter(F.col("part") == "a")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters", 1)[1][:200]
+    assert pruned.count() == 50
+
+
 def test_whole_and_binary_file_metadata(spark, tmp_path):
     p = tmp_path / "f1.txt"
     p.write_text("hello world")
