@@ -58,6 +58,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine via a pandas UDF (numpy batch math).
+
+    The production re-rank path at 100 TB: numpy's SIMD dot beats the
+    interpreted per-element fold of `cosine` by orders of magnitude on
+    wide vectors. NOT bit-identical to `cosine` (different summation
+    order), so oracle-checked queries keep the fold; candidates-only
+    re-ranks (LSH/IVF) may use either — tests pin agreement to 1e-9.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(va, vb):
+        import numpy as np
+
+        ma = np.stack(va.to_numpy())
+        mb = np.stack(vb.to_numpy())
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(
+            dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        )
+
+    # real (non-stringified) hints: the module-wide `from __future__
+    # import annotations` would otherwise hide the Series signature
+    # from pandas_udf's type-hint inspection
+    _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")(a, b)
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float, block_col: str | None = None
 ) -> DataFrame:

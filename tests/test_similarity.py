@@ -26,6 +26,34 @@ def test_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.7, f"ANN recall {recall} too low ({len(ann)} rows)"
 
 
+def test_pandas_cosine_agrees_with_fold(spark):
+    from mapreduce_project_spark.operators.similarity import as_double, cosine, cosine_pandas
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    a = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    b = a.selectExpr("vec_id as vid2", "reverse(v) as v2")
+    paired = a.join(b, F.col("vec_id") == F.col("vid2"))
+    rows = paired.select(
+        cosine(F.col("v"), F.col("v2")).alias("fold"),
+        cosine_pandas(F.col("v"), F.col("v2")).alias("np"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["fold"] - r["np"]) < 1e-9
+
+
+def test_empty_input_similarity_and_dedup(spark):
+    from mapreduce_project_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+    from mapreduce_project_spark.operators.similarity import topk_bruteforce
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert jaccard_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert simhash_pairs(empty_docs, "doc_id", "text").count() == 0
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert topk_bruteforce(empty_vecs, empty_vecs, "vec_id", "embedding", 5).count() == 0
+
+
 def test_ann_is_subset_quality(spark):
     # every ANN neighbor's cosine must be <= the exact kth neighbor's
     # cosine for that query (ANN can miss, never invent)
