@@ -122,6 +122,42 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the same
+    key's right events from the preceding ``lookback`` (inclusive ends).
+    Both sides carry watermarks so Spark can bound the join state — the
+    buffered range per key is lookback + watermark, evicted as event
+    time advances. This is the streaming form of a time-bounded
+    fact-fact join (batch twin: plain join + interval predicate).
+
+    Output: (key, l_ts, r_ts) plus the sides' id columns renamed
+    ``l_event_id`` / ``r_event_id``."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(key, F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts"))
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update") -> None:
     """Drive a streaming DataFrame to completion synchronously
     (availableNow trigger + memory sink); results land in table

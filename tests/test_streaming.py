@@ -110,6 +110,38 @@ def test_stream_static_join(spark):
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    from mapreduce_project_spark.streaming.events import stream_stream_interval_join
+
+    ev = read_event_stream(spark, SF_DIR)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    run_to_memory(
+        stream_stream_interval_join(purchases, views), "stream_ssj", "append"
+    )
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM stream_ssj").collect()
+    }
+    b = load_table(spark, SF_DIR, "events")
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_key"), F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts")
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in bp.join(
+            bv,
+            (F.col("user_id") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+        ).collect()
+    }
+    assert got == want and want
+
+
 def test_stateful_running_totals(spark):
     run_to_memory(
         running_user_totals_stream(read_event_stream(spark, SF_DIR)), "stream_state"
