@@ -112,6 +112,57 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessions_pandas",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: arbitrary per-group logic via ``applyInPandas`` — gap-based
+    sessionization written as imperative pandas code (the reference's
+    ``reduce_fn(k, values)`` contract, `worker.py:198-207`, with Arrow
+    batches instead of Python lists). Oracle-checked against the same
+    gaps-and-islands SQL as the native `events_sessions`; the native
+    `session_window` version is the preferred scale path — this one
+    demonstrates that the escape hatch is still exactly correct."""
+    import pandas as pd
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        gap_ms = pdf["ts"].diff().dt.total_seconds() * 1000
+        session_id = (gap_ms >= 1800000).fillna(False).cumsum()
+        g = pdf.groupby(session_id)["ts"]
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "session_start": g.min().dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_events": g.count(),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    return ev.groupBy("user_id").applyInPandas(
+        sessionize, "user_id long, session_start string, n_events long"
+    )
+
+
+@query(
     "events_rollup_day_hour",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

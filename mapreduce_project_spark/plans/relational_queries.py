@@ -359,3 +359,17 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         approx_parts=F.approx_count_distinct("l_partkey", 0.01),
     )
+
+
+@query("approx_quantiles_price")
+def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles at scale: approx_percentile is an algebraic sketch
+    (partial+final agg, bounded memory) where exact ``percentile`` is
+    holistic. Rows-only check (sketch is engine-specific); the exact
+    twin is ``percentile_quantity``."""
+    return grouped_agg(
+        t(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        p50=F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)),
+        p95=F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)),
+    )

@@ -177,6 +177,27 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     writer.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Layout-optimized sink: range-partition + sort rows by
+    ``sort_cols`` before writing, so parquet row-group min/max stats
+    become selective — downstream point/range filters on those columns
+    skip whole row groups (the poor man's clustering/Z-order; at 100 TB
+    this is the difference between scanning a file and skipping it).
+    ``max_records_per_file`` caps file size for parallel downstream
+    reads."""
+    out = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
 def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Byte-compat demo sink (≡ A10 ``worker.py:52-58``): one line per
     row. The DataFrame must have a single string column; callers wanting

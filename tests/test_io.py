@@ -87,6 +87,23 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     assert pruned.count() == 50
 
 
+def test_sorted_parquet_write_roundtrip(spark, tmp_path):
+    from mapreduce_project_spark.sources.io import write_sorted_parquet
+
+    df = spark.range(1000).selectExpr("id % 97 as k", "id as v")
+    out = str(tmp_path / "sorted_pq")
+    write_sorted_parquet(df, out, ["k"], max_records_per_file=400)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # each file covers a narrow, sorted k-range (the stats-skipping property)
+    import pyarrow.parquet as pq
+    import glob
+    for f in glob.glob(f"{out}/*.parquet"):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+
+
 def test_whole_and_binary_file_metadata(spark, tmp_path):
     p = tmp_path / "f1.txt"
     p.write_text("hello world")
