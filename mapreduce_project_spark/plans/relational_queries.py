@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from mapreduce_project_spark.operators.join import anti_join, join, semi_join
 from mapreduce_project_spark.operators.relational import (
     dec,
+    dec_avg,
     dec_sum,
     distinct_rows,
     filter_rows,
@@ -77,7 +78,7 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_disc_price=F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
             "double"
         ),
-        avg_qty=F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"),
+        avg_qty=dec_avg("l_quantity"),
         count_order=F.count(F.lit(1)),
     )
 

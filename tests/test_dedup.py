@@ -18,6 +18,18 @@ def _pairs(df):
     return {(r["id_a"], r["id_b"]) for r in df.collect()}
 
 
+def test_minhash_signatures_shape_and_determinism(spark):
+    from mapreduce_project_spark.operators.dedup import minhash_signatures
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR as _SF
+
+    docs = load_table(spark, _SF, "documents").limit(50)
+    sig = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs, "doc_id", "text", 3, 64).collect()}
+    assert all(len(s) == 64 for s in sig.values())
+    again = {r["id"]: list(r["sig"]) for r in minhash_signatures(docs, "doc_id", "text", 3, 64).collect()}
+    assert sig == again  # seeded hash family → run-to-run identical
+
+
 def test_minhash_subset_and_recall(spark):
     docs = load_table(spark, SF_DIR, "documents")
     exact = _pairs(jaccard_pairs(docs, "doc_id", "text", 3, 0.8))

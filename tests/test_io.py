@@ -87,6 +87,30 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     assert pruned.count() == 50
 
 
+def test_custom_linefile_datasource(spark, tmp_path):
+    from mapreduce_project_spark.sources.custom import register_linefile_source
+
+    (tmp_path / "a.txt").write_text("alpha\nbeta")
+    (tmp_path / "b.txt").write_text("gamma")
+    register_linefile_source(spark)
+    df = (
+        spark.read.format("linefile")
+        .option("path", str(tmp_path / "*.txt"))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    rows = {(r["file_path"].rsplit("/", 1)[-1], r["line_no"], r["line"]) for r in df.collect()}
+    assert rows == {("a.txt", 0, "alpha"), ("a.txt", 1, "beta"), ("b.txt", 0, "gamma")}
+    # word count straight off the custom source (reference's default
+    # line-iterator pipeline, end to end)
+    wc = {
+        (r["w"], r["cnt"])
+        for r in df.selectExpr("explode(split(lower(line), ' ')) as w")
+        .groupBy("w").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert ("alpha", 1) in wc and len(wc) == 3
+
+
 def test_sorted_parquet_write_roundtrip(spark, tmp_path):
     from mapreduce_project_spark.sources.io import write_sorted_parquet
 
