@@ -143,12 +143,12 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = F.col("o_orderdate")
     return t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.year(od).alias("yr"),
-        F.quarter(od).alias("qtr"),
-        F.month(od).alias("mo"),
-        F.dayofweek(od).alias("dow"),
+        F.year(od).cast("bigint").alias("yr"),
+        F.quarter(od).cast("bigint").alias("qtr"),
+        F.month(od).cast("bigint").alias("mo"),
+        F.dayofweek(od).cast("bigint").alias("dow"),
         F.date_format(F.date_trunc("month", od), "yyyy-MM-dd").alias("month_start"),
-        F.datediff(od, F.lit("1995-01-01")).alias("days_since_95"),
+        F.datediff(od, F.lit("1995-01-01")).cast("bigint").alias("days_since_95"),
     )
 
 
@@ -168,7 +168,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("p_name"), " ")
     return t(spark, sf_dir, "part").select(
         "p_partkey",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("bigint").alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
         F.array_join(F.array_sort(words), ",").alias("sorted_words"),
         F.array_contains(words, "red").alias("has_red"),

@@ -182,7 +182,7 @@ def q_events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct at 100 TB."""
     ev = t(spark, sf_dir, "events")
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
-    hr = F.hour(F.col("ts")).alias("hr")
+    hr = F.hour(F.col("ts")).cast("bigint").alias("hr")
     return (
         ev.select(day, hr, "user_id", "value")
         .groupingSets([["day", "hr"], ["day"]], "day", "hr")

@@ -262,7 +262,13 @@ def q_top_lineitems_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_suppkey"],
         [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
         3,
-    ).select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    ).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
 
 
 @query(
@@ -301,7 +307,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.regexp_extract(F.lower(F.col("p_type")), "^([a-z]+)", 1).alias("type_head"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),

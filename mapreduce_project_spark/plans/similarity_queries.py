@@ -45,9 +45,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 baseline: exact top-5 cosine neighbors for query vectors
     (vec_id < 10). Queries broadcast; corpus scanned once."""
     emb = t(spark, sf_dir, "embeddings")
-    return topk_bruteforce(
+    out = topk_bruteforce(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
     )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
 @query(
