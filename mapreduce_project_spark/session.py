@@ -49,6 +49,18 @@ def get_spark(app_name: str = "mapreduce_project_spark") -> SparkSession:
     return spark
 
 
+def job_status(spark: SparkSession) -> dict:
+    """A17 parity: the reference *declares* a JobStatus RPC but never
+    implements it (``master_client.proto:8-9,28-36``; no servicer method
+    in ``master.py``). Spark's status tracker provides the real thing:
+    active job/stage ids and per-job info, no app code required."""
+    tracker = spark.sparkContext.statusTracker()
+    return {
+        "active_job_ids": list(tracker.getActiveJobsIds()),
+        "active_stage_ids": list(tracker.getActiveStageIds()),
+    }
+
+
 def prep_session(spark: SparkSession) -> SparkSession:
     """Normalize runtime-settable conf on an externally-provided session.
 

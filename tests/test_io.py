@@ -87,6 +87,14 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     assert pruned.count() == 50
 
 
+def test_job_status_tracker(spark):
+    from mapreduce_project_spark.session import job_status
+
+    st = job_status(spark)
+    assert set(st) == {"active_job_ids", "active_stage_ids"}
+    assert isinstance(st["active_job_ids"], list)
+
+
 def test_custom_linefile_datasource(spark, tmp_path):
     from mapreduce_project_spark.sources.custom import register_linefile_source
 
