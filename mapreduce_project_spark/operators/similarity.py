@@ -341,15 +341,19 @@ def topk_ivf(
 
 
 def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
-    """(label, dim, centroid_val) — exact per-dimension means via
-    DECIMAL(18,9) sums (order-independent, engine-identical). This is
-    the coarse quantizer of an IVF index: assign = argmin distance to
-    centroid; search = scan own cell only."""
+    """(label, dim, centroid_val) — per-dimension means via fixed-point
+    integer sums: each component is scaled with the explicit formula
+    ``floor(x * 1e9 + 0.5)`` (every step IEEE-exact-rounded, so both
+    engines produce the same integer), summed exactly as bigint
+    (order-independent), then unscaled. A DECIMAL cast is NOT
+    equivalent: float→decimal tie-rounding is half-up in Spark but
+    half-even in DuckDB, which diverges once enough rows hit a tie.
+    This is the coarse quantizer of an IVF index: assign = argmin
+    distance to centroid; search = scan own cell only."""
     exploded = df.select(
         F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("dim", "x")
     )
+    fixed = F.floor(F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5))
     return exploded.groupBy("label", "dim").agg(
-        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x")).alias(
-            "centroid_val"
-        )
+        (F.sum(fixed).cast("double") / F.lit(1e9) / F.count("x")).alias("centroid_val")
     )

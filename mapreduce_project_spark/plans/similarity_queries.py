@@ -85,14 +85,17 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT label, i - 1 AS dim,
-           CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(v[i]) AS centroid_val
+           CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(v[i])
+             AS centroid_val
     FROM e, (SELECT unnest(generate_series(1, 64)) AS i)
     GROUP BY label, i
     """,
 )
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer building block: exact per-(label, dim) means
-    via DECIMAL(18,9) sums (order-independent, engine-identical)."""
+    """IVF coarse-quantizer building block: per-(label, dim) means via
+    the shared fixed-point formula (see `label_centroids` — decimal
+    casts tie-round differently across engines; floor(x*1e9+0.5) is
+    IEEE-deterministic in both)."""
     return label_centroids(t(spark, sf_dir, "embeddings"), "label", "embedding").select(
         "label", F.col("dim").cast("bigint").alias("dim"), "centroid_val"
     )
