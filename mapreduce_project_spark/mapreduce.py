@@ -3,7 +3,7 @@ model (`design.md:48-49`, `README.md:62-80`) as one thin function over
 Spark primitives:
 
     read → mapInPandas(iterator_fn + map_fn) → repartition(n, key)
-         → groupBy(key).applyInPandas(reduce_fn) → DataFrame
+         → mapInPandas(partition-wise group + reduce_fn) → DataFrame
 
 Reference parity, piece by piece (SURVEY.md §2.A):
 - A2/A3 iterator contract: ``iterator_fn(content, {"file_path", "size"})
@@ -30,8 +30,9 @@ Reference parity, piece by piece (SURVEY.md §2.A):
 Scale notes: both python stages are Arrow-batched; ``repartition(n,
 key)`` makes the reduce parallelism explicit like ``num_reducers``
 (``master.py:257-263``) — at 100 TB let AQE coalesce instead by passing
-``num_partitions=None``. ``applyInPandas`` materializes one key group in
-memory (exactly the reference's per-key value list, ``worker.py:198``);
+``num_partitions=None``. The reduce stage materializes one PARTITION's
+value lists in memory — exactly the reference reducer's model
+(``worker.py:193-198``, which reads and groups its whole partition);
 algebraic reductions should use native ``groupBy().agg`` instead.
 """
 
@@ -107,24 +108,33 @@ def run_job(
             yield pd.DataFrame({"key": keys, "value": vals})
 
     mapped = records.mapInPandas(map_stage, "key string, value string")
-    if num_partitions is not None:
-        mapped = mapped.repartition(num_partitions, "key")
+    mapped = mapped.repartition(num_partitions, "key") if num_partitions is not None else mapped.repartition("key")
 
-    def reduce_stage(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf["key"].iloc[0]
-        values = pdf["value"].tolist()
-        result = reduce_fn(key, values)
+    def reduce_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # partition-wise reduce, exactly the reference worker's shape
+        # (worker.py:193-198): the hash repartition above guarantees a
+        # key's rows all land in this partition, so accumulate the
+        # per-key value lists across the partition's Arrow batches,
+        # then run reduce_fn once per key. One pandas pass per
+        # PARTITION (not per key — a per-group pandas call pays frame
+        # overhead per key, ~10x slower on high-cardinality keys).
+        groups: dict[str, list[str]] = {}
+        for pdf in batches:
+            for k, v in zip(pdf["key"], pdf["value"]):
+                groups.setdefault(k, []).append(v)
         keys: list[str] = []
         vals: list[str] = []
-        # contract (worker.py:201-207): a (k, v) tuple OR an iterable of
-        # (k, v) pairs; we normalize both to one row per pair.
-        if isinstance(result, tuple) and len(result) == 2 and not isinstance(result[0], tuple):
-            pairs: Iterable = [result]
-        else:
-            pairs = result
-        for k2, v2 in pairs:
-            keys.append(str(k2))
-            vals.append(str(v2))
-        return pd.DataFrame({"key": keys, "value": vals})
+        for key, values in groups.items():
+            result = reduce_fn(key, values)
+            # contract (worker.py:201-207): a (k, v) tuple OR an iterable
+            # of (k, v) pairs; we normalize both to one row per pair.
+            if isinstance(result, tuple) and len(result) == 2 and not isinstance(result[0], tuple):
+                pairs: Iterable = [result]
+            else:
+                pairs = result
+            for k2, v2 in pairs:
+                keys.append(str(k2))
+                vals.append(str(v2))
+        yield pd.DataFrame({"key": keys, "value": vals})
 
-    return mapped.groupBy("key").applyInPandas(reduce_stage, "key string, value string")
+    return mapped.mapInPandas(reduce_stage, "key string, value string")
