@@ -58,6 +58,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """`dot` unrolled for a known dimension: the same left-fold sum
+    ``((0.0 + x0*y0) + x1*y1) + ...`` as a plain expression tree, which
+    whole-stage codegen compiles — bit-identical to the `F.aggregate`
+    fold (``0.0 + x == x`` exactly) but without per-element interpreted
+    lambda dispatch. Use when the embedding dimension is known (the
+    common case); `dot` remains for dynamic dims."""
+    expr = F.lit(0.0)
+    for i in range(dim):
+        expr = expr + a.getItem(i) * b.getItem(i)
+    return expr
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """`norm` unrolled for a known dimension (see `dot_fixed`)."""
+    expr = F.lit(0.0)
+    for i in range(dim):
+        expr = expr + a.getItem(i) * a.getItem(i)
+    return F.sqrt(expr)
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """`cosine` unrolled for a known dimension — bit-identical."""
+    return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
+
+
 def cosine_pandas(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine via a pandas UDF (numpy batch math).
 
