@@ -13,8 +13,11 @@ import re
 _TOKEN_RE = re.compile(r"[a-z]+")
 
 
-def mr_iterator(content: str, metadata: dict):
-    yield metadata["file_path"], content
+def mr_iterator(content: bytes, metadata: dict):
+    # the facade hands iterators RAW FILE BYTES (reference contract,
+    # worker.py:131-138); decode exactly like the reference job does
+    # (client_folder/jobs/word_count.py)
+    yield metadata["file_path"], content.decode("utf-8")
 
 
 def mr_map(key, value):

@@ -6,9 +6,14 @@ Spark primitives:
          → mapInPandas(partition-wise group + reduce_fn) → DataFrame
 
 Reference parity, piece by piece (SURVEY.md §2.A):
-- A2/A3 iterator contract: ``iterator_fn(content, {"file_path", "size"})
-  -> Iterable[(k, v)]`` (``worker.py:123,131-138``); default = one
-  record per line with the line number as key (``worker.py:141-145``).
+- A2/A3 iterator contract: ``iterator_fn(file_bytes, {"file_path",
+  "size"}) -> Iterable[(k, v)]`` (``worker.py:123,131-138``) — the
+  iterator receives the RAW BYTES of the whole file, exactly as the
+  reference worker passes them, so reference job files that call
+  ``file_bytes.decode('utf-8')`` (``client_folder/jobs/word_count.py``)
+  run unchanged through the advertised ``cli mapreduce --job`` path.
+  Default = UTF-8 decode + one record per line with the line number as
+  key (``worker.py:141-145``).
 - A4 map contract: ``map_fn(k, v) -> Iterable[(k2, v2)]``
   (``worker.py:134-136``).
 - A5 shuffle: ``repartition(n, key)`` — Spark's Murmur3 exchange.
@@ -43,12 +48,13 @@ from collections.abc import Callable, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from mapreduce_project_spark.sources import read_whole_text_files
+from mapreduce_project_spark.sources import read_binary_files
 
 MapFn = Callable[[str, str], Iterable[tuple[object, object]]]
 ReduceFn = Callable[[str, list[str]], object]
-IteratorFn = Callable[[str, dict], Iterable[tuple[object, object]]]
+IteratorFn = Callable[[bytes, dict], Iterable[tuple[object, object]]]
 
 
 def run_job(
@@ -58,6 +64,7 @@ def run_job(
     reduce_fn: ReduceFn,
     iterator_fn: IteratorFn | None = None,
     num_partitions: int | None = 2,
+    num_input_partitions: int | None = None,
 ) -> DataFrame:
     """Run a classic MapReduce job; returns a ``key string, value
     string`` DataFrame (the reference's shuffle/output schema).
@@ -65,10 +72,22 @@ def run_job(
     ``inputs`` is a list of text-file paths (the reference's HDFS input
     paths, ``master_client.proto:13``) or a ready ``(key, value)``
     DataFrame (first two columns are taken as key/value).
+
+    ``num_input_partitions`` ≡ the reference's ``num_maps`` knob
+    (``master_client.proto:17``, balanced file buckets
+    ``master.py:234-256``): explicit map-side parallelism via a
+    round-robin repartition before the map stage. Default ``None``
+    keeps Spark's own split planning (``maxPartitionBytes``) — the
+    better choice at scale, same as the reference's
+    ``num_maps = min(files, requested)`` fallback (``design.md:59``).
     """
     if num_partitions is not None and num_partitions < 1:
         # ≡ the reference rejecting num_reducers=0 (test.py:238-262)
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    if num_input_partitions is not None and num_input_partitions < 1:
+        raise ValueError(
+            f"num_input_partitions must be >= 1, got {num_input_partitions}"
+        )
     if not callable(map_fn) or not callable(reduce_fn):
         # ≡ the reference failing on a wrong function name (test.py:288-310)
         raise TypeError("map_fn and reduce_fn must be callables")
@@ -82,8 +101,16 @@ def run_job(
         )
         source_mode = "kv"
     else:
-        records = read_whole_text_files(spark, list(inputs))
+        # whole files as raw bytes — the reference worker hands map
+        # tasks undecoded file content (worker.py:130-132)
+        records = read_binary_files(spark, list(inputs)).select(
+            F.col("path").alias("file_path"),
+            F.col("length").alias("size"),
+            F.col("content").alias("content"),
+        )
         source_mode = "files"
+    if num_input_partitions is not None:
+        records = records.repartition(num_input_partitions)
 
     def map_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,10 +119,13 @@ def run_job(
             if source_mode == "files":
                 rows = zip(pdf["file_path"], pdf["size"], pdf["content"])
                 for path, size, content in rows:
+                    raw = bytes(content)
                     if iterator_fn is not None:
-                        recs = iterator_fn(content, {"file_path": path, "size": size})
+                        recs = iterator_fn(raw, {"file_path": path, "size": size})
                     else:
-                        recs = enumerate(content.splitlines())
+                        # default line iterator: decode + splitlines,
+                        # key = line number (worker.py:141-145)
+                        recs = enumerate(raw.decode("utf-8").splitlines())
                     for k, v in recs:
                         for k2, v2 in map_fn(k, v):
                             keys.append(str(k2))

@@ -57,13 +57,22 @@ def salted_join(
     random salt in [0, n_salt); the right side is replicated once per
     salt value; the join key becomes (key, salt), splitting each hot
     key's rows across ``n_salt`` reducers. Output is identical to
-    ``left.join(right, key, how)`` for every salt assignment.
+    ``left.join(right, key, how)`` for every salt assignment — for the
+    supported ``how`` values: ``inner``/``left``/``left_semi`` only.
+    Right/full outer would emit each unmatched *right* row once per
+    replica (n_salt duplicate null-extended rows), so they are rejected;
+    to salt a right-outer, swap the sides and use ``left``.
 
     Prefer AQE's skew-join handling (on by default here) — salting is
     for the cases AQE can't split: skewed *aggregation* inputs feeding
     the join, or engines/paths where AQE is off. Cost: right side
     ×n_salt (keep the replicated side the smaller one).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: outer "
+            "joins would duplicate unmatched right rows once per salt replica"
+        )
     salted_left = left.withColumn(
         "_salt", F.floor(F.rand(seed=42) * n_salt).cast("int")
     )

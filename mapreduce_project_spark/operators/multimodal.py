@@ -63,22 +63,28 @@ def byte_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload)
-                n = len(b)
-                s = sum(b)
-                rows.append(
-                    {
-                        id_col: rid,
-                        "n_bytes": n,
-                        "byte_sum": s,
-                        "mean_byte": (s / n) if n else 0.0,
-                        "n_frames": (n + 255) // 256,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "byte_sum", "mean_byte", "n_frames"])
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            n = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+            # one contiguous buffer + prefix sums: per-payload byte sums
+            # without any per-byte Python (robust to empty payloads,
+            # unlike np.add.reduceat)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            starts = np.concatenate(([0], np.cumsum(n[:-1]))) if len(n) else n
+            sums = csum[starts + n] - csum[starts]
+            mean = np.where(n > 0, sums / np.maximum(n, 1), 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": n,
+                    "byte_sum": sums,
+                    "mean_byte": mean,
+                    "n_frames": (n + 255) // 256,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -98,15 +104,31 @@ def frame_sample(
     out_schema = f"{id_col} long, frame_idx long, frame binary"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload)
-                for fi in range(0, (len(b) + frame_size - 1) // frame_size, every):
-                    ids.append(rid)
-                    idxs.append(fi)
-                    frames.append(b[fi * frame_size : (fi + 1) * frame_size])
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            n = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+            n_sampled = (((n + frame_size - 1) // frame_size) + every - 1) // every
+            # all (row, frame_idx, start, end) coordinates computed
+            # vectorized; Python only performs one bytes-slice per
+            # OUTPUT row (unavoidable — each frame is its own object)
+            row_idx = np.repeat(np.arange(len(n)), n_sampled)
+            local = np.concatenate([np.arange(c) for c in n_sampled]) if len(n) else n
+            frame_idx = local * every
+            starts = frame_idx * frame_size
+            ends = np.minimum(starts + frame_size, n[row_idx])
+            frames = [
+                payloads[r][s:e]
+                for r, s, e in zip(row_idx.tolist(), starts.tolist(), ends.tolist())
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[row_idx],
+                    "frame_idx": frame_idx,
+                    "frame": frames,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(sample, out_schema)
 

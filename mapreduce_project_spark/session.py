@@ -19,20 +19,22 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-
 def get_spark(app_name: str = "mapreduce_project_spark") -> SparkSession:
     """Build (or fetch) a local SparkSession tuned for this engine.
 
     On a real cluster, drop ``master`` and let spark-submit decide; every
     config below except the local driver memory applies unchanged.
+
+    ``SPARK_GRAFT_CPUS`` is read here at call time (not at import) so
+    both local[N] and the shuffle-partition count always agree, even
+    when the env var is set after this module is imported (as the test
+    fixtures do).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -10,8 +10,10 @@ from mapreduce_project_spark.cli import load_user_function, main
 from tests.conftest import SF_DIR
 
 JOB_SRC = '''
-def iterator_function(content, metadata):
-    yield metadata["file_path"], content
+def iterator_function(file_bytes, metadata):
+    # reference job contract: iterators receive RAW BYTES and decode
+    # themselves (client_folder/jobs/word_count.py)
+    yield metadata["file_path"], file_bytes.decode("utf-8")
 
 def map_function(key, value):
     for tok in str(value).split():

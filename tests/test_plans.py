@@ -77,7 +77,16 @@ def test_asof_join_single_shuffle(spark):
 
 def test_ivf_topk_plan_shape(spark):
     df = QUERIES["similarity_topk_ivf"](spark, SF_DIR)
-    # quantizer assignment is a projection (no extra exchange); the
     # per-query top-k rank is pushed down as WindowGroupLimit
-    assert count_node(df, "Exchange") <= 2
     assert has_node(df, "WindowGroupLimit")
+    # every join (quantizer assignment, probe, candidates) is broadcast —
+    # the corpus itself is never shuffle-joined
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
+    # the only hash exchanges carry reduced data: the Lloyd mean's
+    # partial-aggregated (cid, dim) rows, the centroid array rebuild,
+    # and the candidate ranking — never the raw corpus
+    assert count_node(df, "HashAggregate") >= 4  # partial+final x 2 (Lloyd)
+    # broadcast exchanges (quantizer/probes) + centroid-scale hash
+    # exchanges; a corpus-wide pre-join shuffle would add more
+    assert count_node(df, "Exchange") <= 8
