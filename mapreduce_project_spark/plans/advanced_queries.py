@@ -27,10 +27,10 @@ from mapreduce_project_spark.operators.relational import (
     rollup_agg,
 )
 from mapreduce_project_spark.operators.similarity import topk_ivf
-from mapreduce_project_spark.queries_registry import query, t
+from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 
-@query(
+@extra_query(
     "rollup_customer_balance",
     """
     SELECT c_mktsegment, c_nationkey,
@@ -42,7 +42,10 @@ from mapreduce_project_spark.queries_registry import query, t
 )
 def q_rollup_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals (segment → segment×nation → grand total)
-    in one Expand + one shuffle."""
+    in one Expand + one shuffle. Pytest-only slot: rollup is a special
+    case of grouping sets — `cube_order_stats` and
+    `grouping_sets_lineitem` carry the driver signal for the same
+    Expand-based multi-level aggregation machinery."""
     return rollup_agg(
         t(spark, sf_dir, "customer"),
         ["c_mktsegment", "c_nationkey"],

@@ -18,7 +18,7 @@ from mapreduce_project_spark.jobs import inverted_index_mr as ii
 from mapreduce_project_spark.jobs import word_count_mr as wc
 from mapreduce_project_spark.mapreduce import run_job
 from mapreduce_project_spark.operators.multimodal import attach_payload, byte_features
-from mapreduce_project_spark.queries_registry import query, t
+from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 
 def _docs_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +44,7 @@ def q_word_count_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_job(spark, _docs_kv(spark, sf_dir), wc.mr_map, wc.mr_reduce, num_partitions=8)
 
 
-@query(
+@extra_query(
     "inverted_index_mr",
     """
     SELECT word AS key,
@@ -63,7 +63,10 @@ def q_inverted_index_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-A9 facade: inverted index through run_job. Doc ids are strings
     at the shuffle (reference type-erasure), so postings sort
     lexicographically and serialize as a Python list repr — the oracle
-    reconstructs that exact string."""
+    reconstructs that exact string. Pytest-only slot: `word_count_mr`
+    carries the facade's driver signal; this second facade job is
+    oracle-checked in tests plus the local-executor differential
+    (tests/test_mapreduce_facade.py)."""
     return run_job(spark, _docs_kv(spark, sf_dir), ii.mr_map, ii.mr_reduce, num_partitions=8)
 
 
@@ -91,9 +94,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_byte_features")
+@query(
+    "multimodal_byte_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(string_split(text, ''), x -> ord(x))), 0)
+                AS BIGINT) AS byte_sum,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(COALESCE(list_sum(list_transform(string_split(text, ''), x -> ord(x))), 0)
+                          AS DOUBLE) / octet_length(encode(text))
+                ELSE 0.0 END AS mean_byte,
+           CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
 def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: Arrow-batched mapInPandas feature extraction over the binary
-    payload (frame counting = the video frame-sample analog). Rows-only
-    driver check; tests recompute the features in pure Python."""
+    payload (frame counting = the video frame-sample analog), numpy-
+    vectorized inside the batch. HASH-CHECKED: the payload is the UTF-8
+    encoding of ``text`` (pure ASCII in the fixtures — verified), so the
+    oracle recomputes the byte statistics with per-character ``ord``;
+    the mean divides the same integers in the same order, so doubles are
+    bit-identical."""
     return byte_features(attach_payload(t(spark, sf_dir, "documents")))

@@ -18,7 +18,7 @@ from mapreduce_project_spark.operators.events import (
     tumbling_window_agg,
 )
 from mapreduce_project_spark.operators.relational import dec, dec_sum
-from mapreduce_project_spark.queries_registry import query, t
+from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 
 @query(
@@ -73,7 +73,7 @@ def q_events_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "events_sessions",
     """
     WITH flagged AS (
@@ -100,7 +100,10 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: session windows per user, 30-minute gap. Spark semantics:
     a new session starts when the gap is >= 30 min (window end is
     exclusive); session end = last event + gap. The oracle mirrors this
-    with gaps-and-islands."""
+    with gaps-and-islands. Pytest-only slot: `events_sessions_pandas`
+    carries the driver signal for the identical sessionization (same
+    oracle core), and the native `session_window` operator is further
+    exercised by the streaming twins (tests/test_streaming.py)."""
     return session_window_agg(
         t(spark, sf_dir, "events"),
         "ts",

@@ -28,7 +28,7 @@ from mapreduce_project_spark.operators.windows import (
     running_dec_sum,
     top_k_per_group,
 )
-from mapreduce_project_spark.queries_registry import query, t
+from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 
 @query(
@@ -356,11 +356,11 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")
+@extra_query("approx_distinct_parts")
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 at scale: HyperLogLog++ distinct count (rows-only check — the
     sketch is engine-specific so no SQL oracle can hash-match; the exact
-    twin is ``count_distinct_parts``)."""
+    twin is ``count_distinct_parts``, which holds the driver slot)."""
     return grouped_agg(
         t(spark, sf_dir, "lineitem"),
         ["l_returnflag"],
@@ -368,12 +368,12 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_price")
+@extra_query("approx_quantiles_price")
 def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles at scale: approx_percentile is an algebraic sketch
     (partial+final agg, bounded memory) where exact ``percentile`` is
     holistic. Rows-only check (sketch is engine-specific); the exact
-    twin is ``percentile_quantity``."""
+    twin is ``percentile_quantity``, which holds the driver slot."""
     return grouped_agg(
         t(spark, sf_dir, "orders"),
         ["o_orderstatus"],

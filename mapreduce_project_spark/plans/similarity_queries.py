@@ -25,9 +25,10 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-@query(
-    "similarity_topk",
-    f"""
+# Exact top-5 in SQL — the oracle for BOTH the brute-force query and
+# the ANN variant (whose candidate generator is tuned to cover the
+# exact top-5 on these fixtures, so its verified re-rank is identical).
+_TOPK_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -38,9 +39,12 @@ def _duck_cos(a: str, b: str) -> str:
                                    ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored
     )
-    SELECT query_id, neighbor_id, rk, cos FROM ranked WHERE rk <= 5
-    """,
-)
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query("similarity_topk", _TOPK_ORACLE)
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 baseline: exact top-5 cosine neighbors for query vectors
     (vec_id < 10). Queries broadcast; corpus scanned once. Cosine is
@@ -73,15 +77,23 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_lsh")
+@query("similarity_ann_lsh", _TOPK_ORACLE)
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 scale path: random-hyperplane LSH (12 tables x 4 bits) ANN
-    top-5 with exact re-rank of candidates. Rows-only driver check;
-    tests measure recall vs `similarity_topk`."""
+    """C3 scale path: random-hyperplane LSH (32 tables x 4 bits) ANN
+    top-5 with exact re-rank of candidates — never an all-pairs join.
+    HASH-CHECKED against the exact brute-force SQL: at 32x4 the banded
+    candidate set covers the true top-5 for every query on the fixtures
+    (recall 1.0 measured at sf0.01 AND sf0.1, pinned in
+    tests/test_similarity.py), and the re-rank computes the identical
+    fold cosine, so the output equals the exact top-k. At production
+    scale recall dips below 1 — the oracle match certifies the candidate
+    generator + re-rank machinery, tests track the recall curve."""
     emb = t(spark, sf_dir, "embeddings")
-    return topk_ann_lsh(
-        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    out = topk_ann_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5,
+        n_tables=32, n_bits=4,
     )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
 @query(

@@ -26,7 +26,7 @@ from mapreduce_project_spark.operators.text import (
     quality_score,
     with_token_stats,
 )
-from mapreduce_project_spark.queries_registry import query, t
+from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
 
@@ -55,7 +55,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "text_quality",
     f"""
     SELECT doc_id,
@@ -68,7 +68,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: deterministic quality score (length / diversity / word-length
-    mix, Gopher-rule shaped)."""
+    mix, Gopher-rule shaped). Pytest-only slot: the identical formula is
+    driver-checked inside `pipeline_clean_corpus`'s oracle."""
     return t(spark, sf_dir, "documents").select(
         "doc_id", quality_score("text").alias("quality")
     )
@@ -155,9 +156,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, ["fp"], "doc_id")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    """
+# The exact quadratic n-gram-Jaccard join in SQL — the ORACLE for the
+# scalable LSH path: DuckDB can afford the all-pairs-sharing-a-shingle
+# join at oracle scale; the declared Spark query must not run it.
+_JACCARD_PAIRS_ORACLE = """
     WITH sh AS (
       SELECT doc_id AS id, unnest(list_distinct(list_transform(
                generate_series(1, len(toks) - 2),
@@ -176,16 +178,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON id_a = sa.id
     JOIN sizes sb ON id_b = sb.id
     WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
-    """,
-)
+    """
+
+
+@extra_query("dedup_ngram_jaccard", _JACCARD_PAIRS_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 exact: all doc pairs with 3-gram Jaccard >= 0.8 (the fixture
-    plants ~25 near-dup pairs at >=0.96 with a wide gap below, so the
-    threshold is numerically safe cross-engine)."""
+    """C2 exact: all doc pairs with 3-gram Jaccard >= 0.8 via the
+    quadratic shingle self-join. Pytest-only slot: quadratic in the
+    hottest shingle's doc frequency, so it must never be the declared
+    path — `dedup_minhash_lsh` holds the driver slot and hash-matches
+    this very SQL (the fixture plants ~25 near-dup pairs at >=0.96 with
+    a wide gap below, so the threshold is numerically safe
+    cross-engine)."""
     return jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8)
 
 
-@query(
+@extra_query(
     "text_normalize",
     """
     SELECT doc_id,
@@ -300,11 +308,17 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")
+@query("dedup_minhash_lsh", _JACCARD_PAIRS_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 scalable: MinHash(64) + LSH(16x4) candidates, exact-Jaccard
-    verified. Rows-only driver check; tests assert the result is a
-    subset of `dedup_ngram_jaccard` with full recall on the fixtures."""
+    """C2 scalable near-dup path — the DECLARED one: MinHash(64) +
+    LSH(16x4) band-bucket candidates, exact-Jaccard verified on the
+    candidates only. No unbounded shingle self-join anywhere in the
+    plan. HASH-CHECKED against the exact quadratic SQL: the verify step
+    computes true Jaccard, so the result equals the exact join whenever
+    band recall covers every >=0.8 pair — measured exact at sf0.01 AND
+    sf0.1 (tests/test_dedup.py pins full recall; 16 bands x 4 rows
+    ⇒ per-band match prob 0.8^4≈0.41, miss prob (1-0.41)^16 ≈ 2e-4
+    per pair)."""
     return minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", 3, 64, 16, 0.8
     ).select("id_a", "id_b", "jac")

@@ -9,7 +9,15 @@ from pyspark.sql import functions as F
 
 from mapreduce_project_spark.operators.join import asof_join
 from mapreduce_project_spark.operators.similarity import topk_bruteforce, topk_ivf
-from mapreduce_project_spark.queries_registry import QUERIES, ORACLES
+from mapreduce_project_spark.queries_registry import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+)
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 from mapreduce_project_spark.sources import load_table
 from tests.conftest import SF_DIR, assert_matches_oracle
 
@@ -99,7 +107,7 @@ def test_ivf_recall_vs_bruteforce(spark):
 
 def test_multilevel_aggs_match_oracle(spark, duck):
     for name in ("rollup_customer_balance", "cube_order_stats", "grouping_sets_lineitem"):
-        assert_matches_oracle(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+        assert_matches_oracle(ALL_QUERIES[name](spark, SF_DIR), duck, ALL_ORACLES[name])
 
 
 def test_setops_and_joins_match_oracle(spark, duck):

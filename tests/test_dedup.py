@@ -31,13 +31,16 @@ def test_minhash_signatures_shape_and_determinism(spark):
 
 
 def test_minhash_subset_and_recall(spark):
+    # FULL recall pinned (not just >=0.9): the declared
+    # `dedup_minhash_lsh` query hash-matches the exact quadratic SQL
+    # oracle, which requires the banded candidates to cover every
+    # >=0.8-Jaccard pair on the fixtures (measured exact at sf0.001,
+    # sf0.01 and sf0.1; per-pair miss prob ~(1-0.8^4)^16 ≈ 2e-4)
     docs = load_table(spark, SF_DIR, "documents")
     exact = _pairs(jaccard_pairs(docs, "doc_id", "text", 3, 0.8))
     mh = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8))
-    assert mh <= exact, f"false positives: {mh - exact}"
     assert exact, "fixture should contain planted near-dup pairs"
-    recall = len(mh & exact) / len(exact)
-    assert recall >= 0.9, f"recall {recall} < 0.9 ({len(mh)}/{len(exact)})"
+    assert mh == exact, f"fp: {mh - exact} / missed: {exact - mh}"
 
 
 def test_simhash_finds_planted_dups(spark):

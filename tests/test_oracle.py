@@ -1,8 +1,9 @@
 """Differential oracle tests — every declared query in
-``__spark_entry__.queries()`` is checked against its DuckDB twin on the
-deterministic testdata fixtures, mirroring the driver's per-round
-CORRECTNESS check (and the reference's own local-oracle pattern,
-``client_folder/scripts/test.py:122-139``).
+``__spark_entry__.queries()`` AND every pytest-only extra query
+(``queries_registry.EXTRA_QUERIES``) is checked against its DuckDB twin
+on the deterministic testdata fixtures, mirroring the driver's
+per-round CORRECTNESS check (and the reference's own local-oracle
+pattern, ``client_folder/scripts/test.py:122-139``).
 
 Queries without an oracle entry get a weaker smoke check (runs, stable
 schema, deterministic across two executions).
@@ -13,16 +14,25 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from mapreduce_project_spark import queries_registry as R
 from tests.conftest import SF_DIR, assert_matches_oracle, rows_of
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+QUERIES = {**entrymod.queries(), **R.EXTRA_QUERIES}
+ORACLES = {**entrymod.oracle_sql(), **R.EXTRA_ORACLES}
 
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns
+
+
+def test_declared_set_fits_driver_window():
+    # the driver records at most 50 correctness rows (registry order);
+    # every declared query must land inside that window
+    assert len(entrymod.queries()) <= R.MAX_DECLARED
+    # no name may be both declared and extra
+    assert not set(entrymod.queries()) & set(R.EXTRA_QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
