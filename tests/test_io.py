@@ -136,6 +136,57 @@ def test_sorted_parquet_write_roundtrip(spark, tmp_path):
         assert ks == sorted(ks)
 
 
+def test_reference_byte_compat_golden(spark, tmp_path):
+    """SURVEY §5 byte-compat golden: the facade + text sink reproduce the
+    reference worker's reduce-output lines BYTE-FOR-BYTE.
+
+    Reference line format (``worker.py:203-205``): ``f"{key}\\t{value}"``
+    per reduce output pair, newline-terminated by ``write_lines``
+    (``worker.py:52-58``). The golden side is a pure-Python rerun of the
+    reference semantics (iterator → map → str-coerced shuffle → group →
+    reduce), mirroring ``client_folder/scripts/test.py:48-72``. Line
+    order is partition-dependent in both engines (the reference writes
+    one file per reducer), so both sides compare as sorted raw bytes.
+    """
+    from mapreduce_project_spark.jobs import word_count_mr as wc
+    from mapreduce_project_spark.mapreduce import run_job
+
+    inputs = tmp_path / "in"
+    inputs.mkdir()
+    (inputs / "a.txt").write_text("Hello world, hello Spark!\nThe world turns.\n")
+    (inputs / "b.txt").write_text("spark and THE engine; engine room\n")
+    paths = sorted(str(p) for p in inputs.iterdir())
+
+    # engine side: facade job → key\tvalue lines → text sink
+    df = run_job(
+        spark, paths, wc.mr_map, wc.mr_reduce,
+        iterator_fn=wc.mr_iterator, num_partitions=2,
+    )
+    out = str(tmp_path / "golden_out")
+    write_text_lines(df.select(F.concat_ws("\t", "key", "value")), out)
+    import glob
+    engine_lines: list[bytes] = []
+    for f in sorted(glob.glob(f"{out}/part-*")):
+        with open(f, "rb") as fh:
+            engine_lines += [ln + b"\n" for ln in fh.read().splitlines()]
+
+    # golden side: the reference pipeline rerun sequentially in pure
+    # Python (worker.py:131-145 map task, :193-207 reduce task)
+    grouped: dict[str, list[str]] = {}
+    for p in paths:
+        raw = open(p, "rb").read()
+        for k1, v1 in wc.mr_iterator(raw, {"file_path": p, "size": len(raw)}):
+            for k2, v2 in wc.mr_map(k1, v1):
+                grouped.setdefault(str(k2), []).append(str(v2))  # worker.py:137-138 str coercion
+    golden_lines = []
+    for k, values in grouped.items():
+        rk, rv = wc.mr_reduce(k, values)
+        golden_lines.append(f"{rk}\t{rv}\n".encode("utf-8"))
+
+    assert b"".join(sorted(engine_lines)) == b"".join(sorted(golden_lines))
+    assert engine_lines, "golden job produced no output"
+
+
 def test_whole_and_binary_file_metadata(spark, tmp_path):
     p = tmp_path / "f1.txt"
     p.write_text("hello world")
