@@ -29,13 +29,36 @@ def main() -> None:
     queries = entrymod.queries()
 
     # JVM/session warmup so the first measured query isn't charged for
-    # one-time costs: codegen bootstrap and parquet datasource/class
-    # init (via the smallest table); no measured table is touched.
+    # one-time costs: codegen bootstrap, parquet datasource/class init
+    # (via the smallest table), window/broadcast machinery, interpreted
+    # higher-order-function dispatch, and the Arrow Python-worker pool
+    # (daemon + worker fork, Arrow codec init). No measured table is
+    # touched; per-query times still include that query's own planning
+    # and codegen.
     spark.range(1000).selectExpr(
         "sum(id)",
         "sum(cast(id as decimal(18,2)))",
         "count(distinct id)",
+        "aggregate(sequence(0, 9), 0L, (a, x) -> a + x)",
     ).collect()
+    spark.sql(
+        "SELECT id, row_number() OVER (PARTITION BY id % 7 ORDER BY id) rk "
+        "FROM range(1000)"
+    ).write.mode("overwrite").format("noop").save()
+    small = spark.range(100).selectExpr("id", "id % 5 AS k")
+    from pyspark.sql.functions import broadcast
+
+    small.join(broadcast(small.groupBy("k").count()), "k").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    def _py_warm(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(1000).mapInPandas(_py_warm, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}

@@ -215,16 +215,22 @@ def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi band join: the band table is broadcast, so the fact
-    side is scanned once with zero shuffle before the aggregation."""
-    bands = spark.createDataFrame(
-        [
-            ("lt100k", 0.0, 100000.0),
-            ("100k-200k", 100000.0, 200000.0),
-            ("200k-300k", 200000.0, 300000.0),
-            ("300k-400k", 300000.0, 400000.0),
-            ("ge400k", 400000.0, 1e12),
-        ],
-        "band string, lo double, hi double",
+    side is scanned once with zero shuffle before the aggregation.
+
+    The band table is a SQL ``VALUES`` LocalRelation, NOT
+    ``spark.createDataFrame`` — the latter plans as ``Scan
+    ExistingRDD`` (a pickled Python-RDD scan that pays a Python worker
+    roundtrip on every execution; measured ~2 s of pure overhead for 5
+    rows)."""
+    bands = spark.sql(
+        """
+        SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        FROM VALUES ('lt100k', 0.0, 100000.0),
+                    ('100k-200k', 100000.0, 200000.0),
+                    ('200k-300k', 200000.0, 300000.0),
+                    ('300k-400k', 300000.0, 400000.0),
+                    ('ge400k', 400000.0, 1e12) AS b(band, lo, hi)
+        """
     )
     orders = t(spark, sf_dir, "orders")
     joined = range_join(
