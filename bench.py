@@ -41,6 +41,16 @@ def main() -> None:
         "count(distinct id)",
         "aggregate(sequence(0, 9), 0L, (a, x) -> a + x)",
     ).collect()
+    # JIT the interpreted higher-order-function eval path with the
+    # shingle-shaped expression (transform+slice+concat_ws over a token
+    # array): measured ~4 s of one-time cost on the first query
+    # otherwise
+    spark.range(20000).selectExpr(
+        "split(concat('w', id, ' x y z w v u t s'), ' ') AS tok"
+    ).selectExpr(
+        "explode(array_distinct(transform(sequence(0, size(tok) - 3), "
+        "i -> concat_ws(' ', slice(tok, i + 1, 3))))) AS s"
+    ).write.mode("overwrite").format("noop").save()
     spark.sql(
         "SELECT id, row_number() OVER (PARTITION BY id % 7 ORDER BY id) rk "
         "FROM range(1000)"
