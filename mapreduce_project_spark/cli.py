@@ -74,10 +74,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _build_parser().parse_args(argv)
-    from mapreduce_project_spark.queries_registry import QUERIES
+    from mapreduce_project_spark.queries_registry import EXTRA_QUERIES, QUERIES
+
+    # the CLI serves users, not the driver: expose the full inventory
+    # (declared + pytest-only extras) for list/run
+    ALL = {**QUERIES, **EXTRA_QUERIES}
 
     if args.cmd == "list":
-        for name in sorted(QUERIES):
+        for name in sorted(ALL):
             print(name)
         return 0
 
@@ -87,10 +91,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = get_spark("cli")
 
     if args.cmd == "run":
-        if args.query not in QUERIES:
+        if args.query not in ALL:
             print(f"unknown query: {args.query} (see `list`)", file=sys.stderr)
             return 2
-        df = QUERIES[args.query](spark, args.sf_dir)
+        df = ALL[args.query](spark, args.sf_dir)
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
         else:

@@ -1,0 +1,103 @@
+"""Dataset assembly operators for training pipelines — deterministic
+splits, stratified sampling, and sequence packing.
+
+These are the steps between "cleaned corpus" and "training shards":
+assign every example to a split reproducibly, sample per-stratum
+quotas, and pack variable-length documents into fixed token budgets.
+All three are pure Column expressions / window functions (no Python),
+deterministic across runs and engines, and partition-parallel.
+
+Cross-engine determinism: split assignment hashes the example key with
+``md5`` (available and bit-identical in Spark and DuckDB; Spark's
+xxhash64 / DuckDB's hash() are engine-specific) and compares the first
+8 hex chars — fixed-width lowercase hex, so string comparison IS
+numeric comparison on the top 32 bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_hex8(key: Column) -> Column:
+    """First 8 hex chars of md5(key-as-string) — a uniform deterministic
+    32-bit bucket, identical in Spark and DuckDB (both emit lowercase
+    hex; DuckDB twin: ``substr(md5(cast(k AS VARCHAR)), 1, 8)``)."""
+    return F.substring(F.md5(key.cast("string").cast("binary")), 1, 8)
+
+
+def _frac_threshold_hex(frac: float) -> str:
+    """``frac`` of the 32-bit hash space as 8 lowercase hex chars."""
+    return format(int(frac * (1 << 32)), "08x")
+
+
+def hash_split(
+    df: DataFrame, key_col: str, test_frac: float = 0.125, split_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/test assignment: ``split_col`` ∈
+    {'test','train'} by md5-bucket of ``key_col``. Properties that
+    matter for training pipelines: (1) reproducible — the split is a
+    pure function of the key, not of run order, partitioning, or
+    engine; (2) stable under corpus growth — adding documents never
+    reassigns existing ones; (3) zero shuffle — a map-side projection
+    the optimizer pushes alongside the scan."""
+    thr = _frac_threshold_hex(test_frac)
+    return df.withColumn(
+        split_col,
+        F.when(_hash_hex8(F.col(key_col)) < thr, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum (all rows when the stratum is
+    smaller), chosen deterministically: rank by (md5-hash, key) inside
+    each stratum and keep the first ``k``. Unlike ``df.sampleBy`` this
+    is exact (not Bernoulli), reproducible, and oracle-expressible —
+    the hash order is uniform, so the pick is unbiased. One shuffle on
+    the strata key; skewed strata are bounded by ``k`` on output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_hex8(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: Column,
+    budget: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each document a pack ``bin`` so consecutive documents
+    (by ``order_col``, within ``part_col``) fill a ``budget``-token
+    context window: bin = floor(exclusive-running-sum(size) / budget).
+
+    This is contiguous streaming packing — the standard
+    concat-and-chunk used for LLM pretraining shards (documents are
+    packed in corpus order; a document longer than ``budget`` spills
+    into its own bins downstream). One window per partition key:
+    parallel across ``part_col`` values, ordered within. At 100 TB the
+    partition column (source/date/shard) bounds each window's rows;
+    never pack over a global order — that is a single-task sort.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(bin_col, F.floor(cum_before / budget))

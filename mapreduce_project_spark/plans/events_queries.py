@@ -21,7 +21,7 @@ from mapreduce_project_spark.operators.relational import dec, dec_sum
 from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 
-@query(
+@extra_query(
     "events_tumbling_hour",
     """
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -33,7 +33,11 @@ from mapreduce_project_spark.queries_registry import extra_query, query, t
     """,
 )
 def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6: 1-hour tumbling windows per event type."""
+    """C6: 1-hour tumbling windows per event type. Pytest-only slot: a
+    tumbling window is the slide == duration special case of
+    `events_sliding_hour`, which carries the driver signal for the
+    same `window()` machinery (plus the streaming twins in
+    tests/test_streaming.py)."""
     return tumbling_window_agg(
         t(spark, sf_dir, "events"),
         "ts",

@@ -314,7 +314,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "running_order_total",
     """
     SELECT o_custkey, o_orderkey,
@@ -325,7 +325,10 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running cumulative sum per customer (window frame), exact math."""
+    """Running cumulative sum per customer (window frame), exact math.
+    Pytest-only slot: running-frame window machinery is driver-checked
+    by `pack_sequences` (exclusive running sum) and `event_gaps`
+    (lag); this exact-decimal variant keeps its oracle in tests."""
     return running_dec_sum(
         t(spark, sf_dir, "orders"),
         ["o_custkey"],

@@ -1,0 +1,135 @@
+"""Training-data assembly queries (SURVEY.md §2.D D27-D30) — the steps
+between a cleaned corpus and training shards: near-dup CLUSTER
+formation (pairs → groups → representative), deterministic train/test
+splits, stratified sampling, and token-budget sequence packing.
+
+The reference has no analog for any of these (a reference user would
+hand-write each as a chain of MR jobs: pair-emit, iterate-until-fixed,
+hash-mod split — `design.md:48-49`'s contract makes every one a
+multi-job pipeline); here each is one declarative plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.functions import tokens
+from mapreduce_project_spark.operators.dedup import dedup_clusters
+from mapreduce_project_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample_exact,
+)
+from mapreduce_project_spark.plans.text_queries import _JACCARD_PAIRS_ORACLE
+from mapreduce_project_spark.queries_registry import extra_query, query, t
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE jac AS ({_JACCARD_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jac
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT c.id AS doc_id, c.rep AS rep_id, s.n AS cluster_size
+    FROM comp c
+    JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) s ON c.rep = s.rep
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D27: near-dup clusters — MinHash+LSH verified pairs collapsed
+    into connected components (min-id representative, one row per
+    clustered doc). The Spark side iterates min-label propagation to a
+    fixpoint (`operators/dedup.py:connected_components`); the oracle is
+    the transitive closure as a recursive CTE over the exact-Jaccard
+    pair SQL (LSH recall is full on the fixtures, so the pair sets —
+    and hence the components — agree exactly)."""
+    return dedup_clusters(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "train_test_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28: deterministic md5-bucket train/test assignment
+    (test_frac = 0.125 = top-32-bit threshold 0x20000000) — a pure
+    map-side projection: reproducible across runs, engines, and corpus
+    growth; zero shuffle."""
+    return hash_split(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        0.125,
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    SELECT doc_id, source, n_tok,
+           CAST(FLOOR(COALESCE(cum_before, 0) / 2048) AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok,
+             SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+      FROM documents
+    )
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29: token-budget sequence packing — contiguous concat-and-chunk
+    bins of 2048 tokens per source shard (exclusive running token sum /
+    budget). Parallel across sources, ordered within; integer-only
+    arithmetic, so cross-engine exact."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    packed = pack_sequences(
+        docs.select("doc_id", "source", n_tok.alias("n_tok")),
+        "source",
+        "doc_id",
+        F.col("n_tok"),
+        2048,
+    )
+    return packed.select("doc_id", "source", "n_tok", F.col("bin").cast("bigint").alias("bin"))
+
+
+@extra_query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rk
+      FROM documents
+    )
+    WHERE rk <= 50
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D30: exact deterministic stratified sample — 50 docs per
+    (lang, source) stratum, ranked by md5-hash order (uniform ⇒
+    unbiased, reproducible, oracle-expressible). Pytest-only slot: the
+    window-rank machinery already carries driver signal via
+    `top_lineitems_per_supplier`; the md5 split determinism is
+    driver-checked by `train_test_split`."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample_exact(docs, ["lang", "source"], "doc_id", 50)

@@ -12,7 +12,9 @@ from mapreduce_project_spark.plans.inspect import (
     pushed_filters,
     read_schemas,
 )
-from mapreduce_project_spark.queries_registry import QUERIES
+from mapreduce_project_spark.queries_registry import EXTRA_QUERIES, QUERIES as _DECLARED
+
+QUERIES = {**_DECLARED, **EXTRA_QUERIES}
 from tests.conftest import SF_DIR
 
 

@@ -1,0 +1,87 @@
+"""Training-data assembly operators (D27-D30): connected-component
+cluster formation, deterministic splits, stratified sampling, sequence
+packing. The oracle equality of the four registered queries is covered
+by tests/test_oracle.py; these tests pin the operator-level contracts
+on hand-built inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.dedup import connected_components
+from mapreduce_project_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample_exact,
+)
+
+
+def test_connected_components_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4 (diameter > 1 forces >1 propagation round),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_deterministic(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components(pairs).collect()))
+    assert a == b
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = dict((r["k"], r["split"]) for r in hash_split(df, "k", 0.25).collect())
+    s2 = dict((r["k"], r["split"]) for r in hash_split(df, "k", 0.25).collect())
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "test") / len(s1)
+    assert 0.2 < frac < 0.3, frac
+    # stability under growth: the first 1000 keys keep their assignment
+    sub = dict(
+        (r["k"], r["split"])
+        for r in hash_split(spark.range(1000).withColumnRenamed("id", "k"), "k", 0.25).collect()
+    )
+    assert all(s1[k] == v for k, v in sub.items())
+
+
+def test_stratified_sample_exact_counts(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).alias("s"), (F.col("id") % 2).alias("t")
+    )
+    out = stratified_sample_exact(df, ["s", "t"], "id", 10)
+    counts = {
+        (r["s"], r["t"]): r["n"]
+        for r in out.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n == 10 for n in counts.values()) and len(counts) == 6
+    # small stratum: returns all rows, not 10
+    tiny = stratified_sample_exact(df.filter(F.col("id") < 4), ["s"], "id", 10)
+    assert tiny.count() == 4
+
+
+def test_pack_sequences_contract(spark):
+    df = spark.createDataFrame(
+        [("p", i, 300) for i in range(10)] + [("q", 0, 5000)],
+        "part string, ord long, n long",
+    )
+    out = pack_sequences(df, "part", "ord", F.col("n"), 1024)
+    rows = {(r["part"], r["ord"]): r["bin"] for r in out.collect()}
+    # doc i of partition p starts at 300*i; bin = floor(300*i / 1024)
+    assert all(rows[("p", i)] == (300 * i) // 1024 for i in range(10))
+    # an oversized doc still gets the bin where it starts
+    assert rows[("q", 0)] == 0
+    # bins are non-decreasing in order within a partition
+    seq = [rows[("p", i)] for i in range(10)]
+    assert seq == sorted(seq)
