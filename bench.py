@@ -74,6 +74,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(queries):
+        # each query is timed standalone: drop any DataFrame caches a
+        # previous query persisted (the dedup pipelines cache their
+        # signature/sketch tables), so no query pays GC/eviction
+        # pressure for another's leftovers
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, SF_DIR)

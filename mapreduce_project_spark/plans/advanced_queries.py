@@ -292,12 +292,82 @@ def q_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_ivf")
+# DuckDB twin of operators.similarity.topk_ivf — replays the ENTIRE
+# deterministic IVF build and search: seed centroids = 16 smallest ids,
+# one Lloyd step over the id%10 sample with the shared fixed-point mean
+# formula, full-corpus assignment, 4-probe selection, left-fold cosine
+# re-rank. Every float op mirrors the Spark operand order (sq_dist and
+# cosine are left folds with 0.0 init ≡ list_reduce whose implicit init
+# is the first element; 0.0+x == x), ties break on lowest cid /
+# neighbor_id — so the oracle is bit-identical, not merely close.
+_SQDIST = (
+    "list_reduce(list_transform(generate_series(1, 64),"
+    " i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+)
+_IVF_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM (SELECT * FROM base ORDER BY id LIMIT 16)
+    ), assign0 AS (
+      SELECT id, v, cid FROM (
+        SELECT s.id, s.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.id
+                 ORDER BY {_SQDIST.format(a='s.v', b='c.cv')}, c.cid) AS rk
+        FROM (SELECT * FROM base WHERE id % 10 = 0) s CROSS JOIN seeds c
+      ) WHERE rk = 1
+    ), cents1 AS (
+      SELECT cid, list(val ORDER BY dim) AS cv FROM (
+        SELECT cid, i - 1 AS dim,
+               CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                 / COUNT(v[i]) AS val
+        FROM assign0, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    ), cells AS (
+      SELECT id, v, cid FROM (
+        SELECT b.id, b.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {_SQDIST.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base b CROSS JOIN cents1 c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.id AS query_id, q.v AS qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                 ORDER BY {_SQDIST.format(a='q.v', b='c.cv')}, c.cid) AS rk
+        FROM (SELECT * FROM base WHERE id < 10) q CROSS JOIN cents1 c
+      ) WHERE rk <= 4
+    ), scored AS (
+      SELECT p.query_id, l.id AS neighbor_id,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> p.qv[i]*l.v[i]), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_transform(p.qv, x -> x*x), (x,y) -> x+y))
+              * sqrt(list_reduce(list_transform(l.v, x -> x*x), (x,y) -> x+y))) AS cos
+      FROM cells l JOIN probes p USING (cid)
+      WHERE l.id != p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
+@query("similarity_topk_ivf", _IVF_ORACLE)
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 IVF ANN top-5 (16 cells, 4 probes): zero-shuffle quantizer
-    assignment + probe join + exact re-rank within probed cells. Rows-
-    only driver check; tests measure recall vs `similarity_topk`."""
+    assignment + probe join + exact re-rank within probed cells.
+    HASH-CHECKED: the quantizer build is deterministic end-to-end (seed
+    cells = smallest ids, fixed-point Lloyd means, lowest-cid/-id tie
+    breaks, left-fold float arithmetic), so the DuckDB oracle replays
+    the identical index build + search and matches by value — the
+    strongest possible external check for an ANN operator. Tests
+    additionally measure recall vs the exact `similarity_topk`."""
     emb = t(spark, sf_dir, "embeddings")
-    return topk_ivf(
+    out = topk_ivf(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
     )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))

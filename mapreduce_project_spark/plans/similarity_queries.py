@@ -100,6 +100,47 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
+@extra_query(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.v', 'b.v')} >= 0.3
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT c.id AS vec_id, c.rep AS rep_id, s.n AS cluster_size
+    FROM comp c
+    JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) s ON c.rep = s.rep
+    """,
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERS (the semantic-dedup flavor):
+    label-blocked cosine pairs >= 0.3 collapsed into connected
+    components, min-id representative, one row per clustered vector.
+    Pytest-only slot: the pair generator is driver-checked as
+    `embedding_cosine_pairs` and the component machinery as
+    `dedup_clusters`; oracle = recursive-CTE transitive closure over
+    the identical pair SQL."""
+    from mapreduce_project_spark.operators.dedup import embedding_dedup_clusters
+
+    return embedding_dedup_clusters(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3, "label"
+    )
+
+
 @query(
     "embedding_label_centroids",
     """

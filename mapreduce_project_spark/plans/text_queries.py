@@ -1,6 +1,8 @@
 """Text-analysis + dedup query inventory (C1/C2/C4) with DuckDB twins
-where exactly SQL-expressible; MinHash/SimHash are rows-only (their
-sketches are verified against the exact-Jaccard oracle in tests).
+for every query: MinHash+LSH hash-matches the exact-Jaccard SQL (its
+verify step computes true Jaccard and band recall is total at oracle
+scale), and SimHash's md5-derived sketch is recomputed verbatim by its
+oracle — no rows-only checks left in this module.
 
 Counts are cast to BIGINT on the Spark side (Spark ``size``/``length``
 return INT; DuckDB ``len`` returns BIGINT — the driver compares schemas).
@@ -324,10 +326,55 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jac")
 
 
-@query("dedup_simhash")
+# DuckDB twin of operators.dedup.simhash_chunks + simhash_pairs: the
+# same md5-derived 64-bit sketch, but the ORACLE affords the all-pairs
+# hamming join (O(n^2) at oracle scale) where the declared Spark plan
+# uses the pigeonhole chunk join — exact for hamming <= 3 with 4 chunks
+# (≤3 differing bits ⇒ ≥1 of the 4 16-bit chunks equal), so the two
+# candidate generators provably produce the identical final pair set.
+_SIMHASH_SUMS = ", ".join(
+    f"SUM((({'hi' if b < 32 else 'lo'} >> {b % 32}) & 1) * 2 - 1) AS s{b}"
+    for b in range(64)
+)
+_SIMHASH_CHUNKS = ", ".join(
+    " + ".join(f"(CASE WHEN s{c * 16 + k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(16))
+    + f" AS c{c}"
+    for c in range(4)
+)
+_SIMHASH_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+    ), words AS (
+      SELECT id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo
+      FROM sh
+    ), sums AS (
+      SELECT id, {_SIMHASH_SUMS} FROM words GROUP BY id
+    ), sk AS (
+      SELECT id, {_SIMHASH_CHUNKS} FROM sums
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER)
+             AS hamming
+    FROM sk a JOIN sk b ON a.id < b.id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 sketch: SimHash64 pairs with Hamming <= 3 via pigeonhole chunk
-    join. Rows-only driver check (sketch is engine-seeded)."""
+    join. HASH-CHECKED: the sketch bits are md5-derived (engine-portable,
+    see `simhash_chunks`), so the oracle recomputes the identical sketch
+    and finds the same pairs with a plain all-pairs hamming join — the
+    pigeonhole join is pure optimization, provably candidate-complete
+    at hamming <= 3."""
     return simhash_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3).select(
         "id_a", "id_b", "hamming"
     )
