@@ -133,6 +133,56 @@ def frame_sample(
     return df.select(id_col, payload_col).mapInPandas(sample, out_schema)
 
 
+def downsample_bytes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_len: int = 32,
+) -> DataFrame:
+    """Deterministic resize/downsample (the image-thumbnail / audio-
+    resample shape): each payload's byte stream is block-averaged down
+    to ``out_len`` values — (id, block, val) rows, val = mean of bytes
+    in [block*n//L, (block+1)*n//L). Binary in, small typed signal out,
+    Arrow-batched ``mapInPandas``, no shuffle; blocks emptied by short
+    payloads (n < L) are omitted.
+
+    All block boundaries and sums for the whole batch are computed in
+    one numpy pass (global cumsum + fancy indexing) — zero per-byte
+    Python. A real image resize swaps this body for PIL/cv2 inside the
+    same signature; the Spark-side contract is identical.
+    """
+    out_schema = f"{id_col} long, block long, val double"
+    L = out_len
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            n = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+            offsets = np.concatenate(([0], np.cumsum(n[:-1]))) if len(n) else n
+            row_idx = np.repeat(np.arange(len(n)), L)
+            j = np.tile(np.arange(L, dtype=np.int64), len(n))
+            n_r = n[row_idx]
+            s = j * n_r // L
+            e = (j + 1) * n_r // L
+            mask = e > s
+            base = offsets[row_idx]
+            sums = csum[base + e] - csum[base + s]
+            val = np.where(mask, sums / np.maximum(e - s, 1), 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[row_idx[mask]],
+                    "block": j[mask],
+                    "val": val[mask],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resample, out_schema)
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload", format_col: str = "media.format") -> DataFrame:
     """STUB — real image/audio decode (PIL/librosa are not in this
     container). The function validates the plumbing (schema + batch

@@ -494,6 +494,45 @@ def topk_ivf(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    dim: int,
+) -> DataFrame:
+    """(cid, dim, centroid_val) — deterministic Lloyd k-means centroids
+    after ``iters`` assign+mean rounds (seeds = vectors of the ``k``
+    smallest ids, fixed-point means, lowest-cid tie-breaks — the same
+    engine-exact building blocks as `topk_ivf`'s quantizer, generalized
+    to an arbitrary iteration count).
+
+    Each round is one broadcast of the (tiny) centroid table + one
+    zero-shuffle assignment projection over the corpus + one
+    (cid, dim)-keyed partial-aggregated mean shuffle — the canonical
+    distributed k-means shape: per-iteration cost is a single corpus
+    pass, no driver-side data, lineage bounded by ``iters`` (small by
+    contract; cache intermediate centroids if iters grows large)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    seed_w = Window.orderBy("id")
+    cents = (
+        base.orderBy("id")
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = base.crossJoin(F.broadcast(_cents_row(cents))).select(
+            "id", "v", _nearest_cid(F.col("v")).alias("cid")
+        )
+        cents = cluster_centroid_means(assigned, dim)
+    return cents.select(
+        "cid", F.posexplode("cv").alias("dim", "centroid_val")
+    )
+
+
 def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """(label, dim, centroid_val) — per-dimension means via fixed-point
     integer sums: each component is scaled with the explicit formula

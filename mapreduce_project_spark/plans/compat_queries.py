@@ -118,3 +118,35 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean divides the same integers in the same order, so doubles are
     bit-identical."""
     return byte_features(attach_payload(t(spark, sf_dir, "documents")))
+
+
+@extra_query(
+    "multimodal_downsample",
+    """
+    SELECT doc_id, block,
+           CAST(list_sum(list_transform(
+                  string_split(substr(text, CAST(s AS INTEGER) + 1,
+                                      CAST(e - s AS INTEGER)), ''),
+                  x -> ord(x))) AS DOUBLE) / (e - s) AS val
+    FROM (
+      SELECT doc_id, text, j AS block,
+             (j * octet_length(encode(text))) // 32 AS s,
+             ((j + 1) * octet_length(encode(text))) // 32 AS e
+      FROM documents, (SELECT unnest(generate_series(0, 31)) AS j)
+    )
+    WHERE e > s
+    """,
+)
+def q_multimodal_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 resize analog: block-mean byte downsampling to 32 values per
+    payload (the image-thumbnail / audio-resample plumbing), numpy-
+    vectorized over the Arrow batch. HASH-CHECKED like
+    `multimodal_byte_features`: the payload is the UTF-8 bytes of pure-
+    ASCII ``text``, so the oracle recomputes each block mean with
+    per-character ``ord`` and one double division — bit-identical.
+    Pytest-only slot: the mapInPandas machinery already carries driver
+    signal via `multimodal_byte_features`."""
+    from mapreduce_project_spark.operators.multimodal import downsample_bytes
+
+    out = downsample_bytes(attach_payload(t(spark, sf_dir, "documents")))
+    return out.select("doc_id", "block", "val")

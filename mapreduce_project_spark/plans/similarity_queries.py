@@ -141,6 +141,69 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled DuckDB twin of `kmeans_lloyd`: one assign+mean CTE pair
+    per iteration, every float op in the Spark operand order (left-fold
+    sq_dist, fixed-point means), ties to the lowest cid — bit-identical
+    centroids, not merely close ones."""
+    sq = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j])), (x,y) -> x+y)"
+    )
+    ctes = [
+        "base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cents0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM (SELECT * FROM base ORDER BY id LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""assign{i} AS (
+      SELECT id, v, cid FROM (
+        SELECT b.id, b.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {sq.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base b CROSS JOIN cents{i} c
+      ) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""percell{i + 1} AS (
+      SELECT cid, i - 1 AS dim,
+             CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+               / COUNT(v[i]) AS centroid_val
+      FROM assign{i}, (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY cid, i)"""
+        )
+        ctes.append(
+            f"cents{i + 1} AS (SELECT cid, list(centroid_val ORDER BY dim) AS cv "
+            f"FROM percell{i + 1} GROUP BY cid)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dim AS BIGINT) AS dim, centroid_val
+    FROM percell{iters}
+    """
+    )
+
+
+@extra_query("kmeans_embeddings", _kmeans_oracle(8, 2))
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (k=8, 2 rounds) over the embedding corpus
+    — the general iterative-algorithm pattern (per-round: broadcast
+    centroids, zero-shuffle assignment pass, one partial-aggregated mean
+    shuffle). Pytest-only slot: the one-round specialization already
+    carries driver signal inside `similarity_topk_ivf`'s quantizer
+    build; oracle = the fully unrolled two-round SQL."""
+    from mapreduce_project_spark.operators.similarity import kmeans_lloyd
+
+    out = kmeans_lloyd(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 8, 2, 64)
+    return out.select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("dim").cast("bigint").alias("dim"),
+        "centroid_val",
+    )
+
+
 @query(
     "embedding_label_centroids",
     """
