@@ -1,0 +1,171 @@
+"""Property-based tests (hypothesis) — invariants the example-based
+suites can't sweep: partitioning-invariance of results, facade vs
+native equivalence on arbitrary inputs, salted-join equivalence for
+arbitrary salt counts, union-find ground truth for connected
+components, and packing/split invariants.
+
+The reference ships no property testing (SURVEY.md §5); this layer is
+the "results must not depend on physical execution" guarantee that
+matters at 100 TB, where partition counts differ from every test run.
+
+Examples are kept small (Spark job latency dominates, not data size)
+and deadlines disabled — a local[8] job takes ~0.5 s, far above
+hypothesis's default 200 ms deadline.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (key, value) rows with repeated keys, including negatives and empties
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-100, 100)), min_size=1, max_size=40
+)
+# undirected edge lists over a small id space (dups + self-loops allowed)
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=30
+)
+
+
+@given(rows=kv_rows, parts=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_grouped_agg_partition_invariance(spark, rows, parts):
+    """Sums/counts per key are identical under any repartitioning —
+    the map-side-combine + shuffle path may not depend on the physical
+    split of the input."""
+    df = spark.createDataFrame(rows, "k int, v int")
+    base = {
+        (r["k"], r["s"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c")).collect()
+    }
+    re = {
+        (r["k"], r["s"], r["c"])
+        for r in df.repartition(parts)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+        .collect()
+    }
+    assert base == re
+
+
+@given(rows=kv_rows, n_salt=st.integers(1, 6), how=st.sampled_from(["inner", "left"]))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows, n_salt, how):
+    """salted_join must be output-identical to the plain join for every
+    salt count and supported how — including unmatched left rows and
+    duplicate keys on both sides."""
+    from mapreduce_project_spark.operators.join import salted_join
+
+    left = spark.createDataFrame(rows, "k int, v int")
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 7)], "k int, w int"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k", how).collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(left, right, "k", n_salt=n_salt, how=how).collect()
+    )
+    assert plain == salted
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a plain
+    union-find on every graph shape (chains, stars, cycles, self-loops,
+    parallel edges)."""
+    from mapreduce_project_spark.operators.dedup import connected_components
+
+    # ground truth: union-find with min-id representative
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == truth
+
+
+@given(rows=kv_rows, parts=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_facade_reduce_matches_native(spark, rows, parts):
+    """The MapReduce facade's arbitrary reduce contract must agree with
+    the native grouped aggregation for a sum job, for any reduce
+    partition count (the reference's num_reducers knob)."""
+    from mapreduce_project_spark.mapreduce import run_job
+
+    df = spark.createDataFrame(rows, "key int, value int")
+    native = {(r["key"], r["s"]) for r in df.groupBy("key").agg(F.sum("value").alias("s")).collect()}
+
+    def map_fn(k, v):
+        yield k, v
+
+    def reduce_fn(k, values):
+        yield k, sum(int(x) for x in values)
+
+    out = run_job(spark, df, map_fn, reduce_fn, num_partitions=parts)
+    got = {(int(r["key"]), int(r["value"])) for r in out.collect()}
+    assert got == native
+
+
+@given(budget=st.integers(1, 50), toks=st.lists(st.integers(0, 30), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_pack_sequences_bin_invariants(spark, budget, toks):
+    """Packing invariants for any budget and token-count sequence:
+    bins are assigned by the exclusive running sum, so (a) bin ids are
+    non-decreasing in doc order, (b) a doc's bin equals its exclusive
+    prefix sum // budget."""
+    from mapreduce_project_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_tok int")
+    out = sorted(
+        (r["doc_id"], r["bin"]) for r in
+        pack_sequences(df, "source", "doc_id", F.col("n_tok"), budget).collect()
+    )
+    prefix = 0
+    expect = []
+    for i, t in enumerate(toks):
+        expect.append((i, prefix // budget))
+        prefix += t
+    assert out == expect
+
+
+@given(frac=st.sampled_from([0.0625, 0.125, 0.25, 0.5]), subset=st.integers(1, 40))
+@settings(**SETTINGS)
+def test_hash_split_stability_under_corpus_growth(spark, frac, subset):
+    """A doc's split assignment may depend only on its id — never on
+    which other docs are present (corpus growth must not reshuffle
+    existing splits)."""
+    from mapreduce_project_spark.operators.sampling import hash_split
+
+    full = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    part = full.filter(F.col("doc_id") < subset)
+    full_map = {r["doc_id"]: r["split"] for r in hash_split(full, "doc_id", frac).collect()}
+    part_map = {r["doc_id"]: r["split"] for r in hash_split(part, "doc_id", frac).collect()}
+    assert all(full_map[k] == v for k, v in part_map.items())
