@@ -92,3 +92,21 @@ def test_ivf_topk_plan_shape(spark):
     # broadcast exchanges (quantizer/probes) + centroid-scale hash
     # exchanges; a corpus-wide pre-join shuffle would add more
     assert count_node(df, "Exchange") <= 8
+
+
+def test_kmeans_assignment_broadcast_no_corpus_shuffle(spark):
+    df = QUERIES["kmeans_embeddings"](spark, SF_DIR)
+    # per-round assignment is a broadcast of the centroid row — the
+    # corpus is never shuffle-joined in any iteration
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
+    assert count_node(df, "BroadcastNestedLoopJoin") >= 2  # one per round
+    # each round's mean is partial+final aggregated on (cid, dim)
+    assert count_node(df, "HashAggregate") >= 4
+
+
+def test_downsample_no_shuffle(spark):
+    df = QUERIES["multimodal_downsample"](spark, SF_DIR)
+    # feature extraction is a narrow Arrow-batched map — zero exchanges
+    assert count_node(df, "Exchange") == 0
+    assert has_node(df, "MapInPandas")
