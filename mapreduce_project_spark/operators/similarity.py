@@ -276,7 +276,13 @@ def lsh_buckets(
     _codes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     codes_udf = pandas_udf(_codes, "array<int>")
 
-    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    # spread across cores before the UDF: a small parquet corpus is one
+    # split, and everything downstream of the (narrow) bucket projection
+    # — candidate join, exact re-rank — inherits its partitioning (same
+    # rationale as `cosine_pairs`; at scale the scan's splits suffice)
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     return base.select(
         "id", "v", F.posexplode(codes_udf(F.col("v"))).alias("table", "bucket")
     ).select("table", "bucket", "id", "v")
