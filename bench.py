@@ -25,6 +25,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from mapreduce_project_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -69,7 +71,63 @@ def main() -> None:
     spark.range(1000).mapInPandas(_py_warm, "id long").write.mode(
         "overwrite"
     ).format("noop").save()
+    spark.range(1000).selectExpr("id % 7 AS k", "id AS v").groupBy(
+        "k"
+    ).applyInPandas(lambda pdf: pdf, "k long, v long").write.mode(
+        "overwrite"
+    ).format("noop").save()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # the dedup/similarity family's machinery, on synthetic rows: the
+    # wide many-aggregate groupBy (64 algebraic mins — the MinHash
+    # signature shape compiles ~8 s of generated code the first time),
+    # mixed min+collect_set (ObjectHashAggregate path), the
+    # explode→self-join→distinct candidate shape, long-array
+    # array_intersect verification, md5/conv bit extraction + XOR
+    # bit_count (SimHash), and one label-propagation round
+    # (join+union+grouped-min — connected components). All on
+    # spark.range data, so no measured table or query plan is reused.
+    syn = spark.range(5000).selectExpr(
+        "id % 40 AS id", "pmod(xxhash64(id), 2147483647L) AS h"
+    )
+    syn.groupBy("id").agg(
+        *[F.expr(f"min(pmod({3 + i}L * h + {i}L, 2147483647L)) AS m{i}") for i in range(64)],
+        F.expr("collect_set(h) AS hs"),
+    ).write.mode("overwrite").format("noop").save()
+    pairs = spark.range(200).selectExpr(
+        "id % 50 AS id", "array(struct(id % 4 AS band, id % 9 AS bkey)) AS bs"
+    ).selectExpr("id", "explode(bs) AS b")
+    (
+        pairs.alias("x")
+        .join(
+            pairs.alias("y"),
+            F.expr("x.b.band = y.b.band AND x.b.bkey = y.b.bkey AND x.id < y.id"),
+        )
+        .select(F.expr("x.id AS id_a"), F.expr("y.id AS id_b"))
+        .distinct()
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "size(array_intersect(array(id_a, id_b), array(id_b))) AS c",
+            "bit_count(id_a ^ id_b) AS hd",
+            "cast(conv(substr(md5(cast(id_a AS string)), 1, 8), 16, 10) AS bigint) AS mh",
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    lbl = spark.range(100).selectExpr("id", "id AS comp")
+    edg = spark.range(99).selectExpr("id AS a", "id + 1 AS b")
+    (
+        edg.join(lbl, edg["b"] == lbl["id"])
+        .select("a", "comp", F.expr("cast(null AS bigint) AS own"))
+        .union(lbl.selectExpr("id AS a", "comp", "comp AS own"))
+        .groupBy("a")
+        .agg(F.expr("min(comp) AS comp"), F.expr("max(own) AS _old"))
+        .filter("comp != _old")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
