@@ -332,6 +332,112 @@ def topk_ann_lsh(
     )
 
 
+def _mirror_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """(id, neighbor_id, rk, cos) top-k per id from an UNDIRECTED pair
+    stream (id_a < id_b, cos): each pair is mirrored into both
+    directions with one explode — the cosine is evaluated once per
+    unordered pair (dot and norm products are commutative bit-for-bit,
+    so the mirrored value is exactly the recomputed one) — then a
+    per-id window keeps the k best with a deterministic
+    (cos DESC, neighbor_id) tie-break."""
+    from pyspark.sql import Window
+
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.id", "e.neighbor_id", "e.cos")
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", "neighbor_id", "rk", "cos")
+    )
+
+
+def knn_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    block_col: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor SELF-join: every vector's k most-cosine-
+    similar neighbors, (id, neighbor_id, rk, cos). The batch kNN-graph
+    builder behind semantic-dedup thresholds tuning, embedding-space
+    diagnostics, and graph-based curation (vs `topk_bruteforce`, which
+    answers a SMALL query set against the corpus — this ranks EVERY
+    row, so the pair stream is the corpus squared).
+
+    ``block_col`` is the scale lever: pairs are confined to equal
+    blocking keys (label, shard, cluster id), turning O(N²) into
+    Σ O(block²) — the blocked-exact shape used when a partitioning
+    already exists. Without a block column this is the exact
+    small-corpus baseline; at 100 TB use `knn_join_ann` (LSH candidate
+    pruning, identical output contract) instead.
+
+    Each unordered pair's cosine is evaluated once (a.id < b.id) and
+    mirrored into both directions (bit-exact — see `_mirror_topk`), so
+    the join does half the fold work of the naive a.id != b.id form;
+    the per-id ranking window partitions on id with bounded fan-in
+    (block size, not corpus size)."""
+    pairs = cosine_pairs(df, id_col, vec_col, -2.0, block_col, dim)
+    return _mirror_topk(pairs, k)
+
+
+def knn_join_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_tables: int = 32,
+    n_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate kNN self-join at scale: candidate pairs share an LSH
+    bucket in ≥1 of ``n_tables`` hyperplane tables, each candidate is
+    exactly re-ranked, top-k per id. Output contract identical to
+    `knn_join` (recall measured in tests/test_similarity.py).
+
+    Cost is O(N·tables) bucket rows + O(candidate pairs), never O(N²);
+    the bucket join shuffles on (table, bucket) — uniform keys by
+    construction. Vectors ride through the candidate dedup so the
+    re-rank needs no second join against the corpus."""
+    b = lsh_buckets(df, id_col, vec_col, n_tables, n_bits, dim)
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    return _mirror_topk(pairs, k)
+
+
 def sq_dist(a: Column, b: Column) -> Column:
     """Deterministic squared euclidean distance of two double arrays."""
     return fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))

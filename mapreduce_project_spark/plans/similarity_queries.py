@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from mapreduce_project_spark.operators.similarity import (
     cosine_pairs,
+    knn_join,
+    knn_join_ann,
     label_centroids,
     topk_ann_lsh,
     topk_bruteforce,
@@ -95,6 +97,51 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     out = topk_ann_lsh(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5,
+        n_tables=32, n_bits=4,
+    )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+_KNN_LABEL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             {_duck_cos('a.v', 'b.v')} AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos
+    FROM ranked WHERE rk <= 3
+    """
+
+
+@extra_query("knn_join_label", _KNN_LABEL_ORACLE)
+def q_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN GRAPH (top-3 neighbors for EVERY vector), blocked on
+    the label column — each unordered pair's cosine is evaluated once
+    and mirrored, per-id window ranks with a deterministic tie-break.
+    The batch kNN-graph builder behind semantic-dedup threshold tuning
+    and graph-based curation; the blocking key bounds the pair stream
+    by Σ block² (at 100 TB with no key: `knn_join_ann`)."""
+    out = knn_join(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 3, "label"
+    )
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@extra_query("knn_join_ann")
+def q_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate global kNN graph (top-3 per vector, NO blocking
+    key): hyperplane-LSH candidate pairs (32 tables × 4 bits), exact
+    re-rank, per-id top-k. Rows-only by design: global candidate
+    coverage is probabilistic (recall vs the exact graph is pinned in
+    tests/test_similarity.py), while the blocked-exact twin
+    `knn_join_label` hash-matches its full SQL oracle."""
+    out = knn_join_ann(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 3,
         n_tables=32, n_bits=4,
     )
     return out.withColumn("rk", F.col("rk").cast("bigint"))

@@ -86,3 +86,26 @@ def test_ann_is_subset_quality(spark):
         best[r["query_id"]] = max(best.get(r["query_id"], -2.0), r["cos"])
     for r in ann:
         assert r["cos"] <= best[r["query_id"]] + 1e-12
+
+
+def test_knn_join_ann_recall_vs_exact_graph(spark):
+    # global kNN graph: LSH-candidate top-3 vs the exact (unblocked)
+    # kNN graph over every vector — recall floor pinned; also asserts
+    # both outputs keep exactly k rows per id
+    from mapreduce_project_spark.operators.similarity import knn_join, knn_join_ann
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id"], r["neighbor_id"])
+        for r in knn_join(emb, "vec_id", "embedding", 3).collect()
+    }
+    ann_rows = knn_join_ann(emb, "vec_id", "embedding", 3, n_tables=32, n_bits=4).collect()
+    ann = {(r["id"], r["neighbor_id"]) for r in ann_rows}
+    n_ids = emb.count()
+    assert len(exact) == 3 * n_ids
+    per_id: dict = {}
+    for r in ann_rows:
+        per_id.setdefault(r["id"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_id.values())
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.8, f"kNN-graph ANN recall {recall} too low"
