@@ -103,3 +103,35 @@ def doc_fingerprint(text_col: str = "text") -> Column:
     token sequence collide by design). Engine-portable: DuckDB
     ``md5(array_to_string(tokens, ' '))`` is identical."""
     return F.md5(F.encode(F.array_join(tokens(text_col), " "), "UTF-8"))
+
+
+# PII redaction — patterns restricted to the RE2 ∩ java.util.regex
+# common subset (no lookaround/backrefs) so the DuckDB oracle evaluates
+# the IDENTICAL patterns. Order matters and is part of the contract:
+# emails first (they contain dots/digits an IP/phone pattern could
+# partially claim), then IPs, then phone-ish digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d. -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Replace every email / IPv4 / international-phone match with a
+    typed placeholder — the standard scrubbing stage before training-
+    data release. Pure chained `regexp_replace` (global by default in
+    Spark): per-row map, codegen'd, zero shuffle — at 100 TB this is
+    scan-speed. Swap/extend `PII_PATTERNS` for jurisdiction-specific
+    identifiers; a learned NER redactor would slot in as a mapInPandas
+    stage with this same column contract."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text_col: str | Column) -> dict[str, Column]:
+    """Per-category match counts (audit trail for the redaction stage)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}

@@ -378,3 +378,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# --- PII redaction -------------------------------------------------
+# The synthetic corpus contains no PII, so the query PLANTS a
+# deterministic email/IP/phone per document (derived from doc_id) and
+# then redacts it — the oracle builds the identical dirty text and
+# applies the identical patterns, so the whole scrub stage is
+# hash-checked end to end. The operator itself (`text.redact_pii`)
+# is corpus-agnostic.
+from mapreduce_project_spark.operators.text import PII_PATTERNS, pii_counts, redact_pii  # noqa: E402
+
+_EMAIL_PAT, _IP_PAT, _PHONE_PAT = (p for _, p, _ in PII_PATTERNS)
+
+
+@extra_query(
+    "text_redact_pii",
+    f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com or 10.0.'
+                  || (doc_id % 256) || '.7 call +1-555-0' || (doc_id % 90 + 10)
+               AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(dirty,
+               '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_IP_PAT}', '<IP>', 'g'),
+               '{_PHONE_PAT}', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(dirty, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(dirty, '{_IP_PAT}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(dirty, '{_PHONE_PAT}')) AS BIGINT) AS n_phone
+    FROM dirty
+    """,
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: plant a deterministic email/IPv4/phone per doc,
+    redact with `text.redact_pii` (chained codegen'd regexp_replace —
+    scan-speed at 100 TB), and emit per-category audit counts."""
+    docs = t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.com or 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7 call +1-555-0"),
+            F.col("doc_id") % 90 + 10,
+        ).alias("dirty"),
+    )
+    counts = pii_counts("dirty")
+    return dirty.select(
+        "doc_id",
+        redact_pii("dirty").alias("clean"),
+        counts["email"].cast("bigint").alias("n_email"),
+        counts["ip"].cast("bigint").alias("n_ip"),
+        counts["phone"].cast("bigint").alias("n_phone"),
+    )

@@ -49,3 +49,20 @@ def test_salted_join_equals_plain_join(spark):
     salted = {tuple(r) for r in salted_join(left, right, "k", n_salt=8).collect()}
     assert salted == plain
     assert len(plain) == 9000 + 2  # hot key rows + two tail matches
+
+
+def test_redact_pii_literals(spark):
+    from mapreduce_project_spark.operators.text import redact_pii
+
+    rows = [
+        ("mail me at jo.doe+x@sub.example.org today", "mail me at <EMAIL> today"),
+        ("server 192.168.001.42 is up", "server <IP> is up"),
+        ("call +44 20 7946 0958 now", "call <PHONE> now"),
+        ("no pii here 12 monkeys v1.2", "no pii here 12 monkeys v1.2"),
+        ("a@b.co and 8.8.8.8 and +1-202-555-0143", "<EMAIL> and <IP> and <PHONE>"),
+    ]
+    df = spark.createDataFrame(rows, ["raw", "want"]).select(
+        "want", redact_pii("raw").alias("got")
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"], r
