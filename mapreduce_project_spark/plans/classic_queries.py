@@ -1,0 +1,199 @@
+"""Classic warehouse analytics (TPC-H-shaped) — the canonical
+multi-join decision-support shapes a reference user would write as
+chained map/reduce jobs (each join is one reduce stage in the MR idiom,
+`design.md:48-49`); here each is ONE declarative plan Catalyst
+optimizes end to end: filters pushed into every parquet scan, dims
+broadcast, partial aggregation before the shuffle, top-k via
+TakeOrderedAndProject instead of a total sort.
+
+All pytest-only (`extra_query`): the driver's 50 slots are spent on
+one-per-operator coverage; these certify the COMPOSED plans. Money
+arithmetic uses the module-wide DECIMAL(18,2) convention
+(`relational.dec*` — exact, associative, engine-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.operators.relational import dec, dec_sum
+from mapreduce_project_spark.queries_registry import extra_query, t
+
+# revenue term used by Q3/Q5/Q10-shaped queries
+_REV_SQL = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+
+
+def _rev() -> "F.Column":
+    return F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double")
+
+
+@extra_query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape — segment filter on the dim side, date filters pushed
+    into both fact scans, two equi-joins (customer broadcast), grouped
+    revenue, top-10 by revenue with a deterministic tie-break.
+    The plan to check: both l_shipdate and o_orderdate appear under
+    PushedFilters; customer side is a BroadcastHashJoin;
+    TakeOrderedAndProject caps the sort at k."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@extra_query(
+    "tpch_q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — pure scan+filter+agg, no join, no groupBy key: the
+    predicate-pushdown showcase. Every predicate reaches the parquet
+    reader (row-group stats skip non-matching chunks at scale); the
+    aggregation is a two-row partial/final exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@extra_query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1993-10-01'
+      AND o_orderdate < TIMESTAMP '1994-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — returned-item revenue by customer: three joins
+    (nation broadcast), quarter filter pushed to the orders scan,
+    returnflag filter pushed to the lineitem scan, top-20."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@extra_query(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — large-volume orders: the grouped-HAVING subquery
+    becomes a semi-join against an aggregated key set (one extra
+    shuffle, no correlated execution); quantity re-aggregated per
+    (customer, order) on the joined stream."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

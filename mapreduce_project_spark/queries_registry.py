@@ -92,6 +92,7 @@ from mapreduce_project_spark.plans import similarity_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import compat_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import advanced_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import training_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import classic_queries  # noqa: E402,F401
 
 assert len(QUERIES) <= MAX_DECLARED, (
     f"{len(QUERIES)} declared queries exceed the driver's {MAX_DECLARED}-entry "

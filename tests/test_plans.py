@@ -110,3 +110,30 @@ def test_downsample_no_shuffle(spark):
     # feature extraction is a narrow Arrow-batched map — zero exchanges
     assert count_node(df, "Exchange") == 0
     assert has_node(df, "MapInPandas")
+
+
+def test_tpch_q3_scale_shape(spark):
+    df = QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
+    assert count_node(df, "BroadcastHashJoin") >= 1  # customer dim
+    assert has_node(df, "TakeOrderedAndProject")  # top-10, never a global sort
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    df = QUERIES["tpch_q6_revenue_forecast"](spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pf), (col, pf)
+    schemas = read_schemas(df)
+    # scan reads only the 4 referenced columns
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_knn_join_ann_no_cartesian(spark):
+    # the ANN kNN graph must never fall back to a cartesian/nested-loop
+    # product of the corpus with itself
+    df = QUERIES["knn_join_ann"](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
