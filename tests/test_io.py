@@ -197,3 +197,45 @@ def test_whole_and_binary_file_metadata(spark, tmp_path):
     assert whole[0]["file_path"].endswith("f1.txt")
     binary = read_binary_files(spark, str(tmp_path / "*.txt")).collect()
     assert bytes(binary[0]["content"]) == b"hello world"
+
+
+def test_zorder_layout_clusters_every_dimension(spark, tmp_path):
+    # single-column sort clusters only its first column: a filter on the
+    # OTHER column intersects every file. The Morton layout clusters
+    # both, so a one-dim slice on the second column prunes files too.
+    import pyarrow.parquet as pq
+
+    from mapreduce_project_spark.sources import load_table
+    from mapreduce_project_spark.sources.io import write_sorted_parquet, write_zorder_parquet
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_parquet(orders, zdir, ["o_custkey", "o_totalprice"], n_files=16)
+    write_sorted_parquet(orders, sdir, ["o_custkey"])
+
+    lo, hi = orders.approxQuantile("o_totalprice", [0.45, 0.55], 0.0)
+
+    def files_touched(d):
+        import glob
+
+        n_total, n_hit = 0, 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["o_totalprice"]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            n_total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                n_hit += 1
+        return n_hit, n_total
+
+    z_hit, z_total = files_touched(zdir)
+    s_hit, s_total = files_touched(sdir)
+    assert s_hit == s_total, "single-col sort: second-dim slice hits every file"
+    assert z_hit < z_total, (z_hit, z_total)
+    # round-trip integrity: same rows either way
+    assert spark.read.parquet(zdir).count() == orders.count()
