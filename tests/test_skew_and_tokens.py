@@ -66,3 +66,94 @@ def test_redact_pii_literals(spark):
     )
     for r in df.collect():
         assert r["got"] == r["want"], r
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # scale guard: with AQE skew-join on (session default), a hot key
+    # no longer serializes one reducer — the runtime re-plan splits the
+    # oversized partition. Thresholds are lowered so the 200k-row hot
+    # key trips the detector at test scale; the assertion is on the
+    # FINAL adaptive plan, exactly what a 100 TB run relies on.
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(97).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's query execution, so its
+        # adaptive plan is final (count() would plan a separate query)
+        assert len(joined.collect()) == 220_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_null_inputs_never_crash(spark):
+    # corpus hygiene at 100 TB: null text / null vectors appear in real
+    # crawls; every operator family must degrade row-wise (null scores,
+    # dropped pairs) instead of crashing the job
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mapreduce_project_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from mapreduce_project_spark.operators.similarity import knn_join
+    from mapreduce_project_spark.operators.text import quality_score, redact_pii
+    from mapreduce_project_spark.operators.text import with_token_stats
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None), (2, "the quick brown fox")],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    stats = with_token_stats(docs).select(
+        "doc_id", quality_score("text").alias("q"), redact_pii("text").alias("r")
+    ).collect()
+    assert {r["doc_id"] for r in stats} == {0, 1, 2}
+    assert next(r for r in stats if r["doc_id"] == 1)["q"] is None
+
+    prs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in prs} == {(0, 2)}
+    sh = simhash_pairs(docs, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(0, 2)}
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    knn = knn_join(vecs, "vec_id", "embedding", 1).collect()
+    by_id = {r["id"]: r["neighbor_id"] for r in knn}
+    assert by_id.get(0) == 2 and by_id.get(2) == 0
+    assert 1 not in by_id  # null vector contributes no edges
