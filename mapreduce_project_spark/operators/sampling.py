@@ -28,7 +28,14 @@ def _hash_hex8(key: Column) -> Column:
 
 
 def _frac_threshold_hex(frac: float) -> str:
-    """``frac`` of the 32-bit hash space as 8 lowercase hex chars."""
+    """``frac`` of the 32-bit hash space as 8 lowercase hex chars.
+
+    ``frac >= 1`` returns ``"g"`` — lexicographically above every hex
+    string, so ``hash < threshold`` keeps ALL rows (the naive
+    ``format(2**32, "08x")`` is NINE chars and string-compares below
+    most hashes, silently dropping nearly everything)."""
+    if frac >= 1.0:
+        return "g"
     return format(int(frac * (1 << 32)), "08x")
 
 
@@ -101,3 +108,34 @@ def pack_sequences(
     )
     cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
     return df.withColumn(bin_col, F.floor(cum_before / budget))
+
+
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic source-mixture sampling: keep each row with its
+    source's target rate — the "data mixing" step that rebalances a
+    training corpus (upweight curated sources, downsample crawl) while
+    staying a pure function of (source, key): reproducible across
+    runs, engines, partitionings, and corpus growth (adding rows never
+    flips existing keep/drop decisions — unlike `df.sample`, which
+    depends on partition layout). Zero shuffle: a map-side filter the
+    optimizer fuses into the scan.
+
+    Rates are per-source fractions in [0, 1]; sources absent from
+    ``rates`` get ``default_rate``. Rates > 1 (replication/epochs)
+    belong to a separate explode-based repeat operator, not sampling.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    thr = F.lit(_frac_threshold_hex(default_rate))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(_frac_threshold_hex(r))).otherwise(thr)
+    return df.filter(_hash_hex8(F.col(key_col)) < thr)

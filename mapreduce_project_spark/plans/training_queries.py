@@ -133,3 +133,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-checked by `train_test_split`."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return stratified_sample_exact(docs, ["lang", "source"], "doc_id", 50)
+
+
+@extra_query(
+    "source_mixture",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE source
+            WHEN 'src0' THEN '00000000'
+            WHEN 'src1' THEN 'g'
+            WHEN 'src2' THEN '40000000'
+            ELSE '80000000'
+          END
+    """,
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus re-mixing (`sampling.mix_sources`): drop
+    src0, keep all of src1, quarter src2, half everything else — the
+    data-mixing stage of training assembly. Pure map-side md5-bucket
+    filter: reproducible across engines/partitionings, stable under
+    corpus growth, zero shuffle."""
+    from mapreduce_project_spark.operators.sampling import mix_sources
+
+    docs = t(spark, sf_dir, "documents")
+    return mix_sources(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 0.0, "src1": 1.0, "src2": 0.25},
+        default_rate=0.5,
+    )

@@ -169,3 +169,40 @@ def test_hash_split_stability_under_corpus_growth(spark, frac, subset):
     full_map = {r["doc_id"]: r["split"] for r in hash_split(full, "doc_id", frac).collect()}
     part_map = {r["doc_id"]: r["split"] for r in hash_split(part, "doc_id", frac).collect()}
     assert all(full_map[k] == v for k, v in part_map.items())
+
+
+@given(
+    rates=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+        min_size=1,
+    ),
+    n=st.integers(10, 60),
+)
+@settings(**SETTINGS)
+def test_mix_sources_deterministic_and_growth_stable(spark, rates, n):
+    # keep/drop is a pure function of (source, key): growing the corpus
+    # never flips existing decisions, rate 1.0 keeps every row and 0.0
+    # none, and two runs agree exactly
+    from mapreduce_project_spark.operators.sampling import mix_sources
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {r["doc_id"] for r in mix_sources(df, "doc_id", "source", rates).collect()}
+    kept2 = {r["doc_id"] for r in mix_sources(df, "doc_id", "source", rates).collect()}
+    assert kept1 == kept2
+    for src, rate in rates.items():
+        ids = {i for i, s in rows if s == src}
+        if rate == 1.0:
+            assert ids <= kept1
+        elif rate == 0.0:
+            assert not (ids & kept1)
+    # growth stability: doubling the corpus leaves old decisions intact
+    bigger = spark.createDataFrame(
+        rows + [(i + 10_000, ["a", "b", "c"][i % 3]) for i in range(n)],
+        "doc_id long, source string",
+    )
+    kept_big = {
+        r["doc_id"] for r in mix_sources(bigger, "doc_id", "source", rates).collect()
+    }
+    assert {i for i in kept_big if i < 10_000} == kept1
