@@ -171,3 +171,49 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update") -> None
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_dedup_sink(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Cross-run exact dedup at ingestion time — the ``foreachBatch``
+    pattern: each micro-batch is deduped within itself, anti-joined
+    against the durable key store (every key ever admitted), and only
+    the survivors are appended to ``out_dir`` (+ their keys to
+    ``state_dir``). Complements `dedup_stream`: the watermarked
+    ``dropDuplicates`` bounds its state by TIME (keys older than the
+    watermark can recur); this one persists state in storage, so a key
+    is admitted once EVER — the contract training-data ingestion needs
+    — and survives restarts via the checkpoint.
+
+    At 100 TB the anti-join is a shuffle of batch keys vs the store
+    (digest keys, 16-32 bytes/row); compact ``state_dir`` periodically.
+    Delivery is at-least-once across the two appends (out before
+    state): a crash between them can re-admit a key on replay, which
+    the downstream exact-dedup batch op removes — documented rather
+    than hidden. Returns the started StreamingQuery.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(key_cols)
+        try:
+            seen = spark.read.parquet(state_dir)
+            batch = batch.join(seen, key_cols, "left_anti")
+        except Exception:  # first batch: no state yet
+            pass
+        batch = batch.persist()
+        batch.write.mode("append").parquet(out_dir)
+        batch.select(*key_cols).write.mode("append").parquet(state_dir)
+        batch.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -164,3 +164,36 @@ def test_stateful_running_totals(spark):
     )
     want = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch}
     assert got == want
+
+
+def test_incremental_dedup_sink_across_runs(spark, tmp_path):
+    # two separate availableNow runs over a growing file source: keys
+    # admitted in run 1 must not be re-admitted in run 2 even though
+    # the watermark-free store crosses restarts
+    import json
+
+    from mapreduce_project_spark.streaming.events import incremental_dedup_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ckpt = (str(tmp_path / d) for d in ("out", "state", "ckpt"))
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("a.json", [{"k": 1, "v": "x"}, {"k": 2, "v": "y"}, {"k": 2, "v": "y2"}])
+    stream = lambda: spark.readStream.schema("k long, v string").json(str(src))  # noqa: E731
+    q = incremental_dedup_sink(stream(), ["k"], out, state, ckpt)
+    q.awaitTermination()
+    first = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    # run 2: new file overlaps key 2, adds key 3
+    write_batch("b.json", [{"k": 2, "v": "dup"}, {"k": 3, "v": "z"}])
+    q = incremental_dedup_sink(stream(), ["k"], out, state, ckpt)
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert {r["k"] for r in rows} == {1, 2, 3}
+    assert len(rows) == 3, rows  # key 2 admitted exactly once ever
