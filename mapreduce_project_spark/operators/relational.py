@@ -167,6 +167,46 @@ def pivot_count(
     )
 
 
+def heavy_hitters(
+    df: DataFrame, col: str, phi: float, k: int = 1024, budget: int = 65536
+) -> DataFrame:
+    """φ-heavy hitters of ``col`` via the ``approx_top_k`` sketch:
+    items whose frequency is ≥ ``phi`` of the total, as
+    ``(col, cnt)`` rows.
+
+    Why a sketch instead of ``groupBy(col).count()``: the sketch is an
+    algebraic aggregate with FIXED-SIZE state — each task builds an
+    O(budget) summary and the shuffle moves one sketch per partition,
+    not one row per distinct value. At 100 TB with a hot,
+    high-cardinality column (URLs, n-grams, user ids) the full groupBy
+    shuffles every distinct key; this shuffles kilobytes.
+
+    Exactness contract: when ``budget`` ≥ the column's distinct count
+    the sketch degrades to exact counts (that is what makes the DuckDB
+    oracle a hash match); below that it is the standard space-saving
+    approximation — counts are upper bounds within N/budget.
+
+    The φ filter needs the total N; since every observation lands in
+    some sketch slot when ``budget`` ≥ distinct, N = Σ sketch counts —
+    computed with a window over the ≤k sketch rows (single-partition
+    window is fine: the sketch output is tiny by construction, never
+    the input)."""
+    from pyspark.sql import Window
+
+    k = min(k, budget)  # Spark requires maxItemsTracked >= k
+    exploded = (
+        df.select(F.expr(f"approx_top_k(`{col}`, {k}, {budget})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias(col), F.col("e.count").cast("bigint").alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        exploded.withColumn("_tot", total)
+        .filter(F.col("cnt") >= F.lit(phi) * F.col("_tot"))
+        .drop("_tot")
+    )
+
+
 def percentiles(
     df: DataFrame, keys: Iterable[str], col: Column | str, probs: dict[str, float]
 ) -> DataFrame:

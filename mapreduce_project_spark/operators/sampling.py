@@ -110,6 +110,60 @@ def pack_sequences(
     return df.withColumn(bin_col, F.floor(cum_before / budget))
 
 
+def repeat_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic replication/epochs — the rate>1 counterpart of
+    `mix_sources`: each row appears ``floor(rate)`` times plus one more
+    when its md5 bucket falls under ``frac(rate)``, tagged with a
+    1-based ``epoch_col``. Rate 2.5 on a source means every row twice
+    and a deterministic half of them a third time — the "2.5 epochs of
+    curated data" upsampling step of training-mixture assembly.
+
+    The fractional decision reuses `mix_sources`' exact hash-threshold,
+    so ``repeat_sources(rate=r<1)`` keeps precisely the rows
+    ``mix_sources(rate=r)`` keeps (with epoch=1) — mixtures compose
+    consistently across the two operators. Pure function of
+    (source, key): reproducible across runs/engines/partitionings,
+    stable under corpus growth. Zero shuffle: a map-side
+    filter + explode of a tiny int sequence; output volume grows only
+    by the requested rates (guard: rate <= 100).
+    """
+    import math
+
+    for s, r in {**rates, None: default_rate}.items():
+        if not 0.0 <= r <= 100.0:
+            raise ValueError(f"rate for {s!r} must be in [0,100], got {r}")
+
+    def _n_base(r: float) -> int:
+        return int(math.floor(r))
+
+    def _frac(r: float) -> str:
+        return _frac_threshold_hex(r - math.floor(r))
+
+    base = F.lit(_n_base(default_rate))
+    thr = F.lit(_frac(default_rate))
+    for s, r in sorted(rates.items()):
+        is_s = F.col(source_col) == s
+        base = F.when(is_s, F.lit(_n_base(r))).otherwise(base)
+        thr = F.when(is_s, F.lit(_frac(r))).otherwise(thr)
+    n = base + (_hash_hex8(F.col(key_col)) < thr).cast("int")
+    # filter BEFORE sequence(): Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0], not empty — never build it
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .withColumn(epoch_col, F.col(epoch_col).cast("bigint"))
+        .drop("_n")
+    )
+
+
 def mix_sources(
     df: DataFrame,
     key_col: str,

@@ -78,8 +78,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -92,8 +92,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -116,8 +116,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN nation ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1993-10-01'
-      AND o_orderdate < TIMESTAMP '1994-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
     ORDER BY revenue DESC, c_custkey
@@ -131,7 +131,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     orders = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (

@@ -439,3 +439,36 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ip"].cast("bigint").alias("n_ip"),
         counts["phone"].cast("bigint").alias("n_phone"),
     )
+
+
+@extra_query(
+    "heavy_hitters_bigrams",
+    """
+    WITH bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM (SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+    ),
+    cnts AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram)
+    SELECT bigram, cnt FROM cnts
+    WHERE cnt >= 0.00125 * (SELECT SUM(cnt) FROM cnts)
+    """,
+)
+def q_heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ=0.125% heavy-hitter token bigrams via the `approx_top_k` sketch
+    (`operators/relational.py:heavy_hitters`) — the frequent-n-gram
+    scan of corpus analysis (boilerplate detection, stopword-phrase
+    mining). Unlike `word_count`'s full groupBy, the sketch shuffles
+    one fixed-size summary per partition — at 100 TB that is KBs of
+    shuffle instead of one row per distinct n-gram. Budget 65536 far
+    exceeds the corpus bigram vocabulary (≤ 961 on the 31-token
+    testdata vocab), so sketch counts are exact and the oracle is a
+    hash match; at real scale the same plan degrades gracefully to the
+    space-saving approximation."""
+    from mapreduce_project_spark.functions.textfns import token_ngrams, tokens
+    from mapreduce_project_spark.operators.relational import heavy_hitters
+
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(token_ngrams(tokens("text"), 2)).alias("bigram"))
+    return heavy_hitters(bg, "bigram", phi=0.00125, k=2048, budget=65536)

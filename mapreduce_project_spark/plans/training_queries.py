@@ -165,3 +165,43 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.0, "src1": 1.0, "src2": 0.25},
         default_rate=0.5,
     )
+
+
+@extra_query(
+    "source_epochs",
+    """
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+    FROM (
+      SELECT doc_id, source, unnest(generate_series(1, n)) AS epoch
+      FROM (
+        SELECT doc_id, source,
+               CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END
+               + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                        CASE source WHEN 'src1' THEN '80000000'
+                                    WHEN 'src2' THEN '40000000'
+                                    ELSE '00000000' END
+                 THEN 1 ELSE 0 END AS n
+        FROM documents
+      )
+      WHERE n >= 1
+    )
+    """,
+)
+def q_source_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch replication (`sampling.repeat_sources`):
+    2.5 epochs of src1, a quarter epoch of src2, one epoch of
+    everything else — the upsampling half of training-mixture assembly
+    (`source_mixture` is the downsampling half; the two share the md5
+    threshold, so rate r<1 here keeps exactly `mix_sources`' rows).
+    Map-side filter + tiny-sequence explode: zero shuffle, output
+    volume bounded by the declared rates."""
+    from mapreduce_project_spark.operators.sampling import repeat_sources
+
+    docs = t(spark, sf_dir, "documents")
+    return repeat_sources(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src1": 2.5, "src2": 0.25},
+        default_rate=1.0,
+    )

@@ -120,3 +120,17 @@ def test_setops_and_joins_match_oracle(spark, duck):
         "percentile_quantity",
     ):
         assert_matches_oracle(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+
+
+def test_heavy_hitters_exact_when_budget_covers_distinct(spark):
+    from mapreduce_project_spark.operators.relational import heavy_hitters
+
+    # 10 values with frequency i+1 (total 55); phi=0.1 → threshold 5.5
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(10) for _ in range(i + 1)], "v string"
+    )
+    got = {(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", phi=0.1, budget=64).collect()}
+    assert got == {(f"v{i}", i + 1) for i in range(10) if (i + 1) >= 5.5}
+    # phi=0 returns the full exact histogram when budget >= distinct
+    full = {(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", phi=0.0, budget=64).collect()}
+    assert full == {(f"v{i}", i + 1) for i in range(10)}

@@ -85,3 +85,50 @@ def test_pack_sequences_contract(spark):
     # bins are non-decreasing in order within a partition
     seq = [rows[("p", i)] for i in range(10)]
     assert seq == sorted(seq)
+
+
+def test_repeat_sources_epoch_counts(spark):
+    from mapreduce_project_spark.operators.sampling import mix_sources, repeat_sources
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "k long, source string",
+    )
+    out = repeat_sources(df, "k", "source", {"a": 2.5, "b": 0.25})
+    rows = out.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["k"], r["source"]), []).append(r["epoch"])
+    # epochs are contiguous 1..n per key
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_key.values())
+    # source a: every key 2 or 3 times, mean ~2.5
+    a_counts = [len(v) for (k, s), v in by_key.items() if s == "a"]
+    assert set(a_counts) <= {2, 3}
+    assert 2.3 < sum(a_counts) / len(a_counts) < 2.7
+    # source b: rate<1 keeps exactly mix_sources' rows, epoch always 1
+    b_keys = {k for (k, s) in by_key if s == "b"}
+    mixed = {
+        r["k"] for r in mix_sources(df, "k", "source", {"a": 1.0, "b": 0.25}).collect()
+        if r["source"] == "b"
+    }
+    assert b_keys == mixed
+    assert all(v == [1] for (k, s), v in by_key.items() if s == "b")
+    # deterministic across runs
+    again = {(r["k"], r["epoch"]) for r in repeat_sources(df, "k", "source", {"a": 2.5, "b": 0.25}).collect()}
+    assert {(r["k"], r["epoch"]) for r in rows} == again
+
+
+def test_repeat_sources_integer_rates_and_validation(spark):
+    import pytest
+
+    from mapreduce_project_spark.operators.sampling import repeat_sources
+
+    df = spark.createDataFrame([(i, "x") for i in range(50)], "k long, source string")
+    # exact integer rate: precisely n copies, no fractional row
+    assert repeat_sources(df, "k", "source", {"x": 3.0}).count() == 150
+    # rate 0 drops the source entirely
+    assert repeat_sources(df, "k", "source", {"x": 0.0}).count() == 0
+    with pytest.raises(ValueError):
+        repeat_sources(df, "k", "source", {"x": -0.5})
+    with pytest.raises(ValueError):
+        repeat_sources(df, "k", "source", {}, default_rate=101.0)
