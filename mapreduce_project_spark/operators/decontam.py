@@ -1,0 +1,89 @@
+"""Benchmark decontamination — remove training documents that overlap a
+held-out evaluation/benchmark set by shared token n-grams (the
+"13-gram decontamination" step of LLM training-data assembly; n is a
+parameter here).
+
+The reference has no analog (a reference user would chain two MR jobs:
+emit n-grams from both corpora, reduce-side intersect, then a third job
+to anti-join — `design.md:48-49`'s one-map-one-reduce contract makes
+this a three-job pipeline); here it is one declarative plan.
+
+Scale design (the asymmetry IS the design): the benchmark side is
+always small — eval suites are MBs while the corpus is TBs — so its
+distinct n-gram set is built first (one tiny shuffle) and BROADCAST.
+The corpus side then never shuffles its exploded n-grams: the broadcast
+hash semi-join filters map-side, and only the surviving hits (a set
+bounded by corpus_docs × benchmark_grams overlap, typically tiny) flow
+into the per-doc count aggregation. Contrast with the naive plan —
+shuffling every corpus n-gram to a sort-merge join — which at 100 TB
+moves ~10× the corpus size over the network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.functions import token_ngrams, tokens
+
+
+def _distinct_doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) pairs, distinct per document — `array_distinct` runs
+    doc-locally BEFORE the explode, so deduplication costs zero shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngrams(tokens(text_col), n))).alias("_gram"),
+    )
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """The benchmark's global distinct n-gram set (single column
+    ``_gram``). One shuffle over the (small) benchmark side only."""
+    return (
+        benchmark.select(
+            F.explode(F.array_distinct(token_ngrams(tokens(text_col), n))).alias(
+                "_gram"
+            )
+        )
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document contamination evidence: ``(id_col, n_hit_ngrams)``
+    for every corpus document sharing at least one token n-gram with
+    the benchmark; ``n_hit_ngrams`` counts the document's DISTINCT
+    overlapping n-grams.
+
+    Plan: broadcast(benchmark grams) ⋈ corpus grams (map-side filter,
+    no corpus shuffle) → groupBy(id) count. Grams are distinct per doc
+    before the join, so a plain COUNT(*) after it equals the distinct
+    hit count — no count_distinct shuffle-dedup needed."""
+    hits = _distinct_doc_grams(corpus, id_col, text_col, n).join(
+        F.broadcast(benchmark_ngrams(benchmark, text_col, n)), "_gram"
+    )
+    return hits.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_hit_ngrams"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The clean corpus: drop every document with any n-gram overlap
+    with the benchmark (left-anti against the hit ids). Schema is the
+    corpus schema, unchanged."""
+    contaminated = contamination_hits(corpus, benchmark, id_col, text_col, n).select(
+        id_col
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -168,6 +168,48 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "decontam_hits",
+    """
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents)
+    ),
+    lab AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000' AS is_test
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM grams JOIN lab USING (doc_id) WHERE is_test
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+    FROM grams g
+    JOIN lab USING (doc_id)
+    JOIN bench USING (gram)
+    WHERE NOT is_test
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination evidence (`operators/decontam.py`):
+    the held-out md5 'test' split plays the benchmark; every 'train'
+    document sharing a token 3-gram with it is reported with its
+    distinct-overlap count. The benchmark n-gram set is built once and
+    BROADCAST, so the (huge) train side never shuffles its exploded
+    n-grams — the join filters map-side and only actual hits reach the
+    per-doc count."""
+    from mapreduce_project_spark.operators.decontam import contamination_hits
+
+    docs = hash_split(t(spark, sf_dir, "documents"), "doc_id", 0.125)
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return contamination_hits(train, test, "doc_id", "text", 3)
+
+
+@extra_query(
     "source_epochs",
     """
     SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch

@@ -87,6 +87,50 @@ def test_pack_sequences_contract(spark):
     assert seq == sorted(seq)
 
 
+def test_decontaminate_planted_overlap(spark):
+    from mapreduce_project_spark.operators.decontam import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 3-grams with bench doc 100
+            (1, "alpha beta gamma delta unrelated"),
+            # shares one 3-gram (epsilon zeta eta)
+            (2, "x y epsilon zeta eta z"),
+            # repeats the same overlapping 3-gram twice: still ONE distinct hit
+            (3, "alpha beta gamma q alpha beta gamma"),
+            # no 3-gram overlap (only a 2-gram: beta gamma)
+            (4, "q beta gamma r"),
+            (5, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in contamination_hits(corpus, bench).collect()
+    }
+    assert hits == {1: 2, 2: 1, 3: 1}
+    clean = {r["doc_id"] for r in decontaminate(corpus, bench).collect()}
+    assert clean == {4, 5}
+    # clean corpus keeps the full corpus schema
+    assert decontaminate(corpus, bench).columns == corpus.columns
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    from mapreduce_project_spark.operators.decontam import contamination_hits
+
+    bench = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c d")], "doc_id long, text string")
+    plan = contamination_hits(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_repeat_sources_epoch_counts(spark):
     from mapreduce_project_spark.operators.sampling import mix_sources, repeat_sources
 
