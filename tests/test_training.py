@@ -31,6 +31,22 @@ def test_connected_components_chain_triangle_and_pair(spark):
     }
 
 
+def test_connected_components_multi_partition_phase(spark, monkeypatch):
+    """Force the contracted-graph propagation phase (phase 2): shrink
+    the per-partition edge budget so a long chain spans many partitions
+    and components must be stitched across partition-local answers."""
+    from mapreduce_project_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_CC_EDGES_PER_PARTITION", 4)
+    # chain 0-1-...-30 (one component, rooted at 0) + separate pair
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    got = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(31)} | {(100, 100), (101, 100)}
+
+
 def test_connected_components_deterministic(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
