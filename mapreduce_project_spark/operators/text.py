@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_project_spark.functions import tokens
+from mapreduce_project_spark.functions import token_ngrams, tokens
 
 # Marker stopwords per language for the n-gram/heuristic language ID.
 # Tiny on purpose: deterministic, SQL-mirrorable, and a placeholder for
@@ -135,3 +135,71 @@ def pii_counts(text_col: str | Column) -> dict[str, Column]:
     """Per-category match counts (audit trail for the redaction stage)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, Table A1),
+    adapted to token n-grams: per document,
+
+    - ``distinct_token_frac`` — distinct tokens / tokens (low ⇒ looping text);
+    - ``dup_3gram_frac`` — fraction of 3-gram occurrences whose 3-gram
+      occurs more than once in the doc (duplicate n-gram mass);
+    - ``top_2gram_char_frac`` — largest share of the doc's 2-gram
+      character mass concentrated in a single 2-gram (the max is taken
+      over ``count × length`` so ties need no arbitrary gram pick —
+      deterministic across engines).
+
+    Docs with zero tokens emit no row; metrics whose n-gram order
+    exceeds the doc's token count are null.
+
+    Scale shape: ONE tagged explode (n ∈ {1,2,3} built doc-locally),
+    then two keyed aggregations — shuffle 1 on (doc, n, gram) with
+    map-side partial counts, shuffle 2 on (doc, n). Both keys include
+    the doc id, so data distributes with the corpus and no single
+    reducer sees more than a few docs' grams. No Python anywhere.
+
+    The reference would express this as a map (emit (doc, n, gram))
+    plus two chained reduce jobs (`design.md:48-49`)."""
+    tok = tokens(text_col)
+
+    def tagged(n: int, grams: Column) -> Column:
+        return F.transform(
+            grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                tagged(1, tok),
+                tagged(2, token_ngrams(tok, 2)),
+                tagged(3, token_ngrams(tok, 3)),
+            )
+        ).alias("e"),
+    ).select(id_col, "e.n", "e.gram")
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    char_mass = F.col("c") * F.length("gram")
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.sum("c").alias("total"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(char_mass).alias("max_char_mass"),
+        F.sum(char_mass).alias("total_char_mass"),
+    )
+
+    def at(n: int, expr: Column) -> Column:
+        return F.max(F.when(F.col("n") == n, expr))
+
+    return per_n.groupBy(id_col).agg(
+        at(1, F.col("n_distinct").cast("double") / F.col("total")).alias(
+            "distinct_token_frac"
+        ),
+        at(3, F.col("dup").cast("double") / F.col("total")).alias("dup_3gram_frac"),
+        at(2, F.col("max_char_mass").cast("double") / F.col("total_char_mass")).alias(
+            "top_2gram_char_frac"
+        ),
+    )

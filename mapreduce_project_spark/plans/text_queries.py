@@ -472,3 +472,54 @@ def q_heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     bg = docs.select(F.explode(token_ngrams(tokens("text"), 2)).alias("bigram"))
     return heavy_hitters(bg, "bigram", phi=0.00125, k=2048, budget=65536)
+
+
+@extra_query(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, 2, unnest(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 3, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS c FROM tagged GROUP BY doc_id, n, gram
+    ),
+    per_n AS (
+      SELECT doc_id, n, SUM(c) AS total,
+             COALESCE(SUM(c) FILTER (c > 1), 0) AS dup,
+             COUNT(*) AS n_distinct,
+             MAX(c * length(gram)) AS max_char_mass,
+             SUM(c * length(gram)) AS total_char_mass
+      FROM counts GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           MAX(CASE WHEN n = 1 THEN CAST(n_distinct AS DOUBLE) / total END)
+             AS distinct_token_frac,
+           MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END)
+             AS dup_3gram_frac,
+           MAX(CASE WHEN n = 2 THEN CAST(max_char_mass AS DOUBLE) / total_char_mass END)
+             AS top_2gram_char_frac
+    FROM per_n GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (`operators/text.py:
+    repetition_stats`): distinct-token fraction, duplicate-3-gram mass,
+    and max single-2-gram character mass per document — the "remove
+    looping/boilerplate docs" stage that sits between quality scoring
+    and dedup in a training pipeline. Integer-ratio metrics → IEEE-
+    exact division in both engines, full hash match."""
+    from mapreduce_project_spark.operators.text import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"))

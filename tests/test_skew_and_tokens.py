@@ -157,3 +157,29 @@ def test_null_inputs_never_crash(spark):
     by_id = {r["id"]: r["neighbor_id"] for r in knn}
     assert by_id.get(0) == 2 and by_id.get(2) == 0
     assert 1 not in by_id  # null vector contributes no edges
+
+
+def test_repetition_stats_planted(spark):
+    from mapreduce_project_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a": tokens=5 distinct=2 → 0.4;
+            # 2-grams: "a b"x2, "b a"x2 → char mass 3*2=6 of 12 → 0.5;
+            # 3-grams: "a b a"x2, "b a b" → dup mass 2/3
+            (1, "a b a b a"),
+            # no repetition at all
+            (2, "one two three four"),
+            # two tokens: 3-gram metrics must be null
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["distinct_token_frac"] == 2 / 5
+    assert rows[1]["top_2gram_char_frac"] == 6 / 12
+    assert rows[1]["dup_3gram_frac"] == 2 / 3
+    assert rows[2]["distinct_token_frac"] == 1.0
+    assert rows[2]["dup_3gram_frac"] == 0.0
+    assert rows[3]["dup_3gram_frac"] is None
+    assert rows[3]["top_2gram_char_frac"] == 2 / 2  # "x y" is the only 2-gram
