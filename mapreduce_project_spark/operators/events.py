@@ -81,3 +81,36 @@ def extract_json_field(df: DataFrame, json_col: str, path: str, alias: str) -> D
     document parsing use ``from_json`` with an explicit schema instead —
     schema inference on 100 TB of JSON is a full extra pass."""
     return df.withColumn(alias, F.get_json_object(F.col(json_col), path))
+
+
+def latest_state(
+    changelog: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    tombstone: Column | None = None,
+) -> DataFrame:
+    """CDC changelog compaction: collapse an upsert/delete stream to
+    its latest state — one row per key (the winner under ``order_cols``,
+    last wins), keys whose winning row satisfies ``tombstone`` dropped
+    entirely. The materialize-a-table half of lakehouse MERGE; the
+    reference would need a reduce job whose user function sorts each
+    key's records (`design.md:48-49`).
+
+    Plan shape: groupBy(key).agg(max_by over a (order, payload) struct)
+    — ONE shuffle with map-side partial aggregation, so each mapper
+    forwards at most one candidate row per key it saw. Deliberately not
+    a row_number() window: windows sort whole partitions and have no
+    partial agg, so at 100 TB the agg form shuffles a fraction of the
+    data. Ordering must be made total (append a unique id to
+    ``order_cols``) or the winner is tie-arbitrary."""
+    payload = [c for c in changelog.columns if c not in key_cols]
+    winner = F.max(
+        F.struct(*[F.col(c) for c in order_cols],
+                 F.struct(*[F.col(c) for c in payload]).alias("_row"))
+    ).alias("_w")
+    out = changelog.groupBy(*key_cols).agg(winner).select(
+        *key_cols, F.col("_w._row.*")
+    )
+    if tombstone is not None:
+        out = out.filter(~tombstone)
+    return out

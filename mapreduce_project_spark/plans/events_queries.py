@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_project_spark.operators.events import (
     extract_json_field,
+    fmt_ts,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -229,4 +230,40 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = extract_json_field(t(spark, sf_dir, "events"), "props", "$.k", "k_raw")
     return df.select(
         "event_id", "event_type", F.col("k_raw").cast("bigint").alias("k_val")
+    )
+
+
+@extra_query(
+    "cdc_latest_state",
+    """
+    SELECT user_id,
+           event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type,
+           value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (`operators/events.py:latest_state`): the
+    events stream read as a CDC feed keyed by user — last writer wins
+    under (ts, event_id), and a key whose latest record is an 'error'
+    tombstone disappears from the state. One partial-agg shuffle (the
+    oracle's row_number window is the semantic spec, not the plan)."""
+    from mapreduce_project_spark.operators.events import latest_state
+
+    ev = t(spark, sf_dir, "events")
+    st = latest_state(
+        ev, ["user_id"], ["ts", "event_id"],
+        tombstone=F.col("event_type") == "error",
+    )
+    return st.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        fmt_ts(F.col("ts"), "last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
     )

@@ -134,3 +134,35 @@ def test_heavy_hitters_exact_when_budget_covers_distinct(spark):
     # phi=0 returns the full exact histogram when budget >= distinct
     full = {(r["v"], r["cnt"]) for r in heavy_hitters(df, "v", phi=0.0, budget=64).collect()}
     assert full == {(f"v{i}", i + 1) for i in range(10)}
+
+
+def test_latest_state_compaction(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.events import latest_state
+
+    log = spark.createDataFrame(
+        [
+            # key 1: upsert, upsert — latest wins
+            (1, 10, "upsert", "v1"),
+            (1, 20, "upsert", "v2"),
+            # key 2: upsert then delete — key disappears
+            (2, 10, "upsert", "v1"),
+            (2, 30, "delete", None),
+            # key 3: delete then re-insert — key survives with new value
+            (3, 10, "delete", None),
+            (3, 40, "upsert", "v9"),
+            # same ts tie on key 4: seq breaks it
+            (4, 50, "upsert", "old"),
+            (4, 50, "upsert", "new"),
+        ],
+        "k long, ts long, op string, val string",
+    ).withColumn("seq", F.monotonically_increasing_id())
+    out = latest_state(
+        log, ["k"], ["ts", "seq"], tombstone=F.col("op") == "delete"
+    )
+    got = {r["k"]: (r["ts"], r["val"]) for r in out.collect()}
+    assert got == {1: (20, "v2"), 3: (40, "v9"), 4: (50, "new")}
+    # one partial-agg shuffle, no window sort of whole partitions
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
