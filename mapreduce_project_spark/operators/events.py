@@ -114,3 +114,60 @@ def latest_state(
     if tombstone is not None:
         out = out.filter(~tombstone)
     return out
+
+
+def funnel_users(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first time each step was
+    reached STRICTLY AFTER the previous step was first reached (the
+    product-analytics "view → click → purchase" question). Output is
+    one row per user who reached step 0, with nullable ``t0..t{k}``
+    reach times — aggregate for stage counts / conversion rates.
+
+    Plan shape: per step, filter(type = step) → join on the previous
+    frontier → grouped min. Every join and agg keys on the user id, so
+    after the first shuffle all stages are co-partitioned (AQE reuses
+    the partitioning) and each step's frontier only shrinks. The step
+    filters push to the scan; there is no window sort and no self-join
+    on the raw stream. The reference would chain k reduce jobs keyed by
+    user (`design.md:48-49`)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, ts, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    frontier = (
+        events.filter(ty == steps[0]).groupBy(user_col).agg(F.min(ts).alias("t0"))
+    )
+    out = frontier
+    for i, step in enumerate(steps[1:], 1):
+        frontier = (
+            events.filter(ty == step)
+            .join(frontier.select(user_col, f"t{i-1}"), user_col)
+            .where(ts > F.col(f"t{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts).alias(f"t{i}"))
+        )
+        out = out.join(frontier, user_col, "left")
+    return out
+
+
+def funnel_counts(events: DataFrame, steps: list[str], **kw) -> DataFrame:
+    """Stage totals + step-to-step conversion rates for `funnel_users`
+    (single-row DataFrame: ``n_<step>`` counts, ``rate_<a>_<b>``
+    ratios). Counts are exact bigints; rates are one IEEE division of
+    those bigints — engine-portable."""
+    per_user = funnel_users(events, steps, **kw)
+    counts = [
+        F.count(F.col(f"t{i}")).alias(f"n_{s}") for i, s in enumerate(steps)
+    ]
+    rates = [
+        (
+            F.count(F.col(f"t{i+1}")).cast("double") / F.count(F.col(f"t{i}"))
+        ).alias(f"rate_{a}_{b}")
+        for i, (a, b) in enumerate(zip(steps, steps[1:]))
+    ]
+    return per_user.agg(*counts, *rates)

@@ -267,3 +267,43 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@extra_query(
+    "events_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s0.t0
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(t0) AS BIGINT) AS n_view,
+           CAST(COUNT(t1) AS BIGINT) AS n_click,
+           CAST(COUNT(t2) AS BIGINT) AS n_purchase,
+           CAST(COUNT(t1) AS DOUBLE) / COUNT(t0) AS rate_view_click,
+           CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) AS rate_click_purchase
+    FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (`operators/events.py:
+    funnel_users`): stage totals and conversion rates where each stage
+    must happen strictly after the user's first previous-stage event.
+    All stages key on user_id — co-partitioned joins, no window sort,
+    step filters pushed to the scan."""
+    from mapreduce_project_spark.operators.events import funnel_counts
+
+    return funnel_counts(
+        t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )

@@ -166,3 +166,36 @@ def test_latest_state_compaction(spark):
     # one partial-agg shuffle, no window sort of whole partitions
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime as dt
+
+    from mapreduce_project_spark.operators.events import funnel_counts, funnel_users
+
+    def row(u, m, typ):
+        return (u, dt(2024, 1, 1, 0, m), typ)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1 completes in order
+            row(1, 0, "view"), row(1, 5, "click"), row(1, 9, "purchase"),
+            # user 2: click BEFORE first view — never reaches click stage
+            row(2, 0, "click"), row(2, 3, "view"),
+            # user 3: view then click; purchase at the same instant as
+            # click is NOT strictly after → stops at click
+            row(3, 0, "view"), row(3, 2, "click"), row(3, 2, "purchase"),
+            # user 4 never views
+            row(4, 1, "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    steps = ["view", "click", "purchase"]
+    per_user = {r["user_id"]: r for r in funnel_users(ev, steps).collect()}
+    assert set(per_user) == {1, 2, 3}
+    assert per_user[1]["t2"] is not None
+    assert per_user[2]["t1"] is None
+    assert per_user[3]["t1"] is not None and per_user[3]["t2"] is None
+    c = funnel_counts(ev, steps).collect()[0]
+    assert (c["n_view"], c["n_click"], c["n_purchase"]) == (3, 2, 1)
+    assert c["rate_view_click"] == 2 / 3
