@@ -1,0 +1,74 @@
+"""Fuzzy string matching — edit-distance-1 pair mining via SymSpell
+deletion-neighborhood blocking (Garbe's symmetric-delete scheme).
+
+The naive fuzzy join is a quadratic cross join with a `levenshtein`
+filter — unusable beyond ~10^5 strings. The symmetric-delete property
+makes it an EQUI-join: two strings within edit distance 1 (insert,
+delete or substitute one char) always share a key in each other's
+{self} ∪ {one-char-deleted variants} set — a substitution shares the
+both-sides-deleted string, an insert/delete shares the shorter string
+itself. So: explode each string into its ≤ len+1 deletion keys,
+equi-join on the key, verify survivors with the exact `levenshtein`
+(key-sharing is necessary, not sufficient: "ab"/"ba" share "a" at
+distance 2). Candidate count is bounded by bucket sizes of the
+deletion keys — near-uniform for natural vocabularies — never by
+|vocab|².
+
+Everything is Column expressions (codegen'd); no Python. The reference
+would need a map emitting (deletion_key, token) and a reduce doing the
+per-bucket pairing (`design.md:48-49`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: Column | str) -> Column:
+    """``array<string>``: the string itself plus every one-character
+    deletion of it (the SymSpell depth-1 key set), deduplicated."""
+    c = F.col(col) if isinstance(col, str) else col
+    dels = F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(F.array(c), dels))
+
+
+def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
+    """All unordered pairs of DISTINCT values of ``df[col]`` within
+    levenshtein distance ``max_dist`` (≤ 1 — the completeness proof of
+    depth-1 deletion blocking covers exactly distance 1), as
+    ``(<col>_a, <col>_b, dist)`` with ``_a < _b``.
+
+    Plan: distinct → explode deletion keys → self-equi-join on the key
+    → distinct candidate pairs → exact `levenshtein` verify. The only
+    shuffles key on the deletion keys and the pair ids; nothing is
+    ever compared all-pairs."""
+    if max_dist != 1:
+        raise ValueError(
+            "depth-1 deletion blocking is complete only for max_dist=1; "
+            f"got {max_dist} (chain passes or widen the neighborhood for more)"
+        )
+    a, b = f"{col}_a", f"{col}_b"
+    keyed = (
+        df.select(F.col(col).cast("string").alias("_v"))
+        .distinct()
+        .select("_v", F.explode(deletion_variants(F.col("_v"))).alias("_k"))
+    )
+    cand = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), "_k")
+        .filter(F.col("l._v") < F.col("r._v"))
+        .select(F.col("l._v").alias(a), F.col("r._v").alias(b))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein(a, b) <= max_dist).select(
+        a, b, F.levenshtein(a, b).cast("bigint").alias("dist")
+    )

@@ -523,3 +523,32 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.operators.text import repetition_stats
 
     return repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@extra_query(
+    "fuzzy_token_pairs",
+    """
+    WITH v AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(p_name), '[a-z]+')) AS tok
+      FROM part
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) <= 1
+    """,
+)
+def q_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs (`operators/fuzzy.py`): SymSpell
+    deletion-key blocking + exact levenshtein verify — typo/variant
+    mining over the part-name vocabulary (the one testdata vocabulary
+    with true distance-1 neighbors, so the check is non-vacuous). The
+    oracle is the quadratic cross-join spec; the Spark plan never goes
+    all-pairs."""
+    from mapreduce_project_spark.functions.textfns import tokens
+    from mapreduce_project_spark.operators.fuzzy import fuzzy_pairs
+
+    vocab = t(spark, sf_dir, "part").select(
+        F.explode(tokens("p_name")).alias("tok")
+    )
+    return fuzzy_pairs(vocab, "tok")

@@ -183,3 +183,25 @@ def test_repetition_stats_planted(spark):
     assert rows[2]["dup_3gram_frac"] == 0.0
     assert rows[3]["dup_3gram_frac"] is None
     assert rows[3]["top_2gram_char_frac"] == 2 / 2  # "x y" is the only 2-gram
+
+
+def test_fuzzy_pairs_symspell_complete_and_verified(spark):
+    from mapreduce_project_spark.operators.fuzzy import fuzzy_pairs
+
+    vocab = spark.createDataFrame(
+        [("cat",), ("cut",), ("cart",), ("at",), ("ta",), ("dog",), ("cat",)],
+        "tok string",
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): r["dist"]
+        for r in fuzzy_pairs(vocab, "tok").collect()
+    }
+    assert got == {
+        ("cat", "cut"): 1,   # substitution
+        ("cart", "cat"): 1,  # deletion
+        ("at", "cat"): 1,    # insertion
+    }
+    # "at"/"ta" share deletion keys ("a","t") but levenshtein("at","ta")
+    # is 2 (plain levenshtein has no transposition edit): the verify
+    # step must have filtered that candidate out
+    assert ("at", "ta") not in got
