@@ -52,3 +52,33 @@ def lag_gap_ms(
     w = Window.partitionBy(*partition_by).orderBy(F.col(ts_col))
     ms = F.unix_millis(F.col(ts_col))
     return df.withColumn(alias, ms - F.lag(ms).over(w))
+
+
+def trailing_time_agg(
+    df: DataFrame,
+    partition_by: list[str],
+    ts_col: str,
+    lookback_seconds: int,
+    **aggs: Column,
+) -> DataFrame:
+    """Per-row aggregates over the partition's trailing event-time
+    interval ``[ts - lookback, ts]`` — "this user's activity in the
+    last hour, as of each event" (rate limiting, velocity features,
+    rolling health counters). A RANGE frame over integer epoch
+    seconds: unlike a ROWS frame, rows land in the frame by TIME
+    distance, so irregular event spacing is handled exactly.
+
+    Shuffles once on the partition key and sorts within partitions —
+    identical cost shape to the other keyed windows here; Spark
+    evaluates the sliding frame incrementally (add/remove at the frame
+    edges), not per-row-rescan. ``aggs`` are built by the caller over
+    the frame (e.g. ``F.count(F.lit(1))``, ``F.sum(dec(...))``)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-lookback_seconds, 0)
+    )
+    out = df
+    for alias, expr in aggs.items():
+        out = out.withColumn(alias, expr.over(w))
+    return out

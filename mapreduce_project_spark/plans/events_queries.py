@@ -307,3 +307,40 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         t(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+@extra_query(
+    "events_trailing_hour",
+    """
+    SELECT event_id,
+           user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity as of every event
+    (`operators/windows.py:trailing_time_agg`): a RANGE frame over
+    epoch seconds, the velocity-feature / rate-limit primitive. One
+    shuffle on user_id; the frame slides incrementally."""
+    from mapreduce_project_spark.operators.relational import dec
+    from mapreduce_project_spark.operators.windows import trailing_time_agg
+
+    ev = t(spark, sf_dir, "events")
+    out = trailing_time_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        3600,
+        n_last_hour=F.count(F.lit(1)),
+        sum_last_hour=F.sum(dec("value")),
+    )
+    return out.select(
+        "event_id", "user_id", fmt_ts(F.col("ts"), "ts_s"),
+        F.col("n_last_hour").cast("bigint").alias("n_last_hour"),
+        F.col("sum_last_hour").cast("double").alias("sum_last_hour"),
+    )

@@ -199,3 +199,29 @@ def test_funnel_strict_ordering(spark):
     c = funnel_counts(ev, steps).collect()[0]
     assert (c["n_view"], c["n_click"], c["n_purchase"]) == (3, 2, 1)
     assert c["rate_view_click"] == 2 / 3
+
+
+def test_trailing_time_agg_boundaries(spark):
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.windows import trailing_time_agg
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0)),
+            (1, dt(2024, 1, 1, 10, 59, 59)),  # 3599s after → in frame
+            (1, dt(2024, 1, 1, 11, 0, 0)),    # exactly 3600s after t0 → in frame
+            (1, dt(2024, 1, 1, 12, 0, 1)),    # 3601s after t2 → t2 out
+            (2, dt(2024, 1, 1, 10, 30, 0)),   # other user: own frame
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = trailing_time_agg(ev, ["user_id"], "ts", 3600, n=F.count(F.lit(1)))
+    got = {(r["user_id"], str(r["ts"])): r["n"] for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:00")] == 1
+    assert got[(1, "2024-01-01 10:59:59")] == 2
+    assert got[(1, "2024-01-01 11:00:00")] == 3  # RANGE frame is inclusive
+    assert got[(1, "2024-01-01 12:00:01")] == 1
+    assert got[(2, "2024-01-01 10:30:00")] == 1
