@@ -171,3 +171,31 @@ def funnel_counts(events: DataFrame, steps: list[str], **kw) -> DataFrame:
         for i, (a, b) in enumerate(zip(steps, steps[1:]))
     ]
     return per_user.agg(*counts, *rates)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first
+    active day; output is ``(cohort_day, day_offset, n_users)`` =
+    how many of each cohort's users were active ``day_offset`` days
+    after joining (offset 0 row = cohort size).
+
+    Plan: grouped min (cohort per user) ⋈ distinct (user, day)
+    activity — both keyed on the user, so the join is co-partitioned
+    after the first shuffle — then a (cohort, offset) count-distinct.
+    Day truncation collapses the stream BEFORE any shuffle: the
+    distinct activity set is bounded by users × days, not by events."""
+    u, day = F.col(user_col), F.to_date(F.col(ts_col)).alias("_day")
+    first = events.groupBy(user_col).agg(F.min(F.to_date(F.col(ts_col))).alias("_cohort"))
+    activity = events.select(u, day).distinct()
+    return (
+        activity.join(first, user_col)
+        .groupBy(
+            F.col("_cohort").alias("cohort_day"),
+            F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),
+        )
+        .agg(F.count_distinct(u).alias("n_users"))
+    )

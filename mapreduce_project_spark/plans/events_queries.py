@@ -344,3 +344,33 @@ def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_last_hour").cast("bigint").alias("n_last_hour"),
         F.col("sum_last_hour").cast("double").alias("sum_last_hour"),
     )
+
+
+@extra_query(
+    "events_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN first USING (user_id)
+    GROUP BY cohort, datediff('day', cohort, day)
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (`operators/events.py:cohort_retention`):
+    first-active-day cohorts × day offsets → distinct active users.
+    The activity set collapses to (user, day) before any join."""
+    from mapreduce_project_spark.operators.events import cohort_retention
+
+    out = cohort_retention(t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("bigint").alias("day_offset"),
+        "n_users",
+    )
