@@ -371,3 +371,56 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
     )
     return out.withColumn("rk", F.col("rk").cast("bigint"))
+
+
+@extra_query(
+    "pagerank_trade_graph",
+    """
+    WITH raw AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+    params AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM deg),
+    in1 AS (
+      SELECT e.dst AS node, CAST(SUM((SELECT r0 FROM params) // d) AS BIGINT) AS inflow
+      FROM e JOIN deg ON e.src = deg.node GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT deg.node,
+             (15 * (SELECT r0 FROM params)) // 100
+               + (85 * COALESCE(in1.inflow, 0)) // 100 AS fx
+      FROM deg LEFT JOIN in1 USING (node)
+    ),
+    in2 AS (
+      SELECT e.dst AS node, CAST(SUM(r1.fx // deg.d) AS BIGINT) AS inflow
+      FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT deg.node,
+             (15 * (SELECT r0 FROM params)) // 100
+               + (85 * COALESCE(in2.inflow, 0)) // 100 AS fx
+      FROM deg LEFT JOIN in2 USING (node)
+    )
+    SELECT node, CAST(fx AS BIGINT) AS rank_fx,
+           CAST(fx AS DOUBLE) / 1000000000000 AS rank
+    FROM r2
+    """,
+)
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank rounds over the customer–supplier trade
+    graph (who-buys-from-whom via orders ⋈ lineitem, symmetrized) —
+    `operators/graph.py:pagerank_fixed`. Every update is BIGINT
+    integer math, so this iterative algorithm is fully hash-matched by
+    an unrolled SQL oracle (same discipline as `kmeans_embeddings`)."""
+    from mapreduce_project_spark.operators.graph import pagerank_fixed, symmetrize
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank_fixed(symmetrize(raw), n_iter=2)

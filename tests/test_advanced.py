@@ -225,3 +225,25 @@ def test_trailing_time_agg_boundaries(spark):
     assert got[(1, "2024-01-01 11:00:00")] == 3  # RANGE frame is inclusive
     assert got[(1, "2024-01-01 12:00:01")] == 1
     assert got[(2, "2024-01-01 10:30:00")] == 1
+
+
+def test_pagerank_star_graph(spark):
+    from mapreduce_project_spark.operators.graph import pagerank_fixed, symmetrize
+
+    # star: hub 0 ↔ spokes 1..4 (after symmetrize) + isolated pair 8-9
+    raw = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(8, 9)], "src long, dst long"
+    )
+    out = pagerank_fixed(symmetrize(raw), n_iter=3)
+    ranks = {r["node"]: r["rank_fx"] for r in out.collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4, 8, 9}
+    # hub collects its 4 spokes' full rank each round → strictly richest
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > ranks[1] == ranks[2] == ranks[3] == ranks[4]
+    # the isolated pair just swaps mass → stays at ~1/N each
+    assert ranks[8] == ranks[9]
+    # integer-division loss only ever shrinks total mass, never grows it
+    assert sum(ranks.values()) <= 10**12
+    # bit-determinism across runs
+    again = {r["node"]: r["rank_fx"] for r in pagerank_fixed(symmetrize(raw), n_iter=3).collect()}
+    assert again == ranks
