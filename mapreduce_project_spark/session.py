@@ -37,8 +37,17 @@ def get_spark(app_name: str = "mapreduce_project_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by bytes (advisory 64 MB), not by
+        # the local parallelism floor: tiny shuffles collapse to 1 task
+        # instead of 32 near-empty ones, and at 100 TB the byte target —
+        # not a per-job floor — is what keeps reducers memory-safe
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-naive parquet timestamps read as plain TIMESTAMP (UTC session
+        # tz makes the values identical); NTZ would break epoch math like
+        # unix_millis and diverge from the DuckDB oracle's naive reading.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -73,8 +82,10 @@ def prep_session(spark: SparkSession) -> SparkSession:
     """
     for key, val in (
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):

@@ -22,31 +22,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which Spark
-# reads as long under nanosAsLong (see sources/io.py) — converted right
-# after read.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source event stream (one parquet file per micro-batch read;
-    Kafka in production)."""
+    Kafka in production).
+
+    The streaming file source needs an explicit schema, so we probe the
+    physical one from a batch read (metadata-only). ``ts`` has shipped
+    as both TIMESTAMP(NANOS) — readable only as long via ``nanosAsLong``,
+    truncated to µs here — and plain TIMESTAMP(MICROS); both normalize
+    to the same TimestampType column (same rule as ``sources/io.py``).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
