@@ -424,3 +424,61 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     return pagerank_fixed(symmetrize(raw), n_iter=2)
+
+
+@extra_query(
+    "triangle_counts_cosupply",
+    """
+    WITH o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+    ),
+    raw AS (
+      SELECT x.l_suppkey AS s1, y.l_suppkey AS s2
+      FROM lineitem x
+      JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      JOIN o ON x.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT DISTINCT s1 AS a, s2 AS b FROM raw),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
+    """,
+)
+def q_triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the Q1-1995 co-supply graph
+    (suppliers joined by an edge when they supplied the same order) —
+    `operators/graph.py:triangle_counts`. The Spark plan orients edges
+    by (degree, id) so the wedge join is O(E^1.5)-bounded; the oracle
+    counts the identical triangle set with the naive id-ordered 3-way
+    join (feasible at oracle scale, ruinous at 100 TB)."""
+    from mapreduce_project_spark.operators.graph import triangle_counts
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    raw = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
+    )
+    return triangle_counts(raw)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_project_spark.operators.relational import dec, dec_sum
 from mapreduce_project_spark.queries_registry import extra_query, t
+from mapreduce_project_spark.sources import register_tables
 
 # revenue term used by Q3/Q5/Q10-shaped queries
 _REV_SQL = "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
@@ -197,3 +198,65 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# Correlated-subquery shapes: ONE engine-neutral SQL string serves as
+# both the Spark query (via temp views) and the DuckDB oracle — the
+# point is the SQL surface itself: Catalyst decorrelates EXISTS into a
+# left-semi join and NOT EXISTS into a left-anti join (check the plan:
+# no per-row subquery execution survives), exactly what a reference
+# user would hand-write as a tagged reduce-side presence check.
+
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o_orderdate < TIMESTAMP '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """
+
+_Q22_SQL = """
+    WITH pos AS (
+      SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS b FROM customer
+      WHERE c_acctbal > 0
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(b) AS s FROM pos)
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT n FROM stats)
+            > (SELECT s FROM stats)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    """
+
+
+@extra_query("tpch_q4_priority_returns", _Q4_SQL)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — correlated EXISTS: orders in a quarter with at least
+    one returned line item, counted per priority. Catalyst rewrites the
+    EXISTS into a left-semi hash join on l_orderkey (no per-row
+    execution); the date filter still pushes into the orders scan. The
+    identical SQL text is the oracle."""
+    register_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q4_SQL)
+
+
+@extra_query("tpch_q22_dormant_capital", _Q22_SQL)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — scalar subquery + NOT EXISTS: above-average-balance
+    customers dormant since 2000, rolled up by segment. The average
+    threshold is compared in exact decimal cross-multiplied form
+    (``bal * n > sum`` — no float average, engine-identical); the
+    NOT EXISTS decorrelates to a left-anti join; the scalar aggregates
+    broadcast as one-row subquery results."""
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q22_SQL)
