@@ -1,0 +1,64 @@
+"""Python UDTFs (Spark 4 ``pyspark.sql.functions.udtf``) — the
+reference's user ``iterator_fn`` contract (``worker.py:123,131-138``:
+whole payload in, iterable of records out) as a first-class TABLE
+function, usable from SQL with ``LATERAL`` and from the DataFrame API.
+
+Three ways this engine exposes user record-splitting, by binding time:
+- source-level: the ``linefile`` Python DataSource (`sources/custom.py`)
+  — splitting IS the scan, one partition per file;
+- query-level (this module): a UDTF laterally applied to any string
+  column mid-plan — the iterator as a relational operator;
+- facade-level: ``run_job(iterator_fn=...)`` (`mapreduce.py`) for
+  unchanged reference-style job files.
+
+Scale notes: UDTF rows stream through the Python worker batch-wise
+(Arrow-encoded both ways); the expansion is a narrow op — no shuffle,
+pipelined with the enclosing stage. Prefer the JVM ``explode(split())``
+when the splitting rule is expressible as a Column expression; the UDTF
+is for genuinely imperative iterators (stateful scanners, format
+sniffers) — exactly the cases the reference needed ``iterator_fn`` for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="line_no int, line string")
+class LineRecords:
+    """The reference's DEFAULT iterator (``worker.py:141-145``): one
+    record per line, key = 0-based line number. ``eval`` receives one
+    payload per input row; yielded tuples become output rows joined
+    laterally to that row."""
+
+    def eval(self, content: str):  # noqa: D102 - contract above
+        if content is None:
+            return
+        for i, line in enumerate(content.splitlines()):
+            yield i, line
+
+
+@udtf(returnType="pos int, token string")
+class TokenRecords:
+    """Imperative tokenizer UDTF — the word_count job's iterator+map
+    fused (``client_folder/jobs/word_count.py:10-41``): lowercase,
+    strip non-alphanumerics, emit (position, token). The JVM twin is
+    ``posexplode(split(lower(text), ...))``; tests pin them equal."""
+
+    def eval(self, text: str):  # noqa: D102 - contract above
+        if text is None:
+            return
+        pos = 0
+        for raw in text.lower().split():
+            tok = "".join(ch for ch in raw if ch.isalnum())
+            if tok:
+                yield pos, tok
+                pos += 1
+
+
+def register_udtfs(spark) -> None:
+    """Register both UDTFs for SQL use:
+    ``SELECT d.doc_id, t.pos, t.token
+      FROM documents d, LATERAL token_records(d.text) t``."""
+    spark.udtf.register("line_records", LineRecords)
+    spark.udtf.register("token_records", TokenRecords)

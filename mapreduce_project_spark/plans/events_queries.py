@@ -234,6 +234,44 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (the Spark-4-native
+    scale path for JSON: ``parse_json`` once into the binary variant
+    encoding, then typed ``variant_get`` extractions — repeated field
+    reads cost O(field), not O(re-parse), and the variant column is
+    columnar-shreddable in parquet). The reference can only treat JSON
+    as opaque strings inside user functions (`worker.py:137-138`); the
+    string-path twin is `events_json_extract` (get_json_object). Oracle
+    extracts the same field with DuckDB's JSON functions."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+@extra_query(
     "cdc_latest_state",
     """
     SELECT user_id,

@@ -383,3 +383,39 @@ def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         p50=F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)),
         p95=F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)),
     )
+
+@extra_query(
+    "window_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           first_value(o_orderkey) OVER w AS top_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family beyond row_number/rank (D9):
+    ntile quartiles, percent_rank, cume_dist, first/nth_value with the
+    standard running frame — one keyed shuffle + one sort serves all
+    five expressions (a reference user would need one reduce job per
+    statistic). percent_rank/cume_dist are single IEEE divisions of
+    small integers — bit-identical cross-engine; the (price, key) sort
+    is tie-free so every function is deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_orderkey").over(w).alias("top_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -110,6 +110,24 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: two
+    records with equal ``keys`` are duplicates if they arrive within
+    the watermark delay of each other — the contract for retried /
+    at-least-once upstream producers whose duplicates cluster in time.
+
+    vs `dedup_stream` (plain ``dropDuplicates`` + watermark): that one
+    keys state eviction off each record's own event time and silently
+    re-admits a key that recurs after eviction with a NEWER timestamp;
+    this one guarantees suppression for any duplicate landing within
+    the delay window regardless of its exact event time, which is the
+    semantics ingestion retries actually need. State is bounded by the
+    watermark either way (keys expire ``delay`` after first sight)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch equi-joins the (broadcast-
     size) static dimension — the streaming analog of the B8 dimension

@@ -137,3 +137,32 @@ def test_knn_join_ann_no_cartesian(spark):
     df = QUERIES["knn_join_ann"](spark, SF_DIR)
     assert not has_node(df, "CartesianProduct")
     assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # row-level runtime filtering: with a selective filtered dimension
+    # on the build side of a shuffle join, the optimizer injects a bloom
+    # filter into the fact side's scan (might_contain over xxhash64) —
+    # at 100 TB this skips most fact rows before the shuffle. Thresholds
+    # are lowered only because the test tables are tiny; production
+    # defaults (10 MB creation side) fire on real dimension sizes.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -197,3 +197,30 @@ def test_incremental_dedup_sink_across_runs(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["k"] for r in rows} == {1, 2, 3}
     assert len(rows) == 3, rows  # key 2 admitted exactly once ever
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark):
+    from mapreduce_project_spark.streaming.events import (
+        dedup_within_watermark_stream,
+    )
+
+    stream = dedup_within_watermark_stream(
+        read_event_stream(spark, SF_DIR), ["user_id", "event_type"]
+    )
+    run_to_memory(stream, "stream_dedup_ww", "append")
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql(
+            "SELECT user_id, event_type FROM stream_dedup_ww"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    # single-file availableNow run = one micro-batch: no state eviction
+    # mid-batch, so within-watermark dedup equals global distinct here
+    assert got == want and got

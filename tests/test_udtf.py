@@ -1,0 +1,68 @@
+"""Python UDTF tests — the reference's ``iterator_fn`` contract as a
+lateral table function (`functions/udtfs.py`), pinned against the
+equivalent JVM expressions and the reference's line-iterator semantics
+(``worker.py:141-145``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.functions.udtfs import register_udtfs
+from mapreduce_project_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def test_token_records_matches_jvm_twin(spark):
+    register_udtfs(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.pos, t.token "
+            "FROM _udtf_docs d, LATERAL token_records(d.text) t"
+        ).collect()
+    }
+    raw = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("p", "raw"),
+        )
+        .select(
+            "doc_id", "p", F.regexp_replace("raw", r"[^0-9a-z]", "").alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    want = {
+        tuple(r)
+        for r in raw.select(
+            "doc_id", (F.row_number().over(w) - 1).alias("pos"), "token"
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_line_records_matches_reference_default_iterator(spark):
+    register_udtfs(spark)
+    # the reference's default iterator: enumerate(splitlines())
+    payload = "first\nsecond\n\nfourth"
+    got = spark.sql(
+        "SELECT t.line_no, t.line FROM (SELECT :p AS c) s, "
+        "LATERAL line_records(s.c) t",
+        args={"p": payload},
+    ).collect()
+    assert [(r["line_no"], r["line"]) for r in got] == list(
+        enumerate(payload.splitlines())
+    )
+
+
+def test_line_records_null_payload_yields_nothing(spark):
+    register_udtfs(spark)
+    got = spark.sql(
+        "SELECT t.* FROM (SELECT CAST(NULL AS STRING) AS c) s, "
+        "LATERAL line_records(s.c) t"
+    ).collect()
+    assert got == []
