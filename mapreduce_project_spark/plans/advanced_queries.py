@@ -426,7 +426,7 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(symmetrize(raw), n_iter=2)
 
 
-@extra_query(
+@query(
     "triangle_counts_cosupply",
     """
     WITH o AS (

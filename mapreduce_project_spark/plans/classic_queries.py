@@ -6,10 +6,14 @@ optimizes end to end: filters pushed into every parquet scan, dims
 broadcast, partial aggregation before the shuffle, top-k via
 TakeOrderedAndProject instead of a total sort.
 
-All pytest-only (`extra_query`): the driver's 50 slots are spent on
-one-per-operator coverage; these certify the COMPOSED plans. Money
-arithmetic uses the module-wide DECIMAL(18,2) convention
-(`relational.dec*` — exact, associative, engine-identical).
+Q3/Q6/Q10/Q18 are pytest-only (`extra_query`) — they certify COMPOSED
+plans whose individual operators already carry driver slots. The
+correlated-subquery shapes (Q4/Q22) are driver-declared: they are the
+driver-visible proof of the semi/anti decorrelation surface (the plain
+join twins `join_semi_customers`/`join_anti_customers` moved to pytest
+slots in exchange). Money arithmetic uses the module-wide
+DECIMAL(18,2) convention (`relational.dec*` — exact, associative,
+engine-identical).
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_project_spark.operators.relational import dec, dec_sum
-from mapreduce_project_spark.queries_registry import extra_query, t
+from mapreduce_project_spark.queries_registry import extra_query, query, t
 from mapreduce_project_spark.sources import register_tables
 
 # revenue term used by Q3/Q5/Q10-shaped queries
@@ -239,7 +243,7 @@ _Q22_SQL = """
     """
 
 
-@extra_query("tpch_q4_priority_returns", _Q4_SQL)
+@query("tpch_q4_priority_returns", _Q4_SQL)
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape — correlated EXISTS: orders in a quarter with at least
     one returned line item, counted per priority. Catalyst rewrites the
@@ -250,7 +254,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q4_SQL)
 
 
-@extra_query("tpch_q22_dormant_capital", _Q22_SQL)
+@query("tpch_q22_dormant_capital", _Q22_SQL)
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape — scalar subquery + NOT EXISTS: above-average-balance
     customers dormant since 2000, rolled up by segment. The average

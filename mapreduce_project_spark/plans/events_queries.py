@@ -49,7 +49,7 @@ def q_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "events_sliding_hour",
     """
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -217,7 +217,7 @@ def q_events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "events_json_extract",
     """
     SELECT event_id, event_type,
@@ -233,12 +233,13 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "events_variant_stats",
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))

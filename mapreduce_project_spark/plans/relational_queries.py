@@ -165,7 +165,7 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "join_semi_customers",
     """
     SELECT c_custkey, c_name, c_acctbal
@@ -183,7 +183,7 @@ def q_join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
-@query(
+@extra_query(
     "join_anti_customers",
     """
     SELECT c_custkey, c_name
