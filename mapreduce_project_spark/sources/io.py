@@ -124,6 +124,20 @@ def read_binary_files(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return reader.load(list(paths))
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across an EVOLVED schema history: files written
+    before a column existed surface it as NULL; the unified schema is
+    the union of all file footers (``mergeSchema``).
+
+    Scale notes: schema merging reads every file footer at planning
+    time — O(files) driver work, fine for partitioned tables with
+    manifest-sized file counts but a reason to keep schemas in a
+    catalog at 100 TB. Column PRUNING still applies per file; only
+    additive evolution is supported (a type CHANGE for an existing
+    column fails the merge loudly rather than silently coercing)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_json_lines(
     spark: SparkSession, paths: str | list[str], schema: str | None = None
 ) -> DataFrame:
@@ -260,6 +274,85 @@ def write_zorder_parquet(
         .drop("_zkey", *[f"_z_{c}" for c in cols])
     )
     out.write.mode(mode).parquet(path)
+
+
+def merge_partitioned_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    rollup_path: str,
+    part_col: str,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+) -> None:
+    """Incremental maintenance of a partitioned aggregate table — the
+    lakehouse continuous-rollup pattern with stock operators, no table
+    format required.
+
+    The rollup at ``rollup_path`` is partitioned by ``part_col`` (e.g.
+    day) and holds, per (part, keys), ``n_rows`` plus one exact
+    DECIMAL(18,2) sum per ``sum_cols`` entry (alias → source column).
+    Each call folds a new micro-batch in:
+
+    1. aggregate the batch (map-side partial + one shuffle — the only
+       pass over new data);
+    2. list the batch's distinct partition values — a driver-side list
+       of PARTITION KEYS (bounded: days, not rows), used for static
+       partition pruning of the read-back;
+    3. read ONLY those partitions of the existing rollup and merge by
+       re-summing (count/sum are algebraic — merging partials is
+       exact);
+    4. write with dynamic partition overwrite: untouched partitions'
+       files are never rewritten (asserted in tests by file listing).
+
+    At 100 TB this is the difference between an O(new data + touched
+    partitions) update and an O(history) recompute. Late data lands in
+    whichever partition its event time belongs to — the batch boundary
+    never corrupts totals. Idempotence caveat: replaying the SAME batch
+    double-counts (at-least-once input needs an upstream dedup, e.g.
+    `streaming/events.py:incremental_dedup_sink`)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(src).cast("decimal(18,2)")).cast("decimal(18,2)").alias(alias)
+        for alias, src in sum_cols.items()
+    ]
+    group = [part_col, *key_cols]
+    fresh = batch.groupBy(*group).agg(*aggs)
+    out_cols = [*group, "n_rows", *sum_cols]
+    try:
+        parts = [r[0] for r in batch.select(part_col).distinct().collect()]
+        old = spark.read.parquet(rollup_path).filter(F.col(part_col).isin(parts))
+        merged = (
+            old.select(*out_cols)
+            .unionByName(fresh.select(*out_cols))
+            .groupBy(*group)
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[
+                    F.sum(a).cast("decimal(18,2)").alias(a)
+                    for a in sum_cols
+                ],
+            )
+        )
+    except Exception:  # first batch: nothing to merge yet
+        merged = fresh
+    with _dynamic_overwrite(spark):
+        merged.select(*out_cols).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(rollup_path)
+
+
+class _dynamic_overwrite:
+    """Scoped ``partitionOverwriteMode=dynamic``: INSERT OVERWRITE
+    replaces only the partitions present in the written data."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.old)
 
 
 def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:

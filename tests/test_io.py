@@ -239,3 +239,60 @@ def test_zorder_layout_clusters_every_dimension(spark, tmp_path):
     assert z_hit < z_total, (z_hit, z_total)
     # round-trip integrity: same rows either way
     assert spark.read.parquet(zdir).count() == orders.count()
+
+
+def test_merge_partitioned_rollup_incremental_and_partition_stable(spark, tmp_path):
+    """Incremental rollup: two batches (the second carrying late data
+    for an already-written day) must equal the one-shot recompute, and
+    partitions untouched by batch 2 must keep their exact files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.sources.io import merge_partitioned_rollup
+
+    path = str(tmp_path / "rollup")
+    rows1 = [("d1", "click", 1.0), ("d1", "view", 2.0), ("d2", "click", 3.0)]
+    rows2 = [("d2", "click", 4.0), ("d3", "view", 5.0)]  # d2 is late data
+    schema = "day string, event_type string, value double"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    merge_partitioned_rollup(spark, b1, path, "day", ["event_type"], {"sum_value": "value"})
+    d1_files = sorted(os.listdir(f"{path}/day=d1"))
+    merge_partitioned_rollup(spark, b2, path, "day", ["event_type"], {"sum_value": "value"})
+
+    got = {
+        (r["day"], r["event_type"]): (r["n_rows"], float(r["sum_value"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    full = (
+        b1.unionByName(b2)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    want = {
+        (r["day"], r["event_type"]): (r["n"], float(r["s"])) for r in full.collect()
+    }
+    assert got == want
+    # d1 was not in batch 2: dynamic overwrite must leave its files alone
+    assert sorted(os.listdir(f"{path}/day=d1")) == d1_files
+
+
+def test_read_parquet_evolving_merges_additive_schema(spark, tmp_path):
+    from mapreduce_project_spark.sources.io import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{path}/batch=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{path}/batch=new")
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
