@@ -199,3 +199,48 @@ def cohort_retention(
         )
         .agg(F.count_distinct(u).alias("n_users"))
     )
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    attr_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a changelog: one
+    validity interval per (key, attribute run) — the warehouse-side
+    complement of `latest_state` (which keeps only the last run).
+
+    Two window passes over ONE keyed sort (same partitioning, Spark
+    plans a single shuffle+sort):
+    1. change detection — keep a record iff its ``attr_col`` differs
+       from the key's previous record (lag), collapsing no-change
+       updates;
+    2. interval stitching — ``valid_to`` = the NEXT change's
+       ``valid_from`` (lead), NULL while current; ``version`` numbers
+       the runs per key.
+
+    Order must be total per key (pass a tie-breaker in ``order_cols``)
+    or run boundaries are nondeterministic. At 100 TB both passes are
+    the same key-partitioned shuffle — state per key is one row in
+    flight, and the output is the dimension table joined by
+    ``key BETWEEN valid_from AND valid_to`` range joins downstream."""
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = (
+        changes.withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return changed.select(
+        *key_cols,
+        F.col(attr_col).alias("attr_value"),
+        *[F.col(c) for c in order_cols],
+        F.lead(order[0]).over(w2).alias("_next"),
+        F.row_number().over(w2).alias("version"),
+    )

@@ -413,3 +413,45 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("bigint").alias("day_offset"),
         "n_users",
     )
+
+
+@extra_query(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    changed AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type AS attr_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the events changelog
+    (`operators/events.py:scd2_from_changelog`): per user, one validity
+    interval per run of equal event_type — change detection (lag) +
+    interval stitching (lead) off a single keyed sort. valid_to is NULL
+    for the open current row; `cdc_latest_state` is the degenerate
+    keep-only-last form."""
+    from mapreduce_project_spark.operators.events import scd2_from_changelog
+
+    out = scd2_from_changelog(
+        t(spark, sf_dir, "events"), ["user_id"], ["ts", "event_id"], "event_type"
+    )
+    return out.select(
+        "user_id",
+        "attr_value",
+        fmt_ts(F.col("ts"), "valid_from"),
+        fmt_ts(F.col("_next"), "valid_to"),
+        F.col("version").cast("bigint").alias("version"),
+    )

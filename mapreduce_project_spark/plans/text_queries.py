@@ -552,3 +552,56 @@ def q_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens("p_name")).alias("tok")
     )
     return fuzzy_pairs(vocab, "tok")
+
+
+@extra_query(
+    "text_bigram_lm_score",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+      FROM d, LATERAL unnest(generate_series(1, length(t) - 1)) AS g(i)
+    ),
+    counts AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sum_freq,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_freq
+    FROM bg JOIN counts USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM-style quality scoring: train corpus-level char
+    bigram frequencies (pass 1), score each document by its mean bigram
+    frequency (pass 2, broadcast of the ≤|alphabet|² count table) — the
+    train-statistics-then-score shape of fasttext-style quality
+    filters, kept in exact integer arithmetic (no float log-prob
+    accumulation → order-independent, hash-matched cross-engine; a real
+    deployment would swap in log-probs and tolerance-check instead).
+    Bigram extraction is one codegen'd transform over a char sequence —
+    no Python. At 100 TB: hash bigrams to ints before the count shuffle
+    and the broadcast stays KBs."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(F.broadcast(counts), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("sum_freq"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "sum_freq",
+            "n_bigrams",
+            (F.col("sum_freq").cast("double") / F.col("n_bigrams")).alias("avg_freq"),
+        )
+    )
