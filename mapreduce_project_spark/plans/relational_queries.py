@@ -419,3 +419,48 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("top_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+@extra_query(
+    "histogram_equi_depth",
+    """
+    SELECT o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(8) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY o_orderpriority, bucket
+    """,
+)
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order value per priority
+    class: 8 ntile buckets per key, then (count, lo, hi) per bucket —
+    the optimizer-statistics / drift-monitoring primitive. The window
+    partitions BY KEY, so no global sort exists anywhere (per-key
+    sorted windows are the scale-safe shape); a GLOBAL equi-depth
+    histogram at 100 TB should instead take boundaries from
+    `approx_percentile` (D24) and bucket by range — ntile's exactness
+    is what makes this one hash-matchable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(8).over(w).cast("bigint").alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )

@@ -276,6 +276,31 @@ def write_zorder_parquet(
     out.write.mode(mode).parquet(path)
 
 
+def observe_metrics(df: DataFrame, name: str, **metrics: Column):
+    """Attach zero-cost pipeline counters to a DataFrame: the returned
+    ``(df, observation)`` computes ``metrics`` (any aggregate
+    expressions) DURING the next action on ``df`` — no second pass over
+    the data, unlike a separate ``.agg()`` job. This is the engine-side
+    replacement for the reference's per-task Ack bookkeeping
+    (``master.py:373-396``): row counts, null rates, and sum checks ride
+    along with the job itself.
+
+    Usage::
+
+        df2, obs = observe_metrics(df, "ingest",
+                                   n=F.count(F.lit(1)),
+                                   bad=F.sum(F.col("x").isNull().cast("int")))
+        df2.write.parquet(...)
+        obs.get  # {'n': ..., 'bad': ...}
+
+    At 100 TB an extra validation pass is a full re-read; observed
+    metrics make the write itself the validation."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(a) for a, c in metrics.items()]), obs
+
+
 def merge_partitioned_rollup(
     spark: SparkSession,
     batch: DataFrame,

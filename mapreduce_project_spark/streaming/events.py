@@ -141,6 +141,7 @@ def stream_stream_interval_join(
     key: str = "user_id",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event pairs with the same
     key's right events from the preceding ``lookback`` (inclusive ends).
@@ -148,6 +149,12 @@ def stream_stream_interval_join(
     buffered range per key is lookback + watermark, evicted as event
     time advances. This is the streaming form of a time-bounded
     fact-fact join (batch twin: plain join + interval predicate).
+
+    ``how='left_outer'`` additionally emits each unmatched left event
+    null-extended — but only once the watermark has passed its join
+    window (the engine must be sure no matching right event can still
+    arrive), so outer results trail the inner ones by the watermark
+    delay; a terminated availableNow run emits the complete set.
 
     Output: (key, l_ts, r_ts) plus the sides' id columns renamed
     ``l_event_id`` / ``r_event_id``."""
@@ -168,6 +175,7 @@ def stream_stream_interval_join(
         (F.col(key) == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") <= F.col("l_ts")),
+        how,
     ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
 
 

@@ -296,3 +296,25 @@ def test_read_parquet_evolving_merges_additive_schema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score", "batch"}
     rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_observe_metrics_rides_along_with_action(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.sources.io import observe_metrics
+
+    df = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS x"
+    )
+    df2, obs = observe_metrics(
+        df,
+        "ingest",
+        n=F.count(F.lit(1)),
+        nulls=F.sum(F.col("x").isNull().cast("bigint")),
+        total=F.sum("x"),
+    )
+    df2.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n"] == 1000
+    assert got["nulls"] == 100
+    assert got["total"] == sum(i for i in range(1000) if i % 10 != 0)

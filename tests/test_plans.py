@@ -166,3 +166,17 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    # explicit strategy control for when AQE/stats mis-pick at scale:
+    # merge hint -> SortMergeJoin even under the broadcast threshold;
+    # shuffle_hash hint -> ShuffledHashJoin (no sort of either side)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    merged = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
+    )
+    assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()

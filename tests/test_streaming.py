@@ -224,3 +224,57 @@ def test_dedup_within_watermark_matches_batch_distinct(spark):
     # single-file availableNow run = one micro-batch: no state eviction
     # mid-batch, so within-watermark dedup equals global distinct here
     assert got == want and got
+
+
+def test_stream_stream_left_outer_interval_join_matches_batch(spark):
+    from mapreduce_project_spark.streaming.events import stream_stream_interval_join
+
+    ev = read_event_stream(spark, SF_DIR)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    run_to_memory(
+        stream_stream_interval_join(purchases, views, how="left_outer"),
+        "stream_ssj_lo",
+        "append",
+    )
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM stream_ssj_lo").collect()
+    }
+    b = load_table(spark, SF_DIR, "events")
+    bp = b.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    bv = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in bp.join(
+            bv,
+            (F.col("user_id") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+            "left_outer",
+        ).collect()
+    }
+    # null-extended rows are only emitted once the watermark passes the
+    # left event's window; the run's final watermark is max(ts) - 2h, so
+    # unmatched purchases inside the trailing 2h stay pending state —
+    # exactly the documented outer stream-stream contract
+    from pyspark.sql import Row
+
+    max_ts = b.agg(F.max("ts")).first()[0]
+    wm = max_ts - __import__("datetime").timedelta(hours=2)
+    l_ts_of = {
+        r["l_event_id"]: r["l_ts"] for r in bp.collect()
+    }
+    expected = {
+        (l, r)
+        for l, r in want
+        if r is not None or l_ts_of[l] < wm
+    }
+    assert got == expected
+    assert any(r is None for _, r in got)
