@@ -218,3 +218,27 @@ def percentiles(
     return df.groupBy(*keys).agg(
         *[F.percentile(c, F.lit(p)).alias(name) for name, p in probs.items()]
     )
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: total
+    rows, distinct keys, the heaviest key's row count and share, and
+    the mean rows-per-key. The pre-flight check behind the engine's
+    skew levers — a top share near 1/parallelism is fine; a key holding
+    whole percents of the table wants `salted_join` (D17) or AQE skew
+    splitting before it becomes the straggler task at 100 TB.
+
+    Two algebraic aggregations (per-key partial counts, then a 5-value
+    reduce) — O(distinct keys) intermediate, never a sort."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return counts.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("max_key_rows"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        (F.col("max_key_rows").cast("double") / F.col("n_rows")).alias("top_share"),
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_key_rows"),
+    )

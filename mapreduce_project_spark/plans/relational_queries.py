@@ -464,3 +464,24 @@ def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+@extra_query(
+    "skew_profile_custkey",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_share,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_key_rows
+    FROM c
+    """,
+)
+def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for orders.o_custkey
+    (`operators/relational.py:key_skew_profile`) — the measurement that
+    decides between a plain join, AQE skew splitting, and `salted_join`
+    before any 100 TB shuffle is launched."""
+    from mapreduce_project_spark.operators.relational import key_skew_profile
+
+    return key_skew_profile(t(spark, sf_dir, "orders"), ["o_custkey"])

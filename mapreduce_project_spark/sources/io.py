@@ -276,6 +276,43 @@ def write_zorder_parquet(
     out.write.mode(mode).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files and swap it into place.
+    Returns the new file count.
+
+    The small-file problem is the silent scale killer: a table written
+    by 10k reducers across 1k micro-batches is 10M files, and every
+    downstream scan pays listing + per-file open + footer read before a
+    single row. Compaction restores ~``target_file_bytes`` files via
+    one narrow ``coalesce`` (no shuffle — files are concatenated, not
+    re-sorted; use `write_sorted_parquet`/`write_zorder_parquet` when
+    re-clustering is wanted).
+
+    The directory swap here is rename-based and NOT concurrent-reader
+    safe — that transactionality is exactly what table formats add on
+    top; on object stores run compaction in a maintenance window or
+    under a format that supports snapshots."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def observe_metrics(df: DataFrame, name: str, **metrics: Column):
     """Attach zero-cost pipeline counters to a DataFrame: the returned
     ``(df, observation)`` computes ``metrics`` (any aggregate

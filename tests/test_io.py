@@ -318,3 +318,19 @@ def test_observe_metrics_rides_along_with_action(spark, tmp_path):
     assert got["n"] == 1000
     assert got["nulls"] == 100
     assert got["total"] == sum(i for i in range(1000) if i % 10 != 0)
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from mapreduce_project_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "many")
+    # 64 tiny files
+    spark.range(10_000).repartition(64).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n == 1
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
