@@ -264,3 +264,53 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast as one-row subquery results."""
     register_tables(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_Q22_SQL)
+
+
+@extra_query(
+    "tpch_q14_promo_share",
+    """
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_revenue_pct,
+           CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue
+    FROM (
+      SELECT SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        AND l_shipdate < TIMESTAMP '1995-10-01'
+    )
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — conditional aggregation over a fact⋈dim join: promo
+    revenue share for one ship-month. The CASE rides inside the sum
+    (one pass, no second scan per condition), the month filter pushes
+    to the lineitem scan, part broadcasts; the division happens once on
+    exact decimal totals, so the percentage is engine-identical."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total"))
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        F.col("promo").cast("double").alias("promo_revenue"),
+        F.col("total").cast("double").alias("total_revenue"),
+    )

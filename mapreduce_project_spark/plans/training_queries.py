@@ -17,6 +17,7 @@ from mapreduce_project_spark.functions import tokens
 from mapreduce_project_spark.operators.dedup import dedup_clusters
 from mapreduce_project_spark.operators.sampling import (
     hash_split,
+    mix_sources,
     pack_sequences,
     stratified_sample_exact,
 )
@@ -247,3 +248,119 @@ def q_source_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src1": 2.5, "src2": 0.25},
         default_rate=1.0,
     )
+
+
+from mapreduce_project_spark.plans.text_queries import _LANG_CASE, _TOKS  # noqa: E402
+
+_GRAMS3 = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+_ASSEMBLE_SQL = f"""
+    WITH base AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+    marked AS (
+      SELECT doc_id, source, toks,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+             len(list_filter(toks, x -> list_contains(['el','los','de','y','es'], x))) AS es
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, source, toks,
+             {_LANG_CASE} AS pred_lang,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.2 * least((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 8, 1.0)
+             AS quality,
+             md5(array_to_string(toks, ' ')) AS fp
+      FROM marked
+    ),
+    clean AS (SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.5),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM clean GROUP BY fp),
+    deduped AS (SELECT c.* FROM clean c JOIN keep USING (fp, doc_id)),
+    lab AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000' AS is_test
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT gram
+      FROM (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM base) g
+      JOIN lab USING (doc_id) WHERE is_test
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest({_GRAMS3}) AS gram
+            FROM (SELECT d.doc_id, d.toks FROM deduped d)) dg
+      JOIN bench USING (gram)
+    ),
+    survivors AS (
+      SELECT d.doc_id, d.source, CAST(len(d.toks) AS BIGINT) AS n_tok
+      FROM deduped d JOIN lab USING (doc_id)
+      WHERE NOT is_test
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+              CASE d.source WHEN 'src0' THEN '00000000'
+                            WHEN 'src1' THEN 'g'
+                            WHEN 'src2' THEN '40000000'
+                            ELSE '80000000' END
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+                AS BIGINT) AS bin
+    FROM survivors
+    """
+
+
+@extra_query("assemble_training_set", _ASSEMBLE_SQL)
+def q_assemble_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP composition — the whole training-data assembly line
+    as ONE declarative plan: language-ID + quality gate (scan-fused
+    projections) → exact near-dup collapse (digest-only shuffle) →
+    benchmark decontamination (broadcast n-gram semi-join, corpus never
+    shuffles its grams) → deterministic source re-mixing (map-side
+    md5-bucket filter) → token-budget sequence packing (per-source
+    running-sum window). Every stage is an already-driver-checked
+    operator (`pipeline_clean_corpus`, `dedup_exact`, `decontam_hits`,
+    `source_mixture`, `pack_sequences`); this query certifies their
+    COMPOSITION end to end against one composed SQL oracle — the
+    "could a reference user run their whole pipeline here" question in
+    a single hash-match. Scale: one corpus scan feeds the gate, one
+    digest shuffle dedups, grams broadcast against the (small) held-out
+    set, the mix is a pushed-down filter, and packing windows per
+    source shard — no stage is quadratic or driver-bound."""
+    from mapreduce_project_spark.operators.decontam import decontaminate
+    from mapreduce_project_spark.operators.sampling import _hash_hex8
+    from mapreduce_project_spark.operators.text import (
+        doc_fingerprint,
+        predicted_lang,
+        quality_score,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_test = _hash_hex8(F.col("doc_id")) < "20000000"
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        predicted_lang("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fp"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = scored.join(keep, ["fp", "doc_id"]).select("doc_id", "source", "text")
+    cleaned = decontaminate(
+        deduped.filter(~is_test), docs.filter(is_test), "doc_id", "text", 3
+    )
+    mixed = mix_sources(
+        cleaned, "doc_id", "source",
+        {"src0": 0.0, "src1": 1.0, "src2": 0.25}, default_rate=0.5,
+    )
+    sized = mixed.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    packed = pack_sequences(sized, "source", "doc_id", F.col("n_tok"), 2048)
+    return packed.select("doc_id", "source", "n_tok", "bin")

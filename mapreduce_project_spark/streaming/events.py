@@ -78,7 +78,14 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Arbitrary stateful operator via ``applyInPandasWithState``: a
     running per-user event count + value total carried across
     micro-batches (the streaming analog of the reference's per-key
-    reduce with explicit state instead of a full value list)."""
+    reduce with explicit state instead of a full value list).
+
+    Spark 4's successor API (``transformWithStateInPandas`` — typed
+    value/list/map state, timers, TTL) is the preferred form on a full
+    install; its Python driver worker needs ``google.protobuf``, which
+    this container lacks (verified: the runner crashes on import), so
+    the v1 API above is the shipped path — same state semantics for
+    this operator, swap is mechanical."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
