@@ -571,7 +571,10 @@ def topk_ivf(
     assign0 = sample.crossJoin(F.broadcast(_cents_row(seed_cents))).select(
         "id", "v", _nearest_cid(F.col("v")).alias("cid")
     )
-    cents1 = cluster_centroid_means(assign0, dim)
+    # n_clusters rows, consumed by BOTH the final assignment and the
+    # probe selection — cache so the sample Lloyd pass runs once, not
+    # once per consumer (tiny table, evicted with the session/cache)
+    cents1 = cluster_centroid_means(assign0, dim).cache()
 
     # 3. final cells against the Lloyd-updated quantizer
     cells = base.crossJoin(F.broadcast(_cents_row(cents1))).select(

@@ -482,3 +482,35 @@ def q_triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
     )
     return triangle_counts(raw)
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE chain(suppkey, node, depth) AS (
+      SELECT s_suppkey AS suppkey, s_suppkey AS node, CAST(0 AS BIGINT) AS depth
+      FROM supplier
+      UNION ALL
+      SELECT suppkey, CAST(FLOOR(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+      FROM chain WHERE node > 1
+    )
+    SELECT suppkey, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           COUNT(*) AS chain_len
+    FROM chain GROUP BY suppkey
+    """
+
+
+@extra_query("recursive_supplier_chain", _RCTE_SQL)
+def q_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new SQL surface in Spark 4) — hierarchical
+    reachability declared IN SQL instead of a driver-side loop: walk
+    each supplier key up its implicit binary-tree ancestry to the root
+    and report path depth. The engine executes the fixpoint as repeated
+    self-union rounds (bounded by `spark.sql.cteRecursionLevelLimit`);
+    contrast `pagerank_trade_graph`/`dedup_clusters`, whose driver
+    `for`-loops implement the same iterate-to-fixpoint pattern with
+    per-round persistence control — recursive CTEs trade that control
+    for declarativity. One SQL text serves both engines; the division
+    is FLOOR over exact small ints, so the walk is engine-identical."""
+    from mapreduce_project_spark.sources import register_tables
+
+    register_tables(spark, sf_dir, ["supplier"])
+    return spark.sql(_RCTE_SQL)
