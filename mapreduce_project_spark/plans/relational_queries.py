@@ -485,3 +485,63 @@ def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.operators.relational import key_skew_profile
 
     return key_skew_profile(t(spark, sf_dir, "orders"), ["o_custkey"])
+
+@extra_query(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — wide metric columns to long (key, metric, value)
+    rows, the inverse of `pivot_priority_status`: one narrow Expand
+    node, no shuffle at all (the oracle spells it as the equivalent
+    UNION ALL, which is what the reference would run as two map-only
+    jobs)."""
+    return t(spark, sf_dir, "part").unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "metric",
+        "value",
+    ).select("p_partkey", "metric", F.col("value").cast("double").alias("value"))
+
+
+@extra_query(
+    "map_event_type_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errors
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per user, build a map event_type → count
+    (`map_from_entries` over sorted collected entries) and look keys up
+    with `element_at` (missing key → NULL, which the oracle mirrors
+    with SUM(CASE) — never COUNT FILTER, whose empty result is 0). The
+    map is the engine-visible nested type the reference can only fake
+    as stringified reprs (SURVEY §1.2); output projects scalars so the
+    check stays engine-portable."""
+    per_type = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.element_at("m", "purchase").alias("purchases"),
+        F.element_at("m", "view").alias("views"),
+        F.element_at("m", "error").alias("errors"),
+    )
