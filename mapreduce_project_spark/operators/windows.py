@@ -65,8 +65,14 @@ def trailing_time_agg(
     interval ``[ts - lookback, ts]`` — "this user's activity in the
     last hour, as of each event" (rate limiting, velocity features,
     rolling health counters). A RANGE frame over integer epoch
-    seconds: unlike a ROWS frame, rows land in the frame by TIME
-    distance, so irregular event spacing is handled exactly.
+    MICROseconds: unlike a ROWS frame, rows land in the frame by TIME
+    distance, so irregular event spacing is handled exactly. Micros —
+    not ``unix_timestamp``'s truncated whole seconds — because
+    truncation silently widens the frame by up to a second at its
+    lower edge (an event 3600.4 s back truncates into range), which
+    both changes the semantics and diverges from any engine comparing
+    at full precision (caught by the sf0.1 differential sweep; oracle
+    twin: ``ORDER BY epoch_us(ts) RANGE <secs>*1000000 PRECEDING``).
 
     Shuffles once on the partition key and sorts within partitions —
     identical cost shape to the other keyed windows here; Spark
@@ -75,8 +81,8 @@ def trailing_time_agg(
     the frame (e.g. ``F.count(F.lit(1))``, ``F.sum(dec(...))``)."""
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(F.unix_timestamp(F.col(ts_col)))
-        .rangeBetween(-lookback_seconds, 0)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-lookback_seconds * 1_000_000, 0)
     )
     out = df
     for alias, expr in aggs.items():

@@ -357,8 +357,8 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
