@@ -334,3 +334,52 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) == n == 1
     assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Dirty-input contract: PERMISSIVE mode quarantines unparseable
+    lines into _corrupt_record (nulls elsewhere) instead of failing the
+    job — the at-scale ingestion default — while FAILFAST surfaces the
+    bad line loudly for validation runs."""
+    import pytest
+
+    p = tmp_path / "dirty.json"
+    p.write_text('{"k": 1, "v": "a"}\n{not json at all}\n{"k": 3, "v": "c"}\n')
+    schema = "k long, v string, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {(r["k"], r["v"]) for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {(1, "a"), (3, "c")}
+    assert bad == ["{not json at all}"]
+
+    strict = spark.read.schema("k long, v string").option("mode", "FAILFAST").json(str(p))
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        strict.collect()
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """Partition-directory pruning: a filter on the partition column
+    must land in PartitionFilters (directories never listed/read), not
+    just PushedFilters (row groups skipped after opening the file) —
+    at 100 TB this is the difference between scanning one day and
+    touching every file's footer."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.sources.io import write_parquet
+
+    path = str(tmp_path / "by_day")
+    ev = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+        "day string, event_id long, value double",
+    )
+    write_parquet(ev, path, partition_by=["day"])
+    df = spark.read.parquet(path).filter(F.col("day") == "d2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan and "(day" in plan, plan[:800]
+    assert {r["event_id"] for r in df.collect()} == {3}
