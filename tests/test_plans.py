@@ -85,10 +85,11 @@ def test_ivf_topk_plan_shape(spark):
     # the corpus itself is never shuffle-joined
     assert not has_node(df, "SortMergeJoin")
     assert not has_node(df, "ShuffledHashJoin")
-    # the only hash exchanges carry reduced data: the Lloyd mean's
-    # partial-aggregated (cid, dim) rows, the centroid array rebuild,
-    # and the candidate ranking — never the raw corpus
-    assert count_node(df, "HashAggregate") >= 4  # partial+final x 2 (Lloyd)
+    # the Lloyd-updated centroid table is cached (two consumers:
+    # final assignment + probe selection), so its partial+final
+    # aggregates may appear as an InMemoryRelation instead of inline
+    # HashAggregates depending on cache-manager state
+    assert has_node(df, "InMemoryTableScan") or count_node(df, "HashAggregate") >= 4
     # broadcast exchanges (quantizer/probes) + centroid-scale hash
     # exchanges; a corpus-wide pre-join shuffle would add more
     assert count_node(df, "Exchange") <= 8
@@ -180,3 +181,35 @@ def test_join_strategy_hints_are_honored(spark):
         orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
     )
     assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q4_decorrelates_to_semi_join(spark):
+    df = QUERIES["tpch_q4_priority_returns"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # EXISTS never executes per-row
+    pf = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pf), pf
+    assert any("l_returnflag" in f for f in pf), pf
+
+
+def test_tpch_q22_decorrelates_to_anti_join(spark):
+    df = QUERIES["tpch_q22_dormant_capital"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # NOT EXISTS never executes per-row
+
+
+def test_triangle_counts_no_cartesian(spark):
+    # every join in the oriented wedge/closure pipeline is an equi-join
+    df = QUERIES["triangle_counts_cosupply"](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_variant_stats_two_shuffles_max(spark):
+    # parse_json + variant_get are scan-side projections; the only
+    # exchanges are the two-phase aggregation the exact COUNT(DISTINCT)
+    # requires (partial on (event_type, k), final on event_type) —
+    # nothing shuffles the raw props strings
+    df = QUERIES["events_variant_stats"](spark, SF_DIR)
+    assert count_node(df, "Exchange") == 2
+    assert count_node(df, "HashAggregate") >= 2  # partial + final
