@@ -78,7 +78,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "pack_sequences",
     """
     SELECT doc_id, source, n_tok,
@@ -315,7 +315,7 @@ _ASSEMBLE_SQL = f"""
     """
 
 
-@extra_query("assemble_training_set", _ASSEMBLE_SQL)
+@query("assemble_training_set", _ASSEMBLE_SQL)
 def q_assemble_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FLAGSHIP composition — the whole training-data assembly line
     as ONE declarative plan: language-ID + quality gate (scan-fused
