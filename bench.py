@@ -136,11 +136,17 @@ def main() -> None:
     # cost, which is what the benchmark compares. Every rep is a full
     # end-to-end execution (plan + run to the noop sink, caches cleared).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # extra reps stop once the whole bench has spent this many seconds
+    # (first rep always runs) — bounds wall time on slow hosts
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(queries):
         best = None
-        for _ in range(reps):
+        for rep_i in range(reps):
+            if rep_i > 0 and time.perf_counter() - bench_t0 > budget_s:
+                break
             # each execution is timed standalone: drop any DataFrame
             # caches a previous run persisted (the dedup pipelines cache
             # their signature/sketch tables), so no run pays GC/eviction
