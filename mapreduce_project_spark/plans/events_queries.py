@@ -455,3 +455,72 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts(F.col("_next"), "valid_to"),
         F.col("version").cast("bigint").alias("version"),
     )
+
+
+@extra_query(
+    "interval_join_error_sessions",
+    """
+    WITH sess_flag AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess_num AS (
+      SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM sess_flag
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL '30 minutes' AS s_end
+      FROM sess_num GROUP BY user_id, sid
+    ), err_flag AS (
+      SELECT ts,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (ORDER BY ts) >= 600000
+                  THEN 1 ELSE 0 END AS new_i
+      FROM events WHERE event_type = 'error'
+    ), err_num AS (
+      SELECT ts, SUM(new_i) OVER (ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+      FROM err_flag
+    ), inc AS (
+      SELECT MIN(ts) AS i_start, MAX(ts) + INTERVAL '10 minutes' AS i_end
+      FROM err_num GROUP BY iid
+    )
+    SELECT s.user_id,
+           strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(i.i_start, '%Y-%m-%d %H:%M:%S') AS incident_start
+    FROM sess s JOIN inc i
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    """,
+)
+def q_interval_join_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact interval OVERLAP join, bucketized
+    (`operators/join.py:interval_join`): which user sessions overlapped
+    an error incident (global 10-min-gap sessions over error events)?
+    Both interval sets are large, so no side can broadcast — the naive
+    plan is a nested loop; here each interval explodes into its covered
+    1-hour buckets and the sides EQUI-join on the bucket before the
+    exact overlap refine + distinct. The oracle runs the naive overlap
+    join (DuckDB's IEJoin keeps it feasible at oracle scale)."""
+    from mapreduce_project_spark.operators.join import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .select(F.col("w.start").alias("i_start"), F.col("w.end").alias("i_end"))
+    )
+    joined = interval_join(
+        sess, inc, ("s_start", "s_end"), ("i_start", "i_end"), 3600
+    )
+    return joined.select(
+        "user_id",
+        fmt_ts(F.col("s_start"), "session_start"),
+        fmt_ts(F.col("i_start"), "incident_start"),
+    ).distinct()

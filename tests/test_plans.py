@@ -213,3 +213,11 @@ def test_variant_stats_two_shuffles_max(spark):
     df = QUERIES["events_variant_stats"](spark, SF_DIR)
     assert count_node(df, "Exchange") == 2
     assert count_node(df, "HashAggregate") >= 2  # partial + final
+
+
+def test_interval_join_is_equi_bucketized(spark):
+    # two large interval sets must join via exploded-bucket equi-keys,
+    # never a nested loop / cartesian of the interval sets
+    df = QUERIES["interval_join_error_sessions"](spark, SF_DIR)
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+    assert not has_node(df, "CartesianProduct")
