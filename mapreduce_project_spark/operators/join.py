@@ -205,3 +205,52 @@ def asof_join(
         F.col("_m._ts").alias(f"{right_ts}{suffix}"),
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Forward as-of join — `asof_join`'s mirror: for each left row,
+    the right row with the SMALLEST ``right_ts >= left_ts`` in the key
+    group (nulls when none follows). "Next event after": time-to-next-
+    purchase, next sensor reading, next deploy after an alert.
+
+    Same union-sort-carry skeleton and cost (one shuffle on ``keys``,
+    linear per row); the carry just flips direction: the window frame
+    looks FORWARD (current row → unbounded following) and takes the
+    first non-null right payload. Left rows sort before right rows at
+    equal timestamps, giving inclusive ``>=``; ties among right rows at
+    one ts resolve to the smallest payload struct — deterministic."""
+    from pyspark.sql import Window
+
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    right_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_evt_ts"),
+        payload.alias("_payload"),
+        F.lit(1).alias("_side"),
+    )
+    left_cols = left.columns
+    left_tagged = left.withColumn("_evt_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(0)
+    )
+    unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_evt_ts"), F.col("_side"), F.col("_payload"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn("_m", F.first("_payload", ignorenulls=True).over(w))
+    return matched.filter(F.col("_side") == 0).select(
+        *left_cols,
+        F.col("_m._ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

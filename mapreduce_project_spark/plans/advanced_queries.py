@@ -514,3 +514,42 @@ def q_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ["supplier"])
     return spark.sql(_RCTE_SQL)
+
+
+@extra_query(
+    "asof_purchase_after_view",
+    """
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT v.event_id, v.user_id, v.ts, MIN(p.ts) AS pts
+      FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts
+      GROUP BY v.event_id, v.user_id, v.ts
+    )
+    SELECT event_id, user_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           epoch_ms(pts) - epoch_ms(ts) AS wait_ms
+    FROM m
+    """,
+)
+def q_asof_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (`operators/join.py:asof_join_forward`): each view
+    matched to the same user's NEXT purchase — the time-to-convert
+    metric, D7's mirror. Single keyed shuffle, no join operator; the
+    oracle expresses the identical semantics as a MIN-over-candidates
+    outer join (fine at oracle scale, quadratic per key at 100 TB —
+    which is exactly why the union-carry form exists)."""
+    from mapreduce_project_spark.operators.join import asof_join_forward
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join_forward(views, purchases, ["user_id"], "ts", "ts", [])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts_matched"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        (F.unix_millis(F.col("ts_matched")) - F.unix_millis(F.col("ts"))).alias("wait_ms"),
+    )
