@@ -524,3 +524,57 @@ def q_interval_join_error_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         fmt_ts(F.col("s_start"), "session_start"),
         fmt_ts(F.col("i_start"), "incident_start"),
     ).distinct()
+
+
+@extra_query(
+    "events_sessions_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'error' THEN 600000 ELSE 1800000 END AS gap_ms
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, gap_ms,
+             CASE WHEN MAX(epoch_ms(ts) + gap_ms) OVER w1 IS NULL
+                  OR epoch_ms(ts) >= MAX(epoch_ms(ts) + gap_ms) OVER w1
+                  THEN 1 ELSE 0 END AS new_s
+      FROM g
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(to_timestamp(MAX(epoch_ms(ts) + gap_ms) / 1000.0),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_events_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: each event extends its session by
+    its OWN inactivity timeout (error events cool off in 10 minutes,
+    everything else in 30) — `session_window` with a per-row gap
+    COLUMN, the form fraud/ops sessionization actually needs. The
+    oracle is gaps-and-islands generalized to variable gaps: a new
+    session starts when the event time passes the running MAX of every
+    previous event's (ts + its gap) — a prefix-max window, still one
+    keyed sort. Session end = max(ts + gap), matching Spark's merge
+    semantics exactly."""
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
