@@ -605,3 +605,57 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_freq").cast("double") / F.col("n_bigrams")).alias("avg_freq"),
         )
     )
+
+
+@extra_query(
+    "zscore_doc_length",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT source,
+             CAST(SUM(n_tok) AS BIGINT) AS s1,
+             CAST(SUM(n_tok * n_tok) AS BIGINT) AS s2,
+             COUNT(*) AS n
+      FROM sized GROUP BY source
+    )
+    SELECT doc_id, sized.source, n_tok,
+           (CAST(n_tok AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             AS z
+    FROM sized JOIN stats ON sized.source = stats.source
+    """,
+)
+def q_zscore_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise feature normalization: per-source z-scores of document
+    token counts — the outlier/drift detector for length-based quality
+    cuts. Engine-exact by construction: token counts are integers, so
+    the per-group Σx and Σx² are EXACT BIGINT sums (order-independent,
+    unlike float stddev accumulation); mean/variance/z then evaluate in
+    one fixed IEEE operand order on exact inputs. One partial-agg
+    shuffle for the stats, broadcast back onto the stream."""
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    stats = sized.groupBy("source").agg(
+        F.sum("n_tok").alias("s1"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return (
+        sized.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            ((F.col("n_tok").cast("double") - mean) / F.sqrt(var)).alias("z"),
+        )
+    )

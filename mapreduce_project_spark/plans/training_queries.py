@@ -364,3 +364,41 @@ def q_assemble_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(sized, "source", "doc_id", F.col("n_tok"), 2048)
     return packed.select("doc_id", "source", "n_tok", "bin")
+
+
+@extra_query(
+    "quality_weighted_sample",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.2 * least((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 8, 1.0)
+             AS quality
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, quality
+    FROM q
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            < CAST(quality * 4294967296.0 AS BIGINT)
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW weighted sampling: each document's keep probability IS
+    its quality score (the soft version of the hard quality gate —
+    keeps a graded mix instead of a cliff at a threshold), decided by
+    the same deterministic md5-bucket machinery as `source_mixture` but
+    with a per-row threshold. Pure map-side filter: reproducible,
+    growth-stable, zero shuffle. The hash's top 32 bits compare against
+    floor(quality x 2^32) in exact integer space on both engines."""
+    from mapreduce_project_spark.operators.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    hash_bits = F.expr(
+        "cast(conv(substr(md5(cast(cast(doc_id AS string) AS binary)), 1, 8), 16, 10) AS bigint)"
+    )
+    q = quality_score("text")
+    return (
+        docs.select("doc_id", q.alias("quality"))
+        .filter(hash_bits < (F.col("quality") * F.lit(4294967296.0)).cast("bigint"))
+    )
