@@ -553,3 +553,31 @@ def q_asof_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("ts_matched"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         (F.unix_millis(F.col("ts_matched")) - F.unix_millis(F.col("ts"))).alias("wait_ms"),
     )
+
+
+@extra_query(
+    "rollup_with_grouping_id",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING disambiguation: a NULL grouping key is
+    ambiguous between "subtotal row" and "the data really was NULL";
+    `grouping_id` (bitmask of which keys are rolled up) makes subtotal
+    levels machine-readable — required the moment a rollup feeds
+    anything downstream. Same one-Expand plan as `cube_order_stats`."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
+    )

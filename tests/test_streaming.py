@@ -278,3 +278,41 @@ def test_stream_stream_left_outer_interval_join_matches_batch(spark):
     }
     assert got == expected
     assert any(r is None for _, r in got)
+
+
+def test_streaming_dynamic_gap_sessions_match_batch(spark):
+    # per-row gap columns work identically under readStream: error
+    # events cool off in 10 minutes, everything else in 30
+    ev = read_event_stream(spark, SF_DIR)
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    stream = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    run_to_memory(stream, "stream_dyn_sessions", "complete")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM stream_dyn_sessions").collect()
+    }
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == want and got
