@@ -383,3 +383,37 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan and "(day" in plan, plan[:800]
     assert {r["event_id"] for r in df.collect()} == {3}
+
+
+def test_max_partition_bytes_controls_input_splits(spark):
+    """A11 parity (input-split planner, master.py:234-256): Spark's
+    split planning is config-driven — shrinking maxPartitionBytes turns
+    one file into many byte-ranged splits (the reference's num_maps
+    knob, but byte-targeted rather than file-count-targeted)."""
+    path = "/root/testdata/sf0.1/lineitem.parquet"  # big enough to split
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024 * 1024))
+        few = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert many > few >= 1, (many, few)
+
+
+def test_metadata_column_carries_file_provenance(spark):
+    """A3 parity: the reference passes iterators a metadata dict
+    {"file_path", "size"} (worker.py:133); Spark's hidden _metadata
+    struct exposes the same provenance on ANY file-source row without
+    a UDF or input_file_name()."""
+    from tests.conftest import SF_DIR
+
+    df = spark.read.parquet(f"{SF_DIR}/region.parquet").select(
+        "r_regionkey",
+        "_metadata.file_path",
+        "_metadata.file_size",
+    )
+    rows = df.collect()
+    assert rows and all(r["file_path"].endswith("region.parquet") for r in rows)
+    assert all(r["file_size"] > 0 for r in rows)
