@@ -578,3 +578,42 @@ def q_events_sessions_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+@extra_query(
+    "trailing_distinct_users",
+    """
+    SELECT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(COUNT(DISTINCT user_id) OVER w AS BIGINT) AS n_distinct_users
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct actors in the trailing hour, as of every event — the
+    unique-cardinality velocity signal (abuse/fanout detection). Spark
+    has no COUNT(DISTINCT) OVER; the composable workaround is
+    ``size(array_distinct(collect_list(...)))`` over the same RANGE
+    frame — exact, deterministic (a set size), memory bounded by the
+    frame's row count. At 100 TB swap the exact set for an HLL sketch
+    column merged over the frame if frames grow unbounded; frames here
+    are time-bounded by construction. Same integer-microsecond frame
+    discipline as `trailing_time_agg`."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        fmt_ts(F.col("ts"), "ts_s"),
+        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+        .cast("bigint")
+        .alias("n_distinct_users"),
+    )
