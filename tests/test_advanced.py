@@ -247,3 +247,34 @@ def test_pagerank_star_graph(spark):
     # bit-determinism across runs
     again = {r["node"]: r["rank_fx"] for r in pagerank_fixed(symmetrize(raw), n_iter=3).collect()}
     assert again == ranks
+
+
+def test_interval_join_with_blocking_keys(spark):
+    """interval_join's optional equi-keys confine candidate pairs to
+    equal key groups on top of the bucket — verified against a naive
+    per-key overlap join on a hand-built fixture."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.join import interval_join
+
+    a = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "2024-01-01 11:00:00", "a1"),
+         ("u1", "2024-01-01 12:00:00", "2024-01-01 13:00:00", "a2"),
+         ("u2", "2024-01-01 10:30:00", "2024-01-01 10:45:00", "a3")],
+        "k string, s string, e string, aid string",
+    ).select("k", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"), "aid")
+    b = spark.createDataFrame(
+        [("u1", "2024-01-01 10:30:00", "2024-01-01 10:40:00", "b1"),
+         ("u2", "2024-01-01 10:30:00", "2024-01-01 10:40:00", "b2"),
+         ("u1", "2024-01-01 12:59:00", "2024-01-01 14:00:00", "b3")],
+        "k string, s2 string, e2 string, bid string",
+    ).select("k", F.col("s2").cast("timestamp").alias("s2"),
+             F.col("e2").cast("timestamp").alias("e2"), "bid")
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_join(a, b, ("s", "e"), ("s2", "e2"), 1800, keys=["k"]).collect()
+    }
+    # same-key overlaps only: a1×b1 (u1), a2×b3 (u1), a3×b2 (u2) —
+    # never a1×b2 (different key) despite identical times
+    assert got == {("a1", "b1"), ("a2", "b3"), ("a3", "b2")}

@@ -221,3 +221,16 @@ def test_interval_join_is_equi_bucketized(spark):
     df = QUERIES["interval_join_error_sessions"](spark, SF_DIR)
     assert not has_node(df, "BroadcastNestedLoopJoin")
     assert not has_node(df, "CartesianProduct")
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("qname", sorted(_DECLARED))
+def test_no_declared_query_plans_cartesian(spark, qname):
+    # blanket scale guard: a CartesianProduct (non-broadcast physical
+    # cross join) in any declared query is always a bug at 100 TB —
+    # broadcast nested loops against constant-size sides are allowed,
+    # unbroadcast products are not
+    df = QUERIES[qname](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
