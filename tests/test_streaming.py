@@ -316,3 +316,61 @@ def test_streaming_dynamic_gap_sessions_match_batch(spark):
         (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_streaming_observed_metrics(spark):
+    # the Observation/observe surface works on streams too: per-batch
+    # data-quality counters surface in query progress, no extra pass
+    ev = read_event_stream(spark, SF_DIR).observe(
+        "ingest", F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    q = (
+        ev.writeStream.outputMode("append").format("noop")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    metrics = [p["observedMetrics"]["ingest"] for p in
+               (q.recentProgress or []) if p.get("observedMetrics", {}).get("ingest")]
+    total_rows = sum(m["n"] for m in metrics)
+    want = load_table(spark, SF_DIR, "events").count()
+    assert total_rows == want, (total_rows, want)
+
+
+def test_streaming_feeds_incremental_rollup(spark, tmp_path):
+    # the full continuous-rollup pipeline: a stream's micro-batches fold
+    # into the day-partitioned aggregate via foreachBatch +
+    # merge_partitioned_rollup; the final table equals a one-shot batch
+    # rollup of everything that streamed through
+    from mapreduce_project_spark.sources.io import merge_partitioned_rollup
+
+    rollup = str(tmp_path / "rollup")
+    ev = read_event_stream(spark, SF_DIR).withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+
+    def fold(batch_df, batch_id):
+        merge_partitioned_rollup(
+            batch_df.sparkSession, batch_df, rollup, "day", ["event_type"],
+            {"sum_value": "value"},
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        # partition-column type inference reads the day dir back as DATE
+        (str(r["day"]), r["event_type"]): (r["n_rows"], float(r["sum_value"]))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+    )
+    want = {(r["day"], r["event_type"]): (r["n"], float(r["s"])) for r in batch.collect()}
+    assert got == want and got
