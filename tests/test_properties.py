@@ -206,3 +206,51 @@ def test_mix_sources_deterministic_and_growth_stable(spark, rates, n):
         r["doc_id"] for r in mix_sources(bigger, "doc_id", "source", rates).collect()
     }
     assert {i for i in kept_big if i < 10_000} == kept1
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # key
+        st.integers(0, 500_000),    # start offset seconds
+        st.integers(0, 90_000),     # duration seconds
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(a_rows=_intervals, b_rows=_intervals, bucket=st.sampled_from([3600, 7200]))
+@settings(**SETTINGS)
+def test_interval_join_equals_naive_overlap(spark, a_rows, b_rows, bucket):
+    """interval_join (bucketized equi-join + refine + distinct) must
+    equal the naive quadratic overlap join for ANY interval sets, keys,
+    and bucket width — the distinct step correctly collapses the
+    multi-bucket duplicate matches."""
+    from mapreduce_project_spark.operators.join import interval_join
+
+    def mk(rows, s, e, idc):
+        data = [
+            (k, f"2024-01-01 00:00:00", st_off, dur, i)
+            for i, (k, st_off, dur) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, f"k int, base string, off long, dur long, {idc} long"
+        )
+        return df.select(
+            "k",
+            F.expr("timestamp(base) + make_interval(0,0,0,0,0,0,off)").alias(s),
+            F.expr("timestamp(base) + make_interval(0,0,0,0,0,0,off + dur)").alias(e),
+            idc,
+        )
+
+    a = mk(a_rows, "s", "e", "aid")
+    b = mk(b_rows, "s2", "e2", "bid")
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_join(a, b, ("s", "e"), ("s2", "e2"), bucket, keys=["k"]).collect()
+    }
+    naive = a.join(b, "k").filter(
+        (F.col("s") <= F.col("e2")) & (F.col("s2") <= F.col("e"))
+    )
+    want = {(r["aid"], r["bid"]) for r in naive.collect()}
+    assert got == want
