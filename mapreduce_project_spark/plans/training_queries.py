@@ -257,6 +257,20 @@ _GRAMS3 = (
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
+# The assembly pipeline decontaminates on 5-grams, not 3-grams: short
+# shingles over-fire on template-generated corpora (at every fixture
+# scale EVERY train doc shares some 3-gram with the held-out split, so
+# the composed pipeline would emit zero rows and its hash-match would be
+# vacuous). Real-world decontamination uses longer windows for the same
+# reason (GPT-3 used 13-grams); n=5 keeps BOTH signals non-trivial on
+# the fixtures: contamination still removes docs (7/11/298 train docs at
+# sf0.001/0.01/0.1) and survivors remain (> 0 at every checked scale).
+_GRAMS5 = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 4), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+    "toks[i+3] || ' ' || toks[i+4]))"
+)
+
 _ASSEMBLE_SQL = f"""
     WITH base AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
     marked AS (
@@ -287,12 +301,12 @@ _ASSEMBLE_SQL = f"""
     ),
     bench AS (
       SELECT DISTINCT gram
-      FROM (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM base) g
+      FROM (SELECT doc_id, unnest({_GRAMS5}) AS gram FROM base) g
       JOIN lab USING (doc_id) WHERE is_test
     ),
     contaminated AS (
       SELECT DISTINCT doc_id
-      FROM (SELECT doc_id, unnest({_GRAMS3}) AS gram
+      FROM (SELECT doc_id, unnest({_GRAMS5}) AS gram
             FROM (SELECT d.doc_id, d.toks FROM deduped d)) dg
       JOIN bench USING (gram)
     ),
@@ -328,7 +342,12 @@ def q_assemble_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     `source_mixture`, `pack_sequences`); this query certifies their
     COMPOSITION end to end against one composed SQL oracle — the
     "could a reference user run their whole pipeline here" question in
-    a single hash-match. Scale: one corpus scan feeds the gate, one
+    a single hash-match. Decontamination here uses 5-grams (see
+    `_GRAMS5`): 3-grams over-fire on the template fixtures and would
+    leave zero survivors at every checked scale, making the hash-match
+    vacuous; with n=5 both the removal and the survivor set are
+    non-empty at sf0.001/0.01/0.1 (asserted in
+    `tests/test_training.py`). Scale: one corpus scan feeds the gate, one
     digest shuffle dedups, grams broadcast against the (small) held-out
     set, the mix is a pushed-down filter, and packing windows per
     source shard — no stage is quadratic or driver-bound."""
@@ -353,7 +372,7 @@ def q_assemble_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = scored.join(keep, ["fp", "doc_id"]).select("doc_id", "source", "text")
     cleaned = decontaminate(
-        deduped.filter(~is_test), docs.filter(is_test), "doc_id", "text", 3
+        deduped.filter(~is_test), docs.filter(is_test), "doc_id", "text", 5
     )
     mixed = mix_sources(
         cleaned, "doc_id", "source",

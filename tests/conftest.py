@@ -78,15 +78,27 @@ def rows_of(df_pandas):
     )
 
 
-def assert_matches_oracle(spark_df, duck_con, sql, approx_cols=()):
+def assert_matches_oracle(spark_df, duck_con, sql, approx_cols=(), allow_empty=False):
     """Differential check ≡ the driver's: same columns, same multiset of
-    rows (after per-cell normalization)."""
+    rows (after per-cell normalization).
+
+    Guards against VACUOUS passes: an empty-vs-empty hash match proves
+    nothing about the query, so both sides being empty is a failure
+    unless the test explicitly opts in with ``allow_empty=True`` (for
+    queries whose correct answer on the fixture IS the empty set)."""
     got = spark_df.toPandas()
     want = duck_con.sql(sql).df()
     assert sorted(got.columns) == sorted(want.columns), (
         f"column mismatch: spark={sorted(got.columns)} oracle={sorted(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    if not allow_empty:
+        assert len(want) > 0, (
+            "vacuous oracle pass: both engines returned 0 rows — the "
+            "comparison certifies nothing; recalibrate the query for the "
+            "fixture scale or pass allow_empty=True if empty is the "
+            "genuinely correct answer"
+        )
     g, w = rows_of(got), rows_of(want)
     mismatches = [(a, b) for a, b in zip(g, w) if a != b]
     assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
