@@ -134,7 +134,13 @@ def pagerank_fixed(
     division drops sub-unit remainders — that loss is part of the
     deterministic spec, bounded by 1 unit (10^-12) per edge per round.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge list is consumed once per round plus once for degrees;
+    # without caching, an expensive upstream (e.g. the orders⋈lineitem
+    # build in pagerank_trade_graph) would be recomputed n_iter+1 times.
+    # Persisting the edges is the standard iterative-graph discipline —
+    # at cluster scale this is MEMORY_AND_DISK and amortizes the build
+    # across rounds.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -171,6 +177,7 @@ def pagerank_fixed(
         ranks.unpersist()
         ranks = nxt
     deg.unpersist()
+    e.unpersist()
     return ranks.select(
         "node",
         F.col("fx").alias("rank_fx"),

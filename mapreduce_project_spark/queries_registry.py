@@ -94,6 +94,40 @@ from mapreduce_project_spark.plans import advanced_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import training_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import classic_queries  # noqa: E402,F401
 
+# Per-round slot rotation. The driver's correctness window records at
+# most MAX_DECLARED queries, but 100+ are oracle-equipped; rotating
+# which ones occupy driver slots lets every operator earn a hard
+# external (driver-green) signal across rounds while the full set stays
+# pytest-oracle-checked every round regardless. Definition sites keep
+# their original @query/@extra_query decorator; this table is the only
+# thing that changes between rounds.
+#
+# Round 3: swap five low-information scalar/variant slots out in favor
+# of the heavyweight operators that round 2 left with repo-only signal.
+_ROTATE_OUT = (
+    "word_count_mr",      # facade twin of the driver-green word_count
+    "date_functions",     # scalar-function smoke
+    "array_functions",    # scalar-function smoke
+    "string_funcs",       # scalar-function smoke
+    "posexplode_tokens",  # near-variant of the explode path in word_count
+)
+_ROTATE_IN = (
+    "pagerank_trade_graph",      # D49 iterative fixed-point PageRank
+    "recursive_supplier_chain",  # D68 recursive CTE
+    "window_rank_family",        # D53 ranking-window family
+    "events_funnel",             # D45 ordered funnel analysis
+    "decontam_hits",             # D42 benchmark n-gram decontamination
+)
+
+for _name in _ROTATE_OUT:
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+    if _name in ORACLES:
+        EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+for _name in _ROTATE_IN:
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    if _name in EXTRA_ORACLES:
+        ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
 assert len(QUERIES) <= MAX_DECLARED, (
     f"{len(QUERIES)} declared queries exceed the driver's {MAX_DECLARED}-entry "
     "correctness window — move a near-duplicate variant to extra_query"
