@@ -224,17 +224,27 @@ def scd2_from_changelog(
     or run boundaries are nondeterministic. At 100 TB both passes are
     the same key-partitioned shuffle — state per key is one row in
     flight, and the output is the dimension table joined by
-    ``key BETWEEN valid_from AND valid_to`` range joins downstream."""
+    ``key BETWEEN valid_from AND valid_to`` range joins downstream.
+
+    ``attr_col`` may be NULL: change detection is null-safe
+    (``eqNullSafe``, ≡ SQL ``IS DISTINCT FROM``), so a value→NULL
+    transition opens a new version and a NULL→NULL run collapses —
+    plain ``!=``/``lag`` would do neither, because lag's NULL is
+    ambiguous between "first row" and "previous value was NULL"
+    (round-2 advisor finding); the first row is therefore detected by
+    row number, not by prev-is-null."""
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     changed = (
         changes.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(
-            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+            (F.col("_rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
         )
-        .drop("_prev")
+        .drop("_prev", "_rn")
     )
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return changed.select(

@@ -120,12 +120,18 @@ def interval_join(
 
     How: each interval explodes into the fixed-width time buckets it
     covers (``sequence(floor(start/w), floor(end/w))`` — a narrow
-    map-side op), the sides equi-join on (bucket[, keys]), the exact
-    overlap predicate refines the candidates, and duplicate matches
-    (an overlapping pair shares every co-covered bucket) collapse via
-    one distinct on the carried columns. Cost: rows x avg buckets per
+    map-side op), the sides equi-join on (bucket[, keys]), and the
+    exact overlap predicate refines the candidates. A matching pair
+    shares every co-covered bucket, so the match would surface once per
+    shared bucket; the pair is kept only in its FIRST shared bucket —
+    ``_bkt == greatest(floor(start_l/w), floor(start_r/w))`` (the later
+    of the two start buckets, which both intervals cover whenever they
+    overlap). That filter is evaluated inside the join stage: no
+    post-join distinct, hence no second shuffle over the full payload,
+    and two genuinely identical input rows still yield two matches
+    (a ``distinct`` would collapse them). Cost: rows x avg buckets per
     interval (bounded when ``bucket_seconds`` ~ typical interval
-    length) + an equi-shuffle — vs the quadratic nested loop. The
+    length) + ONE equi-shuffle — vs the quadratic nested loop. The
     output carries every column of both inputs; timestamps compare at
     full microsecond precision (the bucket floor uses integer micros —
     same discipline as `trailing_time_agg`)."""
@@ -142,11 +148,16 @@ def interval_join(
     a = left.withColumn("_bkt", F.explode(buckets(ls, le)))
     b = right.withColumn("_bkt", F.explode(buckets(rs, re_)))
     on = ["_bkt", *(keys or [])]
+    first_shared = F.greatest(
+        F.expr(f"unix_micros({ls}) div {w}"), F.expr(f"unix_micros({rs}) div {w}")
+    )
     joined = a.join(b, on).filter(
-        (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+        (F.col(ls) <= F.col(re_))
+        & (F.col(rs) <= F.col(le))
+        & (F.col("_bkt") == first_shared)
     )
     out_cols = [c for c in joined.columns if c != "_bkt"]
-    return joined.select(*out_cols).distinct()
+    return joined.select(*out_cols)
 
 
 def asof_join(

@@ -421,12 +421,16 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev
+               AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
       FROM events
     ),
     changed AS (
+      -- null-safe change detection, in lockstep with the Spark side's
+      -- eqNullSafe (value->NULL opens a version; NULL->NULL collapses)
       SELECT user_id, event_type, ts, event_id FROM ordered
-      WHERE prev IS NULL OR event_type <> prev
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id, event_type AS attr_value,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,

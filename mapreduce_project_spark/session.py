@@ -61,14 +61,28 @@ def get_spark(app_name: str = "mapreduce_project_spark") -> SparkSession:
 
 
 def job_status(spark: SparkSession) -> dict:
-    """A17 parity: the reference *declares* a JobStatus RPC but never
-    implements it (``master_client.proto:8-9,28-36``; no servicer method
-    in ``master.py``). Spark's status tracker provides the real thing:
-    active job/stage ids and per-job info, no app code required."""
+    """A17 parity: the reference *declares* a JobStatus RPC — response
+    shape ``done, file_paths, pending task counts``
+    (``master_client.proto:8-9,28-36``) — but never implements it (no
+    servicer method in ``master.py``). Spark's status tracker provides
+    the real thing: active job/stage ids plus per-stage pending-task
+    counts (``numTasks - numCompletedTasks``), no app code required.
+
+    ``pending_tasks`` maps active stage id → tasks not yet completed;
+    ``pending_tasks_total`` is their sum (the proto's scalar count).
+    Both drain to zero once no action is running."""
     tracker = spark.sparkContext.statusTracker()
+    stage_ids = list(tracker.getActiveStageIds())
+    pending: dict[int, int] = {}
+    for sid in stage_ids:
+        info = tracker.getStageInfo(sid)
+        if info is not None:
+            pending[sid] = max(0, info.numTasks - info.numCompletedTasks)
     return {
         "active_job_ids": list(tracker.getActiveJobsIds()),
-        "active_stage_ids": list(tracker.getActiveStageIds()),
+        "active_stage_ids": stage_ids,
+        "pending_tasks": pending,
+        "pending_tasks_total": sum(pending.values()),
     }
 
 

@@ -379,7 +379,16 @@ def merge_partitioned_rollup(
     group = [part_col, *key_cols]
     fresh = batch.groupBy(*group).agg(*aggs)
     out_cols = [*group, "n_rows", *sum_cols]
-    try:
+    # First-batch detection must be EXPLICIT: a broad except here would
+    # also swallow schema drift, missing columns, or transient listing
+    # failures, silently treat them as "first batch", and then the
+    # dynamic overwrite would replace touched partitions with the new
+    # batch alone — losing accumulated history (round-2 advisor
+    # finding). Only a genuinely absent rollup may take the fresh path;
+    # every other error propagates.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
         parts = [r[0] for r in batch.select(part_col).distinct().collect()]
         old = spark.read.parquet(rollup_path).filter(F.col(part_col).isin(parts))
         merged = (
@@ -394,7 +403,7 @@ def merge_partitioned_rollup(
                 ],
             )
         )
-    except Exception:  # first batch: nothing to merge yet
+    else:  # first batch: nothing to merge yet
         merged = fresh
     with _dynamic_overwrite(spark):
         merged.select(*out_cols).write.mode("overwrite").partitionBy(

@@ -278,3 +278,51 @@ def test_interval_join_with_blocking_keys(spark):
     # same-key overlaps only: a1×b1 (u1), a2×b3 (u1), a3×b2 (u2) —
     # never a1×b2 (different key) despite identical times
     assert got == {("a1", "b1"), ("a2", "b3"), ("a3", "b2")}
+
+
+def test_scd2_nullable_attribute_transitions(spark):
+    """value→NULL opens a new version, NULL→NULL collapses, NULL→value
+    opens a new version — the null-safe change detection the round-2
+    advisor asked for (plain != silently absorbed NULL runs)."""
+    from mapreduce_project_spark.operators.events import scd2_from_changelog
+
+    rows = [
+        ("u", 1, "a"),
+        ("u", 2, None),   # a -> NULL: new version
+        ("u", 3, None),   # NULL -> NULL: same run, collapsed
+        ("u", 4, "b"),    # NULL -> b: new version
+        ("u", 5, "b"),    # unchanged: collapsed
+        ("v", 1, None),   # first row with NULL attr: version 1
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, attr string")
+    out = scd2_from_changelog(df, ["k"], ["o"], "attr")
+    got = {(r["k"], r["version"]): (r["attr_value"], r["o"], r["_next"]) for r in out.collect()}
+    assert got == {
+        ("u", 1): ("a", 1, 2),
+        ("u", 2): (None, 2, 4),
+        ("u", 3): ("b", 4, None),
+        ("v", 1): (None, 1, None),
+    }
+
+
+def test_interval_join_preserves_duplicate_input_rows(spark):
+    """Two IDENTICAL left rows (no unique id column) must produce two
+    matches — the old all-column distinct collapsed them (round-2
+    advisor finding); the first-shared-bucket filter must not. The
+    interval here spans several buckets so the filter is exercised."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.join import interval_join
+
+    a = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "2024-01-01 13:00:00")] * 2,
+        "s string, e string",
+    ).select(F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    b = spark.createDataFrame(
+        [("2024-01-01 11:00:00", "2024-01-01 14:00:00", "b1")],
+        "s2 string, e2 string, bid string",
+    ).select(F.col("s2").cast("timestamp").alias("s2"),
+             F.col("e2").cast("timestamp").alias("e2"), "bid")
+    out = interval_join(a, b, ("s", "e"), ("s2", "e2"), 1800).collect()
+    assert len(out) == 2
+    assert {r["bid"] for r in out} == {"b1"}

@@ -88,11 +88,49 @@ def test_partition_pruning_in_plan(spark, tmp_path):
 
 
 def test_job_status_tracker(spark):
+    """A17: the reference's declared-but-unimplemented JobStatus RPC
+    (`master_client.proto:28-36` — done + pending task counts). During
+    an action, pending-task counts are observable; afterwards they
+    drain to zero (the proto's 'done' condition)."""
+    import threading
+    import time
+
     from mapreduce_project_spark.session import job_status
 
     st = job_status(spark)
-    assert set(st) == {"active_job_ids", "active_stage_ids"}
+    assert set(st) == {
+        "active_job_ids",
+        "active_stage_ids",
+        "pending_tasks",
+        "pending_tasks_total",
+    }
     assert isinstance(st["active_job_ids"], list)
+    # idle session: nothing pending
+    assert st["pending_tasks_total"] == 0
+
+    # poll while a deliberately slow multi-task action runs
+    seen = []
+
+    def poll():
+        for _ in range(200):
+            s = job_status(spark)
+            seen.append(s["pending_tasks_total"])
+            time.sleep(0.02)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    (
+        spark.range(0, 64, 1, 16)
+        .selectExpr("java_method('java.lang.Thread', 'sleep', 80L)", "id")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    after = job_status(spark)
+    t.join()
+    # pending counts were visible mid-flight and drained to zero after
+    assert max(seen) > 0
+    assert after["pending_tasks_total"] == 0
 
 
 def test_custom_linefile_datasource(spark, tmp_path):
@@ -280,6 +318,30 @@ def test_merge_partitioned_rollup_incremental_and_partition_stable(spark, tmp_pa
     assert got == want
     # d1 was not in batch 2: dynamic overwrite must leave its files alone
     assert sorted(os.listdir(f"{path}/day=d1")) == d1_files
+
+
+def test_merge_partitioned_rollup_errors_propagate(spark, tmp_path):
+    """A broken EXISTING rollup (here: missing the expected sum column)
+    must raise — not be silently treated as 'first batch' and
+    overwritten, losing accumulated history (round-2 advisor finding).
+    Only a genuinely absent rollup path takes the fresh-write path."""
+    import pytest
+
+    from mapreduce_project_spark.sources.io import merge_partitioned_rollup
+
+    path = str(tmp_path / "rollup_bad")
+    schema = "day string, event_type string, value double"
+    b = spark.createDataFrame([("d1", "click", 1.0)], schema)
+    # plant an existing rollup with a DIFFERENT schema at the path
+    spark.createDataFrame([("d1", 1)], "day string, other long").write.partitionBy(
+        "day"
+    ).parquet(path)
+    with pytest.raises(Exception):
+        merge_partitioned_rollup(
+            spark, b, path, "day", ["event_type"], {"sum_value": "value"}
+        )
+    # the broken table was not clobbered
+    assert set(spark.read.parquet(path).columns) == {"day", "other"}
 
 
 def test_read_parquet_evolving_merges_additive_schema(spark, tmp_path):

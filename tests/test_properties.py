@@ -222,10 +222,11 @@ _intervals = st.lists(
 @given(a_rows=_intervals, b_rows=_intervals, bucket=st.sampled_from([3600, 7200]))
 @settings(**SETTINGS)
 def test_interval_join_equals_naive_overlap(spark, a_rows, b_rows, bucket):
-    """interval_join (bucketized equi-join + refine + distinct) must
-    equal the naive quadratic overlap join for ANY interval sets, keys,
-    and bucket width — the distinct step correctly collapses the
-    multi-bucket duplicate matches."""
+    """interval_join (bucketized equi-join + refine + first-shared-
+    bucket filter) must equal the naive quadratic overlap join for ANY
+    interval sets, keys, and bucket width — each matching pair emitted
+    EXACTLY once (the multiset check below catches any multi-bucket
+    duplicate the filter failed to suppress)."""
     from mapreduce_project_spark.operators.join import interval_join
 
     def mk(rows, s, e, idc):
@@ -245,10 +246,13 @@ def test_interval_join_equals_naive_overlap(spark, a_rows, b_rows, bucket):
 
     a = mk(a_rows, "s", "e", "aid")
     b = mk(b_rows, "s2", "e2", "bid")
-    got = {
+    got_rows = [
         (r["aid"], r["bid"])
         for r in interval_join(a, b, ("s", "e"), ("s2", "e2"), bucket, keys=["k"]).collect()
-    }
+    ]
+    got = set(got_rows)
+    # exactly-once: no pair may surface once per co-covered bucket
+    assert len(got_rows) == len(got)
     naive = a.join(b, "k").filter(
         (F.col("s") <= F.col("e2")) & (F.col("s2") <= F.col("e"))
     )
