@@ -193,3 +193,47 @@ def mix_sources(
     for s, r in sorted(rates.items()):
         thr = F.when(F.col(source_col) == s, F.lit(_frac_threshold_hex(r))).otherwise(thr)
     return df.filter(_hash_hex8(F.col(key_col)) < thr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    seed: str = "seed42",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training shuffle into shards: every row gets
+    a ``(shard, pos)`` address that is a pure function of
+    ``(seed, key)`` — the "shuffle the corpus before training" step,
+    reproducible across runs, engines, partitionings, and corpus
+    growth (a new row lands somewhere without moving existing rows'
+    relative order within their shard).
+
+    shard = top-32-bits(md5(seed:key)) mod n_shards (uniform by
+    construction — no skew regardless of key distribution); pos =
+    rank of the full md5 key within the shard (row_number ordered by
+    hash, key-tiebreak). Changing ``seed`` is a full reshuffle.
+
+    Scale design: one shuffle keyed on ``shard``; each shard's
+    row_number window runs in a single task, so pick ``n_shards`` such
+    that corpus_bytes / n_shards fits a task (at 100 TB: ~100k shards
+    → ~1 GB each). That per-shard sort is exactly the "write shuffled
+    shard files" step a training pipeline needs anyway — the output is
+    typically partitioned-by-shard parquet, sorted by pos within.
+    """
+    from pyspark.sql import Window
+
+    k = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")).cast("binary")
+    )
+    keyed = df.withColumn("_k", k)
+    shard = F.pmod(
+        F.expr("cast(conv(substr(_k, 1, 8), 16, 10) AS bigint)"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy(shard_col).orderBy("_k", key_col)
+    return (
+        keyed.withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+        .drop("_k")
+    )

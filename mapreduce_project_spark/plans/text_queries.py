@@ -659,3 +659,78 @@ def q_zscore_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_tok").cast("double") - mean) / F.sqrt(var)).alias("z"),
         )
     )
+
+
+@extra_query(
+    "dedup_passages",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pass AS (
+      SELECT doc_id, i AS idx, array_to_string(tk[i*16+1 : i*16+16], ' ') AS p
+      FROM toks, UNNEST(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+      SELECT doc_id, idx, p,
+             row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, idx) AS rn
+      FROM pass WHERE p <> ''
+    )
+    SELECT doc_id,
+           array_to_string(list(p ORDER BY idx), ' ') AS text_deduped,
+           CAST(count(*) AS BIGINT) AS n_passages_kept
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (sub-document C1): split each document
+    into 16-token passages, keep only the globally-first occurrence of
+    each passage (min (doc_id, idx) — deterministic), reassemble the
+    surviving text per document. The "exact substring dedup" pass that
+    removes repeated boilerplate across an LLM training corpus. One
+    digest-keyed shuffle (md5, 32 B/row — never the passage text as
+    key) + one reassembly groupBy; see `operators/dedup.py:passage_dedup`."""
+    from mapreduce_project_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(t(spark, sf_dir, "documents"), "doc_id", "text", 16)
+
+
+@extra_query(
+    "bpe_merge_pairs",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS tk FROM documents)
+    SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT tk[i] AS a, tk[i+1] AS b
+      FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+    )
+    GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: the top-20 most frequent ADJACENT token
+    pairs across the corpus — the candidate-scoring step of one BPE
+    merge round (at the word level; the same plan over char arrays is a
+    real BPE trainer's inner loop). Explode → partial-agg groupBy →
+    TakeOrdered(20): the corpus-wide count shuffles only (pair, partial
+    count) rows, and the top-k never materializes a global sort —
+    exactly the shape that survives 100 TB."""
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.struct(
+                F.element_at(tok, i).alias("a"), F.element_at(tok, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        docs.select(F.explode(pairs).alias("pr"))
+        .select("pr.a", "pr.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(20)
+    )

@@ -421,3 +421,35 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", q.alias("quality"))
         .filter(hash_bits < (F.col("quality") * F.lit(4294967296.0)).cast("bigint"))
     )
+
+
+@extra_query(
+    "shuffle_shards",
+    """
+    WITH keyed AS (
+      SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT CAST(CAST('0x' || substr(k, 1, 8) AS BIGINT) % 16 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST('0x' || substr(k, 1, 8) AS BIGINT) % 16
+             ORDER BY k, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM keyed
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    reproducible (shard, pos) address — shard = md5-bucket of
+    (seed, doc_id), pos = hash-rank within the shard. The "shuffle the
+    corpus before training" step as a pure function of the key: stable
+    across runs/engines/partitionings, re-seedable for a fresh epoch
+    order. One shard-keyed shuffle; per-shard windows parallelize
+    across shards (at 100 TB: n_shards sized so a shard fits a task).
+    See `operators/sampling.py:shuffle_shards`."""
+    from mapreduce_project_spark.operators.sampling import shuffle_shards
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=16).select(
+        "shard", "pos", "doc_id"
+    )

@@ -52,3 +52,35 @@ def test_simhash_finds_planted_dups(spark):
     # jaccard>=0.9; every simhash pair should be a true near-dup pair
     found = len(sh & exact) / len(sh)
     assert found >= 0.8, f"precision vs jaccard-0.9 pairs: {found} ({sh - exact})"
+
+
+def test_passage_dedup_first_wins_and_reassembles(spark):
+    from mapreduce_project_spark.operators.dedup import passage_dedup
+
+    # 4-token passages; doc 1 and doc 2 share an identical passage —
+    # doc 1 (lower id) keeps it, doc 2 loses it; doc 3 is all-duplicate
+    # and must drop out of the output entirely
+    boiler = "all rights reserved worldwide"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_deduped"], r["n_passages_kept"])
+        for r in passage_dedup(df, "doc_id", "text", 4).collect()
+    }
+    assert out[1] == (boiler + " alpha beta gamma delta", 2)
+    assert out[2] == ("epsilon zeta eta theta", 1)
+    assert 3 not in out
+
+    # within-document repetition also dedups (first occurrence wins)
+    rep = spark.createDataFrame(
+        [(7, "a b c d a b c d e f g h")], "doc_id long, text string"
+    )
+    row = passage_dedup(rep, "doc_id", "text", 4).collect()[0]
+    assert row["text_deduped"] == "a b c d e f g h"
+    assert row["n_passages_kept"] == 2

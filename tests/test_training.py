@@ -14,6 +14,8 @@ from mapreduce_project_spark.operators.sampling import (
     pack_sequences,
     stratified_sample_exact,
 )
+from mapreduce_project_spark.sources import load_table
+from tests.conftest import SF_DIR
 
 
 def test_connected_components_chain_triangle_and_pair(spark):
@@ -214,3 +216,30 @@ def test_repeat_sources_integer_rates_and_validation(spark):
         repeat_sources(df, "k", "source", {"x": -0.5})
     with pytest.raises(ValueError):
         repeat_sources(df, "k", "source", {}, default_rate=101.0)
+
+
+def test_shuffle_shards_addressing_contract(spark):
+    from mapreduce_project_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    out = shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    n = len(out)
+    assert n == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard used (uniform hash over >=hundreds of keys), positions
+    # are exactly 1..len(shard) — a dense, gap-free address space
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: same seed → identical addressing; new seed → a
+    # genuinely different permutation
+    again = shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    reseeded = shuffle_shards(docs, "doc_id", n_shards=8, seed="seed43").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in reseeded} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
