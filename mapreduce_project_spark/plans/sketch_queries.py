@@ -1,0 +1,125 @@
+"""Mergeable-sketch queries (Apache DataSketches, built into Spark 4) —
+the 100 TB summary primitives: a sketch is a fixed-size, MERGEABLE
+synopsis, so every one of these runs as a partial-agg shuffle carrying
+kilobytes per group regardless of input size, and yesterday's sketches
+union with today's without rescanning (the same incremental contract as
+`merge_partitioned_rollup`, but for distinct counts and quantiles —
+which plain partial aggregation cannot maintain incrementally).
+
+Correctness signals by sketch family:
+- **theta** is EXACT below its nominal-entries capacity (it only starts
+  sampling past 2^lgNomEntries retained hashes), so with lgk=14 and
+  fixture cardinalities ≤ 1.5k the estimate IS the true distinct count
+  and the query carries a full SQL oracle. At 100 TB it degrades
+  gracefully to a ±~2% estimate with the identical plan.
+- **HLL** and **KLL** are approximate at every size (no exactness
+  window), so their queries are rows-only for the driver and
+  pinned by error-bound tests (`tests/test_sketches.py`) instead:
+  HLL within the lgk=14 relative-error envelope of exact distinct
+  counts, KLL within its rank-error guarantee of exact percentiles,
+  and merged sketches consistent with their parts.
+
+The reference has no sketch analog at all; a reference user would emit
+full key streams and count in the reduce (`design.md:48-49`), which is
+exactly the shuffle these avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_project_spark.queries_registry import ROWS_ONLY_RTOL, extra_query, t
+
+# 2^14 nominal entries: theta stays exact to 16384 distincts (10× the
+# sf0.1 fixture cardinality), HLL's relative standard error is ~0.8%.
+_LGK = 14
+
+
+@extra_query(
+    "sketch_theta_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_theta_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct users per event type. Oracle = exact
+    COUNT(DISTINCT): theta is provably exact below 2^14 retained
+    entries, which covers every fixture scale (see module docstring) —
+    the sketch path gets a hard value-level signal, not a tolerance.
+    One partial-agg shuffle of constant-size sketch bytes per group; at
+    100 TB the same plan returns a ±2% estimate while exact
+    COUNT(DISTINCT) would shuffle every (type, user) pair."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id", _LGK))
+        .cast("bigint")
+        .alias("n_users")
+    )
+
+
+@extra_query("sketch_hll_distinct_users", None)
+def q_sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type PLUS the '__all__' row built by
+    UNIONING the per-group sketches (`hll_union_agg`) — the mergeability
+    demo: the global estimate is derived from the already-aggregated
+    group sketches without touching the input again (cross-day /
+    cross-partition rollup of distincts, impossible with plain counts).
+    Rows-only for the driver (HLL has no exactness window);
+    `tests/test_sketches.py` pins the error envelope vs exact."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", _LGK).alias("sk")
+    )
+    est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    glob = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx_users")
+    ).select(F.lit("__all__").alias("event_type"), "approx_users")
+    return est.unionByName(glob)
+
+
+# KLL compaction depends on the partial-agg merge order, so repeated
+# runs differ by up to the sketch's rank error — the determinism check
+# compares within that envelope; the hard value signal is
+# tests/test_sketches.py's rank-error pin vs exact percentiles.
+ROWS_ONLY_RTOL["sketch_quantiles_price"] = 0.02
+
+
+@extra_query("sketch_quantiles_price", None)
+def q_sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches of lineitem extended price per return flag,
+    plus the '__ALL' row from MERGING the per-flag sketches (pairwise
+    `kll_sketch_merge_double` folded over the collected group sketches —
+    3 groups, so the fold is constant-size driver-free work). The
+    mergeable twin of D8's exact `percentile` / D24's `approx_percentile`:
+    unlike either, these sketches can be stored per partition/day and
+    re-merged incrementally. Rows-only; KLL's rank-error guarantee
+    (~±0.8% at k=2048) is pinned in `tests/test_sketches.py`."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double(F.col("l_extendedprice").cast("double"), 2048)
+        .alias("sk")
+    )
+    # collect_list order follows partial-agg arrival — sort by group key
+    # so the merge fold is deterministic run-to-run (KLL merge output
+    # depends on operand order)
+    merged = per.agg(
+        F.array_sort(F.collect_list(F.struct("l_returnflag", "sk"))).alias("gs")
+    ).select(
+        F.lit("__ALL").alias("l_returnflag"),
+        F.aggregate(
+            F.expr("slice(gs, 2, size(gs) - 1)"),
+            F.expr("gs[0].sk"),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x["sk"]),
+        ).alias("sk"),
+    )
+    return per.unionByName(merged).select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )

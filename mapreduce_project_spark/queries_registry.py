@@ -44,6 +44,14 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, QueryFn] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
+# Rows-only queries whose VALUES are legitimately run-varying within a
+# published error bound (e.g. KLL sketch compaction depends on partial-
+# agg merge order): name → relative tolerance for the determinism
+# check in tests/test_oracle.py. Their hard correctness signal is the
+# error-envelope test vs the exact answer (tests/test_sketches.py),
+# not run-to-run byte equality.
+ROWS_ONLY_RTOL: dict[str, float] = {}
+
 
 def _register(
     registry: dict[str, QueryFn],
@@ -93,6 +101,7 @@ from mapreduce_project_spark.plans import compat_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import advanced_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import training_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import classic_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import sketch_queries  # noqa: E402,F401
 
 # Per-round slot rotation. The driver's correctness window records at
 # most MAX_DECLARED queries, but 100+ are oracle-equipped; rotating

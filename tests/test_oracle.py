@@ -21,6 +21,15 @@ QUERIES = {**entrymod.queries(), **R.EXTRA_QUERIES}
 ORACLES = {**entrymod.oracle_sql(), **R.EXTRA_ORACLES}
 
 
+def _as_floats(a, b):
+    """(float, float) when both normalized cells parse as numbers
+    (conftest._norm reprs floats to strings), else (None, None)."""
+    try:
+        return float(a), float(b)
+    except (TypeError, ValueError):
+        return None, None
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -40,6 +49,22 @@ def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
     if name in ORACLES:
         assert_matches_oracle(df, duck, ORACLES[name])
+    elif name in R.ROWS_ONLY_RTOL:
+        # sketch-style queries: values legitimately vary run-to-run
+        # within a published error bound (partial-agg merge order) —
+        # check both runs agree within it; the value-level signal is
+        # the error-envelope test vs exact (tests/test_sketches.py)
+        rtol = R.ROWS_ONLY_RTOL[name]
+        a = rows_of(df.toPandas())
+        b = rows_of(QUERIES[name](spark, SF_DIR).toPandas())
+        assert len(a) == len(b) and len(a) > 0
+        for ra, rb in zip(a, b):
+            for va, vb in zip(ra, rb):
+                fa, fb = _as_floats(va, vb)
+                if fa is not None:
+                    assert abs(fa - fb) <= rtol * max(abs(fa), abs(fb), 1.0)
+                else:
+                    assert va == vb
     else:
         # rows-only determinism check for non-SQL-expressible ops
         a = rows_of(df.toPandas())
