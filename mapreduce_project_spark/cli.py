@@ -1,8 +1,6 @@
 """Command-line entry point — the analog of the reference's host CLI
 (`map_reduce.py:10-67,91-133`, A20) and its job-file function loading
-(`worker.py:40-50`, A18), minus the cluster lifecycle subcommands that
-Spark's own tooling replaces (`start`/`stop`/`logs` ≡ spark-submit /
-cluster manager UX).
+(`worker.py:40-50`, A18).
 
 Subcommands:
 
@@ -16,6 +14,14 @@ Subcommands:
   dynamic loading; function-name defaults match the reference's
   ``map_function``/``reduce_function``/``iterator_function``
   convention, `master_client.proto:14-16`).
+- lifecycle (≡ `map_reduce.py start/stop/logs` managing the resident
+  master): ``start`` spawns the background engine service (one warm
+  SparkSession serving queries over a localhost socket — see
+  `service.py`), ``status`` pings it, ``submit QUERY`` runs a query ON
+  the warm service (no per-job JVM start), ``logs [-n N]`` tails its
+  log, ``stop`` shuts it down gracefully. On a real cluster the same
+  role is a resident Spark Connect / Thrift server; `serve` is the
+  internal in-process entry the daemon runs.
 """
 
 from __future__ import annotations
@@ -69,6 +75,29 @@ def _build_parser() -> argparse.ArgumentParser:
     mrp.add_argument("--iterator", dest="iterator_name", default=None)
     mrp.add_argument("--partitions", type=int, default=2)
     mrp.add_argument("--output", help="write key\\tvalue text here instead of printing")
+
+    from mapreduce_project_spark.service import DEFAULT_STATE_DIR
+
+    def _with_state(sp):
+        sp.add_argument("--state-dir", default=DEFAULT_STATE_DIR)
+        return sp
+
+    startp = _with_state(sub.add_parser("start", help="start the background engine service"))
+    startp.add_argument("--port", type=int, default=0)
+    _with_state(sub.add_parser("stop", help="stop the engine service"))
+    _with_state(sub.add_parser("status", help="ping the engine service"))
+    logsp = _with_state(sub.add_parser("logs", help="tail the engine service log"))
+    logsp.add_argument("-n", type=int, default=50)
+    subp = _with_state(
+        sub.add_parser("submit", help="run a query on the warm engine service")
+    )
+    subp.add_argument("query")
+    subp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    subp.add_argument("--limit", type=int, default=20)
+    servep = _with_state(
+        sub.add_parser("serve", help="(internal) run the service in-process")
+    )
+    servep.add_argument("--port", type=int, default=0)
     return p
 
 
@@ -83,6 +112,50 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.cmd == "list":
         for name in sorted(ALL):
             print(name)
+        return 0
+
+    if args.cmd in ("start", "stop", "status", "logs", "submit", "serve"):
+        from mapreduce_project_spark import service
+
+        if args.cmd == "start":
+            port = service.start(args.state_dir, args.port)
+            print(f"service ready on 127.0.0.1:{port}")
+            return 0
+        if args.cmd == "stop":
+            stopped = service.stop(args.state_dir)
+            print("stopped" if stopped else "no service running")
+            return 0 if stopped else 1
+        if args.cmd == "status":
+            try:
+                resp = service.request({"op": "ping"}, args.state_dir, timeout=10.0)
+            except (OSError, RuntimeError, ValueError) as exc:
+                print(f"down ({exc})", file=sys.stderr)
+                return 1
+            print(f"up (uptime {resp.get('uptime_s', '?')}s)")
+            return 0
+        if args.cmd == "logs":
+            for line in service.tail_logs(args.state_dir, args.n):
+                print(line)
+            return 0
+        if args.cmd == "submit":
+            resp = service.request(
+                {
+                    "op": "run",
+                    "query": args.query,
+                    "sf_dir": args.sf_dir,
+                    "limit": args.limit,
+                },
+                args.state_dir,
+            )
+            if not resp.get("ok"):
+                print(resp.get("error", "unknown error"), file=sys.stderr)
+                return 2
+            print("\t".join(resp["columns"]))
+            for row in resp["rows"]:
+                print("\t".join(str(v) for v in row))
+            print(f"# rows: {resp['n']}", file=sys.stderr)
+            return 0
+        service.serve(args.port, args.state_dir)
         return 0
 
     if spark is None:

@@ -4,6 +4,8 @@ files loaded by function name, including the wrong-name negative case
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 from mapreduce_project_spark.cli import load_user_function, main
@@ -65,3 +67,37 @@ def test_load_user_function_wrong_name(tmp_path):
     job.write_text(JOB_SRC)
     with pytest.raises(AttributeError, match="no_such_fn"):
         load_user_function(str(job), "no_such_fn")
+
+
+def test_service_lifecycle_end_to_end(tmp_path, capsys):
+    # start → status → submit (warm run, no per-job JVM) → logs → stop,
+    # entirely through the CLI, against an isolated state dir
+    state = str(tmp_path / "svc")
+    assert main(["start", "--state-dir", state]) == 0
+    try:
+        assert main(["status", "--state-dir", state]) == 0
+        assert "up (uptime" in capsys.readouterr().out
+
+        t0 = time.monotonic()
+        assert main(
+            ["submit", "word_count", "--state-dir", state, "--limit", "5"]
+        ) == 0
+        warm_s = time.monotonic() - t0
+        out, err = capsys.readouterr()
+        header, *rows = out.strip().splitlines()
+        assert header.split("\t") == ["word", "cnt"]
+        assert len(rows) == 5
+        assert "# rows:" in err
+        # the point of the service: a submission must NOT pay the ~10 s
+        # JVM+session bootstrap (generous bound for a busy CI box)
+        assert warm_s < 30
+
+        assert main(["submit", "nope", "--state-dir", state]) == 2
+        assert "unknown query" in capsys.readouterr().err
+
+        assert main(["logs", "--state-dir", state]) == 0
+        assert "service ready" in capsys.readouterr().out
+    finally:
+        assert main(["stop", "--state-dir", state]) == 0
+    assert main(["status", "--state-dir", state]) == 1
+    assert main(["stop", "--state-dir", state]) == 1  # idempotent: nothing left

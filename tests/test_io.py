@@ -479,3 +479,25 @@ def test_metadata_column_carries_file_provenance(spark):
     rows = df.collect()
     assert rows and all(r["file_path"].endswith("region.parquet") for r in rows)
     assert all(r["file_size"] > 0 for r in rows)
+
+
+def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path):
+    from mapreduce_project_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.5), (3, "b", 3.5)],
+        "id long, part string, v double",
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["part"])
+    back = read_orc(spark, out).select("id", "part", "v")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # partition pruning reaches the ORC scan like parquet's
+    plan = (
+        read_orc(spark, out)
+        .filter(F.col("part") == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "isnotnull(part" in plan
