@@ -270,3 +270,54 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(t(spark, sf_dir, "embeddings"), "label", "embedding").select(
         "label", F.col("dim").cast("bigint").alias("dim"), "centroid_val"
     )
+
+
+@extra_query(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           mx / 127.0 AS scale,
+           array_to_string(
+             list_transform(embedding,
+               x -> CAST(CAST(floor((CAST(x AS DOUBLE) * 127.0) / mx + 0.5) AS INT) AS VARCHAR)),
+             ',') AS q
+    FROM m WHERE mx > 0
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling) — the
+    4× embedding-storage/bandwidth cut every 100 TB vector corpus takes
+    before ANN serving. Pure per-row projection (zero shuffle, codegen):
+    q_i = floor(x_i*127/max|x| + 0.5) ∈ [-127,127], scale = max|x|/127
+    for dequantization. floor(v+0.5) is round-half-up in exact IEEE on
+    both engines (never engine-native round(), whose tie rule differs);
+    float→double widening is exact, so the oracle hash-matches bit-wise.
+    Zero vectors (mx=0, unquantizable) are filtered on both sides."""
+    emb = t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda c: F.abs(c.cast("double"))))
+    out = emb.select(
+        "vec_id",
+        mx.alias("mx"),
+        "embedding",
+    ).filter(F.col("mx") > 0)
+    return out.select(
+        "vec_id",
+        (F.col("mx") / F.lit(127.0)).alias("scale"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda c: F.floor(
+                    (c.cast("double") * F.lit(127.0)) / F.col("mx") + F.lit(0.5)
+                )
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("q"),
+    )

@@ -453,3 +453,64 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, "doc_id", n_shards=16).select(
         "shard", "pos", "doc_id"
     )
+
+
+@extra_query(
+    "pack_contiguous",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) + 1 AS n_tok
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, source, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS stream_offset
+      FROM sized
+    )
+    SELECT doc_id, source, n_tok, stream_offset,
+           CAST(stream_offset // 2048 AS BIGINT) AS chunk_start,
+           CAST((stream_offset + n_tok - 1) // 2048 AS BIGINT) AS chunk_end
+    FROM pref
+    """,
+)
+def q_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-stream sequence packing (the GPT-style sibling of
+    `pack_sequences`' bin packing): per source, documents are laid out
+    back-to-back in a deterministic order with an EOS token each
+    (n_tok = tokens + 1), and every document gets its byte-exact stream
+    address — offset = exclusive prefix sum, and the training chunks
+    [chunk_start, chunk_end] it spans at a 2048-token window (documents
+    crossing a boundary span several). One window shuffle per source
+    stream; at 100 TB the per-source cumsum parallelizes across
+    sources, and within a giant source the same plan runs per
+    (source, day) sub-stream. Integer arithmetic end-to-end."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        (F.size(tokens("text")).cast("bigint") + F.lit(1)).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = sized.withColumn(
+        "stream_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return pref.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "stream_offset",
+        F.floor(F.col("stream_offset") / 2048).cast("bigint").alias("chunk_start"),
+        F.floor((F.col("stream_offset") + F.col("n_tok") - 1) / 2048)
+        .cast("bigint")
+        .alias("chunk_end"),
+    )

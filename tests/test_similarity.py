@@ -151,3 +151,24 @@ def test_knn_join_ann_recall_vs_exact_graph(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_id.values())
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.8, f"kNN-graph ANN recall {recall} too low"
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    from mapreduce_project_spark.queries_registry import EXTRA_QUERIES
+
+    out = EXTRA_QUERIES["embedding_quantize_int8"](spark, SF_DIR)
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        qs = [int(v) for v in r["q"].split(",")]
+        orig = emb[r["vec_id"]]
+        assert len(qs) == len(orig)
+        assert all(-127 <= v <= 127 for v in qs)
+        # max-abs symmetric quantization: per-element dequant error is
+        # at most half a quantization step
+        for q, x in zip(qs, orig):
+            assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-12
