@@ -434,6 +434,73 @@ def merge_partitioned_rollup(
         ).parquet(rollup_path)
 
 
+def merge_sketch_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    rollup_path: str,
+    part_col: str,
+    key_cols: list[str],
+    distinct_cols: dict[str, str],
+    lgk: int = 14,
+) -> None:
+    """`merge_partitioned_rollup`'s DISTINCT-COUNT sibling: incremental
+    maintenance of per-(part, keys) HLL sketches. Plain partial sums
+    can fold micro-batches forever, but COUNT(DISTINCT) cannot be
+    merged from counts — it needs a mergeable synopsis, which is
+    exactly what the stored sketch column is: each call aggregates the
+    batch to one sketch per group (`hll_sketch_agg`), reads back ONLY
+    the touched partitions, and `hll_union_agg`s old and new.
+
+    Two properties plain rollups lack:
+    - replaying the SAME batch is a NO-OP (sketch union is idempotent
+      over identical values) — at-least-once sources need no upstream
+      dedup for the distinct counts, unlike the sum rollup;
+    - yesterday's partitions re-merge with today's without rescanning
+      either's raw data.
+
+    ``distinct_cols`` maps alias → source column. Read estimates back
+    with `read_sketch_estimates`. Same dynamic-overwrite discipline as
+    the sum rollup: untouched partitions' files are never rewritten."""
+    group = [part_col, *key_cols]
+    aggs = [
+        F.hll_sketch_agg(src, lgk).alias(alias)
+        for alias, src in distinct_cols.items()
+    ]
+    fresh = batch.groupBy(*group).agg(*aggs)
+    out_cols = [*group, *distinct_cols]
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        parts = [r[0] for r in batch.select(part_col).distinct().collect()]
+        old = spark.read.parquet(rollup_path).filter(F.col(part_col).isin(parts))
+        merged = (
+            old.select(*out_cols)
+            .unionByName(fresh.select(*out_cols))
+            .groupBy(*group)
+            .agg(*[F.hll_union_agg(a, True).alias(a) for a in distinct_cols])
+        )
+    else:  # first batch: nothing to merge yet
+        merged = fresh
+    with _dynamic_overwrite(spark):
+        merged.select(*out_cols).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(rollup_path)
+
+
+def read_sketch_estimates(
+    spark: SparkSession, rollup_path: str, distinct_aliases: list[str]
+) -> DataFrame:
+    """Distinct-count estimates from a sketch rollup written by
+    `merge_sketch_rollup` (sketch binaries stay in the table for
+    future merging; this is the read-side projection)."""
+    df = spark.read.parquet(rollup_path)
+    keep = [c for c in df.columns if c not in distinct_aliases]
+    return df.select(
+        *keep,
+        *[F.hll_sketch_estimate(a).alias(a) for a in distinct_aliases],
+    )
+
+
 class _dynamic_overwrite:
     """Scoped ``partitionOverwriteMode=dynamic``: INSERT OVERWRITE
     replaces only the partitions present in the written data."""

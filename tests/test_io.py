@@ -501,3 +501,47 @@ def test_orc_roundtrip_partitioned_and_pruned(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "isnotnull(part" in plan
+
+
+def test_sketch_rollup_incremental_merge_and_replay(spark, tmp_path):
+    from mapreduce_project_spark.sources.io import (
+        merge_sketch_rollup,
+        read_sketch_estimates,
+    )
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    rollup = str(tmp_path / "skr")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    for b in (b1, b2):
+        merge_sketch_rollup(
+            spark, b, rollup, "day", ["event_type"], {"n_users": "user_id"}
+        )
+
+    def snap():
+        return {
+            (str(r["day"]), r["event_type"]): r["n_users"]
+            for r in read_sketch_estimates(spark, rollup, ["n_users"]).collect()
+        }
+
+    got = snap()
+    want = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in ev.groupBy("day", "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    # fixture cardinalities sit far below the lgk=14 capacity, so the
+    # incremental estimates equal the exact one-shot distinct counts
+    assert got == want and got
+
+    # replaying an already-folded batch is a no-op for distinct counts
+    # (sketch union idempotence) — the property the sum rollup lacks
+    merge_sketch_rollup(
+        spark, b2, rollup, "day", ["event_type"], {"n_users": "user_id"}
+    )
+    assert snap() == want

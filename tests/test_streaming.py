@@ -374,3 +374,45 @@ def test_streaming_feeds_incremental_rollup(spark, tmp_path):
     )
     want = {(r["day"], r["event_type"]): (r["n"], float(r["s"])) for r in batch.collect()}
     assert got == want and got
+
+
+def test_streaming_feeds_sketch_rollup(spark, tmp_path):
+    # continuous distinct-count maintenance: micro-batches fold their
+    # HLL sketches into the day-partitioned rollup; final estimates
+    # equal exact one-shot COUNT(DISTINCT) (fixture cardinality is far
+    # below sketch capacity)
+    from mapreduce_project_spark.sources.io import (
+        merge_sketch_rollup,
+        read_sketch_estimates,
+    )
+
+    rollup = str(tmp_path / "skr")
+    ev = read_event_stream(spark, SF_DIR).withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+
+    def fold(batch_df, batch_id):
+        merge_sketch_rollup(
+            batch_df.sparkSession, batch_df, rollup, "day", ["event_type"],
+            {"n_users": "user_id"},
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_users"]
+        for r in read_sketch_estimates(spark, rollup, ["n_users"]).collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and got
