@@ -98,6 +98,14 @@ def _build_parser() -> argparse.ArgumentParser:
         sub.add_parser("serve", help="(internal) run the service in-process")
     )
     servep.add_argument("--port", type=int, default=0)
+
+    upp = sub.add_parser(
+        "upload_data",
+        help="copy a local directory's files into engine storage "
+        "(any Hadoop FS URI: file://, hdfs://, s3a://)",
+    )
+    upp.add_argument("src", help="local directory of input files")
+    upp.add_argument("dest", help="destination directory URI")
     return p
 
 
@@ -162,6 +170,35 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         from mapreduce_project_spark.session import get_spark
 
         spark = get_spark("cli")
+
+    if args.cmd == "upload_data":
+        # ≡ the reference's `upload_data` (map_reduce.py:30-33 →
+        # upload_data.py: push client_folder/data/* to HDFS for jobs to
+        # read). Spark-side storage is scheme-agnostic, so the copy goes
+        # through the Hadoop FileSystem API and works identically for
+        # file://, hdfs://, s3a:// destinations.
+        import pathlib
+
+        src_dir = pathlib.Path(args.src)
+        files = sorted(p for p in src_dir.iterdir() if p.is_file())
+        if not files:
+            print(f"no files to upload in {src_dir}", file=sys.stderr)
+            return 1
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        dest = jvm.org.apache.hadoop.fs.Path(args.dest)
+        fs = dest.getFileSystem(hconf)
+        fs.mkdirs(dest)
+        for f in files:
+            fs.copyFromLocalFile(
+                False,
+                True,
+                jvm.org.apache.hadoop.fs.Path(f"file:{f.resolve()}"),
+                jvm.org.apache.hadoop.fs.Path(dest, f.name),
+            )
+            print(f"uploaded {f.name}")
+        print(f"{len(files)} file(s) -> {args.dest}")
+        return 0
 
     if args.cmd == "run":
         if args.query not in ALL:

@@ -101,3 +101,26 @@ def test_service_lifecycle_end_to_end(tmp_path, capsys):
         assert main(["stop", "--state-dir", state]) == 0
     assert main(["status", "--state-dir", state]) == 1
     assert main(["stop", "--state-dir", state]) == 1  # idempotent: nothing left
+
+
+def test_upload_data_then_run_job_on_it(spark, tmp_path, capsys):
+    # the reference flow: upload local data files, then run a job over
+    # the uploaded copies (upload_data.py → map_reduce job on HDFS paths)
+    src = tmp_path / "data"
+    src.mkdir()
+    (src / "a.txt").write_text("hello world\n")
+    (src / "b.txt").write_text("hello spark\n")
+    dest = str(tmp_path / "warehouse" / "in")
+    assert main(["upload_data", str(src), dest], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "2 file(s)" in out
+
+    from mapreduce_project_spark.sources import read_text_lines
+
+    lines = sorted(r["value"] for r in read_text_lines(spark, dest).collect())
+    assert lines == ["hello spark", "hello world"]
+
+    # empty source dir is a user error, not a silent success
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert main(["upload_data", str(empty), dest], spark=spark) == 1
