@@ -234,3 +234,44 @@ def test_no_declared_query_plans_cartesian(spark, qname):
     # unbroadcast products are not
     df = QUERIES[qname](spark, SF_DIR)
     assert not has_node(df, "CartesianProduct")
+
+
+@_pytest.mark.parametrize(
+    "qname",
+    [
+        "dedup_passages",
+        "shuffle_shards",
+        "bpe_merge_pairs",
+        "pack_contiguous",
+        "embedding_quantize_int8",
+        "sketch_theta_distinct_users",
+        "sketch_hll_distinct_users",
+        "sketch_quantiles_price",
+    ],
+)
+def test_new_extras_plan_no_cartesian(spark, qname):
+    # the round-3 additions obey the same blanket scale guard as the
+    # declared set (extras are exempt only when deliberately quadratic)
+    df = QUERIES[qname](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_quantize_is_zero_shuffle(spark):
+    # int8 quantization must stay a pure per-row projection: no
+    # Exchange anywhere in the plan
+    df = QUERIES["embedding_quantize_int8"](spark, SF_DIR)
+    assert count_node(df, "Exchange") == 0
+
+
+def test_bpe_merge_pairs_is_takeordered(spark):
+    # top-k never materializes a global sort
+    df = QUERIES["bpe_merge_pairs"](spark, SF_DIR)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert count_node(df, "HashAggregate") >= 2  # partial + final count
+
+
+def test_sketch_distinct_is_partial_agg_only(spark):
+    # the point of the sketch: ONE exchange carrying fixed-size sketch
+    # bytes (partial+final object agg), never a (type, user) expansion
+    df = QUERIES["sketch_theta_distinct_users"](spark, SF_DIR)
+    assert count_node(df, "Exchange") == 1
