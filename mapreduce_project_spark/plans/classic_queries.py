@@ -314,3 +314,97 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("promo").cast("double").alias("promo_revenue"),
         F.col("total").cast("double").alias("total_revenue"),
     )
+
+
+# Engine-neutral SQL (Spark temp views + DuckDB oracle run the same
+# text), like Q4/Q22 above.
+
+_Q5_SQL = f"""
+    SELECT n_name,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """
+
+_Q7_SQL = """
+    WITH vol AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM vol GROUP BY supp_nation, cust_nation, l_year
+    """
+
+_Q19_SQL = f"""
+    SELECT p_brand,
+           CAST({_REV_SQL} AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """
+
+
+@extra_query("tpch_q5_local_supplier_volume", _Q5_SQL)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape — the 6-way join-ordering stress: region gates nation
+    gates supplier, customer joins orders joins lineitem, and the extra
+    c_nationkey = s_nationkey equi-condition closes the cycle ("local"
+    trade only). Catalyst's join reordering keeps the three dims
+    broadcast and the two facts on one shuffle; region/nation filters
+    prune before any fact row moves."""
+    register_tables(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(_Q5_SQL)
+
+
+@extra_query("tpch_q7_volume_shipping", _Q7_SQL)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — self-joined dimension (nation appears twice under two
+    aliases as supplier-side and customer-side), cross-nation trade
+    volumes by ship year. The nation name IN-filters push into both
+    broadcast sides; EXTRACT(YEAR ...) stays a codegen'd projection."""
+    register_tables(
+        spark, sf_dir,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+    )
+    return spark.sql(_Q7_SQL)
+
+
+@extra_query("tpch_q19_disjunctive_brackets", _Q19_SQL)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — disjunctive multi-bracket predicate across BOTH join
+    sides (part attributes AND lineitem quantity per branch). The
+    OR-of-ANDs cannot push below the join as-is, but each branch's
+    part-side conjuncts (brand, size) derive a pushable
+    OR-of-part-conjuncts into the broadcast side scan — the classic
+    test that the optimizer extracts common single-side filters from a
+    disjunction."""
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q19_SQL)
