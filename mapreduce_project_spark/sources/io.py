@@ -23,7 +23,7 @@ should instead flow through the streaming/text paths.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -485,6 +485,45 @@ def merge_sketch_rollup(
         merged.select(*out_cols).write.mode("overwrite").partitionBy(
             part_col
         ).parquet(rollup_path)
+
+
+def rollup_navigator(
+    spark: SparkSession,
+    rollup_path: str,
+    rollup_keys: list[str],
+    sum_aliases: list[str],
+    group_cols: list[str],
+    raw: Callable[[], DataFrame] | None = None,
+):
+    """Aggregate navigation: answer a grouped count/sum query FROM the
+    maintained rollup when it can, falling back to the raw-data plan
+    when it can't — the materialized-view rewrite a warehouse does
+    implicitly, surfaced as an explicit, testable step.
+
+    A query grouping by a SUBSET of ``rollup_keys`` and asking for
+    ``n_rows``/``sum_aliases`` metrics is algebraically answerable by
+    re-aggregating the rollup (counts and sums merge exactly), turning
+    an O(history) scan into an O(|rollup|) one — at 100 TB that is the
+    difference between reading the fact table and reading a
+    few-thousand-row summary. Groupings outside the rollup's keys run
+    ``raw()`` instead (or raise when no fallback is supplied).
+
+    Returns ``(DataFrame, used_rollup: bool)``. Freshness contract is
+    the caller's: the rollup answers as of its last
+    `merge_partitioned_rollup` fold."""
+    if set(group_cols) <= set(rollup_keys):
+        r = spark.read.parquet(rollup_path)
+        out = r.groupBy(*group_cols).agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(a).cast("decimal(18,2)").alias(a) for a in sum_aliases],
+        )
+        return out, True
+    if raw is None:
+        raise ValueError(
+            f"grouping {group_cols} is not answerable from rollup keys "
+            f"{rollup_keys} and no raw fallback was given"
+        )
+    return raw(), False
 
 
 def read_sketch_estimates(

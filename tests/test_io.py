@@ -545,3 +545,53 @@ def test_sketch_rollup_incremental_merge_and_replay(spark, tmp_path):
         spark, b2, rollup, "day", ["event_type"], {"n_users": "user_id"}
     )
     assert snap() == want
+
+
+def test_rollup_navigator_answers_or_falls_back(spark, tmp_path):
+    from mapreduce_project_spark.sources import load_table
+    from mapreduce_project_spark.sources.io import (
+        merge_partitioned_rollup,
+        rollup_navigator,
+    )
+    from tests.conftest import SF_DIR
+
+    rollup = str(tmp_path / "ru")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    merge_partitioned_rollup(
+        spark, ev, rollup, "day", ["event_type"], {"sum_value": "value"}
+    )
+
+    # subset grouping → answered from the rollup, equals the raw answer
+    df, used = rollup_navigator(
+        spark, rollup, ["day", "event_type"], ["sum_value"], ["event_type"]
+    )
+    assert used
+    got = {r["event_type"]: (r["n_rows"], float(r["sum_value"])) for r in df.collect()}
+    want = {
+        r["event_type"]: (r["n"], float(r["s"]))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    # the rollup plan reads the summary table, never the raw events
+    assert "events.parquet" not in df._jdf.queryExecution().executedPlan().toString()
+
+    # non-subset grouping → falls back to the caller's raw plan
+    df2, used2 = rollup_navigator(
+        spark, rollup, ["day", "event_type"], ["sum_value"], ["user_id"],
+        raw=lambda: ev.groupBy("user_id").count(),
+    )
+    assert not used2 and df2.count() > 0
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rollup_navigator(
+            spark, rollup, ["day", "event_type"], ["sum_value"], ["user_id"]
+        )
