@@ -119,6 +119,12 @@ _ROTATE_OUT = (
     "array_functions",    # scalar-function smoke
     "string_funcs",       # scalar-function smoke
     "posexplode_tokens",  # near-variant of the explode path in word_count
+    # second wave (new-in-round-3 operators take these slots):
+    "union_party_keys",       # B11 union — structurally trivial
+    "except_order_keys",      # D2 twin; intersect keeps the driver slot
+    "top_orders",             # global top-k; per-group top-k variant stays
+    "distinct_segments",      # B3 twin of the declared dedup_exact
+    "text_token_count_bpe",   # scalar smoke; bpe_merge_pairs is stronger
 )
 _ROTATE_IN = (
     "pagerank_trade_graph",      # D49 iterative fixed-point PageRank
@@ -126,6 +132,12 @@ _ROTATE_IN = (
     "window_rank_family",        # D53 ranking-window family
     "events_funnel",             # D45 ordered funnel analysis
     "decontam_hits",             # D42 benchmark n-gram decontamination
+    # new round-3 operator families:
+    "dedup_passages",                # D78 passage-level exact dedup
+    "shuffle_shards",                # D79 deterministic corpus sharding
+    "sketch_theta_distinct_users",   # D81 mergeable sketch w/ exact oracle
+    "tpch_q5_local_supplier_volume", # D36 6-way join-ordering stress
+    "embedding_quantize_int8",       # D82 int8 embedding quantization
 )
 
 for _name in _ROTATE_OUT:
