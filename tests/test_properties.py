@@ -258,3 +258,42 @@ def test_interval_join_equals_naive_overlap(spark, a_rows, b_rows, bucket):
     )
     want = {(r["aid"], r["bid"]) for r in naive.collect()}
     assert got == want
+
+
+# small token alphabet so random docs share passages often
+_doc_lists = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_doc_lists, p=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_passage_dedup_matches_sequential_reference(spark, docs, p):
+    """passage_dedup ≡ the obvious sequential algorithm: walk documents
+    in id order, split into p-token passages, keep a passage iff its
+    text was never seen before (anywhere, including earlier in the same
+    doc). Distributed first-wins + reassembly may not depend on
+    partitioning or hash grouping."""
+    from mapreduce_project_spark.operators.dedup import passage_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_passages_kept"])
+        for r in passage_dedup(df, "doc_id", "text", p).collect()
+    }
+
+    seen: set[str] = set()
+    want = {}
+    for i, toks in enumerate(docs):
+        kept = []
+        for s in range(0, len(toks), p):
+            passage = " ".join(toks[s : s + p])
+            if passage and passage not in seen:
+                seen.add(passage)
+                kept.append(passage)
+        if kept:
+            want[i] = (" ".join(kept), len(kept))
+    assert got == want
