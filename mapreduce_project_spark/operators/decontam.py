@@ -29,10 +29,18 @@ from mapreduce_project_spark.functions import token_ngrams, tokens
 
 def _distinct_doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram) pairs, distinct per document — `array_distinct` runs
-    doc-locally BEFORE the explode, so deduplication costs zero shuffle."""
-    return df.select(
+    doc-locally BEFORE the explode, so deduplication costs zero shuffle.
+
+    Tokenize+shingle is the CPU-bound step, so the input is spread
+    across all cores first (same discipline as `dedup.shingle_sets`):
+    a small parquet input is one split and would otherwise shingle on a
+    single task; at 100 TB the scan's own thousands of splits make this
+    round-robin exchange a no-op relative to the work it parallelizes."""
+    return df.select(F.col(id_col), F.col(text_col).alias("_text")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(token_ngrams(tokens(text_col), n))).alias("_gram"),
+        F.explode(F.array_distinct(token_ngrams(tokens("_text"), n))).alias("_gram"),
     )
 
 

@@ -417,13 +417,27 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unrolled SQL oracle (same discipline as `kmeans_embeddings`)."""
     from mapreduce_project_spark.operators.graph import pagerank_fixed, symmetrize
 
+    # Nodes are computed as BIGINT (even = customer, odd = supplier) and
+    # rendered to the 'c…'/'s…' strings only at the very end: every
+    # shuffle in the edge-dedup and the per-round join/agg then carries
+    # an 8-byte key instead of a string — the never-shuffle-string-keys
+    # discipline; output is byte-identical to the string-keyed form.
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     raw = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    return pagerank_fixed(symmetrize(raw), n_iter=2)
+    ranks = pagerank_fixed(symmetrize(raw), n_iter=2)
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+        .alias("node"),
+        "rank_fx",
+        "rank",
+    )
 
 
 @query(
