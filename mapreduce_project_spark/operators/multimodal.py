@@ -183,6 +183,92 @@ def downsample_bytes(
     return df.select(id_col, payload_col).mapInPandas(resample, out_schema)
 
 
+def png_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL PNG dimension decode, entirely JVM-side: the IHDR chunk is
+    at a fixed offset, so width/height are two big-endian u32s at bytes
+    17-24 — extracted with ``substring``+``hex``+``conv`` Column
+    expressions (whole-stage codegen, zero Python, zero shuffle).
+    Non-PNG payloads (magic mismatch) get NULL dims. The existence
+    proof that typed metadata extraction from binary media columns
+    needs no UDF at all when the format has fixed-offset headers."""
+    magic = F.hex(F.substring(F.col(payload_col), 1, 8)) == "89504E470D0A1A0A"
+    w = F.expr(f"cast(conv(hex(substring({payload_col}, 17, 4)), 16, 10) AS bigint)")
+    h = F.expr(f"cast(conv(hex(substring({payload_col}, 21, 4)), 16, 10) AS bigint)")
+    return df.withColumn("png_width", F.when(magic, w)).withColumn(
+        "png_height", F.when(magic, h)
+    )
+
+
+def media_header_probe(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL container-header parsing for the three shipped formats — no
+    media libraries, just bytes: PNG IHDR (big-endian dims at fixed
+    offset), JPEG SOF marker scan (walks the segment chain to the
+    frame header), WAV RIFF fmt chunk (little-endian channels/sample
+    rate). Unrecognized payloads come back as ``format='unknown'`` with
+    NULL fields rather than failing the batch.
+
+    Output: (id, format, width, height, channels, sample_rate_hz).
+    Arrow-batched ``mapInPandas``, header bytes only — this is the
+    metadata-extraction stage a multimodal pipeline runs BEFORE any
+    pixel/sample decode, and it is fully real in this container (the
+    pixel decode itself remains `decode_media`'s documented stub)."""
+    out_schema = (
+        f"{id_col} long, format string, width long, height long, "
+        "channels long, sample_rate_hz long"
+    )
+
+    def probe_one(b: bytes):
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                None,
+                None,
+            )
+        if b[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 9 <= len(b) and b[pos] == 0xFF:
+                marker = b[pos + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[pos + 7 : pos + 9], "big"),
+                        int.from_bytes(b[pos + 5 : pos + 7], "big"),
+                        None,
+                        None,
+                    )
+                pos += 2 + int.from_bytes(b[pos + 2 : pos + 4], "big")
+            return ("jpeg", None, None, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt " and len(b) >= 28:
+            return (
+                "wav",
+                None,
+                None,
+                int.from_bytes(b[22:24], "little"),
+                int.from_bytes(b[24:28], "little"),
+            )
+        return ("unknown", None, None, None, None)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [probe_one(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "channels": pd.array([p[3] for p in parsed], dtype="Int64"),
+                    "sample_rate_hz": pd.array([p[4] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(probe, out_schema)
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload", format_col: str = "media.format") -> DataFrame:
     """STUB — real image/audio decode (PIL/librosa are not in this
     container). The function validates the plumbing (schema + batch

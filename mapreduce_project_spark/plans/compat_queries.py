@@ -150,3 +150,42 @@ def q_multimodal_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = downsample_bytes(attach_payload(t(spark, sf_dir, "documents")))
     return out.select("doc_id", "block", "val")
+
+
+@extra_query(
+    "multimodal_header_probe",
+    """
+    SELECT doc_id,
+           'png' AS format,
+           CAST(64 * (doc_id % 16 + 1) AS BIGINT) AS width,
+           CAST(64 * ((doc_id // 16) % 16 + 1) AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→parse roundtrip over REAL container headers: each doc's
+    (width, height) metadata is serialized into genuine PNG bytes
+    (magic + IHDR) with pure JVM binary expressions, then
+    `media_header_probe` (`operators/multimodal.py`) parses the headers
+    back Arrow-batched — the oracle recomputes the expected dims
+    directly, so a value match proves serializer and parser are exact
+    inverses on every row. Header-only work: no pixel decode, no
+    shuffle, payloads never leave their partition."""
+    from mapreduce_project_spark.operators.multimodal import (
+        attach_payload,
+        media_header_probe,
+    )
+
+    docs = attach_payload(t(spark, sf_dir, "documents"))
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),           # magic
+        F.unhex(F.lit("0000000D49484452")),           # IHDR length + tag
+        be32(F.col("media.width")),
+        be32(F.col("media.height")),
+        F.unhex(F.lit("0802000000")),                 # bit depth etc.
+    )
+    probed = media_header_probe(
+        docs.select("doc_id", png.alias("payload")), "doc_id", "payload"
+    )
+    return probed.select("doc_id", "format", "width", "height")

@@ -53,3 +53,70 @@ def test_decode_stub_raises_cleanly(spark):
 
     with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError|media decode"):
         decode_media(docs).collect()
+
+
+def _png(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h):
+    # SOI + APP0 segment + SOF0 frame header
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav(channels, rate):
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little") + rate.to_bytes(4, "little") + b"\x00" * 8
+    )
+    return b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + fmt
+
+
+def test_media_header_probe_parses_real_headers(spark):
+    from mapreduce_project_spark.operators.multimodal import media_header_probe
+
+    rows = [
+        (1, _png(640, 480)),
+        (2, _jpeg(1920, 1080)),
+        (3, _wav(2, 44100)),
+        (4, b"not a media file"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in media_header_probe(df).collect()}
+    assert got[1]["format"] == "png" and (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[2]["format"] == "jpeg" and (got[2]["width"], got[2]["height"]) == (1920, 1080)
+    assert got[3]["format"] == "wav" and (got[3]["channels"], got[3]["sample_rate_hz"]) == (2, 44100)
+    assert got[4]["format"] == "unknown" and got[4]["width"] is None
+
+
+def test_png_dims_jvm_twin_matches_probe(spark):
+    from mapreduce_project_spark.operators.multimodal import (
+        media_header_probe,
+        png_dims,
+    )
+
+    rows = [(i, _png(64 * i, 32 * i)) for i in range(1, 6)] + [(99, b"junk12345")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    jvm = {
+        r["doc_id"]: (r["png_width"], r["png_height"])
+        for r in png_dims(df).collect()
+    }
+    py = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in media_header_probe(df).collect()
+    }
+    assert jvm[99] == (None, None)
+    for i in range(1, 6):
+        assert jvm[i] == (64 * i, 32 * i) == py[i]
+    # the JVM path is zero-shuffle codegen: no Exchange in the plan
+    plan = png_dims(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
