@@ -3,11 +3,13 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct; ingestion comes from the ``binaryFile`` source
 (`sources.io.read_binary_files`) or any parquet with binary columns.
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (`decode_media`) — but the Spark-side plumbing is
-real and tested: schemas, Arrow batch shapes, ``mapInPandas``
-signatures, and deterministic byte-level feature extraction
-(`byte_features`) run end-to-end on real bytes.
+Header-level metadata decode is REAL in this container
+(`media_header_probe` parses PNG/JPEG/WAV container headers from raw
+bytes; `png_dims` does the PNG case as pure JVM codegen); only the
+pixel/sample decode needs media libraries the container lacks, so that
+single step is a clearly-marked stub (`decode_media`). Everything else
+— schemas, Arrow batch shapes, ``mapInPandas`` signatures, byte-level
+feature extraction (`byte_features`) — runs end-to-end on real bytes.
 
 Scale notes: binary payloads ride along columns — keep them OUT of
 shuffles (extract features first, join features later by id). The
