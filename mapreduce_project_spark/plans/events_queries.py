@@ -621,3 +621,36 @@ def q_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_users"),
     )
+
+
+@extra_query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (lead() within user, deterministic (ts, event_id) order)
+    — the next-event-prediction label join and the behavioral-model
+    summary in one: P(next | current) ∝ n. One keyed window shuffle +
+    one partial-agg count; at 100 TB both shuffle narrow (type pairs,
+    not payloads)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

@@ -734,3 +734,55 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(20)
     )
+
+
+@extra_query(
+    "chunk_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(tk[i*24+1 : i*24+32], ' ') AS chunk_text,
+           CAST(least(32, n - i*24) AS BIGINT) AS n_chunk_tokens
+    FROM sized, UNNEST(range(CASE WHEN n <= 32 THEN 1
+                             ELSE (n - 32 + 23) // 24 + 1 END)) AS t(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunking: overlapping 32-token windows at stride 24
+    (8-token overlap so no boundary context is lost) — the
+    document→passage explosion that precedes embedding at corpus scale.
+    Pure per-row transform+explode (zero shuffle, codegen); the chunk
+    count formula is closed-form integer math mirrored exactly by the
+    oracle. Every chunk carries its index and true token length (the
+    tail chunk is short, never padded)."""
+    from mapreduce_project_spark.functions import tokens
+
+    size, stride = 32, 24
+    tok = tokens("text")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tok.alias("tk"), F.size(tok).alias("n")
+    ).filter(F.col("n") > 0)
+    n_chunks = F.when(F.col("n") <= size, F.lit(1)).otherwise(
+        F.expr(f"(n - {size} + {stride - 1}) div {stride} + 1")
+    )
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice(F.col("tk"), i * stride + 1, size)).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(size), F.col("n") - i * stride)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_chunks - 1).cast("int")), chunk
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+    )

@@ -514,3 +514,65 @@ def q_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_end"),
     )
+
+
+@extra_query(
+    "temperature_sample_sources",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 < 4 THEN 'head'
+                  WHEN doc_id % 7 < 6 THEN 'mid' ELSE 'tail' END AS src_class
+      FROM documents
+    ),
+    counts AS (SELECT src_class, CAST(count(*) AS BIGINT) AS c
+               FROM tagged GROUP BY src_class),
+    stats AS (SELECT min(c) AS cmin FROM counts),
+    rates AS (
+      SELECT src_class, sqrt(CAST((SELECT cmin FROM stats) AS DOUBLE) / c) AS rate
+      FROM counts
+    )
+    SELECT t.doc_id, t.src_class, r.rate
+    FROM tagged t JOIN rates r USING (src_class)
+    WHERE CAST('0x' || substr(md5('t2:' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+            < CAST(r.rate * 4294967296.0 AS BIGINT)
+    """,
+)
+def q_temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (τ=2, the multilingual-LM
+    mixing rule): keep-rate_s = sqrt(c_min / c_s), so over-represented
+    classes are downsampled toward p_s ∝ f_s^(1/τ) while the smallest
+    class keeps everything. Rates are DERIVED from the data (one tiny
+    count agg + scalar min, broadcast back) rather than hand-tuned like
+    `mix_sources`; the per-row keep decision is the same deterministic
+    md5-bucket machinery. sqrt is correctly-rounded IEEE in both
+    engines and the division order is pinned, so rates — and therefore
+    the kept set — hash-match exactly. The fixture's real `source` is
+    uniform by construction, so the query derives a skewed class from
+    doc_id to exercise the math (the column is a parameter in the
+    operator sense)."""
+    docs = t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 < 4, F.lit("head"))
+        .when(F.col("doc_id") % 7 < 6, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+        .alias("src_class"),
+    )
+    counts = tagged.groupBy("src_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = counts.agg(F.min("c").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(stats)).select(
+        "src_class",
+        F.sqrt(F.col("cmin").cast("double") / F.col("c")).alias("rate"),
+    )
+    hash_bits = F.expr(
+        "cast(conv(substr(md5(cast(concat('t2:', cast(doc_id AS string)) AS binary)"
+        "), 1, 8), 16, 10) AS bigint)"
+    )
+    return (
+        tagged.join(F.broadcast(rates), "src_class")
+        .filter(hash_bits < (F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+        .select("doc_id", "src_class", "rate")
+    )
