@@ -66,6 +66,10 @@ def _build_parser() -> argparse.ArgumentParser:
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     runp.add_argument("--show", type=int, default=20)
     runp.add_argument("--output", help="write result parquet here instead of printing")
+    runp.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
 
     mrp = sub.add_parser("mapreduce", help="run a map/reduce job file via the facade")
     mrp.add_argument("--job", required=True)
@@ -205,6 +209,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             print(f"unknown query: {args.query} (see `list`)", file=sys.stderr)
             return 2
         df = ALL[args.query](spark, args.sf_dir)
+        if args.explain:
+            # the plan-review loop (PLANS.md / tests/test_plans.py) as a
+            # one-liner: inspect pushdown/broadcast/agg shapes without
+            # running the query
+            print(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            ))
+            return 0
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
         else:

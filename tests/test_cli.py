@@ -124,3 +124,9 @@ def test_upload_data_then_run_job_on_it(spark, tmp_path, capsys):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert main(["upload_data", str(empty), dest], spark=spark) == 1
+
+
+def test_run_explain_prints_plan(spark, capsys):
+    assert main(["run", "filter_project", "--explain"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
