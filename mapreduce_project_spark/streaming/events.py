@@ -245,3 +245,45 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming first-order transitions per user: emits one
+    ``(user_id, event_type, next_type)`` row per consecutive event pair,
+    INCLUDING pairs that straddle micro-batch boundaries — the state
+    carries each user's last seen event across batches, which is
+    exactly what a window ``lead()`` cannot do on a stream. The
+    streaming twin of the batch `event_transition_matrix` (count the
+    emitted pairs to reproduce it).
+
+    Within a batch, a user's events are ordered by (ts, event_id) —
+    correct when micro-batches arrive in event-time order per user
+    (file/Kafka sources with time-ordered production); out-of-order
+    arrival across batches needs the watermarked reorder-buffer
+    pattern upstream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_type string, next_type string"
+    state_schema = "last_type string"
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        rows = rows.sort_values(["ts", "event_id"])
+        seq = rows["event_type"].tolist()
+        if state.exists:
+            seq = [state.get[0]] + seq
+        if len(seq) >= 2:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * (len(seq) - 1),
+                    "event_type": seq[:-1],
+                    "next_type": seq[1:],
+                }
+            )
+        if seq:
+            state.update((seq[-1],))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -416,3 +416,52 @@ def test_streaming_feeds_sketch_rollup(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_transitions_match_batch_across_batches(spark, tmp_path):
+    # split events into three TIME-ordered parquet files and stream one
+    # file per micro-batch: transitions that straddle batch boundaries
+    # exist only if the operator's state carries each user's last event
+    # — the total pair multiset must equal the batch lead() answer
+    from mapreduce_project_spark.queries_registry import EXTRA_QUERIES
+    from mapreduce_project_spark.streaming.events import transition_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    t1, t2 = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).collect()[0]
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    parts = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        transition_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("trans")
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    want = EXTRA_QUERIES["event_transition_matrix"](spark, SF_DIR)
+    g = {(r["event_type"], r["next_type"]): r["n"] for r in got.collect()}
+    w = {(r["event_type"], r["next_type"]): r["n"] for r in want.collect()}
+    assert g == w and g
