@@ -111,6 +111,8 @@ def test_multilevel_aggs_match_oracle(spark, duck):
 
 
 def test_setops_and_joins_match_oracle(spark, duck):
+    # look up through the merged inventory: slot rotation moves names
+    # between QUERIES and EXTRA_QUERIES round to round
     for name in (
         "intersect_nation_keys",
         "except_order_keys",
@@ -119,7 +121,7 @@ def test_setops_and_joins_match_oracle(spark, duck):
         "pivot_priority_status",
         "percentile_quantity",
     ):
-        assert_matches_oracle(QUERIES[name](spark, SF_DIR), duck, ORACLES[name])
+        assert_matches_oracle(ALL_QUERIES[name](spark, SF_DIR), duck, ALL_ORACLES[name])
 
 
 def test_heavy_hitters_exact_when_budget_covers_distinct(spark):

@@ -8,15 +8,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mapreduce_project_spark.queries_registry import EXTRA_QUERIES
+from mapreduce_project_spark.queries_registry import EXTRA_QUERIES, QUERIES
 from mapreduce_project_spark.sources import load_table
 from tests.conftest import SF_DIR
+
+# merged lookup: slot rotation moves names between registries
+ALL = {**QUERIES, **EXTRA_QUERIES}
 
 
 def test_hll_within_error_envelope_and_union_consistent(spark):
     got = {
         r["event_type"]: r["approx_users"]
-        for r in EXTRA_QUERIES["sketch_hll_distinct_users"](spark, SF_DIR).collect()
+        for r in ALL["sketch_hll_distinct_users"](spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
     exact = {
@@ -34,7 +37,7 @@ def test_hll_within_error_envelope_and_union_consistent(spark):
 
 
 def test_kll_quantiles_within_rank_error(spark):
-    rows = EXTRA_QUERIES["sketch_quantiles_price"](spark, SF_DIR).collect()
+    rows = ALL["sketch_quantiles_price"](spark, SF_DIR).collect()
     li = load_table(spark, SF_DIR, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
     )
