@@ -150,15 +150,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 print(line)
             return 0
         if args.cmd == "submit":
-            resp = service.request(
-                {
-                    "op": "run",
-                    "query": args.query,
-                    "sf_dir": args.sf_dir,
-                    "limit": args.limit,
-                },
-                args.state_dir,
-            )
+            try:
+                resp = service.request(
+                    {
+                        "op": "run",
+                        "query": args.query,
+                        "sf_dir": args.sf_dir,
+                        "limit": args.limit,
+                    },
+                    args.state_dir,
+                )
+            except (OSError, RuntimeError, ValueError) as exc:
+                print(f"submit failed: {exc}", file=sys.stderr)
+                return 1
             if not resp.get("ok"):
                 print(resp.get("error", "unknown error"), file=sys.stderr)
                 return 2

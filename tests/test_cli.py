@@ -130,3 +130,9 @@ def test_run_explain_prints_plan(spark, capsys):
     assert main(["run", "filter_project", "--explain"], spark=spark) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_submit_without_service_fails_cleanly(tmp_path, capsys):
+    state = str(tmp_path / "nosvc")
+    assert main(["submit", "word_count", "--state-dir", state]) == 1
+    assert "submit failed" in capsys.readouterr().err
