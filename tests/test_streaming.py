@@ -465,3 +465,72 @@ def test_streaming_transitions_match_batch_across_batches(spark, tmp_path):
     g = {(r["event_type"], r["next_type"]): r["n"] for r in got.collect()}
     w = {(r["event_type"], r["next_type"]): r["n"] for r in want.collect()}
     assert g == w and g
+
+
+def test_custom_streaming_source_replays_and_resumes(spark, tmp_path):
+    # Spark 4 Python DataSourceStreamReader: line records replayed at a
+    # bounded rate across MULTIPLE micro-batches, exactly-once across a
+    # checkpointed restart (offsets are deterministic arithmetic)
+    import time as _time
+
+    from mapreduce_project_spark.sources.custom import (
+        register_linefile_stream_source,
+    )
+
+    register_linefile_stream_source(spark)
+    d = tmp_path / "txt"
+    d.mkdir()
+    want = []
+    for i in range(3):
+        lines = [f"file{i}-line{j}" for j in range(10)]
+        (d / f"f{i}.txt").write_text("\n".join(lines))
+        want += lines
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and the restart half of this test is the point
+        return (
+            spark.readStream.format("linefile_stream")
+            .option("path", str(d / "*.txt"))
+            .option("rows_per_batch", 7)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def rows_now():
+        try:
+            return [r["line"] for r in spark.read.parquet(out).collect()]
+        except Exception:  # noqa: BLE001 - sink dir not created yet
+            return []
+
+    def wait_rows(n, timeout=60):
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            if len(rows_now()) >= n:
+                return
+            _time.sleep(0.3)
+        raise AssertionError(f"sink reached only {len(rows_now())}/{n} rows")
+
+    q1 = start()
+    wait_rows(14)  # at least two 7-row batches
+    q1.stop()
+    q1.awaitTermination()
+    first = rows_now()
+    assert len(first) >= 14
+    # rate cap produced multiple batches, not one big one
+    assert len([p for p in q1.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    q2 = start()  # same checkpoint: resumes AFTER the consumed rows
+    wait_rows(30)
+    q2.stop()
+    q2.awaitTermination()
+    final = rows_now()
+    # exactly-once across the restart: no duplicates, no loss, full replay
+    assert sorted(final) == sorted(want)
