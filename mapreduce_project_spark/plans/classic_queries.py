@@ -408,3 +408,29 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction."""
     register_tables(spark, sf_dir, ["lineitem", "part"])
     return spark.sql(_Q19_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, c_mktsegment, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+    )
+    """
+
+
+@extra_query("lateral_recent_orders", _LATERAL_SQL)
+def q_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — each customer's two most recent
+    orders via a per-row dependent subquery (the SQL:1999 lateral-join
+    surface; a reference user would write a reduce over order lists).
+    Catalyst DECORRELATES the lateral limit into a ranked window over
+    one join (check the plan: no per-customer subquery execution) —
+    semantically the per-group top-k pattern, but expressed in the
+    standard SQL form users port from other warehouses. Customers with
+    no orders drop out (inner lateral). Same engine-neutral SQL text
+    runs on Spark temp views and as the DuckDB oracle."""
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
