@@ -242,3 +242,67 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
         (F.col("max_key_rows").cast("double") / F.col("n_rows")).alias("top_share"),
         (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_key_rows"),
     )
+
+
+def dq_audit(
+    df: DataFrame,
+    rules: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+    referential: dict[str, tuple[DataFrame, list[str], list[str]]] | None = None,
+) -> DataFrame:
+    """Data-quality audit: one row per rule with its violation count —
+    the ingest gate a production pipeline runs before data reaches
+    training or analytics.
+
+    Three rule families, each the cheapest plan for its class:
+    - ``rules``: name → boolean Column, TRUE when the row VIOLATES
+      (map-side predicate counts, one shared scan, zero shuffle);
+    - ``unique_keys``: name → key columns; violations = rows beyond
+      the first per key (one partial-agg groupBy on the key);
+    - ``referential``: name → (parent_df, child_cols, parent_cols);
+      violations = child rows with no parent (left-anti join — the
+      parent side broadcasts when small).
+
+    All families UNION into one (rule, n_violations) result, so one
+    action runs the whole audit. Counts (including healthy zeros) are
+    emitted for every rule — a disappearing rule row is itself a bug.
+    """
+    parts = []
+    preds = [
+        F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, c in rules.items()
+    ]
+    if preds:
+        wide = df.agg(*preds)
+        stack = ", ".join(f"'{n}', `{n}`" for n in rules)
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+            )
+        )
+    for name, keys in (unique_keys or {}).items():
+        parts.append(
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+    for name, (parent, child_cols, parent_cols) in (referential or {}).items():
+        child_keys = df.select(
+            *[F.col(c).alias(p) for c, p in zip(child_cols, parent_cols)]
+        )
+        orphans = child_keys.join(
+            parent.select(*parent_cols).distinct(), parent_cols, "left_anti"
+        )
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -545,3 +545,73 @@ def q_map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "view").alias("views"),
         F.element_at("m", "error").alias("errors"),
     )
+
+
+@extra_query(
+    "dq_audit_orders",
+    """
+    WITH corrupt AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 100.0),
+        (CAST(90001 AS BIGINT), CAST(-999 AS BIGINT), 50.0),
+        (CAST(90002 AS BIGINT), CAST(NULL AS BIGINT), 75.0),
+        (CAST(90003 AS BIGINT), CAST(5 AS BIGINT), -5.0)
+      ) AS v(o_orderkey, o_custkey, o_totalprice)
+    )
+    SELECT 'nonpositive_totalprice' AS rule,
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS n_violations
+    FROM corrupt
+    UNION ALL
+    SELECT 'null_custkey',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM corrupt
+    UNION ALL
+    SELECT 'dup_orderkey',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM corrupt GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'orphan_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM corrupt c
+    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.o_custkey)
+    """,
+)
+def q_dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (`operators/relational.py:dq_audit`) over the
+    orders table with four PLANTED violations (a duplicate key, an
+    orphan foreign key, a NULL key, a nonpositive amount) unioned in-
+    query — so every rule family is exercised against known-bad rows,
+    not vacuously green on clean synthetic data. Rule families map to
+    their cheapest plans: predicate rules share one scan (map-side
+    conditional counts), uniqueness is one partial-agg groupBy,
+    referential is a broadcast left-anti join. NULL foreign keys count
+    as orphans in BOTH engines (left_anti ≡ NOT EXISTS: a NULL key
+    never matches)."""
+    from mapreduce_project_spark.operators.relational import dq_audit
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    bad = spark.createDataFrame(
+        [(1, 0, 100.0), (90001, -999, 50.0), (90002, None, 75.0), (90003, 5, -5.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    corrupt = orders.unionByName(bad)
+    return dq_audit(
+        corrupt,
+        rules={
+            "nonpositive_totalprice": F.col("o_totalprice") <= 0,
+            "null_custkey": F.col("o_custkey").isNull(),
+        },
+        unique_keys={"dup_orderkey": ["o_orderkey"]},
+        referential={
+            "orphan_custkey": (
+                t(spark, sf_dir, "customer"),
+                ["o_custkey"],
+                ["c_custkey"],
+            )
+        },
+    )

@@ -328,3 +328,17 @@ def test_interval_join_preserves_duplicate_input_rows(spark):
     out = interval_join(a, b, ("s", "e"), ("s2", "e2"), 1800).collect()
     assert len(out) == 2
     assert {r["bid"] for r in out} == {"b1"}
+
+
+def test_dq_audit_counts_planted_violations(spark):
+    # the audit must attribute each planted violation to the right rule
+    from tests.conftest import SF_DIR as _SF
+
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in ALL_QUERIES["dq_audit_orders"](spark, _SF).collect()
+    }
+    assert got["nonpositive_totalprice"] == 1
+    assert got["null_custkey"] == 1
+    assert got["dup_orderkey"] == 1
+    assert got["orphan_custkey"] == 2  # the -999 key AND the NULL key
