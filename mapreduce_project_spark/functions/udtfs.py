@@ -62,3 +62,47 @@ def register_udtfs(spark) -> None:
       FROM documents d, LATERAL token_records(d.text) t``."""
     spark.udtf.register("line_records", LineRecords)
     spark.udtf.register("token_records", TokenRecords)
+    spark.udtf.register("props_columns", PropsColumns)
+
+
+# Polymorphic UDTF: output schema decided AT ANALYSIS TIME from a
+# constant argument (Spark 4 `analyze` static method). The props column
+# on `events` is a JSON object string; callers name the keys they want
+# and each becomes a real typed COLUMN in the plan — imperative
+# schema-on-read projection (the declarative twin is D52's VARIANT
+# path), and downstream pruning and predicates work on the extracted
+# columns like any other.
+from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+from pyspark.sql.types import StringType, StructType as _StructType
+
+
+@udtf
+class PropsColumns:
+    """``props_columns(props, 'k1,k2')`` → columns ``k1 string,
+    k2 string`` (missing keys → NULL; scalar values rendered as their
+    JSON text). The key list must be a literal: `analyze` runs on the
+    driver at plan time and fixes the schema the executors must
+    produce."""
+
+    @staticmethod
+    def analyze(props: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+        if not keys.isConstantExpression or not isinstance(keys.value, str):
+            raise ValueError("props_columns requires a constant key-list string")
+        schema = _StructType()
+        for k in keys.value.split(","):
+            schema = schema.add(k.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, props: str, keys: str):  # noqa: D102 - contract above
+        import json
+
+        wanted = [k.strip() for k in keys.split(",")]
+        try:
+            parsed = json.loads(props) if props else {}
+        except ValueError:
+            parsed = {}
+        out = []
+        for k in wanted:
+            v = parsed.get(k)
+            out.append(None if v is None else str(v))
+        yield tuple(out)

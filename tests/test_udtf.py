@@ -66,3 +66,39 @@ def test_line_records_null_payload_yields_nothing(spark):
         "LATERAL line_records(s.c) t"
     ).collect()
     assert got == []
+
+
+def test_props_columns_polymorphic_schema(spark):
+    # analyze() fixes the output schema from the constant key list —
+    # different literals, different column sets, same UDTF
+    from mapreduce_project_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    from mapreduce_project_spark.sources import register_tables
+    from tests.conftest import SF_DIR as _SF
+
+    register_tables(spark, _SF, ["events"])
+    one = spark.sql(
+        "SELECT e.event_id, p.k FROM events e, LATERAL props_columns(e.props, 'k') p"
+    )
+    assert one.columns == ["event_id", "k"]
+    # the extracted column equals the declarative JSON path on every row
+    twin = spark.sql(
+        "SELECT event_id, get_json_object(props, '$.k') AS k FROM events"
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, twin.collect()))
+
+    two = spark.sql(
+        "SELECT p.* FROM events e, LATERAL props_columns(e.props, 'k, missing') p"
+    )
+    assert two.columns == ["k", "missing"]
+    rows = two.collect()
+    assert rows and all(r["missing"] is None for r in rows)
+
+    import pytest as _p
+    from pyspark.errors import AnalysisException
+
+    with _p.raises(AnalysisException):
+        spark.sql(
+            "SELECT p.* FROM events e, LATERAL props_columns(e.props, e.props) p"
+        ).collect()
