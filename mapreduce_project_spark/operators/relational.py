@@ -306,3 +306,73 @@ def dq_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff — classify every key as ``added`` / ``removed`` /
+    ``changed`` between two versions of a table (the change-data feed a
+    lakehouse table format derives from its log, computed directly when
+    all you have is two parquet snapshots). Unchanged keys are omitted.
+
+    Plan: each side reduces to (keys, 64-bit content hash) BEFORE the
+    full-outer join, so the shuffle carries keys + 8 bytes regardless of
+    row width — at 100 TB this is the difference between joining two
+    fact tables and joining two key columns. ``compare_cols`` defaults
+    to all non-key columns (which must then match between snapshots).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, F.xxhash64(F.struct(*compare_cols)).alias("_h_old")
+    )
+    n = new.select(
+        *key_cols, F.xxhash64(F.struct(*compare_cols)).alias("_h_new")
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        *key_cols,
+    ).filter(
+        F.col("_h_old").isNull()
+        | F.col("_h_new").isNull()
+        | (F.col("_h_old") != F.col("_h_new"))
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-action column profile: ``(column, n_rows, n_nulls,
+    n_distinct)`` per column — the ANALYZE/statistics pass a warehouse
+    runs after ingest (null-rate drift and cardinality explosions are
+    the first signals of an upstream schema break).
+
+    All columns profile in ONE aggregation over one scan. The exact
+    per-column COUNT(DISTINCT)s make Catalyst expand the input
+    (one replica per distinct-column) before the partial agg — the
+    exact/deterministic choice, right for profiling runs; swap
+    `approx_count_distinct` for the sketch path when profiling
+    petabytes continuously."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    return wide.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {stack}) AS (column, n_nulls, n_distinct)",
+    ).select(
+        "column", F.col("_n").alias("n_rows"), "n_nulls", "n_distinct"
+    )

@@ -615,3 +615,84 @@ def q_dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
+
+
+@extra_query(
+    "snapshot_diff_orders",
+    """
+    SELECT 'removed' AS change, o_orderkey FROM orders WHERE o_orderkey % 101 = 0
+    UNION ALL
+    SELECT 'changed', o_orderkey FROM orders
+    WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+    UNION ALL
+    SELECT 'added', o_orderkey + 1000000 FROM orders WHERE o_orderkey % 103 = 0
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC (`operators/relational.py:table_diff`): tomorrow's
+    orders snapshot is simulated in-query by a deterministic rule
+    (delete keys ≡0 mod 101, reprice keys ≡0 mod 97, insert fresh keys
+    for ≡0 mod 103), and the diff must recover EXACTLY the rule — the
+    oracle derives the expected change set straight from the
+    arithmetic, a completely independent path from the hash-compare
+    full-outer join. Each side shrinks to (key, 64-bit hash) before the
+    join, so the diff shuffles 16 B/row however wide the table is."""
+    from mapreduce_project_spark.operators.relational import table_diff
+
+    orders = t(spark, sf_dir, "orders")
+    survived = orders.filter(F.col("o_orderkey") % 101 != 0)
+    new = (
+        survived.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 10
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 1000000
+            )
+        )
+    )
+    return table_diff(orders, new, ["o_orderkey"])
+
+
+@extra_query(
+    "profile_orders_columns",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT col AS column, n_rows, n_nulls, n_distinct
+    FROM (
+      SELECT 'o_orderkey' AS col,
+             CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_custkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+      FROM orders
+    ), n
+    """,
+)
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (`operators/relational.py:profile_columns`):
+    row count, null count, and exact distinct cardinality for four
+    orders columns in ONE aggregation over one scan (the oracle spells
+    it as four scans — same answer, deliberately different shape)."""
+    from mapreduce_project_spark.operators.relational import profile_columns
+
+    return profile_columns(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
