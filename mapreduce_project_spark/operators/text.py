@@ -13,6 +13,8 @@ and integer→double divisions mirrored verbatim in the DuckDB oracles.
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,3 +205,57 @@ def repetition_stats(
             "top_2gram_char_frac"
         ),
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the model-free redundancy
+    signal (Gopher-style filters drop documents that compress too well:
+    boilerplate/template spam, or too poorly: binary junk). Arrow-
+    batched ``mapInPandas`` (zlib level pinned for determinism), no
+    shuffle; output (id, n_bytes, n_compressed, ratio)."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            n = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": n,
+                    "n_compressed": nc,
+                    "ratio": [c / b if b else 1.0 for c, b in zip(nc, n)],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(comp, out_schema)
+
+
+def normalize_nfc(col: Column) -> Column:
+    """Unicode NFC normalization + control-character strip as an
+    Arrow-batched pandas UDF (Python `unicodedata` implements the same
+    standard algorithm as the oracle's ICU `nfc_normalize`, so results
+    are engine-identical). The encoding-cleanup step before any
+    tokenizer sees the text."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pandas.Series) -> pandas.Series:
+        import unicodedata
+
+        def fix(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            return "".join(ch for ch in t if unicodedata.category(ch) != "Cc")
+
+        return s.map(fix)
+
+    return _nfc(col)

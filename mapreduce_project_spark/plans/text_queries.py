@@ -786,3 +786,46 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
     )
+
+
+@extra_query(
+    "text_normalize_nfc",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             nfc_normalize('cafe' || chr(769) || ' ' || text || chr(9)),
+             '[\\x00-\\x1f\\x7f]', '', 'g') AS text_nfc
+    FROM documents
+    """,
+)
+def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup (`operators/text.py:normalize_nfc`): NFC
+    composition + control-char strip — the encoding-repair step before
+    any tokenizer. The fixture text is ASCII, so every row gets a
+    decomposed sequence planted ('cafe' + U+0301 COMBINING ACUTE, which
+    NFC must compose to 'café') plus a TAB control char (which the
+    strip must remove). Python `unicodedata` and the oracle's ICU
+    `nfc_normalize` implement the same standard algorithm, so outputs
+    are byte-identical; the oracle strips the ASCII control range,
+    matching the operator's Cc strip on this data."""
+    from mapreduce_project_spark.operators.text import normalize_nfc
+
+    docs = t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("cafe"), F.lit("\u0301 "), F.col("text"), F.lit("\t")
+    )
+    return docs.select("doc_id", normalize_nfc(planted).alias("text_nfc"))
+
+
+@extra_query("text_compression_ratio", None)
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free redundancy signal (`operators/text.py:
+    compression_ratio`): zlib-level-6 bytes-out/bytes-in per document —
+    Gopher-style filters drop what compresses too well (template spam)
+    or too poorly (binary junk). No SQL oracle (zlib is not expressible
+    in DuckDB); the determinism check pins the fixed compression level,
+    and the unit test pins the signal's direction on planted
+    repetitive vs random text."""
+    from mapreduce_project_spark.operators.text import compression_ratio
+
+    return compression_ratio(t(spark, sf_dir, "documents"))

@@ -205,3 +205,29 @@ def test_fuzzy_pairs_symspell_complete_and_verified(spark):
     # is 2 (plain levenshtein has no transposition edit): the verify
     # step must have filtered that candidate out
     assert ("at", "ta") not in got
+
+
+def _md5_noise(n):
+    # chained md5 hex: no periodicity for zlib to exploit
+    import hashlib
+
+    out, seed = [], b"seed"
+    while sum(len(x) for x in out) < n:
+        seed = hashlib.md5(seed).digest()
+        out.append(seed.hex())
+    return "".join(out)[:n]
+
+
+def test_compression_ratio_signal_direction(spark):
+    from mapreduce_project_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),                      # highly repetitive
+        (2, "the quick brown fox jumps over the lazy dog " * 20),
+        (3, _md5_noise(1000)),  # incompressible pseudo-random text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["ratio"] for r in compression_ratio(df).collect()}
+    # repetitive < prose < random, with meaningful separation
+    assert got[1] < got[2] < got[3]
+    assert got[1] < 0.1 and got[3] > 0.5
