@@ -140,6 +140,14 @@ _ROTATE_IN = (
     "embedding_quantize_int8",       # D82 int8 embedding quantization
 )
 
+# Round-4 rotation candidates (oracle-equipped extras that have not yet
+# held a driver slot): tpch_q7_volume_shipping, tpch_q19_disjunctive_brackets,
+# lateral_recent_orders, dq_audit_orders, snapshot_diff_orders,
+# profile_orders_columns, chunk_documents, event_transition_matrix,
+# temperature_sample_sources, multimodal_header_probe, text_normalize_nfc,
+# bpe_merge_pairs, pack_contiguous — swap against the round-3 entrants
+# (which will then hold prior-round driver signal).
+
 for _name in _ROTATE_OUT:
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
     if _name in ORACLES:
