@@ -275,3 +275,29 @@ def test_sketch_distinct_is_partial_agg_only(spark):
     # bytes (partial+final object agg), never a (type, user) expansion
     df = QUERIES["sketch_theta_distinct_users"](spark, SF_DIR)
     assert count_node(df, "Exchange") == 1
+
+
+def test_lateral_decorrelates_to_window(spark):
+    # the dependent LIMIT must rewrite to a ranked window over one
+    # join — no per-row subquery execution may survive in the plan
+    df = QUERIES["lateral_recent_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Subquery" not in plan
+
+
+def test_snapshot_diff_joins_hashes_not_rows(spark):
+    # both sides must reduce to (key, xxhash64) BEFORE the full-outer
+    # join: the join's output columns carry only keys and the two hashes
+    df = QUERIES["snapshot_diff_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "xxhash64" in plan
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_dq_audit_referential_is_anti_join(spark):
+    df = QUERIES["dq_audit_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert not has_node(df, "CartesianProduct")
