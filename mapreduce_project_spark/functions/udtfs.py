@@ -63,6 +63,7 @@ def register_udtfs(spark) -> None:
     spark.udtf.register("line_records", LineRecords)
     spark.udtf.register("token_records", TokenRecords)
     spark.udtf.register("props_columns", PropsColumns)
+    spark.udtf.register("pii_spans", PiiSpans)
 
 
 # Polymorphic UDTF: output schema decided AT ANALYSIS TIME from a
@@ -106,3 +107,31 @@ class PropsColumns:
             v = parsed.get(k)
             out.append(None if v is None else str(v))
         yield tuple(out)
+
+
+@udtf(returnType="pii_type string, start int, length int, span string")
+class PiiSpans:
+    """Span-level PII detection: one row per match with its 0-based
+    character offset — the audit/annotation twin of `text.redact_pii`
+    (which only rewrites): offset spans feed human review queues,
+    span-level masking in token space, and per-span provenance. Uses
+    the SAME `PII_PATTERNS` (order included: earlier categories consume
+    their spans so an email's digits are never re-reported as a phone),
+    so redacting exactly the reported spans reproduces `redact_pii`'s
+    output — pinned in tests."""
+
+    def eval(self, text: str):  # noqa: D102 - contract above
+        import re
+
+        from mapreduce_project_spark.operators.text import PII_PATTERNS
+
+        if not text:
+            return
+        taken: list[tuple[int, int]] = []
+        for name, pat, _ in PII_PATTERNS:
+            for m in re.finditer(pat, text):
+                s, e = m.span()
+                if any(s < te and ts < e for ts, te in taken):
+                    continue  # earlier category already owns this span
+                taken.append((s, e))
+                yield name, s, e - s, m.group()

@@ -102,3 +102,48 @@ def test_props_columns_polymorphic_schema(spark):
         spark.sql(
             "SELECT p.* FROM events e, LATERAL props_columns(e.props, e.props) p"
         ).collect()
+
+
+def test_pii_spans_reproduce_redaction(spark):
+    # cutting exactly the reported spans (right to left) and inserting
+    # the category placeholder must equal redact_pii's output — the
+    # span report and the rewriter cannot disagree
+    from mapreduce_project_spark.functions.udtfs import PiiSpans, register_udtfs
+    from mapreduce_project_spark.operators.text import PII_PATTERNS, redact_pii
+
+    register_udtfs(spark)
+    rows = [
+        (1, "mail me at a.b+c@test.org or call +1 415 555 0000 now"),
+        (2, "server 10.0.0.1 hosts bob@x.io and 192.168.1.254"),
+        (3, "no pii here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("pii_docs")
+    spans = spark.sql(
+        "SELECT d.doc_id, s.* FROM pii_docs d, LATERAL pii_spans(d.text) s"
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    placeholder = {name: repl for name, _, repl in PII_PATTERNS}
+    redacted = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", redact_pii("text").alias("red")).collect()
+    }
+    for doc_id, text in rows:
+        if text is None:
+            assert doc_id not in by_doc
+            continue
+        rebuilt = text
+        for r in sorted(by_doc.get(doc_id, []), key=lambda r: -r["start"]):
+            assert rebuilt[r["start"] : r["start"] + r["length"]] == r["span"]
+            rebuilt = (
+                rebuilt[: r["start"]]
+                + placeholder[r["pii_type"]]
+                + rebuilt[r["start"] + r["length"] :]
+            )
+        assert rebuilt == redacted[doc_id], (doc_id, rebuilt, redacted[doc_id])
+    assert {r["pii_type"] for r in by_doc[1]} == {"email", "phone"}
+    assert {r["pii_type"] for r in by_doc[2]} == {"email", "ip"}
+    assert 3 not in by_doc
