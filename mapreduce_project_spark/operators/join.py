@@ -265,3 +265,56 @@ def asof_join_forward(
         F.col("_m._ts").alias(f"{right_ts}{suffix}"),
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    coords: tuple[str, str],
+    radius: int,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Spatial radius join via grid blocking: all (left, right) pairs
+    with squared euclidean distance < radius² on integer coordinates —
+    the point-radius join every geo/embedding-2D workload needs,
+    without a cartesian product.
+
+    Plan: each point maps to its ``radius``-sized grid cell (integer
+    division); the LEFT side joins its own cell, the RIGHT side is
+    exploded to its 3×3 cell neighborhood, so every true pair meets in
+    EXACTLY the left point's cell (no post-join dedup) and the join is
+    a plain equi-join on (cellx, celly) — shuffle keys are two ints.
+    Candidates are verified with the exact integer squared distance.
+    Cost: O(|right| × 9) explode + one equi-join; the quadratic scan
+    exists only in the oracle. Lossless by construction: |dx| < radius
+    implies adjacent-or-same cells — exact with integer arithmetic.
+    Skewed cells (urban hotspots) split under AQE like any hot key.
+    """
+    x, y = coords
+    lx, ly = x + suffixes[0], y + suffixes[0]
+    rx, ry = x + suffixes[1], y + suffixes[1]
+    l = left.select(
+        *left.columns,
+        F.expr(f"{x} div {radius}").alias("_cx"),
+        F.expr(f"{y} div {radius}").alias("_cy"),
+    ).withColumnsRenamed({x: lx, y: ly})
+    r = (
+        right.select(
+            *right.columns,
+            F.explode(F.expr("sequence(-1, 1)")).alias("_dx"),
+        )
+        .select("*", F.explode(F.expr("sequence(-1, 1)")).alias("_dy"))
+        .select(
+            *right.columns,
+            (F.expr(f"{x} div {radius}") + F.col("_dx")).alias("_cx"),
+            (F.expr(f"{y} div {radius}") + F.col("_dy")).alias("_cy"),
+        )
+        .withColumnsRenamed({x: rx, y: ry})
+    )
+    dx = F.col(lx) - F.col(rx)
+    dy = F.col(ly) - F.col(ry)
+    return (
+        l.join(r, ["_cx", "_cy"])
+        .filter(dx * dx + dy * dy < radius * radius)
+        .drop("_cx", "_cy")
+    )

@@ -696,3 +696,53 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@extra_query(
+    "spatial_radius_join",
+    """
+    WITH c AS (
+      SELECT c_custkey, CAST(c_custkey % 1000 AS BIGINT) AS x,
+             CAST((c_custkey // 7) % 1000 AS BIGINT) AS y
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey, CAST((s_suppkey * 13) % 1000 AS BIGINT) AS x,
+             CAST((s_suppkey * 29 // 3) % 1000 AS BIGINT) AS y
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS BIGINT)
+             AS dist_sq
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) < 400
+    """,
+)
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial point-radius join (`operators/join.py:radius_join`):
+    customers within distance 20 of each supplier on a synthetic
+    integer grid derived deterministically from the keys. The engine
+    runs the grid-blocked equi-join (right side exploded to its 3×3
+    cell neighborhood, every true pair meets in exactly one cell); the
+    oracle runs the naive quadratic scan — two entirely different
+    algorithms that must produce the identical pair set, which also
+    proves the blocking is lossless. Integer coordinates end-to-end:
+    no floating-point boundary ambiguity on either side."""
+    from mapreduce_project_spark.operators.join import radius_join
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 1000).cast("bigint").alias("x"),
+        F.expr("(c_custkey div 7) % 1000").cast("bigint").alias("y"),
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13) % 1000).cast("bigint").alias("x"),
+        F.expr("(s_suppkey * 29 div 3) % 1000").cast("bigint").alias("y"),
+    )
+    joined = radius_join(cust, supp, ("x", "y"), 20)
+    dx = F.col("x_l") - F.col("x_r")
+    dy = F.col("y_l") - F.col("y_r")
+    return joined.select(
+        "c_custkey", "s_suppkey", (dx * dx + dy * dy).cast("bigint").alias("dist_sq")
+    )
