@@ -746,3 +746,32 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "c_custkey", "s_suppkey", (dx * dx + dy * dy).cast("bigint").alias("dist_sq")
     )
+
+
+@extra_query(
+    "histogram_price_equiwidth",
+    """
+    SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(max(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def q_histogram_price_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram (fixed 5000-unit bins) — the distribution
+    summary dashboards bin on, complementing D61's equi-DEPTH (equal
+    count) histogram: one partial-agg shuffle of (bucket, partial
+    stats), bucket = floor(v / width) in one pinned IEEE division both
+    engines evaluate identically. Bin edges are data-independent, so
+    histograms from different partitions/days merge by adding counts —
+    the same mergeability argument as the sketch family, exact here."""
+    li = t(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    return li.groupBy(
+        F.floor(v / F.lit(5000.0)).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )

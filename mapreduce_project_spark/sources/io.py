@@ -526,6 +526,63 @@ def rollup_navigator(
     return raw(), False
 
 
+def apply_changelog(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+    op_col: str = "op",
+) -> None:
+    """MERGE-style changelog apply onto a partitioned parquet table —
+    the "apply" step downstream of CDC capture (`table_diff` /
+    `operators/events.cdc_compact` produce change feeds; this lands
+    them) when no transactional table format is available.
+
+    ``changes`` carries the table's columns plus ``op_col`` ∈
+    {'upsert', 'delete'}. Semantics per key: delete removes it,
+    upsert replaces-or-inserts its row. Exactly the
+    `merge_partitioned_rollup` discipline: the batch's distinct
+    partition values (a driver list of PARTITION KEYS, bounded) prune
+    the read-back, existing rows of touched partitions anti-join
+    against ALL changed keys, surviving rows union the upserts, and
+    dynamic partition overwrite rewrites ONLY touched partitions.
+    O(changes + touched partitions), never O(table).
+
+    Constraint it cannot lift without a table format: a key's
+    partition value must not change across versions (an upsert that
+    moves a row between partitions must be issued as delete+upsert
+    with both partitions in the batch — which this handles)."""
+    out_cols = [c for c in changes.columns if c != op_col]
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    upserts = changes.filter(F.col(op_col) == "upsert").select(*out_cols)
+    if fs.exists(jvm_path):
+        parts = [r[0] for r in changes.select(part_col).distinct().collect()]
+        old = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))
+        changed_keys = changes.select(*key_cols).distinct()
+        survivors = old.join(changed_keys, key_cols, "left_anti")
+        merged = survivors.select(*out_cols).unionByName(upserts)
+    else:  # first batch: deletes are no-ops on an empty table
+        merged = upserts
+        parts = []
+    # dynamic overwrite only rewrites partitions PRESENT in the output —
+    # a partition whose every row was deleted never appears there and
+    # would silently keep its stale files. Compute which touched
+    # partitions survive BEFORE the write (afterwards `merged`'s lineage
+    # would re-read the replaced files), then clear the emptied ones.
+    remaining = {r[0] for r in merged.select(part_col).distinct().collect()}
+    with _dynamic_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(table_path)
+    for p in parts:
+        if p not in remaining:
+            pdir = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{table_path}/{part_col}={p}"
+            )
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
+
+
 def read_sketch_estimates(
     spark: SparkSession, rollup_path: str, distinct_aliases: list[str]
 ) -> DataFrame:

@@ -595,3 +595,82 @@ def test_rollup_navigator_answers_or_falls_back(spark, tmp_path):
         rollup_navigator(
             spark, rollup, ["day", "event_type"], ["sum_value"], ["user_id"]
         )
+
+
+def test_apply_changelog_merge_semantics(spark, tmp_path):
+    import os
+
+    from mapreduce_project_spark.sources.io import apply_changelog
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "z")],
+        "id long, day string, v string",
+    )
+    apply_changelog(
+        spark,
+        path,
+        base.selectExpr("id", "day", "v", "'upsert' AS op"),
+        ["id"],
+        "day",
+    )
+    d3_files = set(os.listdir(f"{path}/day=d3"))
+
+    # update id=1, delete id=2 (both day d1), insert id=5 into d2;
+    # d3 must remain byte-untouched
+    changes = spark.createDataFrame(
+        [
+            (1, "d1", "a2", "upsert"),
+            (2, "d1", None, "delete"),
+            (5, "d2", "e", "upsert"),
+        ],
+        "id long, day string, v string, op string",
+    )
+    apply_changelog(spark, path, changes, ["id"], "day")
+    got = {
+        (r["id"], str(r["day"])): r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "d1"): "a2",
+        (3, "d2"): "c",
+        (4, "d3"): "z",
+        (5, "d2"): "e",
+    }
+    # untouched partition: same files, not rewritten
+    assert set(os.listdir(f"{path}/day=d3")) == d3_files
+
+    # cross-partition move issued as delete+upsert in one batch
+    move = spark.createDataFrame(
+        [(3, "d2", None, "delete"), (3, "d4", "c", "upsert")],
+        "id long, day string, v string, op string",
+    )
+    apply_changelog(spark, path, move, ["id"], "day")
+    got = {
+        (r["id"], str(r["day"])): r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got[(3, "d4")] == "c" and (3, "d2") not in got
+
+
+def test_apply_changelog_clears_emptied_partition(spark, tmp_path):
+    import os
+
+    from mapreduce_project_spark.sources.io import apply_changelog
+
+    path = str(tmp_path / "tbl2")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], "id long, day string, v string"
+    )
+    apply_changelog(
+        spark, path, base.selectExpr("id", "day", "v", "'upsert' AS op"),
+        ["id"], "day",
+    )
+    # delete the ONLY row of d2: the partition directory must disappear,
+    # not linger with stale files (dynamic overwrite alone never touches
+    # a partition absent from the output)
+    changes = spark.createDataFrame(
+        [(2, "d2", None, "delete")], "id long, day string, v string, op string"
+    )
+    apply_changelog(spark, path, changes, ["id"], "day")
+    assert not os.path.exists(f"{path}/day=d2")
+    got = {(r["id"], str(r["day"])) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1")}
