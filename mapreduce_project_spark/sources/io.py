@@ -554,6 +554,21 @@ def apply_changelog(
     moves a row between partitions must be issued as delete+upsert
     with both partitions in the batch — which this handles)."""
     out_cols = [c for c in changes.columns if c != op_col]
+    # validate ops BEFORE any effect: an unrecognized op (e.g. a
+    # producer emitting 'update') would otherwise act as a silent
+    # DELETE — its key anti-joins away and nothing re-inserts it
+    bad = (
+        changes.filter(~F.col(op_col).isin("upsert", "delete"))
+        .select(op_col)
+        .distinct()
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"apply_changelog: unknown op values {[r[0] for r in bad]} — "
+            "only 'upsert' and 'delete' are defined"
+        )
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(table_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     upserts = changes.filter(F.col(op_col) == "upsert").select(*out_cols)

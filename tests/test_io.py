@@ -674,3 +674,26 @@ def test_apply_changelog_clears_emptied_partition(spark, tmp_path):
     assert not os.path.exists(f"{path}/day=d2")
     got = {(r["id"], str(r["day"])) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "d1")}
+
+
+def test_apply_changelog_rejects_unknown_ops(spark, tmp_path):
+    import pytest as _p
+
+    from mapreduce_project_spark.sources.io import apply_changelog
+
+    path = str(tmp_path / "tbl3")
+    base = spark.createDataFrame(
+        [(1, "d1", "a")], "id long, day string, v string"
+    )
+    apply_changelog(
+        spark, path, base.selectExpr("id", "day", "v", "'upsert' AS op"),
+        ["id"], "day",
+    )
+    # a typo'd op must fail loudly BEFORE any effect, not silently
+    # delete the key
+    bad = spark.createDataFrame(
+        [(1, "d1", "a2", "update")], "id long, day string, v string, op string"
+    )
+    with _p.raises(ValueError, match="unknown op"):
+        apply_changelog(spark, path, bad, ["id"], "day")
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
