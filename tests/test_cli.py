@@ -136,3 +136,42 @@ def test_submit_without_service_fails_cleanly(tmp_path, capsys):
     state = str(tmp_path / "nosvc")
     assert main(["submit", "word_count", "--state-dir", state]) == 1
     assert "submit failed" in capsys.readouterr().err
+
+
+def test_service_concurrent_submissions(tmp_path):
+    # the reference proves 3 concurrent jobs against its master
+    # (test.py:173-236); mirror that against the engine service — the
+    # socket server serializes requests, so all must succeed with
+    # correct, independent results
+    import threading
+
+    from mapreduce_project_spark import service
+
+    state = str(tmp_path / "svc2")
+    assert main(["start", "--state-dir", state]) == 0
+    try:
+        results = {}
+
+        def submit(name, query):
+            results[name] = service.request(
+                {"op": "run", "query": query, "sf_dir": "/root/testdata/sf0.001",
+                 "limit": 3},
+                state,
+            )
+
+        threads = [
+            threading.Thread(target=submit, args=(f"t{i}", q))
+            for i, q in enumerate(
+                ["word_count", "agg_pricing_summary", "text_stats"]
+            )
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 3
+        assert all(r.get("ok") for r in results.values()), results
+        assert results["t0"]["columns"] == ["word", "cnt"]
+        assert results["t1"]["n"] > 0 and results["t2"]["n"] > 0
+    finally:
+        assert main(["stop", "--state-dir", state]) == 0
