@@ -654,3 +654,75 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@extra_query(
+    "events_gapfill_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, day
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT u.user_id, d.day
+      FROM (SELECT DISTINCT user_id FROM daily) u,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds),
+                                          INTERVAL 1 DAY))::DATE AS day) d
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.n, 0) AS n_purchases,
+           daily.n IS NOT NULL AS observed,
+           last_value(daily.spend IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_spend
+    FROM spine s
+    LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+    """,
+)
+def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill: every (user, day) cell of
+    the observed purchase range exists — absent days appear with
+    n_purchases = 0 and the most recent day's spend carried forward
+    (`last(ignorenulls)`) — the gap-filling every daily-metric consumer
+    (charts, ML feature frames, SLA monitors) needs before windowed
+    math is meaningful. The date spine is `sequence(min, max)` exploded
+    against the distinct keys (spine size = keys × days, data-
+    independent of event count); the fill join is one shuffle; the
+    ffill window runs per key. Non-vacuous on the fixture: purchases
+    cover ~1/3 of user-day cells."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("spend"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        daily.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.col("n").isNotNull().alias("observed"),
+            F.last("spend", ignorenulls=True).over(w).alias("last_spend"),
+        )
+    )
