@@ -726,3 +726,103 @@ def q_events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("spend", ignorenulls=True).over(w).alias("last_spend"),
         )
     )
+
+
+@extra_query(
+    "session_cooccurrence_lift",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+    n_s AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS total FROM st),
+    singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+            AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           (CAST(n_ab AS DOUBLE) * (SELECT total FROM n_s))
+             / (CAST(sa.n AS DOUBLE) * sb.n) AS lift
+    FROM pairs JOIN singles sa ON sa.event_type = type_a
+               JOIN singles sb ON sb.event_type = type_b
+    """,
+)
+def q_session_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level association mining: within-session co-occurrence
+    counts and LIFT for every event-type pair — the market-basket /
+    item-affinity primitive (lift = P(a,b)/(P(a)P(b)), the log-free
+    PMI: one pinned multiply-then-divide on exact integer counts, so
+    no cross-engine libm log). Sessions are 30-minute gap islands
+    (lag + running sum, µs-exact epochs, (ts, event_id) tie-break);
+    the pair join runs WITHIN (user, session) — cost bounded by the
+    session alphabet (distinct types/session), never corpus-quadratic."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id", "event_type",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    st = sess.select("user_id", "sid", "event_type").distinct()
+    total = st.agg(
+        F.countDistinct("user_id", "sid").cast("bigint").alias("total")
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            F.expr(
+                "a.user_id = b.user_id AND a.sid = b.sid "
+                "AND a.event_type < b.event_type"
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a", "type_b", "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("total"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
