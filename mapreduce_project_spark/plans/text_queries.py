@@ -829,3 +829,85 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.operators.text import compression_ratio
 
     return compression_ratio(t(spark, sf_dir, "documents"))
+
+
+@extra_query(
+    "bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dlen, tk FROM toks WHERE len(tk) > 0),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dlen) AS dlen
+      FROM (SELECT doc_id, dlen, unnest(tk) AS term FROM dl)
+      WHERE term IN ('spark', 'shuffle', 'vector')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - df.df + 0.5)
+                          / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(tf.dlen AS DOUBLE)
+                                             / (SELECT avgdl FROM stats)))))
+             ) AS score
+      FROM tf JOIN df USING (term)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the search-scoring capability on top of the inverted-index family:
+    corpus stats (N, avgdl) broadcast as scalars, per-(doc, term) TF
+    from one explode+filter (the IN-list prunes before the count),
+    document-frequency IDF per term, TakeOrdered top-10. PYTEST-ONLY
+    comparator (never rotate into a driver slot): ln() is libm and the
+    3-term float sum is order-dependent at the last ulp — both are
+    absorbed by the test comparator's 1e-9 rounding, but not by a
+    byte-level hash."""
+    from mapreduce_project_spark.functions import tokens
+
+    terms = ("spark", "shuffle", "vector")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    ).withColumn("dlen", F.size("tk").cast("bigint")).filter(F.col("dlen") > 0)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", "dlen", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.any_value("dlen").alias("dlen"),
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dlen").cast("double") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
