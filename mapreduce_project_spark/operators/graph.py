@@ -183,3 +183,38 @@ def pagerank_fixed(
         F.col("fx").alias("rank_fx"),
         (F.col("fx").cast("double") / F.lit(float(_PR_SCALE))).alias("rank"),
     )
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """(node, dist) — cheapest path cost from any source node within
+    ``rounds`` edge relaxations (Bellman-Ford with a hop bound): the
+    weighted companion of `connected_components`' reachability. Each
+    round is one join + one partial-aggregated MIN shuffle; the driver
+    loop is over ROUNDS (a constant), never data — the same iterative
+    discipline as `pagerank_fixed`. Unreached nodes are absent (no
+    infinity sentinel to carry). Integer weights keep every distance
+    exact and engine-comparable.
+
+    For unbounded shortest paths, loop until a round changes no
+    distance (convergence read as one scalar count, like
+    `connected_components`); the bounded form IS the right query shape
+    for "within k hops" analyses and for an unrolled SQL oracle."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).alias("_w"))
+    dist = sources.select(F.col("node"), F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(rounds):
+        relaxed = e.join(dist, e["_s"] == dist["node"]).select(
+            F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

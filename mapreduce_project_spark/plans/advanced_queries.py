@@ -595,3 +595,87 @@ def q_rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
     )
+
+
+@extra_query(
+    "shortest_paths_trade",
+    """
+    WITH raw AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY src, dst
+    ),
+    e AS (
+      SELECT src, dst, min(w) AS w FROM (
+        SELECT src, dst, w FROM raw
+        UNION ALL SELECT dst AS src, src AS dst, w FROM raw
+      ) GROUP BY src, dst
+    ),
+    d0 AS (
+      SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    d1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL SELECT e.dst AS node, d0.dist + e.w AS dist
+        FROM e JOIN d0 ON e.src = d0.node
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL SELECT e.dst AS node, d1.dist + e.w AS dist
+        FROM e JOIN d1 ON e.src = d1.node
+      ) GROUP BY node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           CAST(dist AS BIGINT) AS dist
+    FROM d2
+    """,
+)
+def q_shortest_paths_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest paths
+    (`operators/graph.py:bounded_shortest_paths`): cheapest 2-hop trade
+    cost from every 50th customer over the symmetrized customer—supplier
+    graph, edge weight = the cheapest connecting line quantity
+    (multi-edges collapsed to MIN at build). BIGINT node ids and
+    weights end-to-end (strings rendered only at output, like
+    PageRank); the oracle is the 2-round relaxation unrolled in SQL —
+    the same exact arithmetic on a different engine."""
+    from mapreduce_project_spark.operators.graph import bounded_shortest_paths
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    raw = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    edges = (
+        raw.select("src", "dst", "w")
+        .unionByName(
+            raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    sources = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    dist = bounded_shortest_paths(edges, sources, rounds=2)
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2")))
+        .otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+        .alias("node"),
+        "dist",
+    )
