@@ -775,3 +775,56 @@ def q_histogram_price_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(v).alias("lo"),
         F.max(v).alias("hi"),
     )
+
+
+@extra_query(
+    "corr_quantity_discount",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr
+    FROM s
+    """,
+)
+def q_corr_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic Pearson correlation per group (quantity vs
+    discount-in-percent): the five moment sums are EXACT BIGINT
+    (order-independent — unlike float accumulation, which is why
+    engine-native corr()/covar() can't hash-match across engines), and
+    the final formula is one pinned IEEE expression over exact inputs —
+    sqrt is correctly rounded, so the result is bit-identical. One
+    partial-agg shuffle; the drift/leakage detector for any numeric
+    feature pair."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    # floor(x+0.5), never round(): engine tie rules differ (half-up
+    # vs half-even) — the fixed-point formula is IEEE-exact both sides
+    y = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - sx * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - sy * F.col("sy")
+    )
+    return s.select("l_returnflag", "n", (num / den).alias("corr"))
