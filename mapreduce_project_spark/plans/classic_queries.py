@@ -434,3 +434,29 @@ def q_lateral_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on Spark temp views and as the DuckDB oracle."""
     register_tables(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_SQL)
+
+
+_Q13_SQL = """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """
+
+
+@extra_query("tpch_q13_customer_distribution", _Q13_SQL)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — the double aggregation: orders per customer
+    (LEFT join so zero-order customers keep their c_count = 0 bucket —
+    count(o_orderkey) ignores the null-extended rows), then the
+    distribution of customers over those counts. Two shuffles total
+    (join+first agg share one); the join-condition filter (non-urgent)
+    must evaluate AS PART OF the join, not before the left join's
+    null-extension — the classic outer-join-predicate-placement trap,
+    pinned by the shared SQL."""
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q13_SQL)
