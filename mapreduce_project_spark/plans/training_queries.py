@@ -576,3 +576,144 @@ def q_temperature_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bits < (F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
         .select("doc_id", "src_class", "rate")
     )
+
+
+_ASSEMBLE_V2_SQL = f"""
+    WITH base AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    marked AS (
+      SELECT doc_id, toks,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS fr,
+             len(list_filter(toks, x -> list_contains(['el','los','de','y','es'], x))) AS es
+      FROM base
+    ),
+    clean AS (
+      SELECT doc_id, toks AS tk FROM (
+        SELECT doc_id, toks, {_LANG_CASE} AS pred_lang,
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+             + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.2 * least((CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)) / 8, 1.0)
+               AS quality
+        FROM marked
+      ) WHERE pred_lang = 'en' AND quality >= 0.5
+    ),
+    pass AS (
+      SELECT doc_id, i AS idx, array_to_string(tk[i*16+1 : i*16+16], ' ') AS p
+      FROM clean, UNNEST(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+      SELECT doc_id, idx, p,
+             row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, idx) AS rn
+      FROM pass WHERE p <> ''
+    ),
+    dedup AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(array_to_string(list(p ORDER BY idx), ' ')), '[a-z]+')) AS BIGINT) + 1 AS n_tok
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ),
+    tagged AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN doc_id % 7 < 4 THEN 'head'
+                  WHEN doc_id % 7 < 6 THEN 'mid' ELSE 'tail' END AS src_class
+      FROM dedup
+    ),
+    counts AS (SELECT src_class, CAST(count(*) AS BIGINT) AS c FROM tagged GROUP BY src_class),
+    stats AS (SELECT min(c) AS cmin FROM counts),
+    rates AS (
+      SELECT src_class, sqrt(CAST((SELECT cmin FROM stats) AS DOUBLE) / c) AS rate
+      FROM counts
+    ),
+    sampled AS (
+      SELECT t.doc_id, t.n_tok, t.src_class
+      FROM tagged t JOIN rates r USING (src_class)
+      WHERE CAST('0x' || substr(md5('t2:' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              < CAST(r.rate * 4294967296.0 AS BIGINT)
+    ),
+    keyed AS (
+      SELECT doc_id, n_tok, src_class,
+             md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM sampled
+    ),
+    addressed AS (
+      SELECT doc_id, n_tok, src_class,
+             CAST(CAST('0x' || substr(k, 1, 8) AS BIGINT) % 16 AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY CAST('0x' || substr(k, 1, 8) AS BIGINT) % 16
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+      FROM keyed
+    )
+    SELECT doc_id, src_class, shard, pos, n_tok,
+           CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS stream_offset,
+           CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+                AS BIGINT) AS chunk_start
+    FROM addressed
+    """
+
+
+@extra_query("assemble_training_set_v2", _ASSEMBLE_V2_SQL)
+def q_assemble_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition, GENERATION 2 — the round-3 operator
+    families composed end to end in one plan: language/quality gate →
+    PASSAGE-level exact dedup (sub-document boilerplate removal, digest
+    shuffle) → TEMPERATURE source rebalancing (rates derived from the
+    data, md5-bucket filter) → deterministic SHARDED shuffle ((shard,
+    pos) addresses) → CONTIGUOUS stream packing (per-shard prefix sums
+    with an EOS token each). Each stage is individually oracle-green
+    (`dedup_passages`, `temperature_sample_sources`, `shuffle_shards`,
+    `pack_contiguous`); this certifies their composition in a single
+    hash-match, complementing v1's gate→exact-dedup→decontam→mix→pack
+    line. Scale: one corpus scan, one digest shuffle, one tiny
+    broadcast rate table, one shard shuffle — the per-shard windows
+    ARE the training-shard writes."""
+    from mapreduce_project_spark.operators.dedup import passage_dedup
+    from mapreduce_project_spark.operators.sampling import shuffle_shards
+    from mapreduce_project_spark.operators.text import predicted_lang, quality_score
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id", "text",
+        predicted_lang("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    pd_ = passage_dedup(gated.select("doc_id", "text"), "doc_id", "text", 16)
+    tagged = pd_.select(
+        "doc_id",
+        (F.size(tokens("text_deduped")).cast("bigint") + F.lit(1)).alias("n_tok"),
+        F.when(F.col("doc_id") % 7 < 4, F.lit("head"))
+        .when(F.col("doc_id") % 7 < 6, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+        .alias("src_class"),
+    )
+    counts = tagged.groupBy("src_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = counts.agg(F.min("c").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(stats)).select(
+        "src_class", F.sqrt(F.col("cmin").cast("double") / F.col("c")).alias("rate")
+    )
+    hash_bits = F.expr(
+        "cast(conv(substr(md5(cast(concat('t2:', cast(doc_id AS string)) AS binary)"
+        "), 1, 8), 16, 10) AS bigint)"
+    )
+    sampled = tagged.join(F.broadcast(rates), "src_class").filter(
+        hash_bits < (F.col("rate") * F.lit(4294967296.0)).cast("bigint")
+    )
+    addressed = shuffle_shards(
+        sampled.select("doc_id", "n_tok", "src_class"), "doc_id", 16
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return addressed.select(
+        "doc_id", "src_class", "shard", "pos", "n_tok",
+        off.alias("stream_offset"),
+        F.floor(off / 2048).cast("bigint").alias("chunk_start"),
+    )
