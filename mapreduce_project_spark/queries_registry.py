@@ -125,6 +125,7 @@ _ROTATE_OUT = (
     "top_orders",             # global top-k; per-group top-k variant stays
     "distinct_segments",      # B3 twin of the declared dedup_exact
     "text_token_count_bpe",   # scalar smoke; bpe_merge_pairs is stronger
+    "multimodal_meta",        # metadata-struct smoke; byte_features carries C5
 )
 _ROTATE_IN = (
     "pagerank_trade_graph",      # D49 iterative fixed-point PageRank
@@ -138,6 +139,7 @@ _ROTATE_IN = (
     "sketch_theta_distinct_users",   # D81 mergeable sketch w/ exact oracle
     "tpch_q5_local_supplier_volume", # D36 6-way join-ordering stress
     "embedding_quantize_int8",       # D82 int8 embedding quantization
+    "assemble_training_set_v2",      # D108 flagship composition, generation 2
 )
 
 # Round-4 rotation candidates (oracle-equipped extras that have not yet
