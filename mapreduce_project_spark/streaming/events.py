@@ -268,9 +268,15 @@ def transition_stream(events: DataFrame) -> DataFrame:
     state_schema = "last_type string"
 
     def update(key, pdfs, state: GroupState):
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
-        rows = rows.sort_values(["ts", "event_id"])
-        seq = rows["event_type"].tolist()
+        parts = list(pdfs)
+        # a state-timeout invocation delivers no data; guard before
+        # concat (pd.concat([]) raises) — with NoTimeout this is
+        # defensive, but the operator shouldn't depend on that setting
+        if parts:
+            rows = pd.concat(parts).sort_values(["ts", "event_id"])
+            seq = rows["event_type"].tolist()
+        else:
+            seq = []
         if state.exists:
             seq = [state.get[0]] + seq
         if len(seq) >= 2:

@@ -301,3 +301,10 @@ def test_dq_audit_referential_is_anti_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert not has_node(df, "CartesianProduct")
+
+
+def test_assemble_v2_no_cartesian_and_broadcast_rates(spark):
+    df = QUERIES["assemble_training_set_v2"](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+    # the temperature-rate table joins broadcast, never shuffling the corpus
+    assert count_node(df, "BroadcastHashJoin") >= 1
