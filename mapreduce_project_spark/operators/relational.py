@@ -267,6 +267,8 @@ def dq_audit(
     action runs the whole audit. Counts (including healthy zeros) are
     emitted for every rule — a disappearing rule row is itself a bug.
     """
+    if not rules and not unique_keys and not referential:
+        raise ValueError("dq_audit: at least one rule is required")
     parts = []
     preds = [
         F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(name)

@@ -342,3 +342,12 @@ def test_dq_audit_counts_planted_violations(spark):
     assert got["null_custkey"] == 1
     assert got["dup_orderkey"] == 1
     assert got["orphan_custkey"] == 2  # the -999 key AND the NULL key
+
+
+def test_dq_audit_requires_rules(spark):
+    import pytest as _p
+
+    from mapreduce_project_spark.operators.relational import dq_audit
+
+    with _p.raises(ValueError, match="at least one rule"):
+        dq_audit(spark.range(3), rules={})
