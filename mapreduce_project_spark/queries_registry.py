@@ -101,6 +101,7 @@ from mapreduce_project_spark.plans import compat_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import advanced_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import training_queries  # noqa: E402,F401
 from mapreduce_project_spark.plans import classic_queries  # noqa: E402,F401
+from mapreduce_project_spark.plans import classic_queries2  # noqa: E402,F401
 from mapreduce_project_spark.plans import sketch_queries  # noqa: E402,F401
 
 # Per-round slot rotation. The driver's correctness window records at
