@@ -195,6 +195,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 3, 0.8)
 
 
+@extra_query("dedup_jaccard_prefix_filter", _JACCARD_PAIRS_ORACLE)
+def q_dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 exact at scale: the SAME pair set as `dedup_ngram_jaccard`
+    (identical quadratic SQL oracle, bit-wise) via the AllPairs/PPJoin
+    prefix filter — each doc joins only on its globally rarest
+    ``sz - ceil(0.8·sz) + 1`` shingles, so hot boilerplate shingles
+    never drive the self-join fan-out. This is the 100 TB-shaped EXACT
+    Jaccard path (`operators/dedup.py:prefix_filter_jaccard_pairs`);
+    `dedup_minhash_lsh` remains the approximate/cheaper alternative."""
+    from mapreduce_project_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 3, 4, 5
+    )
+
+
 @extra_query(
     "text_normalize",
     """

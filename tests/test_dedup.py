@@ -84,3 +84,22 @@ def test_passage_dedup_first_wins_and_reassembles(spark):
     row = passage_dedup(rep, "doc_id", "text", 4).collect()[0]
     assert row["text_deduped"] == "a b c d e f g h"
     assert row["n_passages_kept"] == 2
+
+
+def test_prefix_filter_equals_quadratic_jaccard(spark):
+    # the prefix-filtered AllPairs join must produce the IDENTICAL pair
+    # set (ids AND jaccard values, bit-wise) as the quadratic
+    # self-join — same semantics, scalable plan
+    from mapreduce_project_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jac"])
+        for r in prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 4, 5).collect()
+    }
+    assert fast == exact
+    assert len(exact) > 0
