@@ -717,3 +717,71 @@ def q_assemble_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         off.alias("stream_offset"),
         F.floor(off / 2048).cast("bigint").alias("chunk_start"),
     )
+
+
+_LINEAR_GD_ORACLE = """
+    WITH d AS (
+      SELECT CAST(1 AS BIGINT) AS x0,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM d),
+    gA AS (SELECT SUM(x0 * -y) AS g0, SUM(x1 * -y) AS g1,
+                  SUM(x2 * -y) AS g2 FROM d),
+    wA AS (
+      SELECT 0 - g0 // ((SELECT n FROM nn) * 1000) AS w0,
+             0 - g1 // ((SELECT n FROM nn) * 1000) AS w1,
+             0 - g2 // ((SELECT n FROM nn) * 1000) AS w2
+      FROM gA
+    ),
+    eB AS (
+      SELECT x0, x1, x2,
+             (((SELECT w0 FROM wA) * x0 + (SELECT w1 FROM wA) * x1
+               + (SELECT w2 FROM wA) * x2) - y * 1000000) // 1000000 AS e
+      FROM d
+    ),
+    gB AS (SELECT SUM(x0 * e) AS g0, SUM(x1 * e) AS g1,
+                  SUM(x2 * e) AS g2 FROM eB),
+    wB AS (
+      SELECT (SELECT w0 FROM wA) - g0 // ((SELECT n FROM nn) * 1000) AS w0,
+             (SELECT w1 FROM wA) - g1 // ((SELECT n FROM nn) * 1000) AS w1,
+             (SELECT w2 FROM wA) - g2 // ((SELECT n FROM nn) * 1000) AS w2
+      FROM gB
+    )
+    SELECT 'bias' AS feature, CAST(w0 AS BIGINT) AS w_fx,
+           CAST(w0 AS DOUBLE) / 1000000 AS w FROM wB
+    UNION ALL
+    SELECT 'qty', CAST(w1 AS BIGINT), CAST(w1 AS DOUBLE) / 1000000 FROM wB
+    UNION ALL
+    SELECT 'disc_pct', CAST(w2 AS BIGINT), CAST(w2 AS DOUBLE) / 1000000 FROM wB
+    """
+
+
+@extra_query("linear_gd_price_model", _LINEAR_GD_ORACLE)
+def q_linear_gd_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model training as a first-class pipeline op: two
+    exact fixed-point batch-GD rounds fitting
+    ``price_cents ≈ w·[1, quantity, discount_pct]`` over lineitem
+    (`operators/ml.py:linear_gd_fixed`). Each round is ONE partial+
+    final aggregation over the cached feature frame; the weight vector
+    lives on the driver as k integers embedded into the next round's
+    codegen'd expression (metadata-scale collect, like pagerank_fixed's
+    convergence scalar). All-BIGINT arithmetic with truncating ``div``
+    (verified identical in Spark and DuckDB, negatives included) makes
+    this ITERATIVE algorithm hash-matchable by a fully unrolled SQL
+    oracle — the same discipline as `pagerank_trade_graph` and
+    `kmeans_embeddings`. lr = 1/1000 sits inside the stability bound
+    2/λmax(E[xxᵀ]) ≈ 2.3e-3 for this feature scale."""
+    from mapreduce_project_spark.operators.ml import linear_gd_fixed
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.lit(1).cast("bigint").alias("bias"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("disc_pct"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("y_cents"),
+    )
+    return linear_gd_fixed(
+        li, ["bias", "qty", "disc_pct"], "y_cents", n_iter=2, lr_num=1, lr_den=1000
+    )

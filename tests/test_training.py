@@ -243,3 +243,28 @@ def test_shuffle_shards_addressing_contract(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in reseeded} != {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_linear_gd_predict_is_exact_dot_product(spark):
+    # the serving-side scorer must reproduce w·x exactly from the
+    # trained weight table (zero-join codegen projection)
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.ml import (
+        linear_gd_fixed,
+        linear_predict_fixed,
+    )
+
+    df = spark.range(200).select(
+        F.lit(1).cast("bigint").alias("b"),
+        F.col("id").alias("x"),
+        (F.col("id") * 3 + 7).alias("y"),
+    )
+    w = linear_gd_fixed(df, ["b", "x"], "y", n_iter=2)
+    wmap = {r["feature"]: r["w_fx"] for r in w.collect()}
+    scored = linear_predict_fixed(df, w, ["b", "x"]).collect()
+    for r in scored:
+        assert r["score_fx"] == wmap["b"] * r["b"] + wmap["x"] * r["x"]
+    # two GD rounds from w=0 with a positive-slope target must move the
+    # slope weight positive — direction sanity on top of oracle parity
+    assert wmap["x"] > 0
