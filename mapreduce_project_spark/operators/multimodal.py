@@ -185,6 +185,99 @@ def downsample_bytes(
     return df.select(id_col, payload_col).mapInPandas(resample, out_schema)
 
 
+def patchify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width_col: str = "media.width",
+    patch: int = 16,
+) -> DataFrame:
+    """ViT-style patch extraction: interpret each payload as a
+    row-major byte image of the given width (height = ceil(n_bytes /
+    width), last row partially filled), lay a non-overlapping
+    ``patch × patch`` grid over it, and emit one row per grid cell —
+    exactly the tokenization step in front of a vision transformer.
+
+    Output: (id, patch_row, patch_col, n_real, byte_sum, patch) where
+    ``patch`` is the patch bytes zero-padded to exactly patch² (the
+    fixed-size tensor a ViT embeds), ``n_real`` counts non-pad bytes,
+    and ``byte_sum`` sums them (pads contribute 0 — the compact
+    statistics the SQL oracle recomputes per cell).
+
+    Arrow-batched ``mapInPandas``, no shuffle: payloads never move,
+    each becomes its grid of small rows in place — downstream
+    per-patch embedding UDFs consume these rows without reshuffling
+    full payloads (same discipline as `frame_sample`). numpy does the
+    pad/reshape/sum per payload; Python touches one bytes-slice per
+    OUTPUT row only.
+    """
+    out_schema = (
+        f"{id_col} long, patch_row long, patch_col long, "
+        "n_real long, byte_sum long, patch binary"
+    )
+    wcol = width_col.replace(".", "_")
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, prs, pcs, nreals, sums, blobs = [], [], [], [], [], []
+            for rid, w, payload in zip(
+                pdf[id_col], pdf[wcol], (bytes(p) for p in pdf[payload_col])
+            ):
+                w = int(w)
+                n = len(payload)
+                if n == 0:
+                    continue
+                h = -(-n // w)
+                hp, wp = -(-h // patch) * patch, -(-w // patch) * patch
+                img = np.zeros(hp * wp, dtype=np.uint8).reshape(hp, wp)
+                flat = np.frombuffer(payload, dtype=np.uint8)
+                full, rem = divmod(n, w)
+                img[:full, :w] = flat[: full * w].reshape(full, w)
+                if rem:
+                    img[full, :rem] = flat[full * w :]
+                gr, gc = hp // patch, wp // patch
+                # (gr, gc, patch, patch) view → per-patch sums in one pass
+                tiles = img.reshape(gr, patch, gc, patch).swapaxes(1, 2)
+                psums = tiles.sum(axis=(2, 3), dtype=np.int64)
+                # real (non-pad) byte count per patch from coordinates
+                rr = np.arange(gr) * patch
+                cc = np.arange(gc) * patch
+                rows_real = np.clip(h - rr, 0, patch)  # full rows per band
+                cols_real = np.clip(w - cc, 0, patch)[None, :].repeat(gr, 0)
+                nreal = rows_real[:, None] * cols_real
+                # the very last (partial) image row has only `rem` bytes
+                if rem:
+                    last_band = (h - 1) // patch
+                    in_last = rr[last_band] <= h - 1
+                    if in_last:
+                        short = np.clip(rem - cc, 0, patch) - np.clip(w - cc, 0, patch)
+                        nreal[last_band] += short
+                for i in range(gr):
+                    for j in range(gc):
+                        ids.append(rid)
+                        prs.append(i)
+                        pcs.append(j)
+                        nreals.append(int(nreal[i, j]))
+                        sums.append(int(psums[i, j]))
+                        blobs.append(tiles[i, j].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int64"),
+                    "patch_col": pd.Series(pcs, dtype="int64"),
+                    "n_real": pd.Series(nreals, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "patch": blobs,
+                }
+            )
+
+    return df.select(
+        id_col, payload_col, F.col(width_col).alias(wcol)
+    ).mapInPandas(cut, out_schema)
+
+
 def png_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL PNG dimension decode, entirely JVM-side: the IHDR chunk is
     at a fixed offset, so width/height are two big-endian u32s at bytes

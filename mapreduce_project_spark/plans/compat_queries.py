@@ -189,3 +189,62 @@ def q_multimodal_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", png.alias("payload")), "doc_id", "payload"
     )
     return probed.select("doc_id", "format", "width", "height")
+
+
+_PATCHIFY_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             CAST(64 * (doc_id % 16 + 1) AS BIGINT) AS w
+      FROM documents
+    ),
+    dims AS (SELECT *, (n + w - 1) // w AS h FROM base WHERE n > 0),
+    grid AS (
+      SELECT doc_id, text, n, w, h, pr, pc
+      FROM dims,
+           (SELECT unnest(generate_series(0, 63)) AS pr),
+           (SELECT unnest(generate_series(0, 63)) AS pc)
+      WHERE pr < (h + 15) // 16 AND pc < (w + 15) // 16
+    )
+    SELECT doc_id, pr AS patch_row, pc AS patch_col,
+           CAST(COALESCE(list_sum(list_transform(
+                  generate_series(pr*16, LEAST(pr*16 + 15, h - 1)),
+                  r -> GREATEST(LEAST(16, w - pc*16,
+                                      n - r*w - pc*16), 0))), 0) AS BIGINT)
+             AS n_real,
+           CAST(COALESCE(list_sum(list_transform(
+                  generate_series(pr*16, LEAST(pr*16 + 15, h - 1)),
+                  -- string_split('','') yields [''] with ord = -1, so
+                  -- zero-length row segments must short-circuit to 0
+                  r -> CASE WHEN GREATEST(LEAST(16, w - pc*16,
+                                                n - r*w - pc*16), 0) > 0
+                       THEN COALESCE(list_sum(list_transform(
+                              string_split(substr(text,
+                                  CAST(r*w + pc*16 AS INTEGER) + 1,
+                                  CAST(GREATEST(LEAST(16, w - pc*16,
+                                                      n - r*w - pc*16), 0)
+                                       AS INTEGER)),
+                                  ''),
+                              x -> ord(x))), 0)
+                       ELSE 0 END)), 0) AS BIGINT)
+             AS byte_sum
+    FROM grid
+    """
+
+
+@extra_query("multimodal_patchify", _PATCHIFY_ORACLE)
+def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 ViT patch tokenization: each payload interpreted as a
+    row-major byte image of its metadata width, cut into a 16×16
+    non-overlapping patch grid (`operators/multimodal.py:patchify`) —
+    one row per patch with zero-padded patch bytes plus (n_real,
+    byte_sum). HASH-CHECKED via the ASCII-payload trick: the oracle
+    replays the grid arithmetic per cell with substr + per-character
+    ord (n_real from pure coordinate math, byte_sum summing exactly
+    the real bytes — pads contribute 0 on both engines). The fixed-
+    size `patch` tensor column itself is covered by the pytest
+    consistency check (its bytes must sum to byte_sum)."""
+    from mapreduce_project_spark.operators.multimodal import patchify
+
+    out = patchify(attach_payload(t(spark, sf_dir, "documents")))
+    return out.select("doc_id", "patch_row", "patch_col", "n_real", "byte_sum")

@@ -120,3 +120,22 @@ def test_png_dims_jvm_twin_matches_probe(spark):
     # the JVM path is zero-shuffle codegen: no Exchange in the plan
     plan = png_dims(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_patchify_patch_bytes_consistent(spark):
+    # every emitted patch tensor is exactly patch*patch bytes, its
+    # non-pad count matches the coordinate math, and its bytes sum to
+    # byte_sum (pads contribute 0) — ties the binary column to the
+    # oracle-checked statistics
+    from mapreduce_project_spark.operators.multimodal import attach_payload, patchify
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    rows = patchify(attach_payload(docs)).collect()
+    assert rows
+    for r in rows:
+        blob = bytes(r["patch"])
+        assert len(blob) == 256
+        assert sum(blob) == r["byte_sum"]
+        assert 0 <= r["n_real"] <= 256
+        # pads are zeros: count of nonzero bytes <= n_real
+        assert sum(1 for b in blob if b) <= r["n_real"]
