@@ -88,3 +88,78 @@ def trailing_time_agg(
     for alias, expr in aggs.items():
         out = out.withColumn(alias, expr.over(w))
     return out
+
+
+def ewma_fixed(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Exact fixed-point exponentially-weighted moving average per key:
+    ``s_1 = x_1;  s_i = (alpha_num·x_i + (alpha_den−alpha_num)·s_{i−1})
+    div alpha_den`` (truncating integral division each step — the
+    truncation IS the spec, making this order-dependent RECURSION
+    hash-matchable by a recursive-CTE oracle).
+
+    EWMA is the one windowed statistic a frame cannot express: each
+    output depends on the previous OUTPUT, not on a frame of inputs
+    (the closed form Σ x_j·α·(1−α)^(i−j) underflows/denormalizes in
+    floats and is not exact under per-step truncation). So this is the
+    canonical custom per-group stateful operator: ``applyInPandas``
+    with one keyed shuffle, the recursion running sequentially inside
+    each group — exactly how a reference user's reduce-side loop would
+    compute it (reduce(fn) over the sorted group), and the batch twin
+    of `streaming/events.py:transition_stream`'s carried state.
+
+    ``value_col`` must be integral (BIGINT-safe) and the recursion
+    assumes it non-negative OR callers accept truncation-toward-zero
+    semantics (matched by SQL ``//`` in both engines). ``order_cols``
+    must be a deterministic total order within each key.
+
+    Output: (key, *order_cols, x, ewma_fx) — one row per input row.
+    """
+    import pandas as pd
+
+    a_n, a_d = alpha_num, alpha_den
+    carry = a_d - a_n
+
+    def _tdiv_arr(a: "pd.Series", b: int):
+        import numpy as np
+
+        q = np.abs(a) // b
+        return np.where(a >= 0, q, -q)
+
+    _types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        f"{key_col} long, "
+        + ", ".join(f"{c} {_types[c]}" for c in order_cols)
+        + ", x long, ewma_fx long"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        xs = pdf["_x"].to_numpy()
+        out = xs.copy()
+        s = 0
+        for i, x in enumerate(xs):
+            if i == 0:
+                s = int(x)
+            else:
+                v = a_n * int(x) + carry * s
+                q = abs(v) // a_d
+                s = q if v >= 0 else -q
+            out[i] = s
+        res = pdf[[key_col, *order_cols]].copy()
+        res["x"] = xs
+        res["ewma_fx"] = out
+        return res
+
+    prepped = df.select(
+        F.col(key_col).cast("bigint").alias(key_col),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("bigint").alias("_x"),
+    )
+    return prepped.groupBy(key_col).applyInPandas(smooth, out_schema)

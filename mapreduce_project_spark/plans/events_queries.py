@@ -826,3 +826,48 @@ def q_session_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    ew AS (
+      SELECT user_id, ts, x, rn, x AS s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.ts, q.x, q.rn, (q.x + e.s) // 2
+      FROM seq q JOIN ew e ON q.user_id = e.user_id AND q.rn = e.rn + 1
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, x,
+           CAST(s AS BIGINT) AS ewma_fx
+    FROM ew
+    """
+
+
+@extra_query("events_ewma_value", _EWMA_ORACLE)
+def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point EWMA (α = 1/2) of event value-cents per user —
+    the one windowed statistic no frame can express: each output
+    depends on the previous OUTPUT (`operators/windows.py:ewma_fixed`,
+    applyInPandas with ONE keyed shuffle, recursion sequential inside
+    the group). Per-step truncating division makes the recursion
+    engine-exact, so the oracle is a recursive CTE replaying
+    ``s_i = (x_i + s_{i-1}) // 2`` — an iterative per-row algorithm
+    hash-matched end to end (the recursion-depth analog of the
+    unrolled-round oracles used by pagerank/kmeans/linear-GD)."""
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x_cents"),
+    )
+    out = ewma_fixed(ev, "user_id", ["ts"], "x_cents", 1, 2)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "x",
+        "ewma_fx",
+    )

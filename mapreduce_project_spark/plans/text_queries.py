@@ -927,3 +927,51 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+_BPE_TRAIN_ORACLE = f"""
+    WITH toks0 AS (SELECT {_TOKS} AS tk FROM documents),
+    pc1 AS (
+      SELECT tk[i] AS l, tk[i+1] AS r, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks0, UNNEST(range(1, len(tk))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    top1 AS (SELECT l, r, cnt FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+    toks1 AS (
+      SELECT CASE WHEN len(tk) = 0 THEN tk
+             ELSE list_reduce(
+               list_transform(tk, t -> [t]),
+               (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+                           THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                           ELSE list_concat(acc, x) END) END AS tk
+      FROM toks0, top1
+    ),
+    pc2 AS (
+      SELECT tk[i] AS l, tk[i+1] AS r, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks1, UNNEST(range(1, len(tk))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    top2 AS (SELECT l, r, cnt FROM pc2 ORDER BY cnt DESC, l, r LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rnd, l AS lhs, r AS rhs, cnt FROM top1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), l, r, cnt FROM top2
+    """
+
+
+@extra_query("bpe_train_merges", _BPE_TRAIN_ORACLE)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL iterative BPE training (2 rounds): count adjacent pairs →
+    adopt the winner (count DESC, l, r tie-break) → greedy leftmost
+    non-overlapping corpus rewrite via a pure-JVM `F.aggregate` fold →
+    recount (`operators/bpe.py:bpe_train`). Returns the learned merge
+    table. The rewrite needs no shuffle and no Python; only (pair,
+    partial count) rows ever shuffle. The sequential fold semantics
+    ("a a a" + (a,a) → ["a a", "a"]) are replayed exactly by the
+    oracle's `list_reduce`, making the ITERATIVE rewrite hash-matched
+    end to end — the corpus-rewrite analog of the unrolled-round
+    pagerank/kmeans/linear-GD oracles. `bpe_merge_pairs` remains the
+    single-round candidate-scoring view."""
+    from mapreduce_project_spark.functions import tokens
+    from mapreduce_project_spark.operators.bpe import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), tokens("text"), rounds=2)

@@ -293,3 +293,45 @@ def transition_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact fixed-point EWMA (α = 1/2) of ``x`` per user —
+    the stateful twin of `operators/windows.py:ewma_fixed`: the carried
+    state is the previous smoothed value, so the recursion
+    ``s_i = (x_i + s_{i-1}) div 2`` continues seamlessly across
+    micro-batch boundaries (a RANGE frame cannot; each output depends
+    on the previous OUTPUT). Same in-order-arrival contract as
+    `transition_stream`; emits one (user_id, ts, x, ewma_fx) row per
+    event. Input must carry integral ``x`` (BIGINT-safe, non-negative
+    — value-cents in the tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, ts timestamp, x long, ewma_fx long"
+    state_schema = "s long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts", "event_id"])
+        s = int(state.get[0]) if state.exists else None
+        out = []
+        for x in rows["x"]:
+            x = int(x)
+            s = x if s is None else (x + s) // 2
+            out.append(s)
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "ts": rows["ts"].to_numpy(),
+                "x": rows["x"].to_numpy(),
+                "ewma_fx": out,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -351,3 +351,77 @@ def test_dq_audit_requires_rules(spark):
 
     with _p.raises(ValueError, match="at least one rule"):
         dq_audit(spark.range(3), rules={})
+
+
+def test_ewma_fixed_matches_sequential_reference(spark):
+    # replay the recursion in plain Python over the same sorted groups
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x_cents"),
+        )
+    )
+    got = {
+        (r["user_id"], r["ts"]): r["ewma_fx"]
+        for r in ewma_fixed(ev, "user_id", ["ts"], "x_cents", 1, 2).collect()
+    }
+    rows = sorted(ev.collect(), key=lambda r: (r["user_id"], r["ts"]))
+    state: dict[int, int] = {}
+    for r in rows:
+        u, x = r["user_id"], int(r["x_cents"])
+        s = x if u not in state else (x + state[u]) // 2
+        state[u] = s
+        assert got[(u, r["ts"])] == s
+    assert len(got) == len(rows) and len(rows) > 0
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    # 3 rounds (one MORE than the oracle-checked query) against a pure
+    # Python replay of count → adopt → greedy leftmost rewrite
+    from collections import Counter
+
+    from mapreduce_project_spark.functions import tokens
+    from mapreduce_project_spark.operators.bpe import bpe_train
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    got = [
+        (r["rnd"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train(docs, tokens("text"), rounds=3)
+        .orderBy("rnd")
+        .collect()
+    ]
+
+    corpora = [
+        [t for t in __import__("re").findall(r"[a-z]+", r["text"].lower())]
+        for r in docs.select("text").collect()
+    ]
+    want = []
+    for rnd in range(1, 4):
+        counts = Counter()
+        for seq in corpora:
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] += 1
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, l, r, c))
+        merged = f"{l} {r}"
+        for k, seq in enumerate(corpora):
+            out = []
+            for t_ in seq:
+                if out and out[-1] == l and t_ == r:
+                    out[-1] = merged
+                else:
+                    out.append(t_)
+            corpora[k] = out
+    assert got == want and len(got) == 3

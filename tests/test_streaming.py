@@ -534,3 +534,57 @@ def test_custom_streaming_source_replays_and_resumes(spark, tmp_path):
     final = rows_now()
     # exactly-once across the restart: no duplicates, no loss, full replay
     assert sorted(final) == sorted(want)
+
+
+def test_streaming_ewma_matches_batch_across_batches(spark, tmp_path):
+    # the carried smoothed value must continue the recursion across
+    # micro-batch boundaries: per-row EWMA outputs from the 3-batch
+    # stream must equal the one-shot batch ewma_fixed exactly
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+    from mapreduce_project_spark.streaming.events import ewma_stream
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+    )
+    t1, t2 = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).collect()[0]
+    src = tmp_path / "ewsrc"
+    src.mkdir()
+    parts = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["ts"], r["x"], r["ewma_fx"])
+        for r in spark.table("ewma_s").collect()
+    }
+    want = {
+        (r["user_id"], r["ts"], r["x"], r["ewma_fx"])
+        for r in ewma_fixed(
+            ev.withColumnRenamed("x", "xc"), "user_id", ["ts"], "xc", 1, 2
+        ).collect()
+    }
+    assert got == want and got
