@@ -308,3 +308,43 @@ def test_assemble_v2_no_cartesian_and_broadcast_rates(spark):
     assert not has_node(df, "CartesianProduct")
     # the temperature-rate table joins broadcast, never shuffling the corpus
     assert count_node(df, "BroadcastHashJoin") >= 1
+
+
+def test_prefix_filter_jaccard_no_cartesian_and_equi_joins(spark):
+    # the scalable exact-Jaccard path must be pure equi-joins: prefix
+    # self-join on shingle, verification join on candidate ids — never
+    # a nested-loop/cartesian fallback
+    df = QUERIES["dedup_jaccard_prefix_filter"](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_tpch_q2_correlated_min_decorrelates(spark):
+    # the correlated scalar MIN must become an aggregate joined back,
+    # not per-row subquery execution (no nested-loop machinery)
+    df = QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+    assert count_node(df, "HashAggregate") >= 2
+
+
+def test_tpch_q21_self_references_are_hash_joins(spark):
+    # EXISTS / NOT EXISTS self-references to lineitem must plan as
+    # semi/anti hash joins keyed on l_orderkey
+    df = QUERIES["tpch_q21_waiting_supplier"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_patchify_no_shuffle(spark):
+    # patch extraction is a narrow mapInPandas stage: payloads must
+    # never shuffle
+    df = QUERIES["multimodal_patchify"](spark, SF_DIR)
+    assert count_node(df, "Exchange") == 0
+
+
+def test_ewma_single_keyed_shuffle(spark):
+    # the per-key recursion costs exactly one exchange (the keyed
+    # shuffle into applyInPandas)
+    df = QUERIES["events_ewma_value"](spark, SF_DIR)
+    assert count_node(df, "Exchange") == 1
