@@ -679,3 +679,73 @@ def q_shortest_paths_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node"),
         "dist",
     )
+
+
+_COMPONENTS_ORACLE = """
+    WITH RECURSIVE o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    ),
+    raw AS (
+      SELECT x.l_suppkey AS s1, y.l_suppkey AS s2
+      FROM lineitem x
+      JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      JOIN o ON x.l_orderkey = o.o_orderkey
+    ),
+    e0 AS (SELECT DISTINCT s1 AS a, s2 AS b FROM raw),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+    SELECT c.id AS node, c.comp, s.n AS comp_size
+    FROM comp c
+    JOIN (SELECT comp, COUNT(*) AS n FROM comp GROUP BY comp) s USING (comp)
+    """
+
+
+@extra_query("graph_components_cosupply", _COMPONENTS_ORACLE)
+def q_graph_components_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the January-1995 co-supply graph
+    (suppliers joined when they supplied the same order) — the
+    reachability member of the graph family beside `pagerank_trade_graph`,
+    `triangle_counts_cosupply` and `shortest_paths_trade`. Reuses the
+    SAME two-phase union-find that powers `dedup_clusters`
+    (`operators/dedup.py:connected_components` — partition-local star
+    contraction, then min-label propagation with a scalar-only
+    convergence read); the oracle is the transitive closure as a
+    recursive CTE over the identical edge SQL. Output: every supplier
+    in the graph with its component representative (min id) and
+    component size."""
+    from mapreduce_project_spark.operators.dedup import connected_components
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("x.l_suppkey").alias("id_a"), F.col("y.l_suppkey").alias("id_b")
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).cast("bigint").alias("comp_size"))
+    return comp.select(F.col("id").alias("node"), "comp").join(sizes, "comp").select(
+        "node", "comp", "comp_size"
+    )
