@@ -127,6 +127,13 @@ _ROTATE_OUT = (
     "distinct_segments",      # B3 twin of the declared dedup_exact
     "text_token_count_bpe",   # scalar smoke; bpe_merge_pairs is stronger
     "multimodal_meta",        # metadata-struct smoke; byte_features carries C5
+    # third wave (all five outgoing queries are r02 driver-green, all
+    # five incoming are new operator families built this round):
+    "doc_fingerprints",       # md5 projection; dedup_exact re-proves the fp
+    "text_lang_id",           # marker CASE; the lang gate rides clean_corpus
+    "intersect_nation_keys",  # D2 set-op smoke (driver-green r02)
+    "embedding_cosine_pairs", # exact blocked pairs; ann_lsh+ivf carry C3
+    "event_gaps",             # lag window; window_rank_family carries D9/D53
 )
 _ROTATE_IN = (
     "pagerank_trade_graph",      # D49 iterative fixed-point PageRank
@@ -141,6 +148,12 @@ _ROTATE_IN = (
     "tpch_q5_local_supplier_volume", # D36 6-way join-ordering stress
     "embedding_quantize_int8",       # D82 int8 embedding quantization
     "assemble_training_set_v2",      # D108 flagship composition, generation 2
+    # third wave:
+    "dedup_jaccard_prefix_filter",   # D109 exact Jaccard at scale (AllPairs)
+    "linear_gd_price_model",         # D110 fixed-point GD model training
+    "events_ewma_value",             # D112 recursive EWMA (recursive-CTE oracle)
+    "bpe_train_merges",              # D113 iterative BPE training
+    "multimodal_patchify",           # D111 ViT patch tokenization
 )
 
 # Round-4 rotation candidates (oracle-equipped extras that have not yet
