@@ -674,3 +674,88 @@ def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         (F.sum(fixed).cast("double") / F.lit(1e9) / F.count("x")).alias("centroid_val")
     )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+) -> list[DataFrame]:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subvectors of ``dim/m`` dims and train an independent
+    ``k``-centroid quantizer per subspace with the SAME engine-exact
+    building blocks as `kmeans_lloyd` (k-smallest-id seeds, left-fold
+    distances, fixed-point means, lowest-cid ties). Returns the m
+    (cid, cv) centroid tables. Each subspace's training is a tiny
+    broadcast+assign+mean loop; the corpus is scanned once per round
+    per subspace (at petabyte scale, fuse the m assignments into one
+    pass the way `pq_encode` does for the final encoding)."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    books: list[DataFrame] = []
+    seed_w = Window.orderBy("id")
+    for s in range(m):
+        sv = base.select("id", F.slice("v", s * sub + 1, sub).alias("v"))
+        cents = (
+            sv.orderBy("id")
+            .limit(k)
+            .select((F.row_number().over(seed_w) - 1).alias("cid"), F.col("v").alias("cv"))
+        )
+        for _ in range(iters):
+            assigned = sv.crossJoin(F.broadcast(_cents_row(cents))).select(
+                "id", "v", _nearest_cid(F.col("v")).alias("cid")
+            )
+            cents = cluster_centroid_means(assigned, sub)
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """(id, subspace, code) product-quantization codes — the m·log2(k)
+    bits/vector representation (m=4, k=16 → 16 bits vs 256 bytes: the
+    compression step between coarse IVF routing and exact re-rank in a
+    100 TB vector store). Codebooks from `pq_train`; the ENCODING is
+    ONE zero-shuffle projection: all m codebooks broadcast as one-row
+    tables, each vector's m nearest sub-centroids computed in a single
+    corpus pass and exploded to long form. Deterministic end to end
+    (ties → lowest cid), so the full train+encode pipeline is
+    hash-matched by an unrolled-per-subspace SQL oracle."""
+    sub = dim // m
+    books = pq_train(df, id_col, vec_col, dim, m, k, iters)
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    enc = base
+    for s, cents in enumerate(books):
+        row = _cents_row(cents).select(F.col("cents").alias(f"_cb{s}"))
+        enc = enc.crossJoin(F.broadcast(row))
+    def _code_for(s: int) -> Column:
+        # factory closure: a `lambda c, sv=sv:` default-arg would make
+        # PySpark treat the lambda as (element, index) and bind the
+        # array INDEX to sv — the closure keeps the 1-arg signature
+        sv = F.slice(F.col("v"), s * sub + 1, sub)
+        scored = F.transform(
+            F.col(f"_cb{s}"),
+            lambda c: F.struct(
+                sq_dist(sv, c.getField("cv")).alias("d"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+        return F.array_min(scored).getField("cid").cast("bigint")
+
+    codes = [_code_for(s) for s in range(m)]
+    return enc.select(
+        "id", F.posexplode(F.array(*codes)).alias("subspace", "code")
+    ).select(F.col("id"), F.col("subspace").cast("bigint"), F.col("code"))

@@ -321,3 +321,79 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("q"),
     )
+
+
+def _pq_oracle(m: int, k: int, iters: int, dim: int) -> str:
+    """Unrolled DuckDB twin of `pq_encode` (train + encode): per
+    subspace, the `_kmeans_oracle` CTE chain over the subvector slice
+    (1-based inclusive ``v[s·sub+1 : (s+1)·sub]`` ≡ Spark's
+    ``F.slice``), then a final rk=1 assignment per vector; subspaces
+    UNION ALL'd. Every float op keeps the Spark operand order, ties to
+    the lowest cid — codes are bit-identical, not merely close."""
+    sub = dim // m
+    sq = (
+        f"list_reduce(list_transform(generate_series(1, {sub}),"
+        " j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j])), (x,y) -> x+y)"
+    )
+    ctes = ["baseF AS (SELECT vec_id AS id, embedding::DOUBLE[] AS fv FROM embeddings)"]
+    finals = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"base_{s} AS (SELECT id, fv[{lo}:{hi}] AS v FROM baseF)")
+        ctes.append(
+            f"""cents0_{s} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM (SELECT * FROM base_{s} ORDER BY id LIMIT {k}))"""
+        )
+        for i in range(iters):
+            ctes.append(
+                f"""assign{i}_{s} AS (
+      SELECT id, v, cid FROM (
+        SELECT b.id, b.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {sq.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base_{s} b CROSS JOIN cents{i}_{s} c
+      ) WHERE rk = 1)"""
+            )
+            ctes.append(
+                f"""percell{i + 1}_{s} AS (
+      SELECT cid, i - 1 AS dim,
+             CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+               / COUNT(v[i]) AS centroid_val
+      FROM assign{i}_{s}, (SELECT unnest(generate_series(1, {sub})) AS i)
+      GROUP BY cid, i)"""
+            )
+            ctes.append(
+                f"cents{i + 1}_{s} AS (SELECT cid, list(centroid_val ORDER BY dim) AS cv "
+                f"FROM percell{i + 1}_{s} GROUP BY cid)"
+            )
+        finals.append(
+            f"""SELECT id, CAST({s} AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code
+      FROM (
+        SELECT b.id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {sq.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base_{s} b CROSS JOIN cents{iters}_{s} c
+      ) WHERE rk = 1"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@extra_query("embedding_pq_codes", _pq_oracle(4, 16, 1, 64))
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=4 subspaces × k=16 centroids): each
+    64-dim embedding compressed to 4 codes = 16 bits — the storage tier
+    between coarse IVF routing and exact re-rank in a petabyte vector
+    store (`operators/similarity.py:pq_train/pq_encode`). Training
+    reuses the engine-exact Lloyd blocks per subspace; the ENCODING is
+    one zero-shuffle projection with all four codebooks broadcast.
+    Deterministic end to end, so train+encode hash-match the unrolled
+    per-subspace SQL oracle — the PQ member of the ANN family beside
+    `similarity_ann_lsh` (hyperplane LSH) and `similarity_topk_ivf`
+    (coarse quantizer)."""
+    from mapreduce_project_spark.operators.similarity import pq_encode
+
+    out = pq_encode(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64, 4, 16, 1)
+    return out.withColumnRenamed("id", "id").select(
+        F.col("id"), "subspace", "code"
+    )
