@@ -737,25 +737,96 @@ def pq_encode(
     sub = dim // m
     books = pq_train(df, id_col, vec_col, dim, m, k, iters)
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    enc = _with_codebooks(base, books)
+    codes = [_pq_code(s, sub) for s in range(m)]
+    return enc.select(
+        "id", F.posexplode(F.array(*codes)).alias("subspace", "code")
+    ).select(F.col("id"), F.col("subspace").cast("bigint"), F.col("code"))
+
+
+def _with_codebooks(base: DataFrame, books: list[DataFrame]) -> DataFrame:
+    """Attach each codebook as a broadcast one-row ``_cb{s}`` column —
+    downstream per-row code/dist expressions stay zero-shuffle."""
     enc = base
     for s, cents in enumerate(books):
         row = _cents_row(cents).select(F.col("cents").alias(f"_cb{s}"))
         enc = enc.crossJoin(F.broadcast(row))
-    def _code_for(s: int) -> Column:
-        # factory closure: a `lambda c, sv=sv:` default-arg would make
-        # PySpark treat the lambda as (element, index) and bind the
-        # array INDEX to sv — the closure keeps the 1-arg signature
-        sv = F.slice(F.col("v"), s * sub + 1, sub)
-        scored = F.transform(
-            F.col(f"_cb{s}"),
-            lambda c: F.struct(
-                sq_dist(sv, c.getField("cv")).alias("d"),
-                c.getField("cid").alias("cid"),
-            ),
-        )
-        return F.array_min(scored).getField("cid").cast("bigint")
+    return enc
 
-    codes = [_code_for(s) for s in range(m)]
-    return enc.select(
-        "id", F.posexplode(F.array(*codes)).alias("subspace", "code")
-    ).select(F.col("id"), F.col("subspace").cast("bigint"), F.col("code"))
+
+def _pq_code(s: int, sub: int) -> Column:
+    """Nearest sub-centroid id for subspace ``s`` of column ``v`` given
+    ``_cb{s}`` (factory closure: a `lambda c, sv=sv:` default-arg would
+    make PySpark treat the lambda as (element, index) and bind the
+    array INDEX to sv — the closure keeps the 1-arg signature)."""
+    sv = F.slice(F.col("v"), s * sub + 1, sub)
+    scored = F.transform(
+        F.col(f"_cb{s}"),
+        lambda c: F.struct(
+            sq_dist(sv, c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    return F.array_min(scored).getField("cid").cast("bigint")
+
+
+def topk_pq_adc(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    m: int = 4,
+    n_cents: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """PQ serving path — asymmetric distance computation (ADC): exact
+    query subvectors against the corpus's 16-bit PQ codes.
+
+    Per query, the distances to all m×n_cents sub-centroids are
+    precomputed ONCE as m arrays indexed by centroid id (the classic
+    ADC lookup tables); each corpus row's approximate distance is then
+    m array lookups + (m−1) additions in a FIXED left-to-right order —
+    no per-pair vector math at all, which is the entire point of PQ at
+    petabyte scale (the scan touches 2 bytes/vector, not 256). Queries
+    + lookup tables broadcast; ranking is a per-query window with a
+    deterministic (dist, id) tie-break. Codes and tables come from the
+    same deterministic train/encode as `pq_encode`, and the fixed
+    addition order makes the whole search hash-matchable by SQL.
+    Output: (query_id, neighbor_id, rk, dist) — approximate neighbors
+    by construction (PQ quantization error); recall vs brute force is
+    pinned in tests, the oracle certifies the machinery bit-wise.
+    At full scale this scan composes with IVF routing (probe cells
+    first, ADC within cells)."""
+    sub = dim // m
+    books = pq_train(df, id_col, vec_col, dim, m, n_cents, iters)
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    wide = _with_codebooks(base, books).select(
+        "id", *[_pq_code(s, sub).alias(f"c{s}") for s in range(m)]
+    )
+
+    def _dq(s: int) -> Column:
+        qsv = F.slice(F.col("qv"), s * sub + 1, sub)
+        return F.transform(
+            F.col(f"_cb{s}"), lambda c: sq_dist(qsv, c.getField("cv"))
+        ).alias(f"dq{s}")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qtab = _with_codebooks(q, books).select("query_id", *[_dq(s) for s in range(m)])
+    dist = F.element_at(F.col("dq0"), F.col("c0").cast("int") + 1)
+    for s in range(1, m):
+        dist = dist + F.element_at(F.col(f"dq{s}"), F.col(f"c{s}").cast("int") + 1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        wide.crossJoin(F.broadcast(qtab))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "dist")
+    )

@@ -323,13 +323,13 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(m: int, k: int, iters: int, dim: int) -> str:
-    """Unrolled DuckDB twin of `pq_encode` (train + encode): per
-    subspace, the `_kmeans_oracle` CTE chain over the subvector slice
-    (1-based inclusive ``v[s·sub+1 : (s+1)·sub]`` ≡ Spark's
-    ``F.slice``), then a final rk=1 assignment per vector; subspaces
-    UNION ALL'd. Every float op keeps the Spark operand order, ties to
-    the lowest cid — codes are bit-identical, not merely close."""
+def _pq_chain(m: int, k: int, iters: int, dim: int) -> tuple[list[str], str, list[str]]:
+    """Shared CTE chain for the PQ oracles: per subspace, the
+    `_kmeans_oracle` structure over the subvector slice (1-based
+    inclusive ``v[s·sub+1 : (s+1)·sub]`` ≡ Spark's ``F.slice``).
+    Returns (ctes, sq_template, per-subspace final-assignment selects).
+    Every float op keeps the Spark operand order, ties to the lowest
+    cid — codes are bit-identical, not merely close."""
     sub = dim // m
     sq = (
         f"list_reduce(list_transform(generate_series(1, {sub}),"
@@ -376,7 +376,68 @@ def _pq_oracle(m: int, k: int, iters: int, dim: int) -> str:
         FROM base_{s} b CROSS JOIN cents{iters}_{s} c
       ) WHERE rk = 1"""
         )
+    return ctes, sq, finals
+
+
+def _pq_oracle(m: int, k: int, iters: int, dim: int) -> str:
+    """Unrolled DuckDB twin of `pq_encode` (train + encode), long form
+    (id, subspace, code) via UNION ALL over the subspaces."""
+    ctes, _sq, finals = _pq_chain(m, k, iters, dim)
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+def _pq_adc_oracle(m: int, k: int, iters: int, dim: int, topk: int) -> str:
+    """Unrolled DuckDB twin of `topk_pq_adc`: the `_pq_chain` training
+    CTEs, wide per-vector codes, per-(query, subspace, cid) lookup
+    distances, and the approximate distance as the FIXED left-to-right
+    sum d0 + d1 + ... (matching Spark's expression tree — never a SUM
+    aggregate, whose order is unspecified); top-k per query with the
+    (dist, neighbor_id) tie-break."""
+    sub = dim // m
+    ctes, sq, _finals = _pq_chain(m, k, iters, dim)
+    for s in range(m):
+        ctes.append(
+            f"""enc_{s} AS (
+      SELECT id, cid FROM (
+        SELECT b.id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {sq.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base_{s} b CROSS JOIN cents{iters}_{s} c
+      ) WHERE rk = 1)"""
+        )
+    joins = " ".join(f"JOIN enc_{s} e{s} USING (id)" for s in range(1, m))
+    code_cols = ", ".join(
+        [f"e0.cid AS c0"] + [f"e{s}.cid AS c{s}" for s in range(1, m)]
+    )
+    ctes.append(f"codes AS (SELECT id, {code_cols} FROM enc_0 e0 {joins})")
+    ctes.append("qs AS (SELECT id AS query_id, fv FROM baseF WHERE id < 10)")
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(
+            f"""dq_{s} AS (
+      SELECT q.query_id, c.cid,
+             {sq.format(a=f'q.fv[{lo}:{hi}]', b='c.cv')} AS d
+      FROM qs q CROSS JOIN cents{iters}_{s} c)"""
+        )
+    dsum = " + ".join(f"d{s}.d" for s in range(m))
+    djoins = " ".join(
+        f"JOIN dq_{s} d{s} ON d{s}.query_id = q.query_id AND d{s}.cid = x.c{s}"
+        for s in range(m)
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT q.query_id, x.id AS neighbor_id, {dsum} AS dist
+      FROM qs q JOIN codes x ON x.id <> q.query_id {djoins})"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {topk}
+    """
+    )
 
 
 @extra_query("embedding_pq_codes", _pq_oracle(4, 16, 1, 64))
@@ -396,4 +457,24 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pq_encode(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64, 4, 16, 1)
     return out.withColumnRenamed("id", "id").select(
         F.col("id"), "subspace", "code"
+    )
+
+
+@extra_query("similarity_topk_pq", _pq_adc_oracle(4, 16, 1, 64, 5))
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path (ADC): top-5 neighbors for the vec_id < 10
+    queries computed entirely from 16-bit PQ codes — per query, m=4
+    lookup tables of 16 precomputed sub-distances, each corpus row
+    costing 4 array lookups + 3 additions in fixed order (the scan
+    touches codes, never vectors: the petabyte-scale property;
+    composes with IVF routing at full scale). Deterministic train +
+    encode + fixed-order distance sum ⇒ hash-matched by the unrolled
+    SQL oracle (`operators/similarity.py:topk_pq_adc`); neighbor
+    quality vs exact brute force is pinned separately in
+    tests/test_similarity.py."""
+    from mapreduce_project_spark.operators.similarity import topk_pq_adc
+
+    emb = t(spark, sf_dir, "embeddings")
+    return topk_pq_adc(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5, 64, 4, 16, 1
     )

@@ -173,3 +173,38 @@ def test_int8_quantization_reconstruction_bound(spark):
         # at most half a quantization step
         for q, x in zip(qs, orig):
             assert abs(q * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+
+
+def test_pq_adc_quality_floor(spark):
+    # PQ is lossy by construction (16-bit codes), and the fixture's
+    # embeddings are noise-dominated: the exact top-5 sits among many
+    # near-equidistant points, so strict top-5 agreement is inherently
+    # unstable under quantization (measured ~0.2-0.26 across m/k/iters
+    # — a property of the data, not the machinery, which is bit-exact
+    # vs its SQL oracle). The honest quality pin: ADC's top-5 must
+    # land within the exact squared-L2 top-50 well above chance
+    # (50/1000 = 5% baseline; measured 0.7).
+    import numpy as np
+
+    from mapreduce_project_spark.operators.similarity import topk_pq_adc
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    top50 = {}
+    for qi in np.where(ids < 10)[0]:
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        top50[ids[qi]] = set(ids[np.lexsort((ids, d))[:50]].tolist())
+
+    adc = topk_pq_adc(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5, 64
+    ).collect()
+    got = {}
+    for r in adc:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n = sum(len(v) for v in got.values())
+    assert n == 5 * len(top50)
+    hit = sum(len(got[q] & top50[q]) for q in got) / n
+    assert hit >= 0.5, f"ADC top-5 within exact top-50 only {hit}"
