@@ -259,3 +259,47 @@ def normalize_nfc(col: Column) -> Column:
         return s.map(fix)
 
     return _nfc(col)
+
+
+def hashed_doc_vectors(
+    df: "DataFrame", id_col: str, text_col: str, dim: int = 32
+) -> "DataFrame":
+    """Feature-hashing document vectors (the hashing trick): every
+    token maps to ``md5(token) mod dim`` and the per-bucket counts are
+    L2-normalized — the deterministic, vocabulary-free featurizer that
+    turns a text corpus into the embedding column the C3 similarity
+    operators consume (bridge: documents → vectors → LSH/IVF/PQ),
+    and the classic cheap stand-in where a learned encoder would run
+    as a Pandas-UDF stage.
+
+    Output is SPARSE long form (id, dim, val) — only nonzero buckets
+    materialize, so the shuffle carries (id, dim, count) triples
+    regardless of ``dim``. Exactness: counts are integers, the norm is
+    one correctly-rounded sqrt of an exact BIGINT sum of squares, and
+    each value is a single double division — engine-identical, so the
+    full featurization hash-matches a SQL oracle (md5 is the shared
+    deterministic hash family, as in `operators/sampling.py`)."""
+    from mapreduce_project_spark.functions import tokens as _tokens
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tk")
+    )
+    bucket = F.expr(
+        f"cast(conv(substr(md5(cast(tk AS binary)), 1, 8), 16, 10) AS bigint) % {dim}"
+    )
+    counts = (
+        tok.withColumn("dim", bucket)
+        .groupBy("id", "dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    norms = counts.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).cast("double")).alias("nrm")
+    )
+    return (
+        counts.join(norms, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "dim",
+            (F.col("cnt").cast("double") / F.col("nrm")).alias("val"),
+        )
+    )

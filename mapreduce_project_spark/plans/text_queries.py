@@ -975,3 +975,39 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.operators.bpe import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), tokens("text"), rounds=2)
+
+
+@extra_query(
+    "doc_feature_vectors",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 32 AS dim
+      FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+      FROM counts GROUP BY 1
+    )
+    SELECT c.doc_id, c.dim, CAST(c.cnt AS DOUBLE) / n.nrm AS val
+    FROM counts c JOIN norms n USING (doc_id)
+    """,
+)
+def q_doc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing featurizer (documents → 32-dim L2-normalized
+    hashed bag-of-words, sparse long form) — the vocabulary-free
+    bridge from the text corpus to the C3 embedding operators
+    (`operators/text.py:hashed_doc_vectors`). Integer counts + one
+    correctly-rounded sqrt + one division per value make the whole
+    featurization hash-match the md5-replaying oracle."""
+    from mapreduce_project_spark.operators.text import hashed_doc_vectors
+
+    return hashed_doc_vectors(t(spark, sf_dir, "documents"), "doc_id", "text", 32)
