@@ -162,12 +162,11 @@ _ROTATE_IN = (
 # profile_orders_columns, chunk_documents, event_transition_matrix,
 # temperature_sample_sources, multimodal_header_probe, text_normalize_nfc,
 # bpe_merge_pairs, pack_contiguous — swap against the round-3 entrants
-# (which will then hold prior-round driver signal). New this round and
-# also eligible: dedup_jaccard_prefix_filter (exact-Jaccard at scale),
-# linear_gd_price_model (fixed-point GD), events_ewma_value (recursive
-# EWMA), bpe_train_merges (iterative BPE), multimodal_patchify (ViT
-# patches), and the TPC-H completion set (q2/q8/q9/q11/q12/q15/q16/
-# q17/q20/q21). bm25_search stays pytest-only by design (libm ln).
+# (which will then hold prior-round driver signal). Also eligible
+# (new this round, all strict-EQUAL at sf0.01): the TPC-H completion
+# set (q2/q8/q9/q11/q12/q15/q16/q17/q20/q21), graph_components_cosupply,
+# embedding_pq_codes, similarity_topk_pq, doc_feature_vectors, and
+# kmeans_embeddings. bm25_search stays pytest-only by design (libm ln).
 
 for _name in _ROTATE_OUT:
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)

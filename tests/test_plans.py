@@ -247,6 +247,18 @@ def test_no_declared_query_plans_cartesian(spark, qname):
         "sketch_theta_distinct_users",
         "sketch_hll_distinct_users",
         "sketch_quantiles_price",
+        # round-3 second wave
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_stock",
+        "tpch_q12_shipmode_priority",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_variety",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q20_excess_suppliers",
+        "graph_components_cosupply",
+        "embedding_pq_codes",
+        "doc_feature_vectors",
     ],
 )
 def test_new_extras_plan_no_cartesian(spark, qname):
