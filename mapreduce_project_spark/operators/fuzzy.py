@@ -41,26 +41,47 @@ def deletion_variants(col: Column | str) -> Column:
     return F.array_distinct(F.concat(F.array(c), dels))
 
 
+def deletion_neighborhood(col: Column | str, depth: int) -> Column:
+    """``array<string>``: the ≤``depth``-deletion neighborhood of the
+    string (self included), deduplicated. Depth 2 applies a second
+    deletion round to every depth-1 variant — O(len²) keys per string,
+    the standard SymSpell trade for edit-distance-2 coverage (key
+    count grows, but the join stays an equi-join)."""
+    c = F.col(col) if isinstance(col, str) else col
+    v1 = deletion_variants(c)
+    if depth == 1:
+        return v1
+    if depth != 2:
+        raise ValueError(f"supported depths: 1, 2; got {depth}")
+    return F.array_distinct(
+        F.flatten(F.transform(v1, lambda x: deletion_variants(x)))
+    )
+
+
 def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
     """All unordered pairs of DISTINCT values of ``df[col]`` within
-    levenshtein distance ``max_dist`` (≤ 1 — the completeness proof of
-    depth-1 deletion blocking covers exactly distance 1), as
+    levenshtein distance ``max_dist`` (1 or 2), as
     ``(<col>_a, <col>_b, dist)`` with ``_a < _b``.
+
+    Completeness: Garbe's symmetric-delete property — two strings
+    within edit distance d always share a member of each other's
+    ≤d-deletion neighborhoods — so the blocking equi-join at depth
+    ``max_dist`` misses nothing; the exact `levenshtein` verify then
+    discards false candidates (key-sharing is necessary, not
+    sufficient).
 
     Plan: distinct → explode deletion keys → self-equi-join on the key
     → distinct candidate pairs → exact `levenshtein` verify. The only
     shuffles key on the deletion keys and the pair ids; nothing is
     ever compared all-pairs."""
-    if max_dist != 1:
-        raise ValueError(
-            "depth-1 deletion blocking is complete only for max_dist=1; "
-            f"got {max_dist} (chain passes or widen the neighborhood for more)"
-        )
     a, b = f"{col}_a", f"{col}_b"
     keyed = (
         df.select(F.col(col).cast("string").alias("_v"))
         .distinct()
-        .select("_v", F.explode(deletion_variants(F.col("_v"))).alias("_k"))
+        .select(
+            "_v",
+            F.explode(deletion_neighborhood(F.col("_v"), max_dist)).alias("_k"),
+        )
     )
     cand = (
         keyed.alias("l")

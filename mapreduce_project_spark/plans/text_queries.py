@@ -1011,3 +1011,31 @@ def q_doc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.operators.text import hashed_doc_vectors
 
     return hashed_doc_vectors(t(spark, sf_dir, "documents"), "doc_id", "text", 32)
+
+
+@extra_query(
+    "fuzzy_token_pairs_d2",
+    """
+    WITH v AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(p_name), '[a-z]+')) AS tok
+      FROM part
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) <= 2
+    """,
+)
+def q_fuzzy_token_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-2 fuzzy join via depth-2 SymSpell deletion
+    neighborhoods — the same equi-join blocking as `fuzzy_token_pairs`
+    with O(len²) keys per string buying distance-2 completeness
+    (`operators/fuzzy.py:deletion_neighborhood`); the oracle remains
+    the quadratic cross-join spec. The typo-tolerance radius most
+    spell-correction and entity-resolution pipelines actually use."""
+    from mapreduce_project_spark.operators.fuzzy import fuzzy_pairs
+
+    toks = t(spark, sf_dir, "part").select(
+        F.explode(F.expr("regexp_extract_all(lower(p_name), '[a-z]+', 0)")).alias("tok")
+    )
+    return fuzzy_pairs(toks, "tok", 2)
