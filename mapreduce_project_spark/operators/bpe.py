@@ -75,8 +75,14 @@ def bpe_train(
     `pagerank_fixed`)."""
     spark = docs.sparkSession
     cur = docs.select(text_tokens.alias("tk")).cache()
+    retired: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, rounds + 1):
+        # this collect is the round's ONLY action: it materializes
+        # `cur`'s cache as a side effect, so no separate count() is
+        # needed, and the predecessor retired last round can only be
+        # unpersisted now (dropping it earlier would force `cur` to
+        # recompute from the raw corpus)
         top = (
             cur.select(F.explode(_adjacent_pairs(F.col("tk"))).alias("p"))
             .groupBy("p.l", "p.r")
@@ -85,15 +91,21 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        if retired is not None:
+            retired.unpersist()
+            retired = None
         if not top:
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((rnd, left, right, cnt))
-        nxt = cur.select(merge_pair(F.col("tk"), left, right).alias("tk")).cache()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        if rnd < rounds:
+            # the FINAL round's winner needs no corpus rewrite — the
+            # rewritten corpus would never be read again
+            nxt = cur.select(merge_pair(F.col("tk"), left, right).alias("tk")).cache()
+            retired, cur = cur, nxt
     cur.unpersist()
+    if retired is not None:
+        retired.unpersist()
     return spark.createDataFrame(
         merges, "rnd bigint, lhs string, rhs string, cnt bigint"
     )
