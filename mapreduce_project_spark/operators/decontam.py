@@ -95,3 +95,43 @@ def decontaminate(
         id_col
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Semantic decontamination — the embedding-space sibling of the
+    n-gram `contamination_hits`: every (corpus, benchmark) pair whose
+    cosine similarity meets the threshold, as (id, bench_id, cos).
+    Catches paraphrased benchmark leakage that exact n-gram overlap
+    misses.
+
+    Scale shape mirrors the n-gram path's asymmetry: benchmark suites
+    are tiny next to a training corpus, so the BENCHMARK side
+    broadcasts (with its norms precomputed) and the corpus is scanned
+    exactly once with zero shuffle — a broadcast bipartite similarity
+    filter, never a self-join. Cosine is the deterministic left fold
+    (`operators/similarity.py`), so the flagged set hash-matches the
+    quadratic SQL oracle. Compose with a left-anti on ``id`` for the
+    clean corpus (`decontaminate`'s contract)."""
+    from mapreduce_project_spark.operators.similarity import as_double, dot, norm
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), as_double(F.col(vec_col)).alias("bv")
+    ).withColumn("bn", norm(F.col("bv")))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            "id",
+            "bench_id",
+            (dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

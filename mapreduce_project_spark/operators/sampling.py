@@ -237,3 +237,56 @@ def shuffle_shards(
         .withColumn(pos_col, F.row_number().over(w).cast("bigint"))
         .drop("_k")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Dynamic-batching layout: assemble fixed-count training batches
+    of similar-length sequences so padding waste stays low — the data
+    layout step in front of padded-batch training (the packing
+    alternative when examples must stay whole).
+
+    Two-level and fully parallel: a DATA-INDEPENDENT length bucket
+    (``len div bucket_width``) first, then deterministic batch
+    assembly within each bucket by (len, id) rank — every window
+    partitions on the bucket key, so no global sort exists anywhere
+    and buckets scale out independently (the reason this is not one
+    row_number over a corpus-wide ORDER BY length).
+
+    Output, one row per batch: (bucket, batch_id, n_seqs, max_len,
+    sum_len, pad_frac) where pad_frac = (n·max − sum) / (n·max) —
+    exact integer arithmetic and ONE double division, engine-exact.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_bkt").orderBy(F.col("_len"), F.col("_id"))
+    ranked = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(len_col).cast("bigint").alias("_len"),
+            F.expr(f"cast({len_col} AS bigint) div {bucket_width}").alias("_bkt"),
+        )
+        .withColumn("_rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("batch_id", F.expr(f"(_rn - 1) div {batch_size}"))
+    )
+    agg = ranked.groupBy(F.col("_bkt").alias("bucket"), "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.max("_len").alias("max_len"),
+        F.sum("_len").alias("sum_len"),
+    )
+    waste = agg["n_seqs"] * agg["max_len"] - agg["sum_len"]
+    return agg.select(
+        "bucket",
+        "batch_id",
+        "n_seqs",
+        "max_len",
+        "sum_len",
+        (waste.cast("double") / (agg["n_seqs"] * agg["max_len"]).cast("double")).alias(
+            "pad_frac"
+        ),
+    )

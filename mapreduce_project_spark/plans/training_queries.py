@@ -785,3 +785,82 @@ def q_linear_gd_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_gd_fixed(
         li, ["bias", "qty", "disc_pct"], "y_cents", n_iter=2, lr_num=1, lr_den=1000
     )
+
+
+_SEM_DECONTAM_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 50 = 0),
+    corp AS (SELECT vec_id AS id, v AS cv FROM e WHERE vec_id % 50 <> 0)
+    SELECT id, bench_id,
+           list_reduce(list_transform(generate_series(1, len(cv)),
+                                      i -> cv[i]*bv[i]), (x,y) -> x+y)
+             / (sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y))
+                * sqrt(list_reduce(list_transform(bv, x -> x*x), (x,y) -> x+y)))
+             AS cos
+    FROM corp, bench
+    WHERE list_reduce(list_transform(generate_series(1, len(cv)),
+                                     i -> cv[i]*bv[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(bv, x -> x*x), (x,y) -> x+y)))
+          >= 0.3
+    """
+
+
+@extra_query("semantic_decontam_pairs", _SEM_DECONTAM_ORACLE)
+def q_semantic_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space sibling of
+    `decontam_hits`: corpus vectors (vec_id % 50 ≠ 0) whose cosine to
+    ANY benchmark vector (vec_id % 50 = 0) reaches 0.3, catching the
+    paraphrased leakage n-gram overlap misses. Scale shape mirrors the
+    n-gram path's asymmetry: the tiny benchmark side BROADCASTS with
+    precomputed norms and the corpus is scanned once with zero shuffle
+    (`operators/decontam.py:semantic_contamination_pairs`); left-fold
+    cosine ⇒ hash-matches the quadratic oracle."""
+    from mapreduce_project_spark.operators.decontam import (
+        semantic_contamination_pairs,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    return semantic_contamination_pairs(corpus, bench, "vec_id", "embedding", 0.3)
+
+
+_BATCHES_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+             (ROW_NUMBER() OVER (PARTITION BY n_tok // 64
+                                 ORDER BY n_tok, doc_id) - 1) // 8 AS batch_id
+      FROM toks
+    )
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           MAX(n_tok) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(n_tok) AS DOUBLE) AS pad_frac
+    FROM ranked GROUP BY bucket, batch_id
+    """
+
+
+@extra_query("training_batches_bucketed", _BATCHES_ORACLE)
+def q_training_batches_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching layout: 8-sequence training batches assembled
+    within data-independent 64-token length buckets, with per-batch
+    padding-waste fractions — the padded-batch alternative to sequence
+    packing (`operators/sampling.py:length_bucketed_batches`). Every
+    window partitions on the bucket key: no global sort anywhere, so
+    buckets scale out independently at corpus size. Exact integer
+    batch math + one double division ⇒ hash-matched."""
+    from mapreduce_project_spark.functions import tokens
+    from mapreduce_project_spark.operators.sampling import length_bucketed_batches
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    return length_bucketed_batches(docs, "doc_id", "n_tok", 8, 64)
