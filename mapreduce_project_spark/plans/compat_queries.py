@@ -248,3 +248,35 @@ def q_multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = patchify(attach_payload(t(spark, sf_dir, "documents")))
     return out.select("doc_id", "patch_row", "patch_col", "n_real", "byte_sum")
+
+
+@extra_query(
+    "orders_xml_roundtrip",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    """,
+)
+def q_orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 native): every order serialized to an
+    XML record with ``to_xml`` and parsed back with a typed
+    ``from_xml`` schema in the same plan — the oracle recomputes the
+    expected fields directly from the source table, so a value match
+    proves serializer and parser are exact inverses on every row
+    (the `multimodal_header_probe` roundtrip pattern applied to the
+    semi-structured text format legacy feeds actually use; file-level
+    twins: `sources/io.py:read_xml/write_xml`). Zero shuffle: two
+    codegen'd projections."""
+    o = t(spark, sf_dir, "orders")
+    xml = F.expr(
+        "to_xml(named_struct('k', o_orderkey, 'p', o_orderpriority, "
+        "'t', CAST(o_totalprice AS DOUBLE)))"
+    )
+    parsed = F.from_xml(xml, "k BIGINT, p STRING, t DOUBLE")
+    return o.select(parsed.alias("r")).select(
+        F.col("r.k").alias("o_orderkey"),
+        F.col("r.p").alias("priority"),
+        F.col("r.t").alias("totalprice"),
+    )

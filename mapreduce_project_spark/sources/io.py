@@ -204,6 +204,23 @@ def write_orc(
     writer.orc(path)
 
 
+def read_xml(spark: SparkSession, paths: str | list[str], row_tag: str = "row") -> DataFrame:
+    """XML source (Spark 4 native, SPARK-44265) — the config/feed
+    format legacy HDFS estates hold beside CSV/JSON (A19 widening).
+    Schema is inferred from elements under ``row_tag``; pass an
+    explicit schema via ``spark.read.format('xml').schema(...)`` for
+    production stability. Column-level twin: ``F.from_xml`` (used by
+    the `orders_xml_roundtrip` query)."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(paths)
+
+
+def write_xml(
+    df: DataFrame, path: str, mode: str = "overwrite", row_tag: str = "row"
+) -> None:
+    """XML sink (row-per-record under ``row_tag``)."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Engine-native sink. ``partition_by`` enables partition pruning for
     downstream readers — at 100 TB, partition on coarse query keys

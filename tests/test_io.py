@@ -697,3 +697,19 @@ def test_apply_changelog_rejects_unknown_ops(spark, tmp_path):
     with _p.raises(ValueError, match="unknown op"):
         apply_changelog(spark, path, bad, ["id"], "day")
     assert {r["id"] for r in spark.read.parquet(path).collect()} == {1}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    # A19 widening: XML sink + source (Spark 4 native) must roundtrip
+    # typed rows exactly
+    from mapreduce_project_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "c&d<e>", 0.0)],
+        "k long, s string, v double",
+    )
+    write_xml(df, str(tmp_path / "x"))
+    back = read_xml(spark, str(tmp_path / "x"))
+    got = {(r["k"], r["s"], r["v"]) for r in back.collect()}
+    want = {(r["k"], r["s"], r["v"]) for r in df.collect()}
+    assert got == want
