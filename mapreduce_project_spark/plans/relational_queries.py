@@ -828,3 +828,51 @@ def q_corr_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("syy") - sy * F.col("sy")
     )
     return s.select("l_returnflag", "n", (num / den).alias("corr"))
+
+
+@extra_query(
+    "weighted_avg_udaf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_disc_pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas GROUPED_AGG UDAF surface (the third Python-UDF shape
+    beside mapInPandas and applyInPandas — a reference user's
+    ``reduce_fn`` that returns ONE value per group): quantity-weighted
+    mean discount per returnflag, computed by an Arrow-batched numpy
+    aggregation. Exactness despite numpy: both sums are int64 over
+    integral inputs (order-independent), and the single double
+    division matches the SQL oracle bit-wise. Scale note: unlike
+    native aggregates, a pandas UDAF is NOT algebraic — the full group
+    shuffles to its reducer (no map-side combine), so this is the
+    escape hatch for genuinely non-decomposable statistics; anything
+    expressible as partial sums (this weighted mean included) should
+    use native aggregates in production — the point here is the API
+    surface and its differential check."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def wavg(q, d):
+        import numpy as np
+
+        num = int((q.to_numpy(dtype=np.int64) * d.to_numpy(dtype=np.int64)).sum())
+        den = int(q.to_numpy(dtype=np.int64).sum())
+        return float(num) / float(den)
+
+    wavg.__annotations__ = {"q": pd.Series, "d": pd.Series, "return": float}
+    wavg_udaf = pandas_udf(wavg, "double")
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("d"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        wavg_udaf("q", "d").alias("wavg_disc_pct")
+    )
