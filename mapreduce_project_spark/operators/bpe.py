@@ -111,4 +111,24 @@ def bpe_train(
     )
 
 
-__all__ = ["bpe_train", "merge_pair"]
+def bpe_apply(
+    docs: DataFrame,
+    text_tokens: Column,
+    merges: list[tuple[str, str]],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tokenizer APPLICATION — encode a corpus with a trained merge
+    table: each (lhs, rhs) merge is one greedy leftmost fold rewrite,
+    applied in training order (BPE's defining invariant: apply order =
+    learn order). k merges = k chained zero-shuffle projections over
+    the token arrays; Catalyst collapses them into one generated
+    stage, so encoding any corpus with a k-entry merge table is a
+    single scan. Returns (*carry, tk array<string>) — the encoded
+    sequences plus any carried identifier columns."""
+    cur = docs.select(*carry, text_tokens.alias("tk"))
+    for lhs, rhs in merges:
+        cur = cur.select(*carry, merge_pair(F.col("tk"), lhs, rhs).alias("tk"))
+    return cur
+
+
+__all__ = ["bpe_apply", "bpe_train", "merge_pair"]

@@ -290,3 +290,69 @@ def length_bucketed_batches(
             "pad_frac"
         ),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    anchors: DataFrame,
+    k: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor, ``k`` pseudo-random negatives drawn uniformly from
+    the corpus — without ever joining anchors against the full corpus.
+
+    Design (the scalable shape): each corpus row hashes into one of
+    ``n_buckets`` md5 buckets (one corpus pass); each anchor derives k
+    probe buckets from md5(anchor:j); the equi-join on bucket meets
+    ~corpus/n_buckets candidates per probe, and the winner is the
+    candidate minimizing md5(anchor:j:cand) — a uniform, reproducible
+    pick keyed on (anchor, draw). Work is anchors × k × bucket-size;
+    size n_buckets to keep buckets ~constant. The probe side is tiny
+    and broadcasts, so the corpus is scanned once with its only
+    shuffle being the (anchor, j)-keyed argmin.
+
+    Output: (anchor_id, draw, neg_id). A draw whose bucket holds only
+    the anchor itself yields no row (deterministic; at real corpus
+    sizes the probability is negligible). Distinct draws may rarely
+    pick the same negative (birthday-bounded) — downstream dedup is
+    the caller's choice. Pure md5 arithmetic ⇒ SQL-oracle-exact.
+    """
+    b = n_buckets
+    cand = df.select(F.col(id_col).alias("_cand")).withColumn(
+        "_bkt",
+        F.expr(
+            f"cast(conv(substr(md5(cast(_cand AS string)), 1, 8), 16, 10) "
+            f"AS bigint) % {b}"
+        ),
+    )
+    probes = (
+        anchors.select(F.col(id_col).alias("anchor_id"))
+        .select(
+            "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("draw")
+        )
+        .withColumn(
+            "_bkt",
+            F.expr(
+                f"cast(conv(substr(md5(concat(cast(anchor_id AS string), ':', "
+                f"cast(draw AS string))), 1, 8), 16, 10) AS bigint) % {b}"
+            ),
+        )
+    )
+    tie = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("draw").cast("string"),
+            F.lit(":"),
+            F.col("_cand").cast("string"),
+        ).cast("binary")
+    )
+    return (
+        cand.join(F.broadcast(probes), "_bkt")
+        .filter(F.col("_cand") != F.col("anchor_id"))
+        .groupBy("anchor_id", "draw")
+        .agg(F.min(F.struct(tie.alias("h"), F.col("_cand").alias("c"))).alias("m"))
+        .select("anchor_id", F.col("draw").cast("bigint"), F.col("m.c").alias("neg_id"))
+    )

@@ -749,3 +749,38 @@ def q_graph_components_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("node"), "comp").join(sizes, "comp").select(
         "node", "comp", "comp_size"
     )
+
+
+@extra_query(
+    "mad_quantity_by_flag",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.50) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, m.med,
+           quantile_cont(abs(l.l_quantity - m.med), 0.50) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag, m.med
+    """,
+)
+def q_mad_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation of quantity per
+    return flag — two exact grouped medians with the tiny per-group
+    median table broadcast back for the deviation pass (the
+    outlier-resistant spread statistic behind data-drift monitors;
+    stddev is already covered by `zscore_doc_length`'s machinery).
+    Quantities are small integers so the interpolated medians and
+    |x − med| deviations are exact doubles on both engines. At 100 TB
+    swap both passes for approx_percentile."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.50)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.expr("percentile(abs(l_quantity - med), 0.50)").alias("mad")
+        )
+    )

@@ -1039,3 +1039,67 @@ def q_fuzzy_token_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("regexp_extract_all(lower(p_name), '[a-z]+', 0)")).alias("tok")
     )
     return fuzzy_pairs(toks, "tok", 2)
+
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH toks0 AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    pc1 AS (
+      SELECT tk[i] AS l, tk[i+1] AS r, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks0, UNNEST(range(1, len(tk))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    top1 AS (SELECT l, r FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+    toks1 AS (
+      SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk
+             ELSE list_reduce(
+               list_transform(tk, t -> [t]),
+               (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+                           THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                           ELSE list_concat(acc, x) END) END AS tk
+      FROM toks0, top1
+    ),
+    pc2 AS (
+      SELECT tk[i] AS l, tk[i+1] AS r, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks1, UNNEST(range(1, len(tk))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    top2 AS (SELECT l, r FROM pc2 ORDER BY cnt DESC, l, r LIMIT 1),
+    toks2 AS (
+      SELECT doc_id, CASE WHEN len(tk) = 0 THEN tk
+             ELSE list_reduce(
+               list_transform(tk, t -> [t]),
+               (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+                           THEN list_concat(acc[1:len(acc)-1], [l || ' ' || r])
+                           ELSE list_concat(acc, x) END) END AS tk
+      FROM toks1, top2
+    )
+    SELECT a.doc_id,
+           CAST(len(a.tk) AS BIGINT) AS n_raw,
+           CAST(len(b.tk) AS BIGINT) AS n_encoded
+    FROM toks0 a JOIN toks2 b USING (doc_id)
+    """
+
+
+@extra_query("bpe_encode_corpus", _BPE_ENCODE_ORACLE)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train + APPLY: the 2-round merge table from
+    `bpe_train` re-applied to the corpus in learn order
+    (`operators/bpe.py:bpe_apply` — k chained zero-shuffle fold
+    rewrites, one generated stage), reporting per-document raw vs
+    encoded token counts. The oracle replays both rewrites with
+    `list_reduce`, so the entire train→encode round trip is
+    hash-matched; every encoded length must shrink by exactly the
+    per-doc merge occurrences."""
+    from mapreduce_project_spark.functions import tokens
+    from mapreduce_project_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    learned = bpe_train(docs, tokens("text"), rounds=2)
+    merges = [(r["lhs"], r["rhs"]) for r in learned.orderBy("rnd").collect()]
+    raw = docs.select("doc_id", tokens("text").alias("tk0"))
+    enc = bpe_apply(docs, tokens("text"), merges, carry=("doc_id",))
+    return raw.join(enc, "doc_id").select(
+        "doc_id",
+        F.size("tk0").cast("bigint").alias("n_raw"),
+        F.size("tk").cast("bigint").alias("n_encoded"),
+    )

@@ -864,3 +864,49 @@ def q_training_batches_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
     )
     return length_bucketed_batches(docs, "doc_id", "n_tok", 8, 64)
+
+
+_NEG_SAMPLES_ORACLE = """
+    WITH cand AS (
+      SELECT vec_id AS c,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 64 AS bkt
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT a.vec_id AS anchor_id, j AS draw,
+             CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':'
+                                     || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+               % 64 AS bkt
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 50) a,
+           (SELECT unnest(generate_series(1, 4)) AS j)
+    ),
+    joined AS (
+      SELECT anchor_id, draw, c,
+             md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)
+                 || ':' || CAST(c AS VARCHAR)) AS h
+      FROM probes JOIN cand USING (bkt)
+      WHERE c <> anchor_id
+    )
+    SELECT anchor_id, CAST(draw AS BIGINT) AS draw, c AS neg_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, draw
+                                       ORDER BY h, c) AS rk FROM joined)
+    WHERE rk = 1
+    """
+
+
+@extra_query("contrastive_negative_samples", _NEG_SAMPLES_ORACLE)
+def q_contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 4
+    uniform pseudo-random negatives per anchor (vec_id < 50) WITHOUT
+    joining anchors against the corpus — corpus rows hash into 64 md5
+    buckets once, each anchor derives its draws' probe buckets, and
+    the per-draw winner minimizes md5(anchor:draw:cand)
+    (`operators/sampling.py:negative_samples`). The probe side
+    broadcasts; the corpus is scanned once; work is anchors × draws ×
+    bucket-size. Pure md5 arithmetic ⇒ hash-matched."""
+    from mapreduce_project_spark.operators.sampling import negative_samples
+
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 50)
+    return negative_samples(emb, "vec_id", anchors, 4, 64)
