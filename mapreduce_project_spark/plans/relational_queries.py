@@ -876,3 +876,108 @@ def q_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wavg_udaf("q", "d").alias("wavg_disc_pct")
     )
+
+
+@extra_query(
+    "trend_revenue_by_nation",
+    """
+    WITH yearly AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) - 1997 AS x,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, x
+    ),
+    s AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM yearly GROUP BY nation
+    )
+    SELECT nation, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+           (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def q_trend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend lines (closed form): yearly revenue-cents
+    per customer nation regressed on (year − 1997) — slope/intercept
+    from the same EXACT BIGINT moment sums as `corr_quantity_discount`
+    (order-independent; engine-native regr_slope float-accumulates and
+    cannot hash-match), with the final formulas as pinned IEEE
+    expressions. Two partial-agg shuffles (yearly rollup, then the
+    5-moment aggregation); the per-segment trend detector behind drift
+    dashboards."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nat), c["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate").cast("bigint") - F.lit(1997)).alias("x"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    s = yearly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    slope = (n * F.col("sxy") - sx * F.col("sy")) / (n * F.col("sxx") - sx * F.col("sx"))
+    intercept = (F.col("sy").cast("double") - slope * sx) / n
+    return s.select("nation", "n", slope.alias("slope"), intercept.alias("intercept"))
+
+
+@extra_query(
+    "argmax_order_per_segment",
+    """
+    SELECT c_mktsegment AS segment,
+           arg_max(o_orderkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+                     + o_orderkey) AS top_orderkey,
+           CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100 AS top_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_argmax_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The argmax-aggregate surface (`max_by` ≡ DuckDB `arg_max`): the
+    highest-priced order per market segment in ONE aggregation — no
+    window, no self-join (the single-row-per-group degenerate of
+    top-k). Determinism under price ties: the ordering key is the
+    composite ``price_cents · 10^7 + orderkey`` (orderkey < 10^7 at
+    these SFs), unique per row, so both engines pick the identical
+    witness — bare max_by on a tied key is engine-arbitrary."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    composite = cents * F.lit(10000000) + F.col("o_orderkey")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, cast(floor(o_totalprice * 100 + 0.5) AS bigint) "
+                "* 10000000 + o_orderkey)"
+            ).alias("top_orderkey"),
+            (F.max(cents).cast("double") / 100).alias("top_price"),
+        )
+    )
