@@ -123,3 +123,47 @@ def q_sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
     )
+
+
+@extra_query(
+    "sketch_theta_retention",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE ts < TIMESTAMP '2024-01-30'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE ts >= TIMESTAMP '2024-01-30')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_first_half,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_second_half,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT) AS n_retained,
+           CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                AS BIGINT) AS n_churned
+    """,
+)
+def q_sketch_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA — theta's defining capability over HLL:
+    retained (A∩B) and churned (A∖B) distinct users across the two
+    halves of the event window via `theta_intersection` /
+    `theta_difference` over per-period sketches. ONE scan builds both
+    period sketches (conditional agg), KB-sized state, and the set
+    algebra happens on sketches — at 100 TB this answers
+    cohort-overlap questions that exact COUNT(DISTINCT) would need a
+    full self-join for. Oracle = exact INTERSECT/EXCEPT counts: theta
+    is exact below 2^14 retained entries (10× every fixture scale), so
+    the sketch path earns a hard value-level signal."""
+    ev = t(spark, sf_dir, "events")
+    split = F.col("ts") < F.lit("2024-01-30").cast("timestamp")
+    sk = ev.agg(
+        F.theta_sketch_agg(F.when(split, F.col("user_id")), _LGK).alias("ska"),
+        F.theta_sketch_agg(F.when(~split, F.col("user_id")), _LGK).alias("skb"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate(F.col("ska")).cast("bigint").alias("n_first_half"),
+        F.theta_sketch_estimate(F.col("skb")).cast("bigint").alias("n_second_half"),
+        F.theta_sketch_estimate(F.theta_intersection(F.col("ska"), F.col("skb")))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("ska"), F.col("skb")))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
