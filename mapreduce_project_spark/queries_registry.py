@@ -165,8 +165,13 @@ _ROTATE_IN = (
 # (which will then hold prior-round driver signal). Also eligible
 # (new this round, all strict-EQUAL at sf0.01): the TPC-H completion
 # set (q2/q8/q9/q11/q12/q15/q16/q17/q20/q21), graph_components_cosupply,
-# embedding_pq_codes, similarity_topk_pq, doc_feature_vectors, and
-# kmeans_embeddings. bm25_search stays pytest-only by design (libm ln).
+# embedding_pq_codes, similarity_topk_pq, doc_feature_vectors,
+# kmeans_embeddings, semantic_decontam_pairs, training_batches_bucketed,
+# contrastive_negative_samples, bpe_encode_corpus, fuzzy_token_pairs_d2,
+# orders_xml_roundtrip, weighted_avg_udaf, mad_quantity_by_flag,
+# trend_revenue_by_nation, argmax_order_per_segment, and
+# sketch_theta_retention. bm25_search stays pytest-only by design
+# (libm ln).
 
 for _name in _ROTATE_OUT:
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)

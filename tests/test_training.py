@@ -268,3 +268,49 @@ def test_linear_gd_predict_is_exact_dot_product(spark):
     # two GD rounds from w=0 with a positive-slope target must move the
     # slope weight positive — direction sanity on top of oracle parity
     assert wmap["x"] > 0
+
+
+def test_negative_samples_invariants(spark):
+    # determinism across runs, no self-negatives, at most k draws per
+    # anchor, and every pick is a real corpus id
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.sampling import negative_samples
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 30)
+    a = sorted(tuple(r) for r in negative_samples(emb, "vec_id", anchors, 3).collect())
+    b = sorted(tuple(r) for r in negative_samples(emb, "vec_id", anchors, 3).collect())
+    assert a == b and a
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    per_anchor: dict[int, int] = {}
+    for anchor_id, draw, neg_id in a:
+        assert neg_id != anchor_id and neg_id in ids and 1 <= draw <= 3
+        per_anchor[anchor_id] = per_anchor.get(anchor_id, 0) + 1
+    assert all(v <= 3 for v in per_anchor.values())
+
+
+def test_length_bucketed_batches_invariants(spark):
+    # every batch holds <= batch_size sequences, max_len sits inside
+    # the bucket's length range, and total sequence count is preserved
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.functions import tokens
+    from mapreduce_project_spark.operators.sampling import length_bucketed_batches
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    out = length_bucketed_batches(docs, "doc_id", "n_tok", 8, 64).collect()
+    assert out
+    total = 0
+    for r in out:
+        total += r["n_seqs"]
+        assert 1 <= r["n_seqs"] <= 8
+        assert r["bucket"] * 64 <= r["max_len"] < (r["bucket"] + 1) * 64
+        assert 0.0 <= r["pad_frac"] < 1.0
+    assert total == docs.count()
