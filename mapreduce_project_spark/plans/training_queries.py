@@ -910,3 +910,76 @@ def q_contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFram
     emb = t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 50)
     return negative_samples(emb, "vec_id", anchors, 4, 64)
+
+
+_CONTRASTIVE_ORACLE = f"""
+    WITH jac AS ({_JACCARD_PAIRS_ORACLE}),
+    pos AS (
+      SELECT id_a AS anchor, id_b AS other, 'pos' AS label, jac FROM jac
+    ),
+    anchors AS (SELECT DISTINCT anchor FROM pos),
+    cand AS (
+      SELECT doc_id AS c,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 64 AS bkt
+      FROM documents
+    ),
+    probes AS (
+      SELECT anchor AS anchor_id, j AS draw,
+             CAST('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':'
+                                     || CAST(j AS VARCHAR)), 1, 8) AS BIGINT)
+               % 64 AS bkt
+      FROM anchors, (SELECT unnest(generate_series(1, 2)) AS j)
+    ),
+    joined AS (
+      SELECT anchor_id, draw, c,
+             md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(draw AS VARCHAR)
+                 || ':' || CAST(c AS VARCHAR)) AS h
+      FROM probes JOIN cand USING (bkt)
+      WHERE c <> anchor_id
+    ),
+    negs AS (
+      SELECT anchor_id, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, draw
+                                     ORDER BY h, c) AS rk FROM joined
+      ) WHERE rk = 1
+    )
+    SELECT anchor, other, label, jac FROM pos
+    UNION ALL
+    SELECT anchor_id AS anchor, c AS other, 'neg' AS label,
+           CAST(NULL AS DOUBLE) AS jac
+    FROM negs
+    """
+
+
+@extra_query("assemble_contrastive_pairs", _CONTRASTIVE_ORACLE)
+def q_assemble_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition v3 — contrastive-pair dataset assembly
+    from this round's families in ONE plan: POSITIVES are the exact
+    near-duplicate pairs from the prefix-filtered Jaccard join (the
+    label quality of exact dedup, at scale), NEGATIVES are two
+    deterministic uniform hash-bucket draws per anchor
+    (`negative_samples` — no anchors×corpus join). Output
+    (anchor, other, label, jac): the (anchor, positive, negatives)
+    triplets an embedding-model trainer consumes. The composed oracle
+    replays both sub-oracles verbatim and the whole assembly
+    hash-matches — the embedding-side sibling of
+    `assemble_training_set` (cleaning) and `..._v2` (layout)."""
+    from mapreduce_project_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from mapreduce_project_spark.operators.sampling import negative_samples
+
+    docs = t(spark, sf_dir, "documents")
+    pos = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 4, 5).select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("other"),
+        F.lit("pos").alias("label"),
+        "jac",
+    )
+    anchors = pos.select(F.col("anchor").alias("doc_id")).distinct()
+    negs = negative_samples(docs.select("doc_id"), "doc_id", anchors, 2, 64).select(
+        F.col("anchor_id").alias("anchor"),
+        F.col("neg_id").alias("other"),
+        F.lit("neg").alias("label"),
+        F.lit(None).cast("double").alias("jac"),
+    )
+    return pos.unionByName(negs)
