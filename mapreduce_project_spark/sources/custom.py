@@ -62,6 +62,11 @@ class LineFileDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return LineFileReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        # sink half, defined later in this module (two-phase commit);
+        # rows serialize as tab-joined text lines
+        return LineFileWriter(self.options, overwrite)
+
 
 def register_linefile_source(spark) -> None:
     """Idempotently register the ``linefile`` format on this session."""
@@ -160,3 +165,81 @@ class LineFileStreamDataSource(DataSource):
 def register_linefile_stream_source(spark) -> None:
     """Idempotently register the ``linefile_stream`` format."""
     spark.dataSource.register(LineFileStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITER — the sink half of the linefile
+# surface. The reference's output protocol is exactly this two-phase
+# shape: every worker writes its reduce partition to its own file and
+# the master treats the job as committed only when all tasks report
+# success (`worker.py:52-58,209`, `master.py`'s job_done accounting);
+# here each Spark task writes a private temp file and returns a commit
+# message, and the driver-side commit() atomically renames the
+# reported temps into place (+ _SUCCESS marker) — failed or
+# speculative attempts are aborted and their temps removed, so
+# task retries never corrupt output.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _LineFileCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class LineFileWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        import os
+
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("linefile sink requires a `path` option")
+        self.overwrite = overwrite
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    "\t".join("" if v is None else str(v) for v in row) + "\n"
+                )
+                n += 1
+        return _LineFileCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        import glob as g
+        import os
+
+        if self.overwrite:
+            for old in g.glob(os.path.join(self.dir, "part-*.txt")):
+                os.remove(old)
+        committed = set()
+        for i, m in enumerate(messages):
+            dst = os.path.join(self.dir, f"part-{i:05d}.txt")
+            os.replace(m.tmp_path, dst)
+            committed.add(m.tmp_path)
+        # stale temps from failed/speculative attempts never got a
+        # commit message — sweep them
+        for leftover in g.glob(os.path.join(self.dir, "_tmp-*")):
+            if leftover not in committed:
+                os.remove(leftover)
+        with open(os.path.join(self.dir, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            fh.write("")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+

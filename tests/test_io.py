@@ -713,3 +713,37 @@ def test_xml_roundtrip(spark, tmp_path):
     got = {(r["k"], r["s"], r["v"]) for r in back.collect()}
     want = {(r["k"], r["s"], r["v"]) for r in df.collect()}
     assert got == want
+
+
+def test_linefile_writer_roundtrip_and_commit_protocol(spark, tmp_path):
+    # the custom Python DataSource WRITER: task-private temps renamed
+    # on driver commit (+_SUCCESS), overwrite clears prior parts, and
+    # reading back through the linefile READER reproduces every row
+    import os
+
+    from mapreduce_project_spark.sources.custom import register_linefile_source
+
+    register_linefile_source(spark)
+    d = str(tmp_path / "lfout")
+    df = spark.range(100).selectExpr("cast(id AS string) AS k", "id * 2 AS v")
+    df.repartition(4).write.format("linefile").option("path", d).mode(
+        "overwrite"
+    ).save()
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    parts = [p for p in os.listdir(d) if p.startswith("part-")]
+    assert len(parts) == 4
+    assert not [p for p in os.listdir(d) if p.startswith("_tmp-")]
+    back = (
+        spark.read.format("linefile")
+        .option("path", d + "/part-*.txt")
+        .load()
+        .selectExpr("split(line, '\t')[0] AS k", "cast(split(line, '\t')[1] AS long) AS v")
+    )
+    got = {(r["k"], r["v"]) for r in back.collect()}
+    want = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == want
+    # second overwrite with fewer partitions must not leave stale parts
+    df.repartition(2).write.format("linefile").option("path", d).mode(
+        "overwrite"
+    ).save()
+    assert len([p for p in os.listdir(d) if p.startswith("part-")]) == 2
