@@ -425,3 +425,34 @@ def test_bpe_train_matches_sequential_reference(spark):
                     out.append(t_)
             corpora[k] = out
     assert got == want and len(got) == 3
+
+
+def test_new_operator_edges(spark):
+    # boundary behavior of the round-3 additions: single-element and
+    # empty inputs must degrade cleanly, not error
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.bpe import merge_pair
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+
+    # EWMA of a single event per key is the value itself
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 40)], "user_id long, ts string, x long"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "x")
+    rows = ewma_fixed(one, "user_id", ["ts"], "x", 1, 2).collect()
+    assert len(rows) == 1 and rows[0]["ewma_fx"] == 40
+
+    # fold rewrite of empty and single-token arrays is the identity
+    df = spark.createDataFrame([([],), (["a"],), (["a", "b"],)], "tk array<string>")
+    out = [r["m"] for r in df.select(merge_pair(F.col("tk"), "a", "b").alias("m")).collect()]
+    assert out == [[], ["a"], ["a b"]]
+
+    # patchify: payload shorter than one image row still yields the
+    # first patch band with correct real-byte accounting
+    from mapreduce_project_spark.operators.multimodal import patchify
+
+    tiny = spark.createDataFrame([(7, b"abc", 64)], "doc_id long, payload binary, w long")
+    p = patchify(tiny, "doc_id", "payload", "w", 16).collect()
+    assert sum(r["n_real"] for r in p) == 3
+    assert sum(r["byte_sum"] for r in p) == sum(b"abc")
+    assert len(p) == 4  # one band, ceil(64/16) grid columns
