@@ -175,3 +175,62 @@ def ewma_fixed(
         F.col(value_col).cast("bigint").alias("_x"),
     )
     return prepped.repartition(key_col).mapInPandas(smooth, out_schema)
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "rank"
+) -> DataFrame:
+    """EXACT global row rank over a total order — without the
+    single-task trap of ``Window.orderBy`` with no partition key (the
+    one window shape this module's header forbids at scale).
+
+    The classic distributed total-order construction: range-partition
+    on the order columns, sort within partitions, then
+    ``global = partition_offset + local_position`` where the offsets
+    are the exclusive prefix sums of per-partition counts — a
+    metadata-scale driver collect (one count per partition, the same
+    license as `pagerank_fixed`'s scalar). The rank values are exact
+    and deterministic for any partitioning, because the offsets adapt
+    to wherever the (sampled) range boundaries fall; ``order_cols``
+    must be a unique total order (include a tie-breaker id).
+
+    Per-partition positions are assigned by one Arrow-batched
+    ``mapInPandas`` pass with a counter carried across batches —
+    no second shuffle (a window keyed on partition id would re-shuffle
+    by pid). Output: input columns + ``rank_col`` (1-based BIGINT).
+    """
+    import pandas as pd
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    rp = rp.cache()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rp.schema.fields
+    ) + f", {rank_col} long"
+
+    def number(batches):
+        pos = 0
+        base = None
+        for pdf in batches:
+            if base is None and len(pdf):
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[rank_col] = pd.RangeIndex(pos + 1, pos + 1 + len(pdf)) + (base or 0)
+            pos += len(pdf)
+            yield pdf
+
+    return rp.mapInPandas(number, out_schema).drop("_pid")

@@ -981,3 +981,31 @@ def q_argmax_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(cents).cast("double") / 100).alias("top_price"),
         )
     )
+
+
+@extra_query(
+    "global_rank_orders",
+    """
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey
+           ) AS BIGINT) AS rank
+    FROM orders
+    """,
+)
+def q_global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global ranking of every order by (price-cents, orderkey)
+    WITHOUT the single-task global window: range partition + in-
+    partition sort + per-partition count offsets (metadata-scale
+    collect), positions assigned partition-wise
+    (`operators/windows.py:global_rank`). The ranks are deterministic
+    for ANY partition-boundary placement because the offsets adapt —
+    the scalable form of ``ROW_NUMBER() OVER (ORDER BY ...)``, which
+    is exactly what the oracle runs."""
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return global_rank(o, ["cents", "o_orderkey"], "rank")
