@@ -1103,3 +1103,66 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk0").cast("bigint").alias("n_raw"),
         F.size("tk").cast("bigint").alias("n_encoded"),
     )
+
+
+_QNORM_ORACLE = """
+    WITH pooled AS (
+      SELECT n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS prank
+      FROM documents
+    ),
+    per_source AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM documents
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM documents)
+    SELECT p.doc_id, p.source, p.n_chars,
+           (p.r * (SELECT big_n FROM total) + p.n - 1) // p.n AS pooled_idx,
+           q.n_chars AS norm_chars
+    FROM per_source p
+    JOIN pooled q
+      ON q.prank = (p.r * (SELECT big_n FROM total) + p.n - 1) // p.n
+    """
+
+
+@extra_query("quantile_normalize_lengths", _QNORM_ORACLE)
+def q_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources — map every document's
+    length onto the POOLED length distribution so per-source length
+    skews stop biasing mixing/packing decisions: source-local rank r
+    of n maps to the pooled value at exact integer index
+    ``ceil(r·N/n)``. The pooled total order comes from
+    `operators/windows.py:global_rank` (range partition + offsets —
+    no single-task window); the per-source rank is an ordinary keyed
+    window; the mapping is one equi-join on the pooled rank. Every
+    step is integer arithmetic, so the full normalization
+    hash-matches."""
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pooled = global_rank(docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], "prank")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    per_source = (
+        docs.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint")
+        )
+    )
+    big_n = docs.count()
+    idx = F.expr(f"(r * {big_n}L + n - 1) div n")
+    return (
+        per_source.withColumn("pooled_idx", idx)
+        .join(
+            pooled.select(
+                F.col("prank").alias("pooled_idx"),
+                F.col("n_chars").alias("norm_chars"),
+            ),
+            "pooled_idx",
+        )
+        .select("doc_id", "source", "n_chars", "pooled_idx", "norm_chars")
+    )
