@@ -1009,3 +1009,53 @@ def q_global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
     return global_rank(o, ["cents", "o_orderkey"], "rank")
+
+
+@extra_query(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM cells WHERE n < 5) AS BIGINT)
+             AS n_rows_below_k,
+           CAST((SELECT COUNT(*) FROM cells WHERE n < 5) AS BIGINT)
+             AS n_cells_below_k,
+           CAST((SELECT MIN(n) FROM cells) AS BIGINT) AS min_cell
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance for shareable training data: k-anonymity
+    audit over the quasi-identifier tuple (segment, nation, coarse
+    balance band) — how many equivalence cells exist, how many
+    rows/cells sit below k = 5, and the worst cell size. One grouped
+    count + a four-scalar summary (the dq_audit pattern applied to
+    re-identification risk); rows below k are the ones a release
+    would need to generalize or suppress. Integer-only ⇒ hash-matched."""
+    c = t(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .cache()
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_rows_below_k"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cells_below_k"),
+        F.min("n").cast("bigint").alias("min_cell"),
+    )
