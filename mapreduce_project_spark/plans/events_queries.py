@@ -871,3 +871,64 @@ def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "ewma_fx",
     )
+
+
+_COGROUP_ORACLE = """
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_quick_purchases
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') e
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts > e.ts
+     AND epoch_us(p.ts) - epoch_us(e.ts) <= CAST(3600000000 AS BIGINT)
+    GROUP BY e.user_id
+    """
+
+
+@extra_query("cogroup_view_purchase_pairs", _COGROUP_ORACLE)
+def q_cogroup_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED applyInPandas surface — the fourth and last
+    Python-UDF shape (after mapInPandas, per-group applyInPandas, and
+    the grouped-agg pandas UDAF): two DataFrames cogrouped on user_id
+    arrive as two pandas frames per key, and imperative numpy code
+    counts (view, purchase) pairs within one hour — the reference's
+    two-tagged-inputs reduce (a map/reduce user unions tagged streams
+    and branches in reduce_fn). Exactness: integer microsecond
+    arithmetic only. The declarative twin IS the oracle's interval
+    join — at scale prefer it (`interval_join`); cogroup is the escape
+    hatch when per-key logic won't factor into joins/windows."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+
+    def count_pairs(key, vdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(vdf) or not len(bdf):
+            return pd.DataFrame({"user_id": [], "n_quick_purchases": []}).astype(
+                {"user_id": "int64", "n_quick_purchases": "int64"}
+            )
+        v = np.sort(vdf["us"].to_numpy())
+        b = np.sort(bdf["us"].to_numpy())
+        # for each view, purchases in (view, view + 1h]: two binary
+        # searches per view over the sorted purchase timeline
+        lo = np.searchsorted(b, v, side="right")
+        hi = np.searchsorted(b, v + 3_600_000_000, side="right")
+        n = int((hi - lo).sum())
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "n_quick_purchases": []}).astype(
+                {"user_id": "int64", "n_quick_purchases": "int64"}
+            )
+        return pd.DataFrame({"user_id": [key[0]], "n_quick_purchases": [n]})
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(count_pairs, "user_id long, n_quick_purchases long")
+    )
