@@ -360,3 +360,32 @@ def test_ewma_single_keyed_shuffle(spark):
     # shuffle into applyInPandas)
     df = QUERIES["events_ewma_value"](spark, SF_DIR)
     assert count_node(df, "Exchange") == 1
+
+
+def test_global_rank_uses_range_partitioning_no_global_sort(spark):
+    # the distributed total order must come from a RANGE exchange with
+    # in-partition sorts — never a single-task global Sort. The range
+    # exchange lives inside the operator's cached subplan, whose
+    # rendering inside executedPlan varies with cache-manager state —
+    # the optimized plan always shows it.
+    df = QUERIES["global_rank_orders"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert "repartitionbyexpression" in opt.lower() or "rangepartitioning" in opt.lower(), opt[:1500]
+    phys = qe.executedPlan().toString()
+    # any Sort present must be within-partition (global=false)
+    assert "global=true" not in phys, phys[:1500]
+
+
+def test_quantile_normalize_no_cartesian(spark):
+    df = QUERIES["quantile_normalize_lengths"](spark, SF_DIR)
+    assert not has_node(df, "CartesianProduct")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+
+
+def test_cogroup_plans_flatmap_cogroups(spark):
+    # the cogrouped applyInPandas must plan the dedicated cogroup
+    # operator (one keyed exchange per side), not a join
+    df = QUERIES["cogroup_view_purchase_pairs"](spark, SF_DIR)
+    assert has_node(df, "FlatMapCoGroupsInPandas")
+    assert count_node(df, "Exchange") == 2
