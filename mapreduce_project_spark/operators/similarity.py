@@ -830,3 +830,44 @@ def topk_pq_adc(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", "dist")
     )
+
+
+def ivf_assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """(id, v, cell) — coarse-quantizer cell assignment against a
+    (cid, cv) centroid table: the centroids collapse to ONE broadcast
+    row, so assignment is a zero-shuffle codegen projection whatever
+    the corpus size (the same primitive `topk_ivf` uses internally,
+    exposed for index maintenance)."""
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    return base.crossJoin(F.broadcast(_cents_row(cents))).select(
+        "id", "v", _nearest_cid(F.col("v")).cast("bigint").alias("cell")
+    )
+
+
+def ivf_index_upsert(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+) -> None:
+    """Incremental ANN-index maintenance: land new/updated vectors in
+    a cell-partitioned parquet IVF index WITHOUT rebuilding it —
+    assign cells (zero-shuffle broadcast projection), then reuse the
+    `apply_changelog` MERGE discipline: only the touched cells are
+    read back, replaced keys anti-join away, dynamic overwrite
+    rewrites touched cells only. O(new vectors + touched cells), never
+    O(index) — the serving-side upsert path between full quantizer
+    retrains (re-clustering stays a periodic batch job; the cell
+    geometry is frozen between retrains, exactly how production IVF
+    deployments roll). A vector whose re-embedding moves it across
+    cells follows `apply_changelog`'s delete+upsert contract."""
+    from mapreduce_project_spark.sources.io import apply_changelog
+
+    assigned = ivf_assign_cells(new_vectors, id_col, vec_col, cents).withColumn(
+        "op", F.lit("upsert")
+    )
+    apply_changelog(spark, index_path, assigned, ["id"], "cell")

@@ -208,3 +208,60 @@ def test_pq_adc_quality_floor(spark):
     assert n == 5 * len(top50)
     hit = sum(len(got[q] & top50[q]) for q in got) / n
     assert hit >= 0.5, f"ADC top-5 within exact top-50 only {hit}"
+
+
+def test_ivf_index_upsert_incremental(spark, tmp_path):
+    # build an index from the first half, upsert the second half plus
+    # a replacement for an existing id: the final index must equal the
+    # one-shot full assignment, and cells untouched by the upsert must
+    # keep their files byte-stable (O(touched cells), not O(index))
+    import os
+
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.similarity import (
+        ivf_assign_cells,
+        ivf_index_upsert,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.expr("transform(embedding, x -> cast(x AS double))").alias("cv"),
+        )
+    )
+    half = emb.count() // 2
+    first = emb.filter(F.col("vec_id") < half)
+    second = emb.filter(F.col("vec_id") >= half)
+    path = str(tmp_path / "ivf")
+    ivf_index_upsert(spark, path, first, "vec_id", "embedding", cents)
+
+    before = {
+        cell: sorted(os.listdir(os.path.join(path, cell)))
+        for cell in os.listdir(path)
+        if cell.startswith("cell=")
+    }
+    touched = {
+        r["cell"]
+        for r in ivf_assign_cells(second, "vec_id", "embedding", cents)
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    ivf_index_upsert(spark, path, second, "vec_id", "embedding", cents)
+
+    got = {
+        (r["id"], r["cell"]) for r in spark.read.parquet(path).select("id", "cell").collect()
+    }
+    want = {
+        (r["id"], r["cell"])
+        for r in ivf_assign_cells(emb, "vec_id", "embedding", cents).collect()
+    }
+    assert got == want and got
+    for cell, files in before.items():
+        cid = int(cell.split("=")[1])
+        if cid not in touched:
+            assert sorted(os.listdir(os.path.join(path, cell))) == files
