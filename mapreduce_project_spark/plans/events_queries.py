@@ -932,3 +932,76 @@ def q_cogroup_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .cogroup(buys.groupBy("user_id"))
         .applyInPandas(count_pairs, "user_id long, n_quick_purchases long")
     )
+
+
+_ANOMALY_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ),
+    ew AS (
+      SELECT user_id, ts, x, rn, x AS s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.ts, q.x, q.rn, (q.x + e.s) // 2
+      FROM seq q JOIN ew e ON q.user_id = e.user_id AND q.rn = e.rn + 1
+    ),
+    resid AS (
+      SELECT user_id, ts, x,
+             x - lag(s) OVER (PARTITION BY user_id ORDER BY rn) AS r
+      FROM ew
+    ),
+    med AS (SELECT quantile_cont(r, 0.50) AS m FROM resid WHERE r IS NOT NULL),
+    mad AS (
+      SELECT quantile_cont(abs(r - (SELECT m FROM med)), 0.50) AS d
+      FROM resid WHERE r IS NOT NULL
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, x,
+           CAST(r AS BIGINT) AS resid
+    FROM resid
+    WHERE r IS NOT NULL
+      AND abs(r - (SELECT m FROM med)) > 5 * (SELECT d FROM mad)
+    """
+
+
+@extra_query("events_anomaly_flags", _ANOMALY_ORACLE)
+def q_events_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on metric streams — the composition
+    the EWMA + MAD primitives exist for: each event's residual against
+    its user's PREVIOUS smoothed value (the one-step-ahead prediction
+    error; `operators/windows.py:ewma_fixed` + one lag), flagged when
+    it deviates from the global residual median by more than 5×MAD
+    (outlier-resistant — a single spike cannot inflate its own
+    threshold the way stddev-based z-scores do). Exactness: integer
+    residuals, exact interpolated medians, one broadcast of two global
+    scalars; the recursive-CTE oracle replays the smoothing chain."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x_cents"),
+    )
+    sm = ewma_fixed(ev, "user_id", ["ts"], "x_cents", 1, 2)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    resid = sm.withColumn("r", F.col("x") - F.lag("ewma_fx").over(w)).filter(
+        F.col("r").isNotNull()
+    )
+    med = resid.agg(F.expr("percentile(r, 0.50)").alias("m"))
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(r - m), 0.50)").alias("d"))
+    )
+    thresh = med.crossJoin(mad)
+    return (
+        resid.crossJoin(F.broadcast(thresh))
+        .filter(F.abs(F.col("r") - F.col("m")) > 5 * F.col("d"))
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "x",
+            F.col("r").alias("resid"),
+        )
+    )
