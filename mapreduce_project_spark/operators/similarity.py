@@ -1,6 +1,9 @@
 """Embedding similarity operators (SURVEY.md §2.C C3) — brute-force
-cosine top-k, threshold similarity join, random-hyperplane LSH ANN, and
-the per-label centroid building block of an IVF index.
+cosine top-k, threshold similarity join, random-hyperplane LSH ANN,
+IVF (coarse quantizer + probe search + incremental index upsert),
+product quantization (per-subspace codebooks, 16-bit codes, ADC
+search), kNN graphs (exact blocked + ANN), and deterministic Lloyd
+k-means.
 
 Numeric determinism: cosine is computed as a **left fold** over the
 element products in double precision —
