@@ -335,3 +335,55 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def anomaly_stream(events: DataFrame, med: int, mad: int, k: int = 5) -> DataFrame:
+    """Streaming robust anomaly detection — the real-time twin of the
+    batch `events_anomaly_flags`: per user, each event's residual
+    against the PREVIOUS smoothed value (the carried EWMA state, so
+    one-step-ahead prediction errors survive micro-batch boundaries),
+    flagged when ``|r − med| > k·mad``. The (med, mad) thresholds are
+    the batch job's global residual statistics passed in as scalars —
+    the standard deployment split: thresholds retrain offline on
+    history, the stream scores against them online (a self-updating
+    threshold would let an anomaly burst raise its own bar). First
+    event per user has no prediction and is never flagged. Emits only
+    the flagged rows: (user_id, ts, x, resid)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, ts timestamp, x long, resid long"
+    state_schema = "s long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts", "event_id"])
+        s = int(state.get[0]) if state.exists else None
+        out_ts, out_x, out_r = [], [], []
+        for ts, x in zip(rows["ts"], rows["x"]):
+            x = int(x)
+            if s is not None:
+                r = x - s
+                if abs(r - med) > k * mad:
+                    out_ts.append(ts)
+                    out_x.append(x)
+                    out_r.append(r)
+                s = (x + s) // 2
+            else:
+                s = x
+        state.update((s,))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ts),
+                    "ts": out_ts,
+                    "x": out_x,
+                    "resid": out_r,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -588,3 +588,75 @@ def test_streaming_ewma_matches_batch_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
+    # thresholds retrain offline (batch job), the stream scores online:
+    # the 3-batch stream's flagged set must equal a batch scoring pass
+    # using the SAME (integer-rounded) thresholds — state must carry
+    # the EWMA prediction across batch boundaries for residuals to
+    # agree (the declared `events_anomaly_flags` keeps the exact
+    # double thresholds; rounding here only moves the bar, not the
+    # stream/batch equivalence under it)
+    from mapreduce_project_spark.streaming.events import anomaly_stream
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+    )
+    # offline threshold fit: global residual median and MAD, computed
+    # exactly as the batch query does
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+
+    sm = ewma_fixed(ev.withColumnRenamed("x", "xc"), "user_id", ["ts"], "xc", 1, 2)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    resid = sm.withColumn("r", F.col("x") - F.lag("ewma_fx").over(w)).filter(
+        F.col("r").isNotNull()
+    )
+    med = int(resid.selectExpr("percentile(r, 0.50)").collect()[0][0])
+    mad = int(
+        resid.selectExpr(f"percentile(abs(r - {med}), 0.50)").collect()[0][0]
+    )
+
+    t1, t2 = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).collect()[0]
+    src = tmp_path / "anomsrc"
+    src.mkdir()
+    parts = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        anomaly_stream(stream, med, mad, 5)
+        .writeStream.format("memory")
+        .queryName("anom_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "anomckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["ts"], r["x"], r["resid"])
+        for r in spark.table("anom_s").collect()
+    }
+    want = {
+        (r["user_id"], r["ts"], r["x"], r["resid"])
+        for r in resid.filter(F.abs(F.col("r") - med) > 5 * mad)
+        .select("user_id", "ts", "x", F.col("r").alias("resid"))
+        .collect()
+    }
+    assert got == want and got
