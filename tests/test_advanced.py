@@ -456,3 +456,18 @@ def test_new_operator_edges(spark):
     assert sum(r["n_real"] for r in p) == 3
     assert sum(r["byte_sum"] for r in p) == sum(b"abc")
     assert len(p) == 4  # one band, ceil(64/16) grid columns
+
+
+def test_global_rank_all_ties(spark):
+    # every row shares the same primary key value: ranks must still be
+    # the exact 1..N permutation via the id tie-break
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    df = spark.range(500).select(
+        F.lit(7).alias("v"), F.col("id").alias("k")
+    )
+    out = global_rank(df, ["v", "k"], "rank").collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, 501))
+    assert all(r["rank"] == r["k"] + 1 for r in out)

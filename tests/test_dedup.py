@@ -103,3 +103,21 @@ def test_prefix_filter_equals_quadratic_jaccard(spark):
     }
     assert fast == exact
     assert len(exact) > 0
+
+
+def test_prefix_filter_on_identical_corpus(spark):
+    # the adversarial hot-shingle case: every document identical, so
+    # every shingle has maximal docfreq and every pair is a true
+    # near-dup — the prefix filter must still produce the exact
+    # all-pairs result (jac = 1.0) without error
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta").alias("text"),
+    )
+    out = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 4, 5).collect()
+    assert len(out) == 12 * 11 // 2
+    assert all(r["jac"] == 1.0 for r in out)
