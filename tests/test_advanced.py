@@ -471,3 +471,39 @@ def test_global_rank_all_ties(spark):
     out = global_rank(df, ["v", "k"], "rank").collect()
     assert sorted(r["rank"] for r in out) == list(range(1, 501))
     assert all(r["rank"] == r["k"] + 1 for r in out)
+
+
+def test_ewma_negative_values_match_duckdb_truncation(spark, duck):
+    # the fixture's value-cents are all positive, so the declared query
+    # never exercises truncation-toward-zero on NEGATIVE running
+    # averages — pin it directly against DuckDB's `//` on a planted
+    # mixed-sign series (both must truncate toward zero, not floor)
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+
+    rows = [(1, i, x) for i, x in enumerate([-7, 4, -9, 10, -3, -8, 5])]
+    df = spark.createDataFrame(rows, "k long, i long, x long")
+    got = {
+        (r["k"], r["i"]): r["ewma_fx"]
+        for r in ewma_fixed(df, "k", ["i"], "x", 1, 2).collect()
+    }
+    vals = ", ".join(f"(1, {i}, {x})" for _, i, x in rows)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(f"""
+        WITH RECURSIVE seq(k, i, x) AS (VALUES {vals}),
+        n AS (SELECT k, i, x, row_number() OVER (ORDER BY i) AS rn FROM seq),
+        ew AS (
+          SELECT k, i, x, rn, x AS s FROM n WHERE rn = 1
+          UNION ALL
+          SELECT q.k, q.i, q.x, q.rn, (q.x + e.s) // 2
+          FROM n q JOIN ew e ON q.rn = e.rn + 1
+        )
+        SELECT k, i, CAST(s AS BIGINT) FROM ew
+        """).fetchall()
+    }
+    assert got == want
+    # sanity: the series really does hit a negative-odd-sum division
+    # (where floor and truncation disagree), e.g. (4 + -7) // 2
+    assert got[(1, 1)] == -1  # truncation; floor would give -2
