@@ -1005,3 +1005,94 @@ def q_events_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("resid"),
         )
     )
+
+
+_ABTEST_ORACLE = """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'A' THEN conv END) AS c1,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+             MAX(CASE WHEN arm = 'B' THEN conv END) AS c2
+      FROM arms
+    )
+    SELECT n1, c1, n2, c2,
+           CAST(c1 AS DOUBLE) / n1 AS rate_a,
+           CAST(c2 AS DOUBLE) / n2 AS rate_b,
+           (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)) AS z_score
+    FROM wide
+    """
+
+
+@extra_query("abtest_conversion_z", _ABTEST_ORACLE)
+def q_abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-proportion z-test on high-value
+    purchase conversion (value > 250 — rare enough that neither arm
+    saturates, keeping the pooled variance nonzero at every fixture
+    scale) between deterministic md5 arms (the same hash-split
+    discipline as `hash_split` — assignment is a pure function of
+    user_id, reproducible across engines). Counts are exact integers,
+    the pooled-variance z-score is ONE pinned IEEE expression over
+    them (correctly-rounded sqrt, fixed operand order) — bit-identical
+    across engines, so even the test statistic hash-matches. Two
+    partial-agg shuffles (user collapse, arm rollup) then a two-row
+    pivot; the experiment-readout shape every product analytics
+    pipeline runs."""
+    ev = t(spark, sf_dir, "events")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") > 250), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+                ).isin(*"01234567"),
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("c1"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("c2"),
+    )
+    n1, c1 = F.col("n1"), F.col("c1")
+    n2, c2 = F.col("n2"), F.col("c2")
+    ra = c1.cast("double") / n1
+    rb = c2.cast("double") / n2
+    pooled = (c1 + c2).cast("double") / (n1 + n2)
+    z = (ra - rb) / F.sqrt(
+        pooled * (1 - pooled) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    )
+    return wide.select(
+        "n1", "c1", "n2", "c2",
+        ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_score"),
+    )
