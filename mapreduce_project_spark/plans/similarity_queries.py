@@ -478,3 +478,59 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_pq_adc(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5, 64, 4, 16, 1
     )
+
+
+_MRR_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS neighbor_id, c.label AS nlabel,
+             {_duck_cos('q.v', 'c.v')} AS cos
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(MIN(rk) AS BIGINT) AS first_relevant_rank,
+           1.0 / MIN(rk) AS reciprocal_rank
+    FROM ranked
+    WHERE nlabel = qlabel AND rk <= 20
+    GROUP BY query_id
+    """
+
+
+@extra_query("search_reciprocal_rank", _MRR_ORACLE)
+def q_search_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality measurement: for each query vector, the rank
+    of the first SAME-LABEL neighbor within the exact cosine top-20
+    and its reciprocal rank — the per-query decomposition of MRR
+    (deliberately NOT averaged: a float mean's value depends on
+    aggregation order, while per-row 1/rank is a single exact
+    division; consumers average downstream at whatever precision they
+    accept). Queries with no relevant neighbor in the top-20 drop out
+    (standard MRR@k convention). The evaluation harness every
+    retrieval/embedding pipeline runs after index changes."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.similarity import topk_bruteforce
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = topk_bruteforce(emb, queries, "vec_id", "embedding", 20)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    qlabels = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    return (
+        top.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.min("rk").cast("bigint").alias("first_relevant_rank"))
+        .select(
+            "query_id",
+            "first_relevant_rank",
+            (F.lit(1.0) / F.col("first_relevant_rank")).alias("reciprocal_rank"),
+        )
+    )
