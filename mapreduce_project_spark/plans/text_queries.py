@@ -1166,3 +1166,61 @@ def q_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_chars", "pooled_idx", "norm_chars")
     )
+
+
+_OOV_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+    ),
+    vocab AS (
+      SELECT tk FROM (
+        SELECT tk, count(*) AS c FROM tok GROUP BY tk
+        ORDER BY c DESC, tk LIMIT 25
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tk)
+    GROUP BY doc_id
+    """
+
+
+@extra_query("vocab_oov_rate", _OOV_ORACLE)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage scoring: per-document out-of-vocabulary
+    rate against the corpus's own top-25 token vocabulary (count DESC,
+    token tie-break — deterministic) — the coverage diagnostic run
+    when sizing a tokenizer vocab or detecting domain-shifted
+    documents. The vocabulary is TakeOrdered over a partial-agg count
+    (never a global sort), broadcasts into a left join, and the rate
+    is one exact integer division per document."""
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tk")
+        .limit(25)
+        .select("tk", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
