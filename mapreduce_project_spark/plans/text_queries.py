@@ -1224,3 +1224,59 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+_ZIPF_ORACLE = f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tk FROM documents),
+    freq AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tk),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq),
+    top AS (
+      SELECT tk, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS BIGINT) AS rnk
+      FROM freq ORDER BY c DESC, tk LIMIT 30
+    )
+    SELECT rnk, tk, c,
+           CAST(SUM(c) OVER (ORDER BY rnk) AS BIGINT) AS cum_freq,
+           CAST(SUM(c) OVER (ORDER BY rnk) AS DOUBLE)
+             / (SELECT t FROM total) AS cum_share
+    FROM top
+    """
+
+
+@extra_query("zipf_coverage_curve", _ZIPF_ORACLE)
+def q_zipf_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve: how much of the corpus's token mass the
+    top-k vocabulary covers at each rank — the plot every tokenizer
+    sizing decision reads. The frequency table reduces via partial-agg
+    count; the top-30 cut is TakeOrdered (never a global sort of the
+    vocabulary); the cumulative window then runs over a BOUNDED 30-row
+    result, where an unpartitioned window is a constant-size driver
+    concern, not a scale hazard (the module-header rule targets
+    unbounded inputs). Integer cumulative sums; the share divides by
+    one broadcast total."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.functions import tokens
+
+    tok = t(spark, sf_dir, "documents").select(F.explode(tokens("text")).alias("tk"))
+    freq = tok.groupBy("tk").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    top = (
+        freq.orderBy(F.desc("c"), "tk")
+        .limit(30)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("c"), "tk")).cast("bigint"),
+        )
+    )
+    w = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("cum_freq", F.sum("c").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "tk",
+            "c",
+            "cum_freq",
+            (F.col("cum_freq").cast("double") / F.col("t")).alias("cum_share"),
+        )
+    )
