@@ -169,8 +169,12 @@ _ROTATE_IN = (
 # kmeans_embeddings, semantic_decontam_pairs, training_batches_bucketed,
 # contrastive_negative_samples, bpe_encode_corpus, fuzzy_token_pairs_d2,
 # orders_xml_roundtrip, weighted_avg_udaf, mad_quantity_by_flag,
-# trend_revenue_by_nation, argmax_order_per_segment, and
-# sketch_theta_retention. bm25_search stays pytest-only by design
+# trend_revenue_by_nation, argmax_order_per_segment,
+# sketch_theta_retention, assemble_contrastive_pairs (flagship v3),
+# global_rank_orders, quantile_normalize_lengths, k_anonymity_audit,
+# cogroup_view_purchase_pairs, events_anomaly_flags,
+# abtest_conversion_z, search_reciprocal_rank, vocab_oov_rate, and
+# zipf_coverage_curve. bm25_search stays pytest-only by design
 # (libm ln).
 
 for _name in _ROTATE_OUT:
