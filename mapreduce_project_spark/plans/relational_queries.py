@@ -1059,3 +1059,68 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_cells_below_k"),
         F.min("n").cast("bigint").alias("min_cell"),
     )
+
+
+_CHECKSUM_ORACLE = """
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority || '|'
+               || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+           bit_xor(CAST('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+           ), 1, 15) AS BIGINT))
+    FROM customer
+    """
+
+
+@extra_query("table_checksums", _CHECKSUM_ORACLE)
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the cheap cross-replica /
+    post-migration verification every lakehouse runs: XOR-fold of a
+    60-bit md5 digest over each row's canonical serialization. XOR is
+    commutative and associative, so ANY partitioning/replica computes
+    the identical checksum with one partial-agg shuffle of a single
+    BIGINT per partition (the whole-table sibling of `table_diff`'s
+    per-key hash compare — this answers "are these equal", that one
+    answers "what changed"). The canonical serialization pins the
+    columns and a fixed-point money rendering so both engines hash
+    identical bytes."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def digest(concat_col):
+        return F.expr(
+            f"cast(conv(substr(md5(cast({concat_col} AS binary)), 1, 15), 16, 10) AS bigint)"
+        )
+
+    orders_sum = o.withColumn(
+        "_r",
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderpriority"),
+            F.lit("|"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
+        ),
+    ).agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(cast(_r AS binary)), 1, 15), 16, 10) AS bigint))"
+        ).alias("checksum"),
+    )
+    cust_sum = c.withColumn(
+        "_r",
+        F.concat(F.col("c_custkey").cast("string"), F.lit("|"), F.col("c_mktsegment")),
+    ).agg(
+        F.lit("customer").alias("tbl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(cast(_r AS binary)), 1, 15), 16, 10) AS bigint))"
+        ).alias("checksum"),
+    )
+    return orders_sum.unionByName(cust_sum)
