@@ -534,3 +534,80 @@ def q_search_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("first_relevant_rank")).alias("reciprocal_rank"),
         )
     )
+
+
+_RECALL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS neighbor_id, c.label AS nlabel,
+             {_duck_cos('q.v', 'c.v')} AS cos
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    rel AS (
+      SELECT q.vec_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+                        AND c.label = q.label
+      GROUP BY q.vec_id
+    )
+    SELECT r.query_id,
+           CAST(SUM(CASE WHEN ranked.nlabel = ranked.qlabel
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           r.n_relevant,
+           CAST(SUM(CASE WHEN ranked.nlabel = ranked.qlabel
+                         THEN 1 ELSE 0 END) AS DOUBLE) / r.n_relevant
+             AS recall_at_20
+    FROM ranked JOIN rel r USING (query_id)
+    WHERE rk <= 20
+    GROUP BY r.query_id, r.n_relevant
+    """
+
+
+@extra_query("search_recall_at_k", _RECALL_ORACLE)
+def q_search_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@20 per query — `search_reciprocal_rank`'s companion
+    (ranking position vs coverage): same-label neighbors found in the
+    exact cosine top-20 over the total same-label population, one
+    exact division per query (per-query decomposition again — no
+    order-dependent float mean). Together the pair is the standard
+    embedding-eval readout after any index or encoder change."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.similarity import topk_bruteforce
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = topk_bruteforce(emb, queries, "vec_id", "embedding", 20)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    qlabels = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    hits = (
+        top.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    pop = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+        .join(
+            emb.select(F.col("vec_id").alias("cid"), F.col("label").alias("clabel")),
+            F.col("qlabel") == F.col("clabel"),
+        )
+        .filter(F.col("cid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant"))
+    )
+    return hits.join(pop, "query_id").select(
+        "query_id",
+        "n_hits",
+        "n_relevant",
+        (F.col("n_hits").cast("double") / F.col("n_relevant")).alias("recall_at_20"),
+    )
