@@ -1280,3 +1280,60 @@ def q_zipf_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_freq").cast("double") / F.col("t")).alias("cum_share"),
         )
     )
+
+
+_MANIFEST_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             md5(array_to_string({_TOKS}, ' ')) AS fp,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS en_fraction,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           quantile_cont(n_tok, 0.50) AS p50_tokens
+    FROM d
+    """
+
+
+@extra_query("corpus_manifest", _MANIFEST_ORACLE)
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card readout: one row summarizing corpus health —
+    document/unique-fingerprint counts and the dup rate, language and
+    source coverage, token totals and central tendency — in ONE
+    aggregation pass (canonical md5 fingerprints reuse `dedup_exact`'s
+    digest; exact integer sums; each ratio is a single division).
+    This is the summary block a corpus release publishes next to the
+    data; every input to it is independently oracle-checked elsewhere,
+    and here the COMPOSED readout is hash-matched too."""
+    from mapreduce_project_spark.functions import tokens
+    from mapreduce_project_spark.operators.text import doc_fingerprint
+
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        doc_fingerprint("text").alias("fp"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("en_fraction"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        F.expr("percentile(n_tok, 0.50)").alias("p50_tokens"),
+    )
