@@ -1096,3 +1096,45 @@ def q_abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1", "c1", "n2", "c2",
         ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_score"),
     )
+
+
+_PSEUDO_ORACLE = """
+    SELECT event_id,
+           substr(md5('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+             AS user_pseudonym,
+           event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts_hour
+    FROM events
+    """
+
+
+@extra_query("events_pseudonymized", _PSEUDO_ORACLE)
+def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving event export — the pseudonymization +
+    generalization pass a GDPR-style pipeline runs before sharing
+    analytics data: user ids become keyed md5 pseudonyms (the
+    'pepper-v1' prefix stands in for a secret pepper — JOINABLE across
+    exports under the same pepper, unlinkable to raw ids without it;
+    rotate the pepper to break linkage), and timestamps generalize to
+    the hour (the k-anonymity-style coarsening for quasi-identifiers,
+    see `k_anonymity_audit`). Zero shuffle — a codegen projection the
+    optimizer fuses into the scan. Completes the governance family:
+    detection (`PiiSpans`), redaction (`text_redact_pii`), risk audit
+    (`k_anonymity_audit`), pseudonymized release (this)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.substring(
+            F.md5(
+                F.concat(F.lit("pepper-v1:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            16,
+        ).alias("user_pseudonym"),
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_hour"
+        ),
+    )
