@@ -784,3 +784,51 @@ def q_mad_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(l_quantity - med), 0.50)").alias("mad")
         )
     )
+
+
+@extra_query(
+    "winsorize_quantity",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS lo,
+             quantile_cont(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l.l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS quantity,
+           CASE WHEN l_quantity < lo THEN lo
+                WHEN l_quantity > hi THEN hi
+                ELSE CAST(l_quantity AS DOUBLE) END AS winsorized,
+           CAST(l_quantity < lo OR l_quantity > hi AS BOOLEAN) AS clipped
+    FROM lineitem l JOIN b USING (l_returnflag)
+    """,
+)
+def q_winsorize_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-clipping feature transform: each
+    quantity clamped to its group's exact [p05, p95] band, with a
+    clipped flag for drift monitoring. The per-group band table is
+    tiny and broadcasts; clamping is a codegen projection, so the fact
+    side never shuffles. Integral quantities make the interpolated
+    percentiles exact doubles on both engines (the `percentile_quantity`
+    guarantee); at 100 TB swap the band pass for approx_percentile."""
+    li = t(spark, sf_dir, "lineitem")
+    bands = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.95)").alias("hi"),
+    )
+    q = F.col("l_quantity").cast("double")
+    return (
+        li.join(F.broadcast(bands), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            q.alias("quantity"),
+            F.when(q < F.col("lo"), F.col("lo"))
+            .when(q > F.col("hi"), F.col("hi"))
+            .otherwise(q)
+            .alias("winsorized"),
+            ((q < F.col("lo")) | (q > F.col("hi"))).alias("clipped"),
+        )
+    )
