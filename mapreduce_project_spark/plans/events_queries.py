@@ -1138,3 +1138,68 @@ def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_hour"
         ),
     )
+
+
+_DAU_WAU_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    """
+
+
+@extra_query("events_dau_wau", _DAU_WAU_ORACLE)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per calendar day — the
+    product-analytics headline series. The corpus first collapses to
+    distinct (user, day) pairs (the only shuffle that sees user ids);
+    WAU then rides D76's trailing-distinct RANGE frame over the
+    per-day USER SETS (collect_set of a day's users, union'd across
+    the 7-day frame — never re-touching events), and stickiness is one
+    exact division. The day-level window is unpartitioned but its
+    input is ONE ROW PER DAY — bounded like the Zipf curve's top-k.
+    Scale caveat: a day's exact user set is itself O(DAU) wide; at
+    100 TB swap the sets for per-day HLL sketches and `hll_union`
+    across the frame (`merge_sketch_rollup` is that machinery) —
+    the exact-set form is the oracle-checkable specification. The
+    oracle computes the same trailing window as an interval
+    self-join."""
+    from pyspark.sql import Window
+
+    ud = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    day_sets = ud.groupBy("day").agg(
+        F.collect_set("user_id").alias("users"),
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        day_sets.withColumn(
+            "wau",
+            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+            .cast("bigint"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
