@@ -1124,3 +1124,53 @@ def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("checksum"),
     )
     return orders_sum.unionByName(cust_sum)
+
+
+@extra_query(
+    "fulfillment_latency_histogram",
+    """
+    WITH first_ship AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lat AS (
+      SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(first_ship AS DATE)) AS BIGINT) AS days
+      FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    )
+    SELECT days // 7 AS week_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY 1
+    """,
+)
+def q_fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency distribution in week buckets —
+    the operational-latency readout (order placed → first line item
+    shipped) every fulfillment dashboard carries. One partial-agg MIN
+    per order, one key-carrying join, integer day arithmetic
+    (`datediff` ≡ DuckDB `date_diff('day')` on DATEs), data-independent
+    bucket edges so per-partition histograms merge by addition (the
+    D102 equi-width discipline on a derived duration)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    lat = (
+        o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"])
+        .select(
+            F.datediff(
+                F.col("first_ship").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("days")
+        )
+    )
+    return (
+        lat.groupBy(F.expr("days div 7").alias("week_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+    )
