@@ -57,7 +57,15 @@ def linear_gd_fixed(
       pred_i = Σ_j w_j · x_ij               (label·q units)
       e_i    = (pred_i − y_i · q) div q     (label units, truncated)
       g_j    = Σ_i x_ij · e_i               (exact BIGINT sum)
-      w_j   ← w_j − (lr_num · g_j) div (n · lr_den)
+      w_j   ← w_j − (q · lr_num · g_j) div (n · lr_den)
+
+    The step carries the factor ``q`` because ``w_j`` is stored in 1/q
+    units while ``g_j`` is the real-unit gradient — without it the
+    effective learning rate would be lr/q. Oracles replaying this in
+    BIGINT SQL should use the gcd-reduced ratio (for the defaults
+    q·lr_num/lr_den = 1000, so the step is ``(1000·g) div n``) to stay
+    inside 64-bit headroom; the truncated quotient of the same rational
+    is identical either way.
 
     Feature and label columns must already be integral (BIGINT-safe).
     """
@@ -74,7 +82,7 @@ def linear_gd_fixed(
         row = d.agg(
             *[F.sum(F.col(f"x{j}") * e).alias(f"g{j}") for j in range(k)]
         ).collect()[0]
-        w = [w[j] - _tdiv(lr_num * int(row[f"g{j}"]), n * lr_den) for j in range(k)]
+        w = [w[j] - _tdiv(q * lr_num * int(row[f"g{j}"]), n * lr_den) for j in range(k)]
     d.unpersist()
     spark = data.sparkSession
     return spark.createDataFrame(

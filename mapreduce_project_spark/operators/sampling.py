@@ -261,6 +261,9 @@ def length_bucketed_batches(
     Output, one row per batch: (bucket, batch_id, n_seqs, max_len,
     sum_len, pad_frac) where pad_frac = (n·max − sum) / (n·max) —
     exact integer arithmetic and ONE double division, engine-exact.
+    A batch of all-zero-length sequences (n·max = 0) has no pad slots
+    at all, so pad_frac is defined as 0.0 there (the guard keeps the
+    documented 0 ≤ pad_frac < 1 contract instead of emitting 0/0 NaN).
     """
     from pyspark.sql import Window
 
@@ -280,15 +283,16 @@ def length_bucketed_batches(
         F.sum("_len").alias("sum_len"),
     )
     waste = agg["n_seqs"] * agg["max_len"] - agg["sum_len"]
+    slots = agg["n_seqs"] * agg["max_len"]
     return agg.select(
         "bucket",
         "batch_id",
         "n_seqs",
         "max_len",
         "sum_len",
-        (waste.cast("double") / (agg["n_seqs"] * agg["max_len"]).cast("double")).alias(
-            "pad_frac"
-        ),
+        F.when(slots > 0, waste.cast("double") / slots.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pad_frac"),
     )
 
 

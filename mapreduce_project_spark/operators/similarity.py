@@ -812,16 +812,29 @@ def topk_pq_adc(
     def _dq(s: int) -> Column:
         qsv = F.slice(F.col("qv"), s * sub + 1, sub)
         return F.transform(
-            F.col(f"_cb{s}"), lambda c: sq_dist(qsv, c.getField("cv"))
+            F.col(f"_cb{s}"),
+            lambda c: F.struct(
+                c.getField("cid").alias("cid"), sq_dist(qsv, c.getField("cv")).alias("d")
+            ),
         ).alias(f"dq{s}")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     qtab = _with_codebooks(q, books).select("query_id", *[_dq(s) for s in range(m)])
-    dist = F.element_at(F.col("dq0"), F.col("c0").cast("int") + 1)
+
+    def _lookup(s: int) -> Column:
+        # resolve by CID, not array position: `cluster_centroid_means`
+        # drops centroids that receive zero assignments, so after a
+        # Lloyd round the codebook can have cid gaps and position-based
+        # element_at(dq, code+1) would read the wrong (or no) entry
+        return F.element_at(
+            F.filter(F.col(f"dq{s}"), lambda e: e.getField("cid") == F.col(f"c{s}")), 1
+        ).getField("d")
+
+    dist = _lookup(0)
     for s in range(1, m):
-        dist = dist + F.element_at(F.col(f"dq{s}"), F.col(f"c{s}").cast("int") + 1)
+        dist = dist + _lookup(s)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")

@@ -731,9 +731,9 @@ _LINEAR_GD_ORACLE = """
     gA AS (SELECT SUM(x0 * -y) AS g0, SUM(x1 * -y) AS g1,
                   SUM(x2 * -y) AS g2 FROM d),
     wA AS (
-      SELECT 0 - g0 // ((SELECT n FROM nn) * 1000) AS w0,
-             0 - g1 // ((SELECT n FROM nn) * 1000) AS w1,
-             0 - g2 // ((SELECT n FROM nn) * 1000) AS w2
+      SELECT 0 - (1000 * g0) // (SELECT n FROM nn) AS w0,
+             0 - (1000 * g1) // (SELECT n FROM nn) AS w1,
+             0 - (1000 * g2) // (SELECT n FROM nn) AS w2
       FROM gA
     ),
     eB AS (
@@ -745,9 +745,9 @@ _LINEAR_GD_ORACLE = """
     gB AS (SELECT SUM(x0 * e) AS g0, SUM(x1 * e) AS g1,
                   SUM(x2 * e) AS g2 FROM eB),
     wB AS (
-      SELECT (SELECT w0 FROM wA) - g0 // ((SELECT n FROM nn) * 1000) AS w0,
-             (SELECT w1 FROM wA) - g1 // ((SELECT n FROM nn) * 1000) AS w1,
-             (SELECT w2 FROM wA) - g2 // ((SELECT n FROM nn) * 1000) AS w2
+      SELECT (SELECT w0 FROM wA) - (1000 * g0) // (SELECT n FROM nn) AS w0,
+             (SELECT w1 FROM wA) - (1000 * g1) // (SELECT n FROM nn) AS w1,
+             (SELECT w2 FROM wA) - (1000 * g2) // (SELECT n FROM nn) AS w2
       FROM gB
     )
     SELECT 'bias' AS feature, CAST(w0 AS BIGINT) AS w_fx,
@@ -842,8 +842,10 @@ _BATCHES_ORACLE = """
            CAST(COUNT(*) AS BIGINT) AS n_seqs,
            MAX(n_tok) AS max_len,
            CAST(SUM(n_tok) AS BIGINT) AS sum_len,
-           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE)
-             / CAST(COUNT(*) * MAX(n_tok) AS DOUBLE) AS pad_frac
+           CASE WHEN COUNT(*) * MAX(n_tok) > 0
+                THEN CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE)
+                     / CAST(COUNT(*) * MAX(n_tok) AS DOUBLE)
+                ELSE 0.0 END AS pad_frac
     FROM ranked GROUP BY bucket, batch_id
     """
 

@@ -194,18 +194,26 @@ class _LineFileCommit(WriterCommitMessage):
 class LineFileWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         import os
+        import uuid
 
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("linefile sink requires a `path` option")
         self.overwrite = overwrite
+        # job-scoped id, minted once on the driver and serialized to
+        # every task: part files carry it so mode('append') lands new
+        # uniquely-named parts instead of clobbering a prior write's
+        # part-00000.txt, and the stale-temp sweep only touches THIS
+        # job's temps (two concurrent writers can't delete each
+        # other's in-flight task files)
+        self.job_id = uuid.uuid4().hex[:12]
         os.makedirs(self.dir, exist_ok=True)
 
     def write(self, iterator):
         import os
         import uuid
 
-        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}")
+        tmp = os.path.join(self.dir, f"_tmp-{self.job_id}-{uuid.uuid4().hex}")
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -224,12 +232,13 @@ class LineFileWriter(DataSourceWriter):
                 os.remove(old)
         committed = set()
         for i, m in enumerate(messages):
-            dst = os.path.join(self.dir, f"part-{i:05d}.txt")
+            dst = os.path.join(self.dir, f"part-{self.job_id}-{i:05d}.txt")
             os.replace(m.tmp_path, dst)
             committed.add(m.tmp_path)
-        # stale temps from failed/speculative attempts never got a
-        # commit message — sweep them
-        for leftover in g.glob(os.path.join(self.dir, "_tmp-*")):
+        # stale temps from THIS job's failed/speculative attempts never
+        # got a commit message — sweep them (job-scoped glob: a
+        # concurrent writer's in-flight temps are not ours to touch)
+        for leftover in g.glob(os.path.join(self.dir, f"_tmp-{self.job_id}-*")):
             if leftover not in committed:
                 os.remove(leftover)
         with open(os.path.join(self.dir, "_SUCCESS"), "w", encoding="utf-8") as fh:

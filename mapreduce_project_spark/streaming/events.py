@@ -295,6 +295,14 @@ def transition_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _half_trunc(v: int) -> int:
+    """``v div 2`` truncating toward zero — Python's ``//`` floors,
+    which diverges from the batch twin `operators/windows.py:ewma_fixed`
+    (and SQL ``div``) on negative values; this matches them exactly."""
+    q = abs(v) // 2
+    return q if v >= 0 else -q
+
+
 def ewma_stream(events: DataFrame) -> DataFrame:
     """Streaming exact fixed-point EWMA (α = 1/2) of ``x`` per user —
     the stateful twin of `operators/windows.py:ewma_fixed`: the carried
@@ -303,8 +311,9 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     micro-batch boundaries (a RANGE frame cannot; each output depends
     on the previous OUTPUT). Same in-order-arrival contract as
     `transition_stream`; emits one (user_id, ts, x, ewma_fx) row per
-    event. Input must carry integral ``x`` (BIGINT-safe, non-negative
-    — value-cents in the tests)."""
+    event. Input must carry integral ``x`` (BIGINT-safe; negative
+    values follow the same truncate-toward-zero step as the batch
+    twin — pinned by test_streaming's negative-value parity case)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -320,7 +329,7 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         out = []
         for x in rows["x"]:
             x = int(x)
-            s = x if s is None else (x + s) // 2
+            s = x if s is None else _half_trunc(x + s)
             out.append(s)
         state.update((s,))
         yield pd.DataFrame(
@@ -370,7 +379,7 @@ def anomaly_stream(events: DataFrame, med: int, mad: int, k: int = 5) -> DataFra
                     out_ts.append(ts)
                     out_x.append(x)
                     out_r.append(r)
-                s = (x + s) // 2
+                s = _half_trunc(x + s)
             else:
                 s = x
         state.update((s,))

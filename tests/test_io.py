@@ -747,3 +747,16 @@ def test_linefile_writer_roundtrip_and_commit_protocol(spark, tmp_path):
         "overwrite"
     ).save()
     assert len([p for p in os.listdir(d) if p.startswith("part-")]) == 2
+    # append must ADD job-scoped uniquely-named parts, not clobber the
+    # prior job's part files (part names carry the job id)
+    df.repartition(3).write.format("linefile").option("path", d).mode(
+        "append"
+    ).save()
+    assert len([p for p in os.listdir(d) if p.startswith("part-")]) == 5
+    appended = (
+        spark.read.format("linefile")
+        .option("path", d + "/part-*.txt")
+        .load()
+        .count()
+    )
+    assert appended == 200

@@ -210,6 +210,59 @@ def test_pq_adc_quality_floor(spark):
     assert hit >= 0.5, f"ADC top-5 within exact top-50 only {hit}"
 
 
+def test_pq_adc_correct_with_codebook_cid_gaps(spark):
+    # `cluster_centroid_means` drops centroids that receive zero
+    # assignments, so a Lloyd round can leave cid GAPS in the codebook
+    # (seed vectors 0 and 1 identical → all ties resolve to cid 0 →
+    # cid 1 empties). The ADC lookup must resolve by cid, not array
+    # position — position lookup reads the wrong entry (or NULL past
+    # the end) exactly when a cluster empties.
+    from mapreduce_project_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+        topk_pq_adc,
+    )
+
+    dim, m, k = 4, 2, 4
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # duplicate of seed 0 → cid 1 starves
+        (2, [10.0, 10.0, -3.0, 4.0]),
+        (3, [-8.0, 2.0, 7.0, 7.0]),
+        (4, [0.5, 0.1, 0.2, -0.1]),
+        (5, [9.5, 10.5, -2.5, 4.5]),
+        (6, [-7.5, 2.5, 6.5, 7.5]),
+        (7, [3.0, -3.0, 3.0, -3.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    books = [
+        {r["cid"]: r["cv"] for r in b.collect()}
+        for b in pq_train(df, "vec_id", "embedding", dim, m, k, iters=1)
+    ]
+    # the regression precondition: at least one codebook has a cid gap
+    assert any(
+        sorted(b) != list(range(len(b))) for b in books
+    ), f"fixture no longer produces cid gaps: {[sorted(b) for b in books]}"
+    codes = {}
+    for r in pq_encode(df, "vec_id", "embedding", dim, m, k, iters=1).collect():
+        codes.setdefault(r["id"], {})[r["subspace"]] = r["code"]
+    sub = dim // m
+    vmap = dict(vecs)
+    out = topk_pq_adc(df, df, "vec_id", "embedding", 3, dim, m, k, iters=1).collect()
+    assert len(out) == len(vecs) * 3
+    for r in out:
+        assert r["dist"] is not None
+        q = vmap[r["query_id"]]
+        expected = sum(
+            sum(
+                (q[s * sub + i] - books[s][codes[r["neighbor_id"]][s]][i]) ** 2
+                for i in range(sub)
+            )
+            for s in range(m)
+        )
+        assert abs(r["dist"] - expected) <= 1e-9 * max(1.0, abs(expected))
+
+
 def test_ivf_index_upsert_incremental(spark, tmp_path):
     # build an index from the first half, upsert the second half plus
     # a replacement for an existing id: the final index must equal the

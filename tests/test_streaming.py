@@ -590,6 +590,58 @@ def test_streaming_ewma_matches_batch_across_batches(spark, tmp_path):
     assert got == want and got
 
 
+def test_streaming_ewma_negative_values_match_batch(spark, tmp_path):
+    # negative x: the stream's carried-state step must truncate toward
+    # zero like the batch twin (and SQL div) — Python's // floors, so
+    # an unguarded (x + s) // 2 diverges on the first negative sum
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+    from mapreduce_project_spark.streaming.events import ewma_stream
+
+    rows = [
+        (i, uid, f"2024-01-01 00:00:{i:02d}", x)
+        for i, (uid, x) in enumerate(
+            # interleaved so BOTH users straddle the micro-batch split
+            # (in ts order — the operator's in-order-arrival contract)
+            [(1, -7), (2, -1), (1, -4), (2, -2), (1, 10), (2, 5), (1, -15), (2, -9)]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, x long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "ewnegsrc"
+    src.mkdir()
+    for i, p in enumerate(
+        [ev.filter(F.col("event_id") < 4), ev.filter(F.col("event_id") >= 4)]
+    ):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_neg_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewnegckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["x"], r["ewma_fx"])
+        for r in spark.table("ewma_neg_s").collect()
+    }
+    want = {
+        (r["user_id"], r["x"], r["ewma_fx"])
+        for r in ewma_fixed(
+            ev.withColumnRenamed("x", "xc"), "user_id", ["ts"], "xc", 1, 2
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
     # thresholds retrain offline (batch job), the stream scores online:
     # the 3-batch stream's flagged set must equal a batch scoring pass

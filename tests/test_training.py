@@ -260,14 +260,35 @@ def test_linear_gd_predict_is_exact_dot_product(spark):
         F.col("id").alias("x"),
         (F.col("id") * 3 + 7).alias("y"),
     )
-    w = linear_gd_fixed(df, ["b", "x"], "y", n_iter=2)
+    # lr = 1e-5 sits inside the stability bound 2/λmax(E[xxᵀ]) ≈ 1.5e-4
+    # for x ∈ [0, 200) (E[x²] ≈ 13233)
+    w = linear_gd_fixed(df, ["b", "x"], "y", n_iter=2, lr_num=1, lr_den=100000)
     wmap = {r["feature"]: r["w_fx"] for r in w.collect()}
     scored = linear_predict_fixed(df, w, ["b", "x"]).collect()
     for r in scored:
         assert r["score_fx"] == wmap["b"] * r["b"] + wmap["x"] * r["x"]
     # two GD rounds from w=0 with a positive-slope target must move the
-    # slope weight positive — direction sanity on top of oracle parity
-    assert wmap["x"] > 0
+    # slope weight materially toward the true slope 3 (the q-scaled step
+    # regression made this ~1e-5 instead of ~0.75)
+    assert wmap["x"] / 1e6 > 0.5
+
+
+def test_linear_gd_converges_to_closed_form(spark):
+    # GD must actually LEARN: y = 3x fit with a single feature at a
+    # stable rate converges to the closed-form slope up to the
+    # truncation band (residuals < 1 label unit truncate to 0, so the
+    # fixed point sits within max_x/q of the exact solution)
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.ml import linear_gd_fixed
+
+    df = spark.range(10).select(
+        F.col("id").alias("x"), (F.col("id") * 3).alias("y")
+    )
+    # λmax = E[x²] = 28.5 → lr bound 0.070; lr = 1/30 converges in <8 rounds
+    w = linear_gd_fixed(df, ["x"], "y", n_iter=8, lr_num=1, lr_den=30)
+    wmap = {r["feature"]: r["w"] for r in w.collect()}
+    assert abs(wmap["x"] - 3.0) < 0.1
 
 
 def test_negative_samples_invariants(spark):
@@ -314,3 +335,23 @@ def test_length_bucketed_batches_invariants(spark):
         assert r["bucket"] * 64 <= r["max_len"] < (r["bucket"] + 1) * 64
         assert 0.0 <= r["pad_frac"] < 1.0
     assert total == docs.count()
+
+
+def test_length_bucketed_batches_zero_length_guard(spark):
+    # a batch of all-zero-length sequences has n·max = 0 pad slots:
+    # pad_frac must be 0.0 (not 0/0 NaN), keeping the 0 ≤ pad_frac < 1
+    # contract on every input
+    import math
+
+    from mapreduce_project_spark.operators.sampling import length_bucketed_batches
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10 + i, 70 + i) for i in range(3)],
+        "sid long, slen long",
+    )
+    out = length_bucketed_batches(df, "sid", "slen", 4).collect()
+    zero = [r for r in out if r["bucket"] == 0]
+    assert zero and all(r["max_len"] == 0 for r in zero)
+    for r in out:
+        assert not math.isnan(r["pad_frac"])
+        assert 0.0 <= r["pad_frac"] < 1.0
