@@ -105,86 +105,125 @@ from mapreduce_project_spark.plans import classic_queries2  # noqa: E402,F401
 from mapreduce_project_spark.plans import sketch_queries  # noqa: E402,F401
 
 # Per-round slot rotation. The driver's correctness window records at
-# most MAX_DECLARED queries, but 100+ are oracle-equipped; rotating
+# most MAX_DECLARED queries, but 130+ are oracle-equipped; rotating
 # which ones occupy driver slots lets every operator earn a hard
 # external (driver-green) signal across rounds while the full set stays
 # pytest-oracle-checked every round regardless. Definition sites keep
-# their original @query/@extra_query decorator; this table is the only
-# thing that changes between rounds.
-#
-# Round 3: swap five low-information scalar/variant slots out in favor
-# of the heavyweight operators that round 2 left with repo-only signal.
-_ROTATE_OUT = (
-    "word_count_mr",      # facade twin of the driver-green word_count
-    "date_functions",     # scalar-function smoke
-    "array_functions",    # scalar-function smoke
-    "string_funcs",       # scalar-function smoke
-    "posexplode_tokens",  # near-variant of the explode path in word_count
-    # second wave (new-in-round-3 operators take these slots):
-    "union_party_keys",       # B11 union — structurally trivial
-    "except_order_keys",      # D2 twin; intersect keeps the driver slot
-    "top_orders",             # global top-k; per-group top-k variant stays
-    "distinct_segments",      # B3 twin of the declared dedup_exact
-    "text_token_count_bpe",   # scalar smoke; bpe_merge_pairs is stronger
-    "multimodal_meta",        # metadata-struct smoke; byte_features carries C5
-    # third wave (all five outgoing queries are r02 driver-green, all
-    # five incoming are new operator families built this round):
-    "doc_fingerprints",       # md5 projection; dedup_exact re-proves the fp
-    "text_lang_id",           # marker CASE; the lang gate rides clean_corpus
-    "intersect_nation_keys",  # D2 set-op smoke (driver-green r02)
-    "embedding_cosine_pairs", # exact blocked pairs; ann_lsh+ivf carry C3
-    "event_gaps",             # lag window; window_rank_family carries D9/D53
-)
-_ROTATE_IN = (
-    "pagerank_trade_graph",      # D49 iterative fixed-point PageRank
-    "recursive_supplier_chain",  # D68 recursive CTE
-    "window_rank_family",        # D53 ranking-window family
-    "events_funnel",             # D45 ordered funnel analysis
-    "decontam_hits",             # D42 benchmark n-gram decontamination
-    # new round-3 operator families:
-    "dedup_passages",                # D78 passage-level exact dedup
-    "shuffle_shards",                # D79 deterministic corpus sharding
-    "sketch_theta_distinct_users",   # D81 mergeable sketch w/ exact oracle
-    "tpch_q5_local_supplier_volume", # D36 6-way join-ordering stress
-    "embedding_quantize_int8",       # D82 int8 embedding quantization
-    "assemble_training_set_v2",      # D108 flagship composition, generation 2
-    # third wave:
-    "dedup_jaccard_prefix_filter",   # D109 exact Jaccard at scale (AllPairs)
-    "linear_gd_price_model",         # D110 fixed-point GD model training
-    "events_ewma_value",             # D112 recursive EWMA (recursive-CTE oracle)
-    "bpe_train_merges",              # D113 iterative BPE training
-    "multimodal_patchify",           # D111 ViT patch tokenization
+# their original @query/@extra_query decorator; this wave table is the
+# only thing that changes between rounds. Waves apply IN ORDER (a name
+# rotated in by one wave can be rotated back out by a later one).
+_ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
+    # --- Round 3: swap sixteen low-information scalar/variant slots
+    # (all r01/r02 driver-green) out in favor of the heavyweight
+    # operator families that round 2 left with repo-only signal.
+    (
+        (
+            "word_count_mr",      # facade twin of the driver-green word_count
+            "date_functions",     # scalar-function smoke
+            "array_functions",    # scalar-function smoke
+            "string_funcs",       # scalar-function smoke
+            "posexplode_tokens",  # near-variant of the explode path in word_count
+            "union_party_keys",       # B11 union — structurally trivial
+            "except_order_keys",      # D2 twin; intersect keeps the driver slot
+            "top_orders",             # global top-k; per-group top-k variant stays
+            "distinct_segments",      # B3 twin of the declared dedup_exact
+            "text_token_count_bpe",   # scalar smoke; bpe_merge_pairs is stronger
+            "multimodal_meta",        # metadata-struct smoke; byte_features carries C5
+            "doc_fingerprints",       # md5 projection; dedup_exact re-proves the fp
+            "text_lang_id",           # marker CASE; the lang gate rides clean_corpus
+            "intersect_nation_keys",  # D2 set-op smoke (driver-green r02)
+            "embedding_cosine_pairs", # exact blocked pairs; ann_lsh+ivf carry C3
+            "event_gaps",             # lag window; window_rank_family carries D9/D53
+        ),
+        (
+            "pagerank_trade_graph",      # D49 iterative fixed-point PageRank
+            "recursive_supplier_chain",  # D68 recursive CTE
+            "window_rank_family",        # D53 ranking-window family
+            "events_funnel",             # D45 ordered funnel analysis
+            "decontam_hits",             # D42 benchmark n-gram decontamination
+            "dedup_passages",                # D78 passage-level exact dedup
+            "shuffle_shards",                # D79 deterministic corpus sharding
+            "sketch_theta_distinct_users",   # D81 mergeable sketch w/ exact oracle
+            "tpch_q5_local_supplier_volume", # D36 6-way join-ordering stress
+            "embedding_quantize_int8",       # D82 int8 embedding quantization
+            "assemble_training_set_v2",      # D108 flagship composition, gen 2
+            "dedup_jaccard_prefix_filter",   # D109 exact Jaccard at scale (AllPairs)
+            "linear_gd_price_model",         # D110 fixed-point GD model training
+            "events_ewma_value",             # D112 recursive EWMA (rec-CTE oracle)
+            "bpe_train_merges",              # D113 iterative BPE training
+            "multimodal_patchify",           # D111 ViT patch tokenization
+        ),
+    ),
+    # --- Round 4: the round-3 entrants are now driver-proven
+    # (CORRECTNESS_r03.json, 16/16 hash-green); swap them for the
+    # never-driver-checked operator families. linear_gd_price_model
+    # KEEPS its slot one more round: its q-scaled step fix (ADVICE r3
+    # high finding) should earn a fresh driver-green row on the
+    # corrected arithmetic — filter_project (driver-green r01-r03,
+    # structurally trivial) gives up its slot instead.
+    (
+        (
+            "pagerank_trade_graph",
+            "recursive_supplier_chain",
+            "window_rank_family",
+            "events_funnel",
+            "decontam_hits",
+            "dedup_passages",
+            "shuffle_shards",
+            "sketch_theta_distinct_users",
+            "tpch_q5_local_supplier_volume",
+            "embedding_quantize_int8",
+            "assemble_training_set_v2",
+            "dedup_jaccard_prefix_filter",
+            "events_ewma_value",
+            "bpe_train_merges",
+            "multimodal_patchify",
+            "filter_project",
+        ),
+        (
+            "cogroup_view_purchase_pairs",  # D132 cogrouped applyInPandas
+            "weighted_avg_udaf",            # D120 pandas GROUPED_AGG UDAF
+            "global_rank_orders",           # D129 exact distributed global ranking
+            "quantile_normalize_lengths",   # D130 cross-source quantile norm
+            "events_anomaly_flags",         # D134 robust anomaly detection
+            "sketch_theta_retention",       # D126 theta-sketch set algebra
+            "embedding_pq_codes",           # D115 product quantization encode
+            "similarity_topk_pq",           # D115 ADC serving scan
+            "graph_components_cosupply",    # D114 connected components
+            "kmeans_embeddings",            # D32 Lloyd k-means (bit-exact)
+            "semantic_decontam_pairs",      # D117 embedding-space decontam
+            "bpe_encode_corpus",            # D121 BPE encoding (train→encode)
+            "orders_xml_roundtrip",         # D119 XML ingestion (Spark 4 native)
+            "k_anonymity_audit",            # D131 k-anonymity governance audit
+            "dq_audit_orders",              # D93 data-quality audit
+            "snapshot_diff_orders",         # D95 snapshot diff
+        ),
+    ),
 )
 
-# Round-4 rotation candidates (oracle-equipped extras that have not yet
-# held a driver slot): tpch_q7_volume_shipping, tpch_q19_disjunctive_brackets,
-# lateral_recent_orders, dq_audit_orders, snapshot_diff_orders,
-# profile_orders_columns, chunk_documents, event_transition_matrix,
-# temperature_sample_sources, multimodal_header_probe, text_normalize_nfc,
-# bpe_merge_pairs, pack_contiguous — swap against the round-3 entrants
-# (which will then hold prior-round driver signal). Also eligible
-# (new this round, all strict-EQUAL at sf0.01): the TPC-H completion
-# set (q2/q8/q9/q11/q12/q15/q16/q17/q20/q21), graph_components_cosupply,
-# embedding_pq_codes, similarity_topk_pq, doc_feature_vectors,
-# kmeans_embeddings, semantic_decontam_pairs, training_batches_bucketed,
-# contrastive_negative_samples, bpe_encode_corpus, fuzzy_token_pairs_d2,
-# orders_xml_roundtrip, weighted_avg_udaf, mad_quantity_by_flag,
+# Round-5 rotation candidates (oracle-equipped extras that have not yet
+# held a driver slot): the TPC-H completion set (q2/q7/q8/q9/q11/q12/
+# q15/q16/q17/q19/q20/q21), lateral_recent_orders, profile_orders_columns,
+# chunk_documents, event_transition_matrix, temperature_sample_sources,
+# multimodal_header_probe, text_normalize_nfc, bpe_merge_pairs,
+# pack_contiguous, doc_feature_vectors, training_batches_bucketed,
+# contrastive_negative_samples, fuzzy_token_pairs_d2, mad_quantity_by_flag,
 # trend_revenue_by_nation, argmax_order_per_segment,
-# sketch_theta_retention, assemble_contrastive_pairs (flagship v3),
-# global_rank_orders, quantile_normalize_lengths, k_anonymity_audit,
-# cogroup_view_purchase_pairs, events_anomaly_flags,
-# abtest_conversion_z, search_reciprocal_rank, vocab_oov_rate, and
-# zipf_coverage_curve. bm25_search stays pytest-only by design
-# (libm ln).
+# assemble_contrastive_pairs (flagship v3), abtest_conversion_z,
+# search_reciprocal_rank, search_recall_at_k, vocab_oov_rate,
+# zipf_coverage_curve, table_checksums, corpus_manifest,
+# events_pseudonymized, events_dau_wau, winsorize_quantity,
+# fulfillment_latency_histogram, and this round's new operators.
 
-for _name in _ROTATE_OUT:
-    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
-    if _name in ORACLES:
-        EXTRA_ORACLES[_name] = ORACLES.pop(_name)
-for _name in _ROTATE_IN:
-    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
-    if _name in EXTRA_ORACLES:
-        ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+for _out, _in in _ROTATION_WAVES:
+    for _name in _out:
+        EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+        if _name in ORACLES:
+            EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+    for _name in _in:
+        QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+        if _name in EXTRA_ORACLES:
+            ORACLES[_name] = EXTRA_ORACLES.pop(_name)
 
 assert len(QUERIES) <= MAX_DECLARED, (
     f"{len(QUERIES)} declared queries exceed the driver's {MAX_DECLARED}-entry "
