@@ -364,22 +364,147 @@ def media_header_probe(
     return df.select(id_col, payload_col).mapInPandas(probe, out_schema)
 
 
-def decode_media(df: DataFrame, payload_col: str = "payload", format_col: str = "media.format") -> DataFrame:
-    """STUB — real image/audio decode (PIL/librosa are not in this
-    container). The function validates the plumbing (schema + batch
-    iteration) and raises ``NotImplementedError`` on execution of the
-    decode branch. Swap the body for a real decoder in production; the
-    surrounding pipeline (binary source → mapInPandas → typed features)
-    is the tested, scale-correct part.
+def _decode_ppm(b: bytes):
+    """P6 binary PPM → (width, height, canonical row-major RGB bytes).
+    Handles whitespace/comment-tolerant headers per the netpbm spec."""
+    import numpy as np
+
+    pos = 2  # past "P6"
+    fields = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(b) and b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raw = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, raw.tobytes()
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed 24-bit BMP → (width, height, canonical row-major
+    top-down RGB bytes): rows are stored bottom-up, BGR, padded to
+    4-byte multiples — all undone with one numpy reshape/flip."""
+    import numpy as np
+
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return w, h, np.ascontiguousarray(rgb).tobytes()
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE PCM → (channels, sample_rate, canonical little-endian
+    sample bytes): walks the chunk chain (fmt may not be the first
+    chunk), accepts audio_format 1 (integer PCM) at 8 or 16 bits."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV format={audio_format} bits={bits}")
+    return channels, rate, bits, data
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel/sample decode for the uncompressed container formats —
+    pure numpy + stdlib, no media libraries: P6 PPM (RGB raster), 24-bit
+    uncompressed BMP (bottom-up padded BGR rows normalized to top-down
+    RGB), and RIFF/WAVE integer PCM (8/16-bit, chunk-chain walked). The
+    decoded signal comes back in ONE canonical layout per modality —
+    row-major top-down RGB bytes for images, little-endian PCM sample
+    bytes for audio — so downstream feature UDFs are format-agnostic.
+
+    Output: (id, format, width, height, channels, sample_rate_hz,
+    bits_per_value, n_values, data) — dims/rate NULL where the modality
+    doesn't define them; ``data`` is the canonical decoded bytes.
+
+    Arrow-batched ``mapInPandas``, no shuffle (the `byte_features`
+    discipline: payloads decode in place, never move). COMPRESSED
+    codecs (PNG deflate, JPEG DCT) genuinely need codec libraries this
+    container lacks — those payloads raise ``NotImplementedError``
+    (the one remaining documented stub branch); swap in PIL/libsndfile
+    in production under the same signature. Reference anchor: completes
+    the whole-file ingestion story (reference `worker.py:131-138`
+    whole-file splits → typed media columns).
     """
-    out_schema = "doc_id long, decoded_ok boolean"
+    out_schema = (
+        f"{id_col} long, format string, width long, height long, "
+        "channels long, sample_rate_hz long, bits_per_value long, "
+        "n_values long, data binary"
+    )
+
+    def decode_one(b: bytes):
+        if b[:2] == b"P6":
+            w, h, data = _decode_ppm(b)
+            return ("ppm", w, h, 3, None, 8, w * h * 3, data)
+        if b[:2] == b"BM":
+            w, h, data = _decode_bmp(b)
+            return ("bmp", w, h, 3, None, 8, w * h * 3, data)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            channels, rate, bits, data = _decode_wav(b)
+            return ("wav", None, None, channels, rate, bits, len(data) * 8 // bits, data)
+        if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8":
+            raise NotImplementedError(
+                "compressed codecs (PNG deflate / JPEG DCT) require codec "
+                "libraries not present in this container; uncompressed "
+                "PPM/BMP/WAV decode fully — re-encode or swap in PIL here"
+            )
+        raise ValueError(f"unrecognized media payload (magic {b[:4]!r})")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "media decode requires image/audio libs not present in this "
-                "container; use byte_features for the deterministic test path"
+            parsed = [decode_one(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "channels": pd.array([p[3] for p in parsed], dtype="Int64"),
+                    "sample_rate_hz": pd.array([p[4] for p in parsed], dtype="Int64"),
+                    "bits_per_value": pd.array([p[5] for p in parsed], dtype="Int64"),
+                    "n_values": pd.array([p[6] for p in parsed], dtype="Int64"),
+                    "data": [p[7] for p in parsed],
+                }
             )
-            yield pdf  # pragma: no cover
 
-    return df.select("doc_id", payload_col).mapInPandas(decode, out_schema)
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)

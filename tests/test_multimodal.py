@@ -46,13 +46,100 @@ def test_frame_sample_matches_python(spark):
             assert got[(row["doc_id"], fi)] == b[fi * 256 : (fi + 1) * 256]
 
 
-def test_decode_stub_raises_cleanly(spark):
-    docs = attach_payload(load_table(spark, SF_DIR, "documents").limit(2))
+def test_decode_compressed_branch_raises_cleanly(spark):
+    # the ONE remaining stub branch: compressed codecs (PNG deflate /
+    # JPEG DCT) need codec libs this container lacks — a clean error,
+    # not silent garbage
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
-    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError|media decode"):
-        decode_media(docs).collect()
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(4, 4)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(
+        (PythonException, Py4JJavaError), match="NotImplementedError|compressed codecs"
+    ):
+        decode_media(df).collect()
+
+
+def _encode_ppm(w, h, rgb: bytes) -> bytes:
+    return b"P6\n# synthetic fixture\n%d %d\n255\n" % (w, h) + rgb
+
+
+def _encode_bmp(w, h, rgb: bytes, top_down: bool = False) -> bytes:
+    # uncompressed 24-bit: BGR pixels, rows padded to 4 bytes,
+    # bottom-up unless height is negative
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            i = (r * w + c) * 3
+            row += bytes([rgb[i + 2], rgb[i + 1], rgb[i]])  # RGB → BGR
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    body = b"".join(rows if top_down else rows[::-1])
+    hdr_h = h if top_down is False else -h
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + hdr_h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + len(info)
+    return (
+        b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little") + info + body
+    )
+
+
+def _encode_wav_pcm(channels, rate, bits, samples: bytes) -> bytes:
+    # chunk-chain stress: a LIST chunk with an ODD size (word-aligned
+    # with a pad byte) sits BEFORE fmt, so the decoder must walk chunks
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    lst = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # odd + pad
+    data = b"data" + len(samples).to_bytes(4, "little") + samples
+    body = b"WAVE" + lst + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_media_roundtrip_uncompressed(spark):
+    # planted encode→decode roundtrip: PPM (comment-bearing header),
+    # BMP bottom-up (padded BGR rows) AND top-down (negative height),
+    # and 16-bit PCM WAV with a pre-fmt LIST chunk — every decoded
+    # canonical byte string must equal the pixels/samples that were
+    # encoded
+    rgb = bytes(range(5 * 3 * 3))  # 5×3 RGB image, distinct byte per cell
+    pcm = b"".join(v.to_bytes(2, "little", signed=True) for v in [-3, 7, -32768, 32767, 0, 12345])
+    payloads = {
+        1: _encode_ppm(5, 3, rgb),
+        2: _encode_bmp(5, 3, rgb, top_down=False),
+        3: _encode_bmp(5, 3, rgb, top_down=True),
+        4: _encode_wav_pcm(2, 44100, 16, pcm),
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert len(got) == 4
+    for i, fmt in [(1, "ppm"), (2, "bmp"), (3, "bmp")]:
+        r = got[i]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (fmt, 5, 3, 3)
+        assert r["n_values"] == 45 and bytes(r["data"]) == rgb
+    r = got[4]
+    assert (r["format"], r["channels"], r["sample_rate_hz"]) == ("wav", 2, 44100)
+    assert r["bits_per_value"] == 16 and r["n_values"] == 6
+    assert bytes(r["data"]) == pcm
 
 
 def _png(w, h):
