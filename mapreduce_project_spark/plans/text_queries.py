@@ -888,7 +888,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparator (never rotate into a driver slot): ln() is libm and the
     3-term float sum is order-dependent at the last ulp — both are
     absorbed by the test comparator's 1e-9 rounding, but not by a
-    byte-level hash."""
+    byte-level hash. The INTEGER sufficient statistics this render
+    consumes are hash-matchable and carried by the rotation-eligible
+    twin `bm25_stats` below (which also pins, in pytest, that this
+    query's scores are a pure function of those stats)."""
     from mapreduce_project_spark.functions import tokens
 
     terms = ("spark", "shuffle", "vector")
@@ -926,6 +929,65 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(idf * tf_norm).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
+    )
+
+
+@extra_query(
+    "bm25_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dlen, tk FROM toks WHERE len(tk) > 0),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dlen) AS BIGINT) AS total_tokens FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dlen) AS dlen
+      FROM (SELECT doc_id, dlen, unnest(tk) AS term FROM dl)
+      WHERE term IN ('spark', 'shuffle', 'vector')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id, tf.term, tf.tf, tf.dlen, df.df,
+           (SELECT n_docs FROM stats) AS n_docs,
+           (SELECT total_tokens FROM stats) AS total_tokens
+    FROM tf JOIN df USING (term)
+    """,
+)
+def q_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTEGER sufficient statistics behind `bm25_search` — one row
+    per (doc, query-term) hit carrying everything a BM25 scorer needs:
+    tf, dlen, per-term df, corpus n_docs and total_tokens (avgdl =
+    total_tokens/n_docs). All BIGINT, so the whole retrieval DATA PATH
+    (tokenize → explode+prune → partial-agg TF → DF roll-up → broadcast
+    corpus scalars) is byte-hash-matchable and driver-rotation-eligible;
+    only the final ln()/float render stays at pytest tolerance in
+    `bm25_search`, and `tests/test_skew_and_tokens.py` pins that the
+    rendered scores are a pure function of exactly these stats."""
+    from mapreduce_project_spark.functions import tokens
+
+    terms = ("spark", "shuffle", "vector")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    ).withColumn("dlen", F.size("tk").cast("bigint")).filter(F.col("dlen") > 0)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dlen").cast("bigint").alias("total_tokens"),
+    )
+    tf = (
+        docs.select("doc_id", "dlen", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.any_value("dlen").alias("dlen"),
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "dlen", "df", "n_docs", "total_tokens")
     )
 
 

@@ -213,7 +213,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # search_reciprocal_rank, search_recall_at_k, vocab_oov_rate,
 # zipf_coverage_curve, table_checksums, corpus_manifest,
 # events_pseudonymized, events_dau_wau, winsorize_quantity,
-# fulfillment_latency_histogram, and this round's new operators.
+# fulfillment_latency_histogram, bm25_stats (the integer
+# sufficient-statistics twin that makes BM25 rotation-eligible; only
+# the float ln() render bm25_search stays pytest-tolerance-only), and
+# this round's new operators.
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:

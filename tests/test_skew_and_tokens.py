@@ -231,3 +231,33 @@ def test_compression_ratio_signal_direction(spark):
     # repetitive < prose < random, with meaningful separation
     assert got[1] < got[2] < got[3]
     assert got[1] < 0.1 and got[3] > 0.5
+
+
+def test_bm25_scores_are_pure_function_of_integer_stats(spark):
+    # the split that makes BM25 driver-rotation-eligible: `bm25_stats`
+    # carries the hash-matchable BIGINT sufficient statistics, and the
+    # rendered `bm25_search` scores must be recomputable from those
+    # stats alone (k1=1.2, b=0.75) — so the only non-hashable part of
+    # the operator is libm ln() on already-verified integers
+    import math
+
+    from mapreduce_project_spark.queries_registry import EXTRA_QUERIES, QUERIES
+    from tests.conftest import SF_DIR
+
+    reg = {**QUERIES, **EXTRA_QUERIES}
+    stats = reg["bm25_stats"](spark, SF_DIR).collect()
+    assert stats
+    per_doc: dict[int, float] = {}
+    for r in stats:
+        avgdl = r["total_tokens"] / r["n_docs"]
+        idf = math.log(1.0 + (r["n_docs"] - r["df"] + 0.5) / (r["df"] + 0.5))
+        tfn = (r["tf"] * 2.2) / (r["tf"] + 1.2 * (0.25 + 0.75 * (r["dlen"] / avgdl)))
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0.0) + idf * tfn
+    want = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in reg["bm25_search"](spark, SF_DIR).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (wid, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
