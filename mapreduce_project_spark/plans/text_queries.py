@@ -342,6 +342,56 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jac")
 
 
+_INCR_CRAWL_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+    ), sizes AS (
+      SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+    ), common AS (
+      SELECT a.id AS new_id, b.id AS index_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT new_id, index_id,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jac
+    FROM common
+    JOIN sizes sa ON new_id = sa.id
+    JOIN sizes sb ON index_id = sb.id
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    """
+
+
+@extra_query("dedup_incremental_crawl", _INCR_CRAWL_ORACLE)
+def q_dedup_incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 incremental: dedup a NEW crawl (doc_id ≡ 0 mod 5 plays the
+    fresh snapshot) against the EXISTING corpus (the other 4/5) via the
+    two-sided MinHash-LSH join (`operators/dedup.py:
+    minhash_probe_pairs`). The corpus side is consumed as its
+    signature index (`minhash_index_build` — in production read back
+    from parquet, never rewritten; `tests/test_dedup.py` proves the
+    persisted-index path byte-stable), the crawl is signed fresh with
+    the same deterministic seeded family, and only band-bucket
+    collisions are exact-Jaccard verified — work scales with |crawl|,
+    never |corpus| text. HASH-CHECKED against the exact quadratic
+    cross-corpus SQL (the same full-recall argument as
+    `dedup_minhash_lsh`: 16×4 bands miss a ≥0.8 pair with p ≈ 2e-4,
+    and verification computes true Jaccard)."""
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_probe_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+    index = minhash_index_build(corpus, "doc_id", "text", 3, 64)
+    return minhash_probe_pairs(index, crawl, "doc_id", "text", 3, 64, 16, 0.8)
+
+
 # DuckDB twin of operators.dedup.simhash_chunks + simhash_pairs: the
 # same md5-derived 64-bit sketch, but the ORACLE affords the all-pairs
 # hamming join (O(n^2) at oracle scale) where the declared Spark plan

@@ -5,10 +5,13 @@ twin with the pytest comparator (round-2 precedent: this sweep caught
 a RANGE-frame truncation bug invisible at sf0.01).
 
 Usage: python scripts/sweep_sf01.py [start_idx] [end_idx]
+Set SWEEP_JSON_OUT=<path> to also write the per-query results as JSON
+(the committed round artifact, e.g. SWEEP_r4.json).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -40,11 +43,15 @@ def main() -> int:
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else len(names)
     bad = 0
+    results: dict[str, dict] = {}
     for name in names[lo:hi]:
         t0 = time.time()
+        err = None
+        n_rows = None
         try:
             got = queries[name](spark, SF_DIR).toPandas()
             want = con.sql(oracles[name]).df()
+            n_rows = len(got)
             ok = (
                 sorted(got.columns) == sorted(want.columns)
                 and len(got) == len(want)
@@ -53,14 +60,29 @@ def main() -> int:
             vac = len(want) == 0
         except Exception as exc:  # noqa: BLE001
             ok, vac = False, False
-            print(f"ERR {name}: {type(exc).__name__}: {exc}"[:200], flush=True)
+            err = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"ERR {name}: {err}", flush=True)
+        sec = round(time.time() - t0, 1)
         if not ok or vac:
             bad += 1
+        results[name] = {"ok": ok, "vacuous": vac, "rows": n_rows, "sec": sec, "err": err}
         print(
-            f"{'OK ' if ok else 'BAD'}{' VACUOUS' if vac else ''} {name} "
-            f"({round(time.time() - t0, 1)}s)",
+            f"{'OK ' if ok else 'BAD'}{' VACUOUS' if vac else ''} {name} ({sec}s)",
             flush=True,
         )
+    out_path = os.environ.get("SWEEP_JSON_OUT")
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_queries": len(names[lo:hi]),
+                    "bad_or_vacuous": bad,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
     print(f"DONE slice [{lo}:{hi}] bad_or_vacuous={bad}")
     return 1 if bad else 0
 

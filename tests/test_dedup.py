@@ -121,3 +121,54 @@ def test_prefix_filter_on_identical_corpus(spark):
     out = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 4, 5).collect()
     assert len(out) == 12 * 11 // 2
     assert all(r["jac"] == 1.0 for r in out)
+
+
+def test_incremental_crawl_index_read_only_and_equivalent(spark, tmp_path):
+    # the incremental contract: (1) the persisted signature index is
+    # READ, never rewritten — every index file is byte-identical after
+    # the probe; (2) probing through the parquet round-trip yields the
+    # exact same pair set as probing the in-memory index (signatures
+    # and band keys survive persistence bit-for-bit); (3) the pair set
+    # matches the one-shot two-sided join semantics
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_probe_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+
+    idx_path = str(tmp_path / "mh_index")
+    minhash_index_build(corpus, "doc_id", "text", 3, 64).write.parquet(idx_path)
+
+    def fingerprint():
+        out = {}
+        for root, _, files in os.walk(idx_path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = fingerprint()
+    stored = spark.read.parquet(idx_path)
+    via_store = {
+        (r["new_id"], r["index_id"], round(r["jac"], 9))
+        for r in minhash_probe_pairs(stored, crawl, "doc_id", "text").collect()
+    }
+    assert fingerprint() == before, "probe rewrote the existing index"
+    in_mem = {
+        (r["new_id"], r["index_id"], round(r["jac"], 9))
+        for r in minhash_probe_pairs(
+            minhash_index_build(corpus, "doc_id", "text", 3, 64), crawl, "doc_id", "text"
+        ).collect()
+    }
+    assert via_store == in_mem and via_store
+    # every pair really straddles the corpus/crawl split
+    for new_id, index_id, jac in via_store:
+        assert new_id % 5 == 0 and index_id % 5 != 0 and jac >= 0.8
