@@ -389,3 +389,62 @@ def test_cogroup_plans_flatmap_cogroups(spark):
     df = QUERIES["cogroup_view_purchase_pairs"](spark, SF_DIR)
     assert has_node(df, "FlatMapCoGroupsInPandas")
     assert count_node(df, "Exchange") == 2
+
+
+def test_cbo_statistics_change_join_order(spark):
+    # cost-based-optimizer evidence: ANALYZE TABLE column statistics
+    # plus CBO join reordering produce a DIFFERENT (cost-chosen) join
+    # order for a TPC-H q9-shaped 5-way join than the syntactic order
+    # the rule-based planner keeps without stats. At fixture scale AQE
+    # already re-plans at runtime; this pins that the COMPILE-TIME cost
+    # path is wired too (stats → CBO → reorder), which is what moves
+    # first at 100 TB where a wrong initial order materializes terabyte
+    # intermediates before AQE can react.
+    import re
+
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    q = f"""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS profit
+    FROM cbo_part_{sfx}, cbo_supplier_{sfx}, cbo_lineitem_{sfx},
+         cbo_orders_{sfx}, cbo_nation_{sfx}
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%green%'
+    GROUP BY n_name
+    """
+
+    def leaf_order():
+        plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        return re.findall(rf"Relation.*?cbo_(\w+)_{sfx}", plan)
+
+    tables = ["part", "supplier", "lineitem", "orders", "nation"]
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        for t in tables:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode(
+                "overwrite"
+            ).saveAsTable(f"cbo_{t}_{sfx}")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        without_stats = leaf_order()
+        for t in tables:
+            spark.sql(
+                f"ANALYZE TABLE cbo_{t}_{sfx} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        with_stats = leaf_order()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}_{sfx}")
+    assert len(without_stats) == 5 and len(with_stats) == 5
+    assert with_stats != without_stats, (
+        f"stats+CBO left the join order unchanged: {with_stats}"
+    )
