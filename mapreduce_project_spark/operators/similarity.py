@@ -211,6 +211,57 @@ def topk_bruteforce(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative MINING for contrastive training: for each anchor,
+    the ``k`` most-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives,
+    `sampling.negative_samples`, are mostly easy; the hard ones live at
+    the decision boundary). Same plan shape as `topk_bruteforce`:
+    anchors broadcast, corpus scanned once with the label-mismatch
+    predicate applied in the join (pushed before any ranking work),
+    per-anchor window on the small anchor key space. At 100 TB this
+    composes with IVF routing exactly like `topk_ivf` (probe cells,
+    mine within cells); the exact scan is the oracle-checkable core.
+
+    Output: (query_id, neighbor_id, rk, cos)."""
+    from pyspark.sql import Window
+
+    _dot, _norm = _dot_norm(dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlabel"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qnrm", _norm(F.col("qv")))
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+        as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("nnrm", _norm(F.col("nv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("qlabel") != F.col("nlabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "cos")
+    )
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = _LSH_SEED) -> list[list[list[float]]]:
     """Deterministic pseudo-gaussian hyperplanes via a seeded LCG
     (no numpy at plan-build time keeps the plan reproducible anywhere)."""

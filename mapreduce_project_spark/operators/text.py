@@ -303,3 +303,116 @@ def hashed_doc_vectors(
             (F.col("cnt").cast("double") / F.col("nrm")).alias("val"),
         )
     )
+
+
+def _bigram_buckets(df: "DataFrame", id_col: str, text_col: str, dim: int) -> "DataFrame":
+    """(id, bucket) — one row per token BIGRAM, hashed into ``dim``
+    md5 buckets (the same engine-portable hash family as
+    `hashed_doc_vectors`). Bigrams carry word-order signal unigram
+    bags lose, at identical shuffle cost (bucket ints, never text)."""
+    from mapreduce_project_spark.functions import tokens as _tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    big = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    return big.select(
+        "id",
+        F.expr(
+            f"cast(conv(substr(md5(cast(bg AS binary)), 1, 8), 16, 10) AS bigint)"
+            f" % {dim}"
+        ).alias("bucket"),
+    )
+
+
+def dsir_bucket_stats(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    target_pred,
+    dim: int = 256,
+) -> "DataFrame":
+    """The INTEGER sufficient statistics of DSIR-style importance
+    reweighting (Data Selection via Importance Resampling, Xie et al.
+    2023): hashed-bigram counts of a small TARGET slice (what the
+    selected data should look like) vs the RAW corpus, per bucket.
+
+    Output: (bucket, target_cnt, raw_cnt) — ``dim`` rows of BIGINTs,
+    the entire model the selection step needs. One corpus pass, one
+    bucket-keyed partial-agg shuffle of integers; the table is
+    broadcast-sized by construction whatever the corpus size, which is
+    the reason hashed features (not a vocabulary) are the 100 TB
+    featurizer. Float-free ⇒ hash-matchable."""
+    buckets = _bigram_buckets(df, id_col, text_col, dim).join(
+        df.select(
+            F.col(id_col).alias("id"), F.expr(target_pred).alias("is_t")
+        ),
+        "id",
+    )
+    return (
+        buckets.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("target_cnt"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("raw_cnt"),
+        )
+    )
+
+
+def dsir_select_topk(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    target_pred: str,
+    dim: int = 256,
+    k: int = 50,
+) -> "DataFrame":
+    """DSIR selection render: per raw-corpus document the importance
+    log-weight ``logw = Σ_b cnt_db · (ln p̂_t(b) − ln p̂_r(b))``
+    (add-1 smoothed hashed-bigram distributions), top-``k`` by
+    (logw DESC, id) — the documents that look most like the target
+    slice, i.e. the quality-targeted data-selection step of an LLM
+    pretraining pipeline.
+
+    Plan: the `dsir_bucket_stats` table (+ its two scalar totals)
+    broadcasts; per-doc bucket counts join it map-side and reduce to
+    one (id, logw) row; TakeOrdered(k). The corpus text is scanned
+    once and never shuffled. Float boundary: only the final ln() and
+    per-doc sum are doubles (pytest-tolerance oracle, same discipline
+    as `bm25_search` vs `bm25_stats`)."""
+    stats = dsir_bucket_stats(df, id_col, text_col, target_pred, dim)
+    totals = stats.agg(
+        F.sum("target_cnt").cast("bigint").alias("t_tot"),
+        F.sum("raw_cnt").cast("bigint").alias("r_tot"),
+    )
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("target_cnt") + 1).cast("double") / (F.col("t_tot") + dim))
+            - F.log((F.col("raw_cnt") + 1).cast("double") / (F.col("r_tot") + dim))
+        ).alias("log_ratio"),
+    )
+    raw_ids = df.select(
+        F.col(id_col).alias("id"), F.expr(target_pred).alias("is_t")
+    ).filter(~F.col("is_t"))
+    per_doc = (
+        _bigram_buckets(df, id_col, text_col, dim)
+        .join(raw_ids.select("id"), "id")
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("logw"))
+        .orderBy(F.desc("logw"), "id")
+        .limit(k)
+        .select(F.col("id").alias(id_col), "logw")
+    )

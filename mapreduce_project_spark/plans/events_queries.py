@@ -657,6 +657,62 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "events_context_pairs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+      FROM events
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           array_to_string(ctx, '>') AS context,
+           event_type AS next_type
+    FROM seq WHERE len(ctx) = 3
+    """,
+)
+def q_events_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction DATASET BUILDER — the supervised-pair
+    generalization of `event_transition_matrix`'s first-order counts:
+    per user, each event becomes one (context, next_type) training
+    example where context is the previous 3 event types in exact
+    (ts, event_id) order (kept only when the full window exists, so
+    every example has identical context length — the fixed-shape
+    contract batch assembly downstream expects). One keyed window
+    shuffle; context strings are built from the bounded 3-row frame,
+    so shuffle width is type names, never payloads. Deterministic
+    strings + ints ⇒ hash-matched."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    ctx = F.collect_list("event_type").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            ctx.alias("_ctx"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.size("_ctx") == 3)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.concat_ws(">", "_ctx").alias("context"),
+            "next_type",
+        )
+    )
+
+
+@extra_query(
     "events_gapfill_daily",
     """
     WITH daily AS (

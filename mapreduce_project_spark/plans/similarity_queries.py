@@ -46,6 +46,41 @@ _TOPK_ORACLE = f"""
     """
 
 
+_HARD_NEG_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_duck_cos('q.v', 'c.v')} AS cos
+      FROM e q JOIN e c
+        ON q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label != q.label
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, cos
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@extra_query("hard_negative_mining", _HARD_NEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (`operators/similarity.py:
+    hard_negatives`): per anchor (vec_id < 10), the 5 most-similar
+    DIFFERENT-label vectors — the boundary negatives a contrastive
+    loss learns from, completing the sampling family next to the
+    uniform `contrastive_negative_samples` (D122: cheap, random) with
+    the targeted variant (expensive, similarity-ranked). Anchors
+    broadcast, corpus scanned once, label-mismatch predicate inside
+    the join; exact cosine ⇒ hash-matched."""
+    emb = t(spark, sf_dir, "embeddings")
+    from mapreduce_project_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", "label", 5
+    )
+
+
 @extra_query("similarity_topk", _TOPK_ORACLE)
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 baseline: exact top-5 cosine neighbors for query vectors

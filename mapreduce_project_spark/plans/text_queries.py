@@ -392,6 +392,115 @@ def q_dedup_incremental_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_probe_pairs(index, crawl, "doc_id", "text", 3, 64, 16, 0.8)
 
 
+@extra_query(
+    "dedup_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+15], ' ') AS span
+      FROM toks, UNNEST(generate_series(1, len(tk) - 15)) AS t(i)
+    )
+    SELECT md5(span) AS digest, span,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           min(doc_id * 1000000 + pos) // 1000000 AS first_doc,
+           min(doc_id * 1000000 + pos) % 1000000 AS first_pos
+    FROM w
+    GROUP BY md5(span), span
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection (`operators/dedup.py:duplicate_spans`):
+    every overlapping 16-token window fingerprinted, spans appearing in
+    ≥2 distinct documents reported with counts and first occurrence —
+    the boilerplate AUDIT that tells a pipeline owner what
+    `dedup_passages` will remove and what stride-K passages would MISS
+    (runs straddling passage boundaries). Digest-keyed shuffle with
+    map-side combine; exact integer first-occurrence key ⇒
+    hash-matched (~835 hot spans at sf0.01, ~8.7k at sf0.1)."""
+    from mapreduce_project_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"), "doc_id", "text", 16, 2)
+
+
+_DSIR_BK = """
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                           i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ),
+    bk AS (
+      SELECT doc_id, CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 256 AS bucket
+      FROM bg
+    ),
+    stats AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt,
+             CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS raw_cnt
+      FROM bk GROUP BY bucket
+    )
+    """
+
+
+@extra_query("dsir_bucket_stats", f"WITH {_DSIR_BK} SELECT * FROM stats")
+def q_dsir_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, part 1 — the hash-matchable INTEGER model
+    (`operators/text.py:dsir_bucket_stats`): hashed-bigram counts of
+    the target slice (doc_id ≡ 0 mod 50 plays the benchmark-like
+    sample) vs the raw corpus, per md5 bucket. 256 BIGINT rows = the
+    entire selection model, broadcast-sized whatever the corpus —
+    the vocabulary-free importance-reweighting featurization of Xie
+    et al.'s Data Selection via Importance Resampling."""
+    from mapreduce_project_spark.operators.text import dsir_bucket_stats
+
+    return dsir_bucket_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", "doc_id % 50 = 0", 256
+    )
+
+
+@extra_query(
+    "dsir_select_topk",
+    f"""
+    WITH {_DSIR_BK},
+    tot AS (SELECT SUM(target_cnt) AS t_tot, SUM(raw_cnt) AS r_tot FROM stats),
+    ratio AS (
+      SELECT bucket,
+             ln(CAST(target_cnt + 1 AS DOUBLE) / ((SELECT t_tot FROM tot) + 256))
+             - ln(CAST(raw_cnt + 1 AS DOUBLE) / ((SELECT r_tot FROM tot) + 256))
+               AS log_ratio
+      FROM stats
+    ),
+    per_doc AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bk WHERE doc_id % 50 <> 0 GROUP BY 1, 2
+    )
+    SELECT doc_id, SUM(cnt * log_ratio) AS logw
+    FROM per_doc JOIN ratio USING (bucket)
+    GROUP BY doc_id ORDER BY logw DESC, doc_id LIMIT 50
+    """,
+)
+def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, part 2 — the render
+    (`operators/text.py:dsir_select_topk`): per raw document
+    ``logw = Σ_b cnt·(ln p̂_target(b) − ln p̂_raw(b))`` (add-1
+    smoothed), top-50 most-target-like documents. The 256-row model +
+    two scalar totals broadcast; the corpus is scanned once, text
+    never shuffles, TakeOrdered(50). Like `bm25_search`, the ln()/sum
+    floats sit at pytest tolerance while `dsir_bucket_stats` carries
+    the byte-exact signal."""
+    from mapreduce_project_spark.operators.text import dsir_select_topk
+
+    return dsir_select_topk(
+        t(spark, sf_dir, "documents"), "doc_id", "text", "doc_id % 50 = 0", 256, 50
+    )
+
+
 # DuckDB twin of operators.dedup.simhash_chunks + simhash_pairs: the
 # same md5-derived 64-bit sketch, but the ORACLE affords the all-pairs
 # hamming join (O(n^2) at oracle scale) where the declared Spark plan

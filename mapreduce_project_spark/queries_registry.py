@@ -216,7 +216,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # fulfillment_latency_histogram, bm25_stats (the integer
 # sufficient-statistics twin that makes BM25 rotation-eligible; only
 # the float ln() render bm25_search stays pytest-tolerance-only), and
-# this round's new operators.
+# the round-4 additions (all strict-EQUAL at sf0.01 AND sf0.1):
+# dedup_incremental_crawl (D145), dedup_duplicate_spans (D147),
+# dsir_bucket_stats + dsir_select_topk (D148), hard_negative_mining
+# (D150), events_context_pairs (D149).
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:

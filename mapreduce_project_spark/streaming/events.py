@@ -396,3 +396,61 @@ def anomaly_stream(events: DataFrame, med: int, mad: int, k: int = 5) -> DataFra
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def crawl_dedup_stream(
+    spark: SparkSession,
+    crawl_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+):
+    """GROWING-corpus near-dup dedup as a stream — the streaming twin
+    of `dedup_incremental_crawl`: each micro-batch of crawled docs is
+    (1) probed against the persisted signature index
+    (`minhash_probe_pairs` — the index's existing files are read, never
+    rewritten) and (2) signed and APPENDED to the index, so a later
+    batch dedups against everything before it, including earlier
+    batches of this same stream. This is the shape of a continuously
+    ingesting corpus: the index is the only state, it lives in parquet
+    (not stream state), and it grows by exactly one signature row per
+    new doc.
+
+    Exactly-once caveat (documented, same as any foreachBatch sink
+    without an idempotent target): a micro-batch retried after a crash
+    between (1) and (2) would re-append its signatures; production
+    hardens this by writing batch-id-scoped files or routing the
+    append through `apply_changelog` keyed on id. The test drives
+    availableNow to completion and proves the growing-index semantics:
+    a pair is found whose older side entered the index only via an
+    earlier micro-batch.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_probe_pairs,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index = spark.read.parquet(index_path)
+        pairs = minhash_probe_pairs(
+            index, batch_df, id_col, text_col, n, n_perm, bands, threshold
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        minhash_index_build(batch_df, id_col, text_col, n, n_perm).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        crawl_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -712,3 +712,62 @@ def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_crawl_dedup_stream_grows_index_across_batches(spark, tmp_path):
+    # growing-corpus semantics: batch 2 must dedup against docs that
+    # entered the index via batch 1 (not just the original corpus),
+    # and the corpus's original index files are appended-to, never
+    # rewritten
+    import os
+
+    from mapreduce_project_spark.operators.dedup import minhash_index_build
+    from mapreduce_project_spark.streaming.events import crawl_dedup_stream
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.filter(F.col("doc_id").isin(7, 60)).collect()}
+
+    idx = str(tmp_path / "crawl_idx")
+    minhash_index_build(corpus, "doc_id", "text", 3, 64).write.parquet(idx)
+    orig_files = {
+        f: os.stat(os.path.join(idx, f)).st_mtime_ns
+        for f in os.listdir(idx)
+        if f.endswith(".parquet")
+    }
+
+    # batch 1: a copy of corpus doc 7 (dup vs the ORIGINAL index) and a
+    # copy of doc 60, which is NOT in the corpus; batch 2: another copy
+    # of doc 60 — its only ≥0.8 partner with id  1001 entered the index
+    # via batch 1
+    src = tmp_path / "crawlsrc"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1000, texts[7]), (1001, texts[60])], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame([(1002, texts[60])], "doc_id long, text string")
+    b1.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    b2.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    pairs_path = str(tmp_path / "crawl_pairs")
+    q = crawl_dedup_stream(
+        spark, stream, idx, pairs_path, str(tmp_path / "crawl_ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert (1000, 7) in got, f"batch-1 dup vs original corpus missed: {got}"
+    assert (1002, 1001) in got, f"batch-2 dup vs batch-1 doc missed: {got}"
+    # the original index files were never rewritten
+    for f, mtime in orig_files.items():
+        assert os.stat(os.path.join(idx, f)).st_mtime_ns == mtime
+    # and the index grew by exactly the three crawled docs
+    assert spark.read.parquet(idx).count() == corpus.count() + 3
