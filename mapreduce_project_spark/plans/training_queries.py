@@ -985,3 +985,99 @@ def q_assemble_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("jac"),
     )
     return pos.unionByName(negs)
+
+
+from mapreduce_project_spark.plans.text_queries import _DSIR_BK  # noqa: E402
+
+_V4_ORACLE = f"""
+    WITH {_DSIR_BK},
+    tot AS (SELECT SUM(target_cnt) AS t_tot, SUM(raw_cnt) AS r_tot FROM stats),
+    ratio AS (
+      SELECT bucket,
+             ln(CAST(target_cnt + 1 AS DOUBLE) / ((SELECT t_tot FROM tot) + 256))
+             - ln(CAST(raw_cnt + 1 AS DOUBLE) / ((SELECT r_tot FROM tot) + 256))
+               AS log_ratio
+      FROM stats
+    ),
+    per_doc AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bk WHERE doc_id % 50 <> 0 GROUP BY 1, 2
+    ),
+    sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, SUM(cnt * log_ratio) AS logw
+        FROM per_doc JOIN ratio USING (bucket) GROUP BY doc_id
+      ) ORDER BY logw DESC, doc_id LIMIT 200
+    ),
+    toks2 AS (
+      SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z]+') AS tk
+      FROM documents d JOIN sel USING (doc_id)
+    ),
+    pass AS (
+      SELECT doc_id, i AS idx, array_to_string(tk[i*16+1 : i*16+16], ' ') AS p
+      FROM toks2, UNNEST(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+      SELECT doc_id, idx, p,
+             row_number() OVER (PARTITION BY md5(p) ORDER BY doc_id, idx) AS rn
+      FROM pass WHERE p <> ''
+    ),
+    dd AS (
+      SELECT doc_id, array_to_string(list(p ORDER BY idx), ' ') AS text_deduped
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ),
+    sized AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text_deduped), '[a-z]+')) AS BIGINT)
+               AS n_tok
+      FROM dd
+    ),
+    rankd AS (
+      SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+             (ROW_NUMBER() OVER (PARTITION BY n_tok // 64
+                                 ORDER BY n_tok, doc_id) - 1) // 8 AS batch_id
+      FROM sized
+    )
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           MAX(n_tok) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_len,
+           CASE WHEN COUNT(*) * MAX(n_tok) > 0
+                THEN CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS DOUBLE)
+                     / CAST(COUNT(*) * MAX(n_tok) AS DOUBLE)
+                ELSE 0.0 END AS pad_frac
+    FROM rankd GROUP BY bucket, batch_id
+    """
+
+
+@extra_query("assemble_training_set_v4", _V4_ORACLE)
+def q_assemble_training_set_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition, generation 4 — the TARGETED-selection
+    pipeline: DSIR importance selection (top-200 most-target-like raw
+    docs, D148) → passage-level exact dedup within the selected set
+    (D78) → length-bucketed batch assembly (D118). Where v1 gates on
+    intrinsic quality and v2 rebalances sources, v4 selects FOR a
+    target distribution — the three generations are the three
+    selection philosophies of LLM corpus construction (filter, mix,
+    match). Composed oracle replays all three stages' sub-oracles
+    verbatim; every stage is independently driver/oracle-proven.
+
+    Scale: the 256-row DSIR model broadcasts; selection is one corpus
+    scan + TakeOrdered; passage dedup shuffles digests; batching
+    windows partition on the data-independent length bucket. Corpus
+    text crosses the wire only in the passage-reassembly stage, on the
+    selected subset only."""
+    from mapreduce_project_spark.operators.dedup import passage_dedup
+    from mapreduce_project_spark.operators.sampling import length_bucketed_batches
+    from mapreduce_project_spark.operators.text import dsir_select_topk
+
+    docs = t(spark, sf_dir, "documents")
+    sel = dsir_select_topk(
+        docs, "doc_id", "text", "doc_id % 50 = 0", 256, 200
+    ).select("doc_id")
+    picked = docs.join(sel, "doc_id").select("doc_id", "text")
+    dd = passage_dedup(picked, "doc_id", "text", 16)
+    sized = dd.select(
+        "doc_id", F.size(tokens("text_deduped")).cast("bigint").alias("n_tok")
+    )
+    return length_bucketed_batches(sized, "doc_id", "n_tok", 8, 64)

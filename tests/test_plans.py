@@ -259,6 +259,15 @@ def test_no_declared_query_plans_cartesian(spark, qname):
         "graph_components_cosupply",
         "embedding_pq_codes",
         "doc_feature_vectors",
+        # round-4 additions
+        "dedup_incremental_crawl",
+        "dedup_duplicate_spans",
+        "dsir_bucket_stats",
+        "dsir_select_topk",
+        "bm25_stats",
+        "hard_negative_mining",
+        "events_context_pairs",
+        "assemble_training_set_v4",
     ],
 )
 def test_new_extras_plan_no_cartesian(spark, qname):
@@ -448,3 +457,38 @@ def test_cbo_statistics_change_join_order(spark):
     assert with_stats != without_stats, (
         f"stats+CBO left the join order unchanged: {with_stats}"
     )
+
+
+def test_dsir_select_is_takeordered_with_broadcast_model(spark):
+    # the DSIR render must rank via TakeOrdered (never a global sort)
+    # and join the 256-row model by broadcast, never shuffled
+    df = QUERIES["dsir_select_topk"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys[:1200]
+    assert "BroadcastHashJoin" in phys or "BroadcastExchange" in phys, phys[:1200]
+
+
+def test_duplicate_spans_ground_truth_on_planted_docs(spark):
+    # exact semantics on a constructed corpus: doc 1 and 2 share one
+    # 16-token run (offset by different prefixes), doc 3 is unrelated —
+    # exactly the overlapping-window positions that contain the shared
+    # run must be reported, with the true first occurrence
+    from mapreduce_project_spark.operators.dedup import duplicate_spans
+
+    # tokenizer is [a-z]+ — tokens must be purely alphabetic and
+    # distinct or windows collapse
+    run = " ".join(f"w{chr(97 + i)}" for i in range(16))
+    docs = [
+        (1, "alpha " + run + " omega"),
+        (2, "beta gamma " + run),
+        (3, " ".join(f"z{chr(97 + i)}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = duplicate_spans(df, "doc_id", "text", 16, 2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["span"] == run
+    assert r["n_docs"] == 2 and r["n_occ"] == 2
+    # doc 1 has tokens [alpha, w0..w15, omega]: the run starts at pos 2
+    # (1-based); doc 2 at pos 3 — first occurrence is doc 1
+    assert (r["first_doc"], r["first_pos"]) == (1, 2)
