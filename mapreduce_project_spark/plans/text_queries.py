@@ -1317,12 +1317,17 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     learned = bpe_train(docs, tokens("text"), rounds=2)
     merges = [(r["lhs"], r["rhs"]) for r in learned.orderBy("rnd").collect()]
-    raw = docs.select("doc_id", tokens("text").alias("tk0"))
-    enc = bpe_apply(docs, tokens("text"), merges, carry=("doc_id",))
-    return raw.join(enc, "doc_id").select(
+    # n_raw rides the fold as a carried column: ONE corpus scan, zero
+    # joins (a separate raw-count branch + doc_id join measured ~35%
+    # of the query's wall time at sf0.1 for no semantic difference)
+    base = docs.select(
         "doc_id",
-        F.size("tk0").cast("bigint").alias("n_raw"),
-        F.size("tk").cast("bigint").alias("n_encoded"),
+        F.size(tokens("text")).cast("bigint").alias("n_raw"),
+        tokens("text").alias("_tk"),
+    )
+    enc = bpe_apply(base, F.col("_tk"), merges, carry=("doc_id", "n_raw"))
+    return enc.select(
+        "doc_id", "n_raw", F.size("tk").cast("bigint").alias("n_encoded")
     )
 
 
@@ -1461,6 +1466,64 @@ _ZIPF_ORACLE = f"""
              / (SELECT t FROM total) AS cum_share
     FROM top
     """
+
+
+@extra_query(
+    "corpus_drift_kl",
+    """
+    WITH tok AS (
+      SELECT doc_id % 2 = 0 AS is_a,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tk
+      FROM documents
+    ),
+    counts AS (
+      SELECT tk AS token,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM tok GROUP BY tk
+    ),
+    scal AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+                    CAST(SUM(cnt_b) AS BIGINT) AS tb,
+                    CAST(COUNT(*) AS BIGINT) AS v FROM counts)
+    SELECT token, cnt_a, cnt_b,
+           (CAST(cnt_a + 1 AS DOUBLE) / (ta + v))
+             * (ln(CAST(cnt_a + 1 AS DOUBLE) / (ta + v))
+                - ln(CAST(cnt_b + 1 AS DOUBLE) / (tb + v))) AS contrib
+    FROM counts, scal
+    """,
+)
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT monitor — per-token contributions to
+    KL(snapshot A ‖ snapshot B) with add-1 smoothing over the union
+    vocabulary (doc_id parity plays the two ingest days): the
+    distribution-shift alarm a production data pipeline runs between
+    crawls, and its per-token decomposition doubles as the "what
+    changed" report (top |contrib| tokens = the drift explanation).
+    One token-keyed partial-agg shuffle of integers; the three scalars
+    broadcast; contrib is a single pinned IEEE expression per row (no
+    float accumulation anywhere — the KL total is the reader's sum, so
+    the report itself stays hash-checkable at comparator precision)."""
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(tokens("text")).alias("tk"),
+    )
+    counts = tok.groupBy(F.col("tk").alias("token")).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("cnt_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("cnt_b"),
+    )
+    scal = counts.agg(
+        F.sum("cnt_a").cast("bigint").alias("ta"),
+        F.sum("cnt_b").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    p_a = (F.col("cnt_a") + 1).cast("double") / (F.col("ta") + F.col("v"))
+    p_b = (F.col("cnt_b") + 1).cast("double") / (F.col("tb") + F.col("v"))
+    return counts.crossJoin(F.broadcast(scal)).select(
+        "token", "cnt_a", "cnt_b", (p_a * (F.log(p_a) - F.log(p_b))).alias("contrib")
+    )
 
 
 @extra_query("zipf_coverage_curve", _ZIPF_ORACLE)

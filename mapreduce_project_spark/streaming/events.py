@@ -422,31 +422,27 @@ def crawl_dedup_stream(
     (not stream state), and it grows by exactly one signature row per
     new doc.
 
-    Exactly-once caveat (documented, same as any foreachBatch sink
-    without an idempotent target): a micro-batch retried after a crash
-    between (1) and (2) would re-append its signatures; production
-    hardens this by writing batch-id-scoped files or routing the
-    append through `apply_changelog` keyed on id. The test drives
-    availableNow to completion and proves the growing-index semantics:
-    a pair is found whose older side entered the index only via an
-    earlier micro-batch.
+    Exactly-once: both writes are BATCH-ID-SCOPED directory overwrites
+    (``<path>/batch-<id>/``) — a micro-batch retried after a crash
+    anywhere in (1)-(2) rewrites its own two directories and nothing
+    else, so replays are idempotent (the standard foreachBatch
+    hardening; Structured Streaming guarantees batch ids are stable
+    across restarts from the same checkpoint). Readers consume both
+    trees with ``recursiveFileLookup`` (`read_signature_tree`), which
+    also lets the original flat corpus index coexist with the batch
+    subdirectories. The test drives availableNow to completion, proves
+    the growing-index semantics (a pair is found whose older side
+    entered the index only via an earlier micro-batch), and replays a
+    batch to prove idempotence.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from mapreduce_project_spark.operators.dedup import (
-        minhash_index_build,
-        minhash_probe_pairs,
-    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        index = spark.read.parquet(index_path)
-        pairs = minhash_probe_pairs(
-            index, batch_df, id_col, text_col, n, n_perm, bands, threshold
+        _crawl_dedup_batch(
+            spark, batch_df, batch_id, index_path, pairs_path,
+            id_col, text_col, n, n_perm, bands, threshold,
         )
-        pairs.write.mode("append").parquet(pairs_path)
-        minhash_index_build(batch_df, id_col, text_col, n, n_perm).write.mode(
-            "append"
-        ).parquet(index_path)
 
     return (
         crawl_stream.writeStream.foreachBatch(handle)
@@ -454,3 +450,59 @@ def crawl_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_signature_tree(spark: SparkSession, path: str) -> DataFrame:
+    """Read a signature index regardless of layout — flat files from a
+    one-shot `minhash_index_build` write, batch-scoped ``batch-<id>/``
+    subdirectories from `crawl_dedup_stream`, or both mixed —
+    via recursive file listing (partition discovery would reject the
+    mixed tree)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def _crawl_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of `crawl_dedup_stream`, factored out so the
+    idempotence property (same batch_id replayed ⇒ identical final
+    state) is directly unit-testable. The probe deliberately reads the
+    index EXCLUDING this batch's own subdirectory, so a retry that
+    already appended its signatures does not suddenly self-join the
+    batch (replay ≡ first play, byte-for-byte)."""
+    import glob as _glob
+    import os as _os
+
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_probe_pairs,
+    )
+
+    own = _os.path.join(index_path, f"batch-{batch_id}")
+    others = [
+        p
+        for p in _glob.glob(_os.path.join(index_path, "*"))
+        if _os.path.basename(p) != f"batch-{batch_id}"
+        and (p.endswith(".parquet") or _os.path.isdir(p))
+        and not _os.path.basename(p).startswith("_")
+    ]
+    index = spark.read.option("recursiveFileLookup", "true").parquet(*others)
+    pairs = minhash_probe_pairs(
+        index, batch_df, id_col, text_col, n, n_perm, bands, threshold
+    )
+    pairs.write.mode("overwrite").parquet(
+        _os.path.join(pairs_path, f"batch-{batch_id}")
+    )
+    minhash_index_build(batch_df, id_col, text_col, n, n_perm).write.mode(
+        "overwrite"
+    ).parquet(own)

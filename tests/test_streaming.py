@@ -760,14 +760,31 @@ def test_crawl_dedup_stream_grows_index_across_batches(spark, tmp_path):
     )
     q.awaitTermination()
 
-    got = {
-        (r["new_id"], r["index_id"])
-        for r in spark.read.parquet(pairs_path).collect()
-    }
+    from mapreduce_project_spark.streaming.events import (
+        _crawl_dedup_batch,
+        read_signature_tree,
+    )
+
+    def pair_set():
+        return {
+            (r["new_id"], r["index_id"])
+            for r in read_signature_tree(spark, pairs_path).collect()
+        }
+
+    got = pair_set()
     assert (1000, 7) in got, f"batch-1 dup vs original corpus missed: {got}"
     assert (1002, 1001) in got, f"batch-2 dup vs batch-1 doc missed: {got}"
     # the original index files were never rewritten
     for f, mtime in orig_files.items():
         assert os.stat(os.path.join(idx, f)).st_mtime_ns == mtime
     # and the index grew by exactly the three crawled docs
-    assert spark.read.parquet(idx).count() == corpus.count() + 3
+    assert read_signature_tree(spark, idx).count() == corpus.count() + 3
+
+    # exactly-once: replaying the LAST micro-batch (what a crash-retry
+    # does — batch ids are checkpoint-stable) must leave pairs and
+    # index identical, because both writes are batch-scoped overwrites
+    # and the probe excludes the batch's own index subdirectory
+    before_pairs = pair_set()
+    _crawl_dedup_batch(spark, b2, 1, idx, pairs_path)
+    assert pair_set() == before_pairs
+    assert read_signature_tree(spark, idx).count() == corpus.count() + 3
