@@ -492,3 +492,16 @@ def test_duplicate_spans_ground_truth_on_planted_docs(spark):
     # doc 1 has tokens [alpha, w0..w15, omega]: the run starts at pos 2
     # (1-based); doc 2 at pos 3 — first occurrence is doc 1
     assert (r["first_doc"], r["first_pos"]) == (1, 2)
+
+
+def test_incremental_crawl_streams_index_no_shuffle_join(spark):
+    # the incremental premise is crawl ≪ corpus: every join in the
+    # probe (band candidates + both verification sides) must broadcast
+    # the crawl-derived side so the index is only streamed — a single
+    # sort-merge/shuffled-hash join here re-shuffles the corpus on
+    # every probe, the cost the operator exists to avoid (the only
+    # exchanges allowed come from the in-query index BUILD, which
+    # production runs once offline)
+    df = QUERIES["dedup_incremental_crawl"](spark, SF_DIR)
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
