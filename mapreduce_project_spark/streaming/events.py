@@ -496,6 +496,12 @@ def _crawl_dedup_batch(
         and (p.endswith(".parquet") or _os.path.isdir(p))
         and not _os.path.basename(p).startswith("_")
     ]
+    if not others:
+        raise ValueError(
+            f"signature index at {index_path!r} is empty (beyond this batch's "
+            "own subdirectory) — seed it with minhash_index_build output "
+            "before starting the crawl stream"
+        )
     index = spark.read.option("recursiveFileLookup", "true").parquet(*others)
     pairs = minhash_probe_pairs(
         index, batch_df, id_col, text_col, n, n_perm, bands, threshold
