@@ -512,3 +512,79 @@ def _crawl_dedup_batch(
     minhash_index_build(batch_df, id_col, text_col, n, n_perm).write.mode(
         "overwrite"
     ).parquet(own)
+
+
+def heavy_hitters_stream(events: DataFrame, budget: int = 64) -> DataFrame:
+    """Streaming heavy hitters — a Space-Saving summary (Metwally et
+    al.) of ``user_id`` frequencies per ``event_type``, maintained as
+    carried state across micro-batches: the real-time twin of the
+    batch ``approx_top_k`` family (D41), and the classic bounded-state
+    answer to "top users right now" when exact per-key counts would
+    grow state without bound.
+
+    Per key the state is at most ``budget`` (item, count, err) rows;
+    an unmonitored item arriving at a full table evicts the current
+    minimum (deterministic tie-break: smallest item id) and inherits
+    its count as both estimate and error bound. Space-Saving's
+    guarantees hold under any arrival order: count_est ≥ true ≥
+    count_est − err for every monitored item, and any item with true
+    frequency > n/budget is monitored. When ``budget`` ≥ distinct
+    items the summary is EXACT (err = 0, counts = true counts) — the
+    stream/batch-parity case the tests pin; the small-budget
+    guarantees are property-tested against the exact batch counts.
+
+    Each invocation emits its key's full current summary tagged with
+    the running item total ``n_seen``; downstream takes the max-n_seen
+    generation per key for "the summary as of now" (the memory-sink
+    append contract used by the other stateful twins)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, item long, count_est long, err long, n_seen long"
+    )
+    state_schema = (
+        "items array<bigint>, counts array<bigint>, errs array<bigint>, n long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts", "event_id"])
+        if state.exists:
+            items, counts, errs, n = state.get
+            tbl = {int(i): (int(c), int(e)) for i, c, e in zip(items, counts, errs)}
+            n = int(n)
+        else:
+            tbl, n = {}, 0
+        for it in rows["user_id"]:
+            it = int(it)
+            n += 1
+            if it in tbl:
+                c, e = tbl[it]
+                tbl[it] = (c + 1, e)
+            elif len(tbl) < budget:
+                tbl[it] = (1, 0)
+            else:
+                victim = min(tbl, key=lambda k: (tbl[k][0], k))
+                floor_cnt = tbl[victim][0]
+                del tbl[victim]
+                tbl[it] = (floor_cnt + 1, floor_cnt)
+        ks = sorted(tbl)
+        state.update(
+            (ks, [tbl[k][0] for k in ks], [tbl[k][1] for k in ks], n)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(ks),
+                "item": ks,
+                "count_est": [tbl[k][0] for k in ks],
+                "err": [tbl[k][1] for k in ks],
+                "n_seen": [n] * len(ks),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

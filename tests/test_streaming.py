@@ -788,3 +788,89 @@ def test_crawl_dedup_stream_grows_index_across_batches(spark, tmp_path):
     _crawl_dedup_batch(spark, b2, 1, idx, pairs_path)
     assert pair_set() == before_pairs
     assert read_signature_tree(spark, idx).count() == corpus.count() + 3
+
+
+def _run_heavy_hitters(spark, tmp_path, budget, tag):
+    from mapreduce_project_spark.streaming.events import heavy_hitters_stream
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    t1, t2 = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).collect()[0]
+    src = tmp_path / f"hhsrc{tag}"
+    src.mkdir()
+    parts = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        heavy_hitters_stream(stream, budget=budget)
+        .writeStream.format("memory")
+        .queryName(f"hh_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"hhckpt{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(f"hh_{tag}").collect()
+    # "the summary as of now" = the max-n_seen generation per key
+    latest_n = {}
+    for r in rows:
+        latest_n[r["event_type"]] = max(latest_n.get(r["event_type"], 0), r["n_seen"])
+    final = {
+        (r["event_type"], r["item"]): (r["count_est"], r["err"])
+        for r in rows
+        if r["n_seen"] == latest_n[r["event_type"]]
+    }
+    truth = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return final, truth, totals
+
+
+def test_heavy_hitters_stream_exact_when_budget_covers(spark, tmp_path):
+    # budget ≥ distinct items per key ⇒ Space-Saving degenerates to
+    # exact per-item counting: the final generation must EQUAL the
+    # batch groupBy counts with zero error, state carried across the
+    # three micro-batches
+    final, truth, _ = _run_heavy_hitters(spark, tmp_path, 10**6, "big")
+    assert {k: c for k, (c, _) in final.items()} == truth
+    assert all(e == 0 for _, e in final.values())
+
+
+def test_heavy_hitters_stream_guarantees_small_budget(spark, tmp_path):
+    # Space-Saving guarantees under eviction pressure: for every
+    # monitored item, count_est ≥ true ≥ count_est − err; and every
+    # item with true frequency > n/budget is monitored
+    budget = 8
+    final, truth, totals = _run_heavy_hitters(spark, tmp_path, budget, "small")
+    assert final
+    per_key_monitored: dict[str, set] = {}
+    evicted_somewhere = False
+    for (etype, item), (est, err) in final.items():
+        t = truth.get((etype, item), 0)
+        assert est >= t >= est - err, (etype, item, est, err, t)
+        evicted_somewhere = evicted_somewhere or err > 0
+        per_key_monitored.setdefault(etype, set()).add(item)
+    assert evicted_somewhere, "budget never binding — test is vacuous"
+    for (etype, item), t in truth.items():
+        if t > totals[etype] / budget:
+            assert item in per_key_monitored[etype], (etype, item, t)
