@@ -280,3 +280,60 @@ def q_orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.p").alias("priority"),
         F.col("r.t").alias("totalprice"),
     )
+
+
+@extra_query(
+    "multimodal_decode_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(ceil(octet_length(CAST(text AS BLOB)) / 48.0) AS BIGINT) AS height,
+           48 * CAST(ceil(octet_length(CAST(text AS BLOB)) / 48.0) AS BIGINT)
+             AS n_values,
+           CAST(list_aggregate(list_transform(string_split(text, ''),
+                                              c -> ord(c)), 'sum') AS BIGINT)
+             AS byte_sum
+    FROM documents
+    """,
+)
+def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 pixel-path closure, oracle-checked END TO END: each document
+    is encoded in-query into a REAL binary P6 PPM (width 16, pixels =
+    the UTF-8 text bytes zero-padded to the raster), run through the
+    real pixel decoder (`operators/multimodal.py:decode_media` — header
+    parse + raster extraction, no media libs), and the decoded canon
+    is reduced to integer statistics the DuckDB oracle recomputes from
+    the TEXT alone (fixture text is pure ASCII, so byte sum ≡ codepoint
+    sum): dims from the encode geometry, byte_sum over the decoded
+    raster (zero pads contribute nothing). A wrong header parse, row
+    layout, or pad handling breaks the hash. Both media stages are
+    narrow Arrow-batched ``mapInPandas`` — payloads never shuffle; the
+    final stats join is id-keyed on already-tiny rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mapreduce_project_spark.operators.multimodal import (
+        byte_features,
+        decode_media,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                b = str(txt).encode("utf-8")
+                h = -(-len(b) // 48)  # 16 px/row × 3 channels = 48 B/row
+                payloads.append(
+                    b"P6\n16 %d\n255\n" % h + b + b"\x00" * (48 * h - len(b))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+    enc = docs.mapInPandas(encode, "doc_id long, payload binary")
+    dec = decode_media(enc, "doc_id", "payload")
+    stats = byte_features(dec.select("doc_id", F.col("data").alias("payload")))
+    return dec.select("doc_id", "width", "height", "n_values").join(
+        stats.select("doc_id", "byte_sum"), "doc_id"
+    )

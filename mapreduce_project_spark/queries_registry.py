@@ -220,7 +220,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # dedup_incremental_crawl (D145), dedup_duplicate_spans (D147),
 # dsir_bucket_stats + dsir_select_topk (D148), hard_negative_mining
 # (D150), events_context_pairs (D149), assemble_training_set_v4
-# (D152, flagship gen 4), corpus_drift_kl (D153).
+# (D152, flagship gen 4), corpus_drift_kl (D153),
+# multimodal_decode_roundtrip (D155, the real-pixel-decoder proof).
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:
