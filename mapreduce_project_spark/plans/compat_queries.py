@@ -337,3 +337,90 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return dec.select("doc_id", "width", "height", "n_values").join(
         stats.select("doc_id", "byte_sum"), "doc_id"
     )
+
+
+@extra_query(
+    "multimodal_wav_roundtrip",
+    """
+    WITH t AS (
+      SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS o
+      FROM documents
+    ),
+    s AS (SELECT doc_id, o, len(o) AS n FROM t)
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(8000 AS BIGINT) AS sample_rate_hz,
+           CAST(16 AS BIGINT) AS bits_per_value,
+           CAST((n + (n % 2)) // 2 AS BIGINT) AS n_values,
+           CAST(list_aggregate(list_transform(
+                  generate_series(1, (n + (n % 2)) // 2),
+                  i -> o[2*i - 1] + 256 * COALESCE(o[2*i], 0)), 'sum') AS BIGINT)
+             AS sample_sum
+    FROM s
+    """,
+)
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 audio-path closure, the WAV sibling of
+    `multimodal_decode_roundtrip`: each document's text bytes become a
+    REAL RIFF/WAVE payload (mono, 8 kHz, 16-bit PCM; a LIST chunk is
+    planted BEFORE fmt so the decoder's chunk walk is on the hash
+    path, and odd-length texts take a zero pad byte), the real decoder
+    extracts the PCM, and per-doc little-endian int16 sample sums are
+    recomputed by the oracle straight from the characters (ASCII ⇒
+    byte ≡ codepoint; the high byte is always < 128 here, so the
+    signed branch stays covered by the unit test's negative samples).
+    Wrong chunk walking, fmt parsing, or sample framing breaks the
+    hash. Narrow mapInPandas stages; payloads never shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mapreduce_project_spark.operators.multimodal import decode_media
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                b = str(txt).encode("utf-8")
+                if len(b) % 2:
+                    b += b"\x00"
+                fmt = (
+                    b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+                    + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                )
+                lst = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+                data = b"data" + len(b).to_bytes(4, "little") + b
+                body = b"WAVE" + lst + fmt + data
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+    def sample_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            sums = [
+                int(np.frombuffer(bytes(d), dtype="<i2").sum(dtype=np.int64))
+                for d in pdf["data"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "channels": pdf["channels"].to_numpy(),
+                    "sample_rate_hz": pdf["sample_rate_hz"].to_numpy(),
+                    "bits_per_value": pdf["bits_per_value"].to_numpy(),
+                    "n_values": pdf["n_values"].to_numpy(),
+                    "sample_sum": sums,
+                }
+            )
+
+    enc = docs.mapInPandas(encode, "doc_id long, payload binary")
+    dec = decode_media(enc, "doc_id", "payload")
+    return dec.mapInPandas(
+        sample_stats,
+        "doc_id long, channels long, sample_rate_hz long, "
+        "bits_per_value long, n_values long, sample_sum long",
+    )

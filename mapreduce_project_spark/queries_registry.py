@@ -221,7 +221,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # dsir_bucket_stats + dsir_select_topk (D148), hard_negative_mining
 # (D150), events_context_pairs (D149), assemble_training_set_v4
 # (D152, flagship gen 4), corpus_drift_kl (D153),
-# multimodal_decode_roundtrip (D155, the real-pixel-decoder proof).
+# multimodal_decode_roundtrip + multimodal_wav_roundtrip (D155/D156,
+# the real pixel/PCM decoder proofs).
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:
