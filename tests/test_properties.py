@@ -297,3 +297,49 @@ def test_passage_dedup_matches_sequential_reference(spark, docs, p):
         if kept:
             want[i] = (" ".join(kept), len(kept))
     assert got == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+    top_down=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_decoders_roundtrip_random_rasters(w, h, seed, top_down):
+    # pure-Python property check (no Spark per example): any RGB raster
+    # survives PPM encode→decode and BMP encode→decode (both row
+    # orders, with row padding) byte-for-byte
+    import random
+
+    from mapreduce_project_spark.operators.multimodal import _decode_bmp, _decode_ppm
+    from tests.test_multimodal import _encode_bmp, _encode_ppm
+
+    rng = random.Random(seed)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert _decode_ppm(_encode_ppm(w, h, rgb)) == (w, h, rgb)
+    assert _decode_bmp(_encode_bmp(w, h, rgb, top_down=top_down)) == (w, h, rgb)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    channels=st.integers(min_value=1, max_value=2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decoder_roundtrip_random_pcm(n, channels, rate, seed):
+    # random signed 16-bit PCM (full range incl. -32768/32767) survives
+    # encode→decode exactly, through the chunk-walking path
+    import random
+
+    from mapreduce_project_spark.operators.multimodal import _decode_wav
+    from tests.test_multimodal import _encode_wav_pcm
+
+    rng = random.Random(seed)
+    pcm = b"".join(
+        rng.randrange(-32768, 32768).to_bytes(2, "little", signed=True)
+        for _ in range(n)
+    )
+    got = _decode_wav(_encode_wav_pcm(channels, rate, 16, pcm))
+    assert got == (channels, rate, 16, pcm)
