@@ -878,7 +878,13 @@ def topk_pq_adc(
         # resolve by CID, not array position: `cluster_centroid_means`
         # drops centroids that receive zero assignments, so after a
         # Lloyd round the codebook can have cid gaps and position-based
-        # element_at(dq, code+1) would read the wrong (or no) entry
+        # element_at(dq, code+1) would read the wrong (or no) entry.
+        # The filter scans the n_cents-entry table per lookup — O(k)
+        # where the positional read was O(1), fine at the shipped
+        # n_cents=16 (a MapType lookup is ALSO a linear key scan in
+        # Spark's ArrayBasedMapData, so a map buys nothing); for
+        # k ≫ 64 the right fix is re-densifying cids after each Lloyd
+        # round in `pq_train` so positions become valid again
         return F.element_at(
             F.filter(F.col(f"dq{s}"), lambda e: e.getField("cid") == F.col(f"c{s}")), 1
         ).getField("d")

@@ -305,18 +305,26 @@ def hashed_doc_vectors(
     )
 
 
-def _bigram_buckets(df: "DataFrame", id_col: str, text_col: str, dim: int) -> "DataFrame":
-    """(id, bucket) — one row per token BIGRAM, hashed into ``dim``
-    md5 buckets (the same engine-portable hash family as
+def _bigram_buckets(
+    df: "DataFrame", id_col: str, text_col: str, dim: int, target_pred: str | None = None
+) -> "DataFrame":
+    """(id[, is_t], bucket) — one row per token BIGRAM, hashed into
+    ``dim`` md5 buckets (the same engine-portable hash family as
     `hashed_doc_vectors`). Bigrams carry word-order signal unigram
-    bags lose, at identical shuffle cost (bucket ints, never text)."""
+    bags lose, at identical shuffle cost (bucket ints, never text).
+    ``target_pred`` is evaluated INSIDE the same projection that
+    tokenizes, so the side flag rides the explode for free — no
+    id-keyed join back to the corpus (which would shuffle the whole
+    exploded bigram stream at scale)."""
     from mapreduce_project_spark.functions import tokens as _tokens
 
-    base = df.select(
-        F.col(id_col).alias("id"), _tokens(text_col).alias("tk")
-    ).filter(F.size("tk") >= 2)
+    cols = [F.col(id_col).alias("id"), _tokens(text_col).alias("tk")]
+    if target_pred is not None:
+        cols.insert(1, F.expr(target_pred).alias("is_t"))
+    base = df.select(*cols).filter(F.size("tk") >= 2)
+    keep = ["id"] + (["is_t"] if target_pred is not None else [])
     big = base.select(
-        "id",
+        *keep,
         F.explode(
             F.expr(
                 "transform(sequence(1, size(tk) - 1), "
@@ -325,11 +333,26 @@ def _bigram_buckets(df: "DataFrame", id_col: str, text_col: str, dim: int) -> "D
         ).alias("bg"),
     )
     return big.select(
-        "id",
+        *keep,
         F.expr(
             f"cast(conv(substr(md5(cast(bg AS binary)), 1, 8), 16, 10) AS bigint)"
             f" % {dim}"
         ).alias("bucket"),
+    )
+
+
+def _dsir_doc_bucket_counts(
+    df: "DataFrame", id_col: str, text_col: str, target_pred: str, dim: int
+) -> "DataFrame":
+    """(id, is_t, bucket, cnt) — per-document hashed-bigram bucket
+    counts with the side flag attached: ONE corpus scan, one
+    (id, bucket)-keyed integer partial-agg shuffle. Both the global
+    model (`dsir_bucket_stats`) and the per-doc scoring table fold out
+    of this single pass."""
+    return (
+        _bigram_buckets(df, id_col, text_col, dim, target_pred)
+        .groupBy("id", "is_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
 
@@ -346,17 +369,13 @@ def dsir_bucket_stats(
     selected data should look like) vs the RAW corpus, per bucket.
 
     Output: (bucket, target_cnt, raw_cnt) — ``dim`` rows of BIGINTs,
-    the entire model the selection step needs. One corpus pass, one
-    bucket-keyed partial-agg shuffle of integers; the table is
-    broadcast-sized by construction whatever the corpus size, which is
-    the reason hashed features (not a vocabulary) are the 100 TB
-    featurizer. Float-free ⇒ hash-matchable."""
-    buckets = _bigram_buckets(df, id_col, text_col, dim).join(
-        df.select(
-            F.col(id_col).alias("id"), F.expr(target_pred).alias("is_t")
-        ),
-        "id",
-    )
+    the entire model the selection step needs. One corpus pass (the
+    side flag is computed in the tokenizing projection — no join back
+    to the corpus), one bucket-keyed partial-agg shuffle of integers;
+    the table is broadcast-sized by construction whatever the corpus
+    size, which is the reason hashed features (not a vocabulary) are
+    the 100 TB featurizer. Float-free ⇒ hash-matchable."""
+    buckets = _bigram_buckets(df, id_col, text_col, dim, target_pred)
     return (
         buckets.groupBy("bucket")
         .agg(
@@ -381,13 +400,23 @@ def dsir_select_topk(
     slice, i.e. the quality-targeted data-selection step of an LLM
     pretraining pipeline.
 
-    Plan: the `dsir_bucket_stats` table (+ its two scalar totals)
-    broadcasts; per-doc bucket counts join it map-side and reduce to
-    one (id, logw) row; TakeOrdered(k). The corpus text is scanned
-    once and never shuffled. Float boundary: only the final ln() and
+    Plan: ONE corpus scan produces the per-(doc, bucket) count table
+    (`_dsir_doc_bucket_counts`, cached — the model aggregation and the
+    scoring pass both read it, so the text is tokenized exactly once);
+    the ``dim``-row model + its two scalar totals broadcast; per-doc
+    scores reduce map-side and rank via TakeOrdered(k). The corpus
+    text is never shuffled. Float boundary: only the final ln() and
     per-doc sum are doubles (pytest-tolerance oracle, same discipline
     as `bm25_search` vs `bm25_stats`)."""
-    stats = dsir_bucket_stats(df, id_col, text_col, target_pred, dim)
+    grouped = _dsir_doc_bucket_counts(df, id_col, text_col, target_pred, dim).cache()
+    stats = grouped.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("target_cnt"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(F.col("cnt")))
+        .cast("bigint")
+        .alias("raw_cnt"),
+    )
     totals = stats.agg(
         F.sum("target_cnt").cast("bigint").alias("t_tot"),
         F.sum("raw_cnt").cast("bigint").alias("r_tot"),
@@ -399,15 +428,7 @@ def dsir_select_topk(
             - F.log((F.col("raw_cnt") + 1).cast("double") / (F.col("r_tot") + dim))
         ).alias("log_ratio"),
     )
-    raw_ids = df.select(
-        F.col(id_col).alias("id"), F.expr(target_pred).alias("is_t")
-    ).filter(~F.col("is_t"))
-    per_doc = (
-        _bigram_buckets(df, id_col, text_col, dim)
-        .join(raw_ids.select("id"), "id")
-        .groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    per_doc = grouped.filter(~F.col("is_t"))
     return (
         per_doc.join(F.broadcast(ratio), "bucket")
         .groupBy("id")

@@ -290,9 +290,10 @@ def q_orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(octet_length(CAST(text AS BLOB)) / 48.0) AS BIGINT) AS height,
            48 * CAST(ceil(octet_length(CAST(text AS BLOB)) / 48.0) AS BIGINT)
              AS n_values,
-           CAST(list_aggregate(list_transform(string_split(text, ''),
-                                              c -> ord(c)), 'sum') AS BIGINT)
-             AS byte_sum
+           CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(list_aggregate(list_transform(
+                       string_split(text, ''), c -> ord(c)), 'sum'), 0) AS BIGINT)
+           END AS byte_sum
     FROM documents
     """,
 )
@@ -352,9 +353,9 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(8000 AS BIGINT) AS sample_rate_hz,
            CAST(16 AS BIGINT) AS bits_per_value,
            CAST((n + (n % 2)) // 2 AS BIGINT) AS n_values,
-           CAST(list_aggregate(list_transform(
+           CAST(COALESCE(list_aggregate(list_transform(
                   generate_series(1, (n + (n % 2)) // 2),
-                  i -> o[2*i - 1] + 256 * COALESCE(o[2*i], 0)), 'sum') AS BIGINT)
+                  i -> o[2*i - 1] + 256 * COALESCE(o[2*i], 0)), 'sum'), 0) AS BIGINT)
              AS sample_sum
     FROM s
     """,

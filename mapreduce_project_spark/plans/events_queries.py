@@ -664,7 +664,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              list(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
     )
     SELECT user_id, event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -683,10 +683,14 @@ def q_events_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract batch assembly downstream expects). One keyed window
     shuffle; context strings are built from the bounded 3-row frame,
     so shuffle width is type names, never payloads. Deterministic
-    strings + ints ⇒ hash-matched."""
+    strings + ints ⇒ hash-matched. NULL event types are filtered
+    up front in BOTH engines — Spark's collect_list silently drops
+    NULLs where DuckDB's list() keeps them, so an unfiltered NULL
+    inside a frame would make the two sides disagree on context
+    length."""
     from pyspark.sql import Window
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

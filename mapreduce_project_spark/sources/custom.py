@@ -241,6 +241,20 @@ class LineFileWriter(DataSourceWriter):
         for leftover in g.glob(os.path.join(self.dir, f"_tmp-{self.job_id}-*")):
             if leftover not in committed:
                 os.remove(leftover)
+        # orphans from jobs that CRASHED before their own commit would
+        # otherwise accumulate forever (nobody's job id matches them):
+        # sweep foreign temps once they are old enough that no live
+        # writer can still own them (any in-flight job's temps are
+        # seconds old, not an hour)
+        import time
+
+        cutoff = time.time() - 3600
+        for orphan in g.glob(os.path.join(self.dir, "_tmp-*")):
+            try:
+                if orphan not in committed and os.path.getmtime(orphan) < cutoff:
+                    os.remove(orphan)
+            except OSError:  # already gone (racing sweeper) — fine
+                pass
         with open(os.path.join(self.dir, "_SUCCESS"), "w", encoding="utf-8") as fh:
             fh.write("")
 

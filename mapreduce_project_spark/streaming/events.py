@@ -503,15 +503,21 @@ def _crawl_dedup_batch(
             "before starting the crawl stream"
         )
     index = spark.read.option("recursiveFileLookup", "true").parquet(*others)
-    pairs = minhash_probe_pairs(
-        index, batch_df, id_col, text_col, n, n_perm, bands, threshold
-    )
-    pairs.write.mode("overwrite").parquet(
-        _os.path.join(pairs_path, f"batch-{batch_id}")
-    )
-    minhash_index_build(batch_df, id_col, text_col, n, n_perm).write.mode(
-        "overwrite"
-    ).parquet(own)
+    # sign the batch ONCE: the probe and the index append read the same
+    # cached signature table, and it is unpersisted when the batch ends
+    # (a long-running stream must not accumulate one pinned cache per
+    # micro-batch for the life of the app)
+    sig = minhash_index_build(batch_df, id_col, text_col, n, n_perm).cache()
+    try:
+        pairs = minhash_probe_pairs(
+            index, None, id_col, text_col, n, n_perm, bands, threshold, new_sigs=sig
+        )
+        pairs.write.mode("overwrite").parquet(
+            _os.path.join(pairs_path, f"batch-{batch_id}")
+        )
+        sig.write.mode("overwrite").parquet(own)
+    finally:
+        sig.unpersist()
 
 
 def heavy_hitters_stream(events: DataFrame, budget: int = 64) -> DataFrame:

@@ -760,3 +760,17 @@ def test_linefile_writer_roundtrip_and_commit_protocol(spark, tmp_path):
         .count()
     )
     assert appended == 200
+    # orphan temps from a CRASHED prior job (no live writer owns their
+    # job id) are swept once old enough; a FRESH foreign temp — some
+    # concurrent writer's in-flight task file — is left alone
+    old_orphan = os.path.join(d, "_tmp-deadbeef-crashed")
+    fresh_foreign = os.path.join(d, "_tmp-cafebabe-inflight")
+    for p in (old_orphan, fresh_foreign):
+        with open(p, "w") as fh:
+            fh.write("x")
+    os.utime(old_orphan, (1, 1))  # ancient mtime
+    df.repartition(1).write.format("linefile").option("path", d).mode(
+        "append"
+    ).save()
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh_foreign)
