@@ -16,7 +16,6 @@ per-row overhead not to dominate).
 
 from __future__ import annotations
 
-import uuid
 
 import pytest
 
@@ -32,29 +31,13 @@ def _registry():
 
 
 def shuffle_write_bytes(spark, df) -> int:
-    """Run ``df`` to a noop sink inside a fresh job group and return the
-    total shuffle-write bytes across exactly that run's stages."""
-    sc = spark.sparkContext
-    group = f"shufvol-{uuid.uuid4().hex[:8]}"
-    sc.setJobGroup(group, "shuffle-volume probe")
-    try:
-        df.write.format("noop").mode("overwrite").save()
-    finally:
-        sc.setJobGroup("shufvol-idle", "idle")
-    tracker = sc.statusTracker()
-    stage_ids: set[int] = set()
-    for jid in tracker.getJobIdsForGroup(group):
-        info = tracker.getJobInfo(jid)
-        if info is not None:
-            stage_ids.update(info.stageIds)
-    store = sc._jsc.sc().statusStore()
-    total = 0
-    for sid in stage_ids:
-        try:
-            total += store.lastStageAttempt(sid).shuffleWriteBytes()
-        except Exception:  # a skipped stage may have no stored attempt
-            continue
-    return total
+    """Total shuffle-write bytes of running ``df`` end to end — thin
+    wrapper over the engine's own diagnostic
+    (`plans/inspect.py:run_with_shuffle_metrics`, the user-facing form
+    of this probe)."""
+    from mapreduce_project_spark.plans.inspect import run_with_shuffle_metrics
+
+    return run_with_shuffle_metrics(df)["shuffle_write_bytes"]
 
 
 @pytest.fixture(scope="module")
