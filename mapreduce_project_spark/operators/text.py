@@ -33,6 +33,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # digits and punctuation count one each (a cheap, deterministic proxy
 # for a real BPE vocab; swap in a pandas_udf tokenizer for production).
 BPE_PATTERN = "([a-z]{1,4}|[0-9]|[^a-z0-9\\s])"
+# DSIR micro-log fixed point: every ln() in the importance weight is
+# quantized to round(ln(n)*1e6) BIGINT before combination, so ranking
+# keys are integer-exact (see dsir_select_topk).
+DSIR_LOG_SCALE = 1_000_000
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -405,9 +409,18 @@ def dsir_select_topk(
     scoring pass both read it, so the text is tokenized exactly once);
     the ``dim``-row model + its two scalar totals broadcast; per-doc
     scores reduce map-side and rank via TakeOrdered(k). The corpus
-    text is never shuffled. Float boundary: only the final ln() and
-    per-doc sum are doubles (pytest-tolerance oracle, same discipline
-    as `bm25_search` vs `bm25_stats`)."""
+    text is never shuffled.
+
+    Determinism: each ln() term is ln of an INTEGER, individually
+    quantized to a micro-log fixed point (round(ln(n)·1e6) as BIGINT)
+    BEFORE any combination, so the per-bucket log-ratio and the
+    per-doc sum ``Σ cnt·lr_fp`` are integer-exact and associative —
+    the rank and the id tiebreak at the cut line cannot depend on
+    partition/accumulation order (the repo's no-float-accumulation-
+    on-hash-paths convention). The quantization margin is ~9 orders
+    of magnitude above double ulp for these magnitudes, so Spark and
+    DuckDB round identically. The rendered ``logw`` is one division
+    per output cell (logw_fp/1e6 — bit-identical across engines)."""
     grouped = _dsir_doc_bucket_counts(df, id_col, text_col, target_pred, dim).cache()
     stats = grouped.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
@@ -421,19 +434,32 @@ def dsir_select_topk(
         F.sum("target_cnt").cast("bigint").alias("t_tot"),
         F.sum("raw_cnt").cast("bigint").alias("r_tot"),
     )
+    def _ilog(col: Column) -> Column:
+        # micro-log fixed point: ln of an integer, rounded half-away-
+        # from-zero at 1e6 — both engines' round() agree (all inputs
+        # positive) and the boundary margin dwarfs libm last-ulp drift
+        return F.round(F.log(col.cast("double")) * DSIR_LOG_SCALE).cast("bigint")
+
     ratio = stats.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
-            F.log((F.col("target_cnt") + 1).cast("double") / (F.col("t_tot") + dim))
-            - F.log((F.col("raw_cnt") + 1).cast("double") / (F.col("r_tot") + dim))
-        ).alias("log_ratio"),
+            _ilog(F.col("target_cnt") + 1)
+            - _ilog(F.col("t_tot") + dim)
+            - _ilog(F.col("raw_cnt") + 1)
+            + _ilog(F.col("r_tot") + dim)
+        ).alias("lr_fp"),
     )
     per_doc = grouped.filter(~F.col("is_t"))
     return (
         per_doc.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
-        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("logw"))
-        .orderBy(F.desc("logw"), "id")
+        .agg(F.sum(F.col("cnt") * F.col("lr_fp")).cast("bigint").alias("logw_fp"))
+        .orderBy(F.desc("logw_fp"), "id")
         .limit(k)
-        .select(F.col("id").alias(id_col), "logw")
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("logw_fp").cast("double") / F.lit(float(DSIR_LOG_SCALE))).alias(
+                "logw"
+            ),
+        )
     )

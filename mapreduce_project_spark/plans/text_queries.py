@@ -471,18 +471,20 @@ def q_dsir_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(target_cnt) AS t_tot, SUM(raw_cnt) AS r_tot FROM stats),
     ratio AS (
       SELECT bucket,
-             ln(CAST(target_cnt + 1 AS DOUBLE) / ((SELECT t_tot FROM tot) + 256))
-             - ln(CAST(raw_cnt + 1 AS DOUBLE) / ((SELECT r_tot FROM tot) + 256))
-               AS log_ratio
+             CAST(round(ln(CAST(target_cnt + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST((SELECT t_tot FROM tot) + 256 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(raw_cnt + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             + CAST(round(ln(CAST((SELECT r_tot FROM tot) + 256 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lr_fp
       FROM stats
     ),
     per_doc AS (
       SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
       FROM bk WHERE doc_id % 50 <> 0 GROUP BY 1, 2
     )
-    SELECT doc_id, SUM(cnt * log_ratio) AS logw
+    SELECT doc_id, CAST(SUM(cnt * lr_fp) AS DOUBLE) / 1000000.0 AS logw
     FROM per_doc JOIN ratio USING (bucket)
-    GROUP BY doc_id ORDER BY logw DESC, doc_id LIMIT 50
+    GROUP BY doc_id ORDER BY SUM(cnt * lr_fp) DESC, doc_id LIMIT 50
     """,
 )
 def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,9 +493,10 @@ def q_dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``logw = Σ_b cnt·(ln p̂_target(b) − ln p̂_raw(b))`` (add-1
     smoothed), top-50 most-target-like documents. The 256-row model +
     two scalar totals broadcast; the corpus is scanned once, text
-    never shuffles, TakeOrdered(50). Like `bm25_search`, the ln()/sum
-    floats sit at pytest tolerance while `dsir_bucket_stats` carries
-    the byte-exact signal."""
+    never shuffles, TakeOrdered(50). Each ln() is quantized to a
+    micro-log BIGINT before combination (operators/text.py:
+    DSIR_LOG_SCALE), so the rank key is integer-exact and the query is
+    hash-matchable — no float accumulation on the selection path."""
     from mapreduce_project_spark.operators.text import dsir_select_topk
 
     return dsir_select_topk(

@@ -994,9 +994,11 @@ _V4_ORACLE = f"""
     tot AS (SELECT SUM(target_cnt) AS t_tot, SUM(raw_cnt) AS r_tot FROM stats),
     ratio AS (
       SELECT bucket,
-             ln(CAST(target_cnt + 1 AS DOUBLE) / ((SELECT t_tot FROM tot) + 256))
-             - ln(CAST(raw_cnt + 1 AS DOUBLE) / ((SELECT r_tot FROM tot) + 256))
-               AS log_ratio
+             CAST(round(ln(CAST(target_cnt + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST((SELECT t_tot FROM tot) + 256 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(raw_cnt + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             + CAST(round(ln(CAST((SELECT r_tot FROM tot) + 256 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lr_fp
       FROM stats
     ),
     per_doc AS (
@@ -1005,9 +1007,9 @@ _V4_ORACLE = f"""
     ),
     sel AS (
       SELECT doc_id FROM (
-        SELECT doc_id, SUM(cnt * log_ratio) AS logw
+        SELECT doc_id, SUM(cnt * lr_fp) AS logw_fp
         FROM per_doc JOIN ratio USING (bucket) GROUP BY doc_id
-      ) ORDER BY logw DESC, doc_id LIMIT 200
+      ) ORDER BY logw_fp DESC, doc_id LIMIT 200
     ),
     toks2 AS (
       SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z]+') AS tk

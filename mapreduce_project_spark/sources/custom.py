@@ -242,19 +242,24 @@ class LineFileWriter(DataSourceWriter):
             if leftover not in committed:
                 os.remove(leftover)
         # orphans from jobs that CRASHED before their own commit would
-        # otherwise accumulate forever (nobody's job id matches them):
-        # sweep foreign temps once they are old enough that no live
-        # writer can still own them (any in-flight job's temps are
-        # seconds old, not an hour)
-        import time
+        # otherwise accumulate forever (nobody's job id matches them).
+        # The age-based foreign sweep runs ONLY in overwrite mode: an
+        # overwrite already claims exclusive ownership of the directory
+        # (it deleted every part file above), so any foreign temp is by
+        # definition from a dead job. Append mode promises concurrent-
+        # writer safety, and a slow writer streaming a large partition
+        # can legitimately hold an old-mtime temp (buffered writes only
+        # advance mtime on flush) — its temps are never ours to touch.
+        if self.overwrite:
+            import time
 
-        cutoff = time.time() - 3600
-        for orphan in g.glob(os.path.join(self.dir, "_tmp-*")):
-            try:
-                if orphan not in committed and os.path.getmtime(orphan) < cutoff:
-                    os.remove(orphan)
-            except OSError:  # already gone (racing sweeper) — fine
-                pass
+            cutoff = time.time() - 3600
+            for orphan in g.glob(os.path.join(self.dir, "_tmp-*")):
+                try:
+                    if orphan not in committed and os.path.getmtime(orphan) < cutoff:
+                        os.remove(orphan)
+                except OSError:  # already gone (racing sweeper) — fine
+                    pass
         with open(os.path.join(self.dir, "_SUCCESS"), "w", encoding="utf-8") as fh:
             fh.write("")
 

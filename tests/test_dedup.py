@@ -172,3 +172,57 @@ def test_incremental_crawl_index_read_only_and_equivalent(spark, tmp_path):
     # every pair really straddles the corpus/crawl split
     for new_id, index_id, jac in via_store:
         assert new_id % 5 == 0 and index_id % 5 != 0 and jac >= 0.8
+
+
+def test_probe_config_drift_is_hard_error(spark):
+    # ADVICE r4: an index built with one n_perm probed with another
+    # must FAIL LOUDLY, not silently degrade recall via out-of-range
+    # element_at; and a bands value that doesn't divide n_perm (which
+    # would silently drop the trailing signature values from banding)
+    # is a config error.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_probe_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).limit(20)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0).limit(5)
+
+    idx32 = minhash_index_build(corpus, "doc_id", "text", 3, 32)
+    with pytest.raises(Exception, match="n_perm"):
+        minhash_probe_pairs(idx32, crawl, "doc_id", "text", 3, 64, 16, 0.8).collect()
+
+    idx64 = minhash_index_build(corpus, "doc_id", "text", 3, 64)
+    with pytest.raises(ValueError, match="multiple of bands"):
+        minhash_probe_pairs(idx64, crawl, "doc_id", "text", 3, 64, 24, 0.8)
+
+
+def test_probe_dup_heavy_crawl_verifies_every_pair(spark):
+    # ADVICE r4: the verify step must not replicate a crawl doc's
+    # shingle set once per candidate pair. Plant a dup-heavy shape —
+    # ONE crawl doc near-identical to MANY index docs — and check the
+    # probe returns every pair exactly (correctness under the shape
+    # that used to blow up the broadcast).
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_probe_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "quiet music under pale evening light near the old stone bridge"
+    )
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(60)], "doc_id long, text string"
+    )
+    crawl = spark.createDataFrame([(1000, base)], "doc_id long, text string")
+    idx = minhash_index_build(corpus, "doc_id", "text", 3, 64)
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in minhash_probe_pairs(idx, crawl, "doc_id", "text").collect()
+    }
+    assert got == {(1000, i) for i in range(60)}

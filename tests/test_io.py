@@ -760,9 +760,12 @@ def test_linefile_writer_roundtrip_and_commit_protocol(spark, tmp_path):
         .count()
     )
     assert appended == 200
-    # orphan temps from a CRASHED prior job (no live writer owns their
-    # job id) are swept once old enough; a FRESH foreign temp — some
-    # concurrent writer's in-flight task file — is left alone
+    # foreign-temp liveness contract (ADVICE r4): APPEND mode promises
+    # concurrent-writer safety, so it never touches foreign temps —
+    # not even hour-old ones (a slow writer streaming a big partition
+    # only advances mtime on buffered flushes). OVERWRITE claims
+    # exclusive ownership of the directory, so it sweeps crashed jobs'
+    # old orphans; a fresh foreign temp still survives (cutoff-gated).
     old_orphan = os.path.join(d, "_tmp-deadbeef-crashed")
     fresh_foreign = os.path.join(d, "_tmp-cafebabe-inflight")
     for p in (old_orphan, fresh_foreign):
@@ -772,5 +775,10 @@ def test_linefile_writer_roundtrip_and_commit_protocol(spark, tmp_path):
     df.repartition(1).write.format("linefile").option("path", d).mode(
         "append"
     ).save()
-    assert not os.path.exists(old_orphan)
+    assert os.path.exists(old_orphan), "append swept a foreign temp"
+    assert os.path.exists(fresh_foreign)
+    df.repartition(1).write.format("linefile").option("path", d).mode(
+        "overwrite"
+    ).save()
+    assert not os.path.exists(old_orphan), "overwrite kept a crashed job's orphan"
     assert os.path.exists(fresh_foreign)

@@ -355,3 +355,41 @@ def test_length_bucketed_batches_zero_length_guard(spark):
     for r in out:
         assert not math.isnan(r["pad_frac"])
         assert 0.0 <= r["pad_frac"] < 1.0
+
+
+def test_dsir_rank_key_is_partition_invariant(spark):
+    # ADVICE r4 (medium): the DSIR selection key must be integer-exact
+    # — identical-text documents get BIT-IDENTICAL logw regardless of
+    # which partition accumulated their per-bucket sums, and the whole
+    # top-k is invariant to input partitioning. Under the old float
+    # SUM(cnt * log_ratio) both properties could break at the last ulp
+    # and flip the id tiebreak at the cut line.
+    from mapreduce_project_spark.operators.text import dsir_select_topk
+
+    # rich multi-bucket text: the logw of each doc is a sum of many
+    # per-bucket terms — exactly the shape where float accumulation
+    # order used to leak into the rank
+    words = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu apple berry cedar dahlia",
+    ]
+    rich = " ".join(words) + " " + " ".join(reversed(words))
+    targets = [(50 * (i + 1), words[i % 3]) for i in range(6)]  # ids ≡ 0 mod 50
+    clones = [(101 + i * 3, rich) for i in range(64) if (101 + i * 3) % 50 != 0]
+    df = spark.createDataFrame(targets + clones, "doc_id long, text string")
+
+    def run(parts):
+        out = dsir_select_topk(
+            df.repartition(parts), "doc_id", "text", "doc_id % 50 = 0", 256, 80
+        ).collect()
+        return [(r["doc_id"], r["logw"]) for r in out]
+
+    r1, r32 = run(1), run(32)
+    assert r1 == r32, "DSIR top-k depends on input partitioning"
+    assert len(r32) == len(clones)
+    ws = {w for (_, w) in r32}
+    assert len(ws) == 1, "identical docs got non-identical logw"
+    # ids tiebreak ascending within equal weight
+    ids = [i for (i, _) in r32]
+    assert ids == sorted(ids)
