@@ -199,6 +199,118 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "snapshot_diff_orders",         # D95 snapshot diff
         ),
     ),
+    # --- Round 5: the backlog-clearing wave (VERDICT r4 task 1).
+    # Keep only four sentinels — word_count, inverted_index,
+    # agg_pricing_summary (TPC-H Q1 shape), assemble_training_set
+    # (flagship) — and hand every other slot to queries that have
+    # NEVER held one: the 18 remaining TPC-H shapes (the multi-join /
+    # correlated-subquery / disjunctive-predicate stress block), the
+    # round-4 additions (incremental crawl dedup, DSIR pair, drift KL,
+    # real pixel/PCM decode proofs), the facade/run_job pair re-earning
+    # an external row on current code (VERDICT task 4), and a breadth
+    # slice across events / text / governance / training families.
+    (
+        (
+            "group_collect_set",
+            "count_distinct_parts",
+            "join_revenue_by_nation",
+            "outer_join_order_counts",
+            "top_lineitems_per_supplier",
+            "events_sessions_pandas",
+            "events_rollup_day_hour",
+            "events_variant_stats",
+            "text_stats",
+            "dedup_exact",
+            "pipeline_clean_corpus",
+            "tfidf_terms",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "similarity_ann_lsh",
+            "embedding_label_centroids",
+            "multimodal_byte_features",
+            "cube_order_stats",
+            "grouping_sets_lineitem",
+            "pivot_priority_status",
+            "range_join_price_bands",
+            "asof_view_before_purchase",
+            "percentile_quantity",
+            "similarity_topk_ivf",
+            "triangle_counts_cosupply",
+            "dedup_clusters",
+            "train_test_split",
+            "tpch_q4_priority_returns",
+            "tpch_q22_dormant_capital",
+            "linear_gd_price_model",
+            "cogroup_view_purchase_pairs",
+            "weighted_avg_udaf",
+            "global_rank_orders",
+            "quantile_normalize_lengths",
+            "events_anomaly_flags",
+            "sketch_theta_retention",
+            "embedding_pq_codes",
+            "similarity_topk_pq",
+            "graph_components_cosupply",
+            "kmeans_embeddings",
+            "semantic_decontam_pairs",
+            "bpe_encode_corpus",
+            "orders_xml_roundtrip",
+            "k_anonymity_audit",
+            "dq_audit_orders",
+            "snapshot_diff_orders",
+        ),
+        (
+            # TPC-H completion block (18 never-checked shapes)
+            "tpch_q2_min_cost_supplier",
+            "tpch_q3_shipping_priority",
+            "tpch_q6_revenue_forecast",
+            "tpch_q7_volume_shipping",
+            "tpch_q8_market_share",
+            "tpch_q9_product_profit",
+            "tpch_q10_returned_items",
+            "tpch_q11_important_stock",
+            "tpch_q12_shipmode_priority",
+            "tpch_q13_customer_distribution",
+            "tpch_q14_promo_share",
+            "tpch_q15_top_supplier",
+            "tpch_q16_supplier_variety",
+            "tpch_q17_small_quantity_revenue",
+            "tpch_q18_large_orders",
+            "tpch_q19_disjunctive_brackets",
+            "tpch_q20_excess_suppliers",
+            "tpch_q21_waiting_supplier",
+            # round-4 additions, all sweep-green, first driver rows
+            "dedup_incremental_crawl",      # D145
+            "dedup_duplicate_spans",        # D147
+            "dsir_bucket_stats",            # D148 integer model
+            "dsir_select_topk",             # D148 selection (fixed-point r5)
+            "hard_negative_mining",         # D150
+            "events_context_pairs",         # D149
+            "assemble_training_set_v4",     # D152 flagship gen 4
+            "corpus_drift_kl",              # D153
+            "multimodal_decode_roundtrip",  # D155 real pixel decode
+            "multimodal_wav_roundtrip",     # D156 real PCM decode
+            "bm25_stats",                   # D146 integer BM25 stats
+            # facade / run_job round-trips (VERDICT task 4)
+            "word_count_mr",                # A3-A9 via run_job
+            "inverted_index_mr",            # A3-A9 via run_job
+            # breadth slice — one per never-checked family
+            "assemble_contrastive_pairs",   # D127 flagship gen 3
+            "events_cohort_retention",      # D48
+            "events_dau_wau",               # D143
+            "event_transition_matrix",      # D88
+            "fuzzy_token_pairs_d2",         # D46 edit-distance-2 join
+            "text_normalize_nfc",           # D98
+            "zipf_coverage_curve",          # D138
+            "vocab_oov_rate",               # D137
+            "corpus_manifest",              # D140
+            "histogram_equi_depth",         # D61
+            "profile_orders_columns",       # D96
+            "table_checksums",              # D139
+            "pack_contiguous",              # D83
+            "temperature_sample_sources",   # D89
+            "training_batches_bucketed",    # D118
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet
