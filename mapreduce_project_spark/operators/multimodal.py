@@ -415,6 +415,169 @@ def _decode_bmp(b: bytes):
     return w, h, np.ascontiguousarray(rgb).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_pred(left, up, ul):
+    """The Paeth predictor (PNG spec §9.4), vectorized over a pixel's
+    channel lanes as int32 numpy arrays."""
+    import numpy as np
+
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+
+
+def _png_unfilter(raw, h: int, w: int, ch: int):
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)
+    over the decompressed IDAT stream → (h, w*ch) uint8 raster. Sub is
+    a per-lane prefix sum (vectorized via cumsum mod 256); Up is a
+    whole-row add; Average/Paeth carry a left-pixel dependency so they
+    walk pixels with channel-lane-vectorized numpy steps."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = int(raw[pos])
+        pos += 1
+        row = raw[pos : pos + stride].astype(np.int32)
+        pos += stride
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
+            rec = (np.cumsum(row.reshape(w, ch), axis=0) % 256).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-dependent walk
+            rec = np.empty(stride, dtype=np.int32)
+            zero = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s, e = x * ch, (x + 1) * ch
+                left = rec[s - ch : s] if x else zero
+                up = prev[s:e]
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prev[s - ch : s] if x else zero
+                    pred = _paeth_pred(left, up, ul)
+                rec[s:e] = (row[s:e] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int32)
+    return out
+
+
+def _decode_png(b: bytes):
+    """REAL PNG decode with nothing but stdlib zlib + numpy — the
+    chunk chain is walked (IHDR → IDAT* → IEND), the concatenated IDAT
+    deflate stream is inflated, and every scanline is unfiltered per
+    its filter byte (all five spec filters). Supports the dominant
+    web/training-corpus shape: 8-bit, non-interlaced, grayscale / RGB /
+    RGBA (color types 0, 2, 6). Palette (3), 16-bit, and Adam7
+    interlacing raise NotImplementedError — they need a palette lookup
+    or pass reassembly, not a codec library, but are rare enough to
+    gate until needed. Returns (width, height, channels, raster bytes)
+    in the canonical row-major top-down layout."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        if typ == b"IHDR":
+            ihdr = b[pos + 8 : pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(b[pos + 8 : pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace}: only "
+            "8-bit non-interlaced grayscale/RGB/RGBA decode is implemented"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * ch):
+        raise ValueError(
+            f"PNG scanline stream has {raw.size} bytes, expected {h * (1 + w * ch)}"
+        )
+    return w, h, ch, _png_unfilter(raw, h, w, ch).tobytes()
+
+
+def png_encode(raster: bytes, w: int, h: int, ch: int = 3, filter_type=None) -> bytes:
+    """Spec-complete PNG ENCODER (stdlib zlib only): filters each
+    scanline (``filter_type`` = 0-4, a per-row callable, or None for
+    the y%5 cycle that exercises every filter arm), deflates, and emits
+    signature + IHDR/IDAT/IEND with correct CRCs. The in-query payload
+    generator for the oracle-hashed PNG roundtrip and the property
+    tests' ground-truth producer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    px = np.frombuffer(raster, dtype=np.uint8, count=h * stride).reshape(h, stride)
+    pick = (
+        (lambda y: y % 5)
+        if filter_type is None
+        else (filter_type if callable(filter_type) else (lambda y: filter_type))
+    )
+    lines = bytearray()
+    zero = np.zeros(ch, dtype=np.int32)
+    for y in range(h):
+        ft = pick(y)
+        row = px[y].astype(np.int32)
+        prev = px[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - np.concatenate([zero, row[:-ch]])
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (np.concatenate([zero, row[:-ch]]) + prev) // 2
+        elif ft == 4:
+            left = np.concatenate([zero, row[:-ch]])
+            ul = np.concatenate([zero, prev[:-ch]])
+            filt = row - _paeth_pred(left, prev, ul)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        lines.append(ft)
+        lines.extend((filt % 256).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(b: bytes):
     """RIFF/WAVE PCM → (channels, sample_rate, canonical little-endian
     sample bytes): walks the chunk chain (fmt may not be the first
@@ -457,14 +620,16 @@ def decode_media(
     bits_per_value, n_values, data) — dims/rate NULL where the modality
     doesn't define them; ``data`` is the canonical decoded bytes.
 
+    PNG payloads decode for REAL too (`_decode_png`: chunk walk, zlib
+    inflate, all five scanline filters reversed — 8-bit non-interlaced
+    gray/RGB/RGBA; palette/16-bit/Adam7 raise). Only JPEG remains a
+    documented stub — DCT entropy decode genuinely needs a codec
+    library this container lacks; swap in PIL under the same signature.
+
     Arrow-batched ``mapInPandas``, no shuffle (the `byte_features`
-    discipline: payloads decode in place, never move). COMPRESSED
-    codecs (PNG deflate, JPEG DCT) genuinely need codec libraries this
-    container lacks — those payloads raise ``NotImplementedError``
-    (the one remaining documented stub branch); swap in PIL/libsndfile
-    in production under the same signature. Reference anchor: completes
-    the whole-file ingestion story (reference `worker.py:131-138`
-    whole-file splits → typed media columns).
+    discipline: payloads decode in place, never move). Reference
+    anchor: completes the whole-file ingestion story (reference
+    `worker.py:131-138` whole-file splits → typed media columns).
     """
     out_schema = (
         f"{id_col} long, format string, width long, height long, "
@@ -482,11 +647,13 @@ def decode_media(
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             channels, rate, bits, data = _decode_wav(b)
             return ("wav", None, None, channels, rate, bits, len(data) * 8 // bits, data)
-        if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8":
+        if b[:8] == _PNG_SIG:
+            w, h, ch, data = _decode_png(b)
+            return ("png", w, h, ch, None, 8, w * h * ch, data)
+        if b[:2] == b"\xff\xd8":
             raise NotImplementedError(
-                "compressed codecs (PNG deflate / JPEG DCT) require codec "
-                "libraries not present in this container; uncompressed "
-                "PPM/BMP/WAV decode fully — re-encode or swap in PIL here"
+                "JPEG DCT decode requires a codec library not present in this "
+                "container; PPM/BMP/WAV/PNG decode fully — swap in PIL here"
             )
         raise ValueError(f"unrecognized media payload (magic {b[:4]!r})")
 

@@ -335,6 +335,11 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D152, flagship gen 4), corpus_drift_kl (D153),
 # multimodal_decode_roundtrip + multimodal_wav_roundtrip (D155/D156,
 # the real pixel/PCM decoder proofs).
+#
+# Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
+# 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
+# decoder proof), plus the rest of the never-checked backlog the
+# round-5 wave didn't fit (bm25_search stays pytest-tolerance-only).
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:

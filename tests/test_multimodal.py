@@ -46,20 +46,96 @@ def test_frame_sample_matches_python(spark):
             assert got[(row["doc_id"], fi)] == b[fi * 256 : (fi + 1) * 256]
 
 
-def test_decode_compressed_branch_raises_cleanly(spark):
-    # the ONE remaining stub branch: compressed codecs (PNG deflate /
-    # JPEG DCT) need codec libs this container lacks — a clean error,
-    # not silent garbage
+def test_decode_stub_and_guard_branches_raise_cleanly(spark):
+    # JPEG is the ONE remaining stub branch (DCT needs a codec lib);
+    # PNG now decodes for real, so its guards must be clean errors
+    # too: truncated chunk chain → ValueError, unsupported shapes
+    # (palette / 16-bit / Adam7) → NotImplementedError
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
+    from mapreduce_project_spark.operators.multimodal import _decode_png
+
     df = spark.createDataFrame(
-        [(1, bytearray(_png(4, 4)))], "doc_id long, payload binary"
+        [(1, bytearray(_jpeg(4, 4)))], "doc_id long, payload binary"
     )
     with pytest.raises(
-        (PythonException, Py4JJavaError), match="NotImplementedError|compressed codecs"
+        (PythonException, Py4JJavaError), match="NotImplementedError|JPEG DCT"
     ):
         decode_media(df).collect()
+    with pytest.raises(ValueError, match="missing IHDR/IDAT"):
+        _decode_png(_png(4, 4))  # header-only fixture: no IDAT
+    import struct
+    import zlib
+
+    def ihdr_png(depth, ctype, interlace):
+        body = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        def chunk(t, b):
+            return struct.pack(">I", len(b)) + t + b + struct.pack(
+                ">I", zlib.crc32(t + b)
+            )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", body)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 32))
+            + chunk(b"IEND", b"")
+        )
+
+    for depth, ctype, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        with pytest.raises(NotImplementedError, match="PNG"):
+            _decode_png(ihdr_png(depth, ctype, inter))
+
+
+def test_png_encode_decode_property_roundtrip():
+    # VERDICT r4 task 2: property test over random rasters × every
+    # filter type × every supported color type — encode (real deflate,
+    # real CRCs) then decode must reproduce the raster byte-for-byte
+    import numpy as np
+
+    from mapreduce_project_spark.operators.multimodal import (
+        _decode_png,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(20260814)
+    shapes = [(1, 1), (16, 4), (7, 13), (48, 2), (3, 31)]
+    for ch in (1, 3, 4):
+        for w, h in shapes:
+            raster = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+            for ft in (0, 1, 2, 3, 4, None, lambda y: (y * 7 + 3) % 5):
+                got = _decode_png(png_encode(raster, w, h, ch, ft))
+                assert got == (w, h, ch, raster), (w, h, ch, ft)
+    # adversarial rasters: constant, ramp (cumsum stress), alternating
+    for ch, w, h in [(3, 16, 8), (4, 5, 5), (1, 64, 3)]:
+        for raster in (
+            bytes(h * w * ch),
+            bytes(range(256))[: h * w * ch]
+            if h * w * ch <= 256
+            else (np.arange(h * w * ch, dtype=np.uint64) % 256)
+            .astype(np.uint8)
+            .tobytes(),
+            (b"\x00\xff" * (h * w * ch))[: h * w * ch],
+        ):
+            got = _decode_png(png_encode(raster, w, h, ch))
+            assert got == (w, h, ch, raster)
+
+
+def test_decode_media_png_through_spark(spark):
+    # the Spark path end-to-end: a real filtered+deflated RGBA PNG
+    # through decode_media keeps dims/channels/n_values and the raster
+    import numpy as np
+
+    from mapreduce_project_spark.operators.multimodal import png_encode
+
+    rng = np.random.RandomState(5)
+    raster = rng.randint(0, 256, size=6 * 4 * 4, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(raster, 6, 4, 4)))], "doc_id long, payload binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["format"], r["width"], r["height"], r["channels"]) == ("png", 6, 4, 4)
+    assert r["bits_per_value"] == 8 and r["n_values"] == 96
+    assert bytes(r["data"]) == raster
 
 
 def _encode_ppm(w, h, rgb: bytes) -> bytes:
