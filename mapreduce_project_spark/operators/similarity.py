@@ -747,13 +747,23 @@ def pq_train(
     (cid, cv) centroid tables. Each subspace's training is a tiny
     broadcast+assign+mean loop; the corpus is scanned once per round
     per subspace (at petabyte scale, fuse the m assignments into one
-    pass the way `pq_encode` does for the final encoding)."""
+    pass the way `pq_encode` does for the final encoding).
+
+    Codebook cids are RE-DENSIFIED after every Lloyd round
+    (row_number over the surviving cids in old-cid order): a centroid
+    that receives zero assignments is dropped by
+    `cluster_centroid_means`, and renumbering keeps cids ≡ positions
+    0..n-1 in the cid-sorted broadcast array — so ADC tables index
+    positionally in O(1) (`topk_pq_adc`) with no gap hazard. The
+    renumbering is deterministic (order-preserving) and mirrored in
+    the SQL oracles."""
     from pyspark.sql import Window
 
     sub = dim // m
     base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     books: list[DataFrame] = []
     seed_w = Window.orderBy("id")
+    dense_w = Window.orderBy("cid")
     for s in range(m):
         sv = base.select("id", F.slice("v", s * sub + 1, sub).alias("v"))
         cents = (
@@ -765,7 +775,9 @@ def pq_train(
             assigned = sv.crossJoin(F.broadcast(_cents_row(cents))).select(
                 "id", "v", _nearest_cid(F.col("v")).alias("cid")
             )
-            cents = cluster_centroid_means(assigned, sub)
+            cents = cluster_centroid_means(assigned, sub).select(
+                (F.row_number().over(dense_w) - 1).alias("cid"), "cv"
+            )
         books.append(cents)
     return books
 
@@ -875,18 +887,15 @@ def topk_pq_adc(
     qtab = _with_codebooks(q, books).select("query_id", *[_dq(s) for s in range(m)])
 
     def _lookup(s: int) -> Column:
-        # resolve by CID, not array position: `cluster_centroid_means`
-        # drops centroids that receive zero assignments, so after a
-        # Lloyd round the codebook can have cid gaps and position-based
-        # element_at(dq, code+1) would read the wrong (or no) entry.
-        # The filter scans the n_cents-entry table per lookup — O(k)
-        # where the positional read was O(1), fine at the shipped
-        # n_cents=16 (a MapType lookup is ALSO a linear key scan in
-        # Spark's ArrayBasedMapData, so a map buys nothing); for
-        # k ≫ 64 the right fix is re-densifying cids after each Lloyd
-        # round in `pq_train` so positions become valid again
+        # O(1) POSITIONAL read: `pq_train` re-densifies cids after
+        # every Lloyd round, so in the cid-sorted broadcast table
+        # position code+1 always holds exactly cid=code — even when a
+        # cluster emptied mid-training (the gap case is pinned in
+        # tests/test_similarity.py). This is the classic ADC table
+        # indexing; the round-4 cid-filter fallback (O(n_cents) per
+        # lookup) is gone.
         return F.element_at(
-            F.filter(F.col(f"dq{s}"), lambda e: e.getField("cid") == F.col(f"c{s}")), 1
+            F.col(f"dq{s}"), (F.col(f"c{s}") + 1).cast("int")
         ).getField("d")
 
     dist = _lookup(0)

@@ -398,9 +398,14 @@ def _pq_chain(m: int, k: int, iters: int, dim: int) -> tuple[list[str], str, lis
       FROM assign{i}_{s}, (SELECT unnest(generate_series(1, {sub})) AS i)
       GROUP BY cid, i)"""
             )
+            # re-densify surviving cids (mirrors pq_train: an emptied
+            # cluster is dropped by the mean step; renumbering keeps
+            # cid ≡ position so Spark's O(1) positional ADC reads and
+            # this oracle stay aligned)
             ctes.append(
-                f"cents{i + 1}_{s} AS (SELECT cid, list(centroid_val ORDER BY dim) AS cv "
-                f"FROM percell{i + 1}_{s} GROUP BY cid)"
+                f"cents{i + 1}_{s} AS (SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 "
+                f"AS cid, cv FROM (SELECT cid, list(centroid_val ORDER BY dim) AS cv "
+                f"FROM percell{i + 1}_{s} GROUP BY cid))"
             )
         finals.append(
             f"""SELECT id, CAST({s} AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code

@@ -210,13 +210,14 @@ def test_pq_adc_quality_floor(spark):
     assert hit >= 0.5, f"ADC top-5 within exact top-50 only {hit}"
 
 
-def test_pq_adc_correct_with_codebook_cid_gaps(spark):
+def test_pq_adc_correct_when_a_cluster_empties(spark):
     # `cluster_centroid_means` drops centroids that receive zero
-    # assignments, so a Lloyd round can leave cid GAPS in the codebook
-    # (seed vectors 0 and 1 identical → all ties resolve to cid 0 →
-    # cid 1 empties). The ADC lookup must resolve by cid, not array
-    # position — position lookup reads the wrong entry (or NULL past
-    # the end) exactly when a cluster empties.
+    # assignments (seed vectors 0 and 1 identical → all ties resolve
+    # to cid 0 → cid 1 starves). Since round 5, `pq_train`
+    # RE-DENSIFIES cids after every Lloyd round, so the codebook that
+    # lost a cluster still has contiguous cids 0..n-1 (cid ≡ position)
+    # and the O(1) positional ADC lookup stays exact — pinned here on
+    # the emptied-cluster fixture.
     from mapreduce_project_spark.operators.similarity import (
         pq_encode,
         pq_train,
@@ -239,10 +240,14 @@ def test_pq_adc_correct_with_codebook_cid_gaps(spark):
         {r["cid"]: r["cv"] for r in b.collect()}
         for b in pq_train(df, "vec_id", "embedding", dim, m, k, iters=1)
     ]
-    # the regression precondition: at least one codebook has a cid gap
-    assert any(
-        sorted(b) != list(range(len(b))) for b in books
-    ), f"fixture no longer produces cid gaps: {[sorted(b) for b in books]}"
+    # the regression preconditions: at least one codebook actually
+    # LOST a cluster, and every codebook is nonetheless dense
+    assert any(len(b) < k for b in books), (
+        f"fixture no longer empties a cluster: {[sorted(b) for b in books]}"
+    )
+    assert all(sorted(b) == list(range(len(b))) for b in books), (
+        f"codebook cids not re-densified: {[sorted(b) for b in books]}"
+    )
     codes = {}
     for r in pq_encode(df, "vec_id", "embedding", dim, m, k, iters=1).collect():
         codes.setdefault(r["id"], {})[r["subspace"]] = r["code"]
