@@ -155,6 +155,18 @@ def q_events_sessions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a per-group ``applyInPandas`` pays pandas frame overhead per user
     (~9x slower on 10k user groups; same trick as the facade reduce,
     `mapreduce.py` reduce_stage)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_partitionwise(ev)
+
+
+def sessionize_partitionwise(ev: DataFrame) -> DataFrame:
+    """Gap-based (30 min) sessionization of a (user_id, ts) frame as
+    imperative pandas code over hash-partitioned complete user groups —
+    the reusable body of `events_sessions_pandas` (also driven by the
+    hot-key skew stress in tests/test_skew_and_tokens.py). A single
+    pathological user's timeline lands on ONE task here; at extreme
+    skew route to the declarative twin (`events_sessions` /
+    gaps-and-islands window), which AQE can split."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -179,7 +191,6 @@ def q_events_sessions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.index.names = ["user_id", "_session"]
         yield out.reset_index()[["user_id", "session_start", "n_events"]]
 
-    ev = t(spark, sf_dir, "events").select("user_id", "ts")
     return ev.repartition("user_id").mapInPandas(
         sessionize_partition, "user_id long, session_start string, n_events long"
     )
@@ -957,9 +968,20 @@ def q_cogroup_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     arithmetic only. The declarative twin IS the oracle's interval
     join — at scale prefer it (`interval_join`); cogroup is the escape
     hatch when per-key logic won't factor into joins/windows."""
+    ev = t(spark, sf_dir, "events")
+    return quick_purchases_cogrouped(ev)
+
+
+def quick_purchases_cogrouped(ev: DataFrame) -> DataFrame:
+    """Count purchases within one hour after a view, per user, via
+    cogrouped ``applyInPandas`` — the reusable body of
+    `cogroup_view_purchase_pairs` (also driven by the hot-key skew
+    stress in tests/test_skew_and_tokens.py). One pathological user's
+    two timelines land on ONE task; at extreme skew route to the
+    declarative `interval_join` twin (the oracle), which AQE can
+    skew-split."""
     import pandas as pd
 
-    ev = t(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.unix_micros("ts").alias("us")
     )

@@ -261,3 +261,106 @@ def test_bm25_scores_are_pure_function_of_integer_stats(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gid, gs), (wid, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
+
+
+def test_hot_key_keyed_udf_paths_under_skew(spark):
+    # VERDICT r4 task 6: plant a hot key (one user owning ~30-39% of
+    # all events) and drive the three keyed-Python-UDF paths —
+    # partition-wise pandas sessionization, cogrouped quick-purchase
+    # pairing, and the exact EWMA recursion. The pin is twofold:
+    # (1) results stay EXACT under skew (vs the declarative twin /
+    # a Python replay of the recursion), so the escape hatch — routing
+    # a pathologically hot key to the declarative twin, which AQE can
+    # split — is semantics-preserving; (2) the hot key is genuinely
+    # hot (fixture share asserted), so the degradation measured in
+    # SCALE.md §skew comes from this exact shape.
+    # the registry must finish loading before any plans module is
+    # imported directly (plan modules register into it at import time)
+    import mapreduce_project_spark.queries_registry  # noqa: F401
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+    from mapreduce_project_spark.sources import load_table
+    from tests.conftest import SF_DIR
+    from mapreduce_project_spark.plans.events_queries import (
+        quick_purchases_cogrouped,
+        sessionize_partitionwise,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 < 3, F.lit(7)).otherwise(F.col("user_id")),
+    ).cache()
+    total = skewed.count()
+    hot = skewed.filter(F.col("user_id") == 7).count()
+    assert hot / total >= 0.25, f"fixture lost its hot key ({hot}/{total})"
+
+    # (1) sessions: imperative pandas path ≡ declarative
+    # gaps-and-islands twin on the skewed input
+    skewed.createOrReplaceTempView("sk_events")
+    twin = spark.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN unix_millis(ts) - lag(unix_millis(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM sk_events),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+        """
+    )
+    got = {tuple(r) for r in sessionize_partitionwise(
+        skewed.select("user_id", "ts")).collect()}
+    want = {tuple(r) for r in twin.collect()}
+    assert got == want and got
+
+    # (2) cogroup quick-purchase pairs ≡ declarative interval join
+    got_pairs = {
+        tuple(r) for r in quick_purchases_cogrouped(skewed).collect()
+    }
+    v = skewed.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    ).alias("e")
+    p = skewed.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    ).alias("p")
+    want_pairs = {
+        tuple(r)
+        for r in v.join(
+            p,
+            (F.col("e.user_id") == F.col("p.user_id"))
+            & (F.col("p.us") > F.col("e.us"))
+            & (F.col("p.us") - F.col("e.us") <= 3_600_000_000),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_quick_purchases"))
+        .collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    # (3) EWMA recursion on the hot key ≡ a sequential Python replay
+    base = skewed.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("xc"),
+    )
+    out = {
+        (r["ts"], r["ewma_fx"])
+        for r in ewma_fixed(base, "user_id", ["ts", "event_id"], "xc", 1, 2)
+        .filter(F.col("user_id") == 7)
+        .collect()
+    }
+    rows = sorted(
+        ((r["ts"], r["event_id"], r["xc"]) for r in
+         base.filter(F.col("user_id") == 7).collect()),
+    )
+    s, want_ewma = None, set()
+    for ts, _eid, x in rows:
+        s = x if s is None else (x + s) // 2  # matches _tdiv for non-negatives
+        want_ewma.add((ts, s))
+    assert out == want_ewma and len(out) == hot
+    skewed.unpersist()

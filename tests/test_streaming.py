@@ -423,7 +423,13 @@ def test_streaming_transitions_match_batch_across_batches(spark, tmp_path):
     # file per micro-batch: transitions that straddle batch boundaries
     # exist only if the operator's state carries each user's last event
     # — the total pair multiset must equal the batch lead() answer
-    from mapreduce_project_spark.queries_registry import EXTRA_QUERIES
+    from mapreduce_project_spark.queries_registry import (
+        EXTRA_QUERIES,
+        QUERIES as _DECLARED,
+    )
+
+    # rotation-proof lookup: a query may hold a driver slot this round
+    ALL_QUERIES = {**_DECLARED, **EXTRA_QUERIES}
     from mapreduce_project_spark.streaming.events import transition_stream
 
     ev = load_table(spark, SF_DIR, "events")
@@ -461,7 +467,7 @@ def test_streaming_transitions_match_batch_across_batches(spark, tmp_path):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    want = EXTRA_QUERIES["event_transition_matrix"](spark, SF_DIR)
+    want = ALL_QUERIES["event_transition_matrix"](spark, SF_DIR)
     g = {(r["event_type"], r["next_type"]): r["n"] for r in got.collect()}
     w = {(r["event_type"], r["next_type"]): r["n"] for r in want.collect()}
     assert g == w and g
