@@ -1,0 +1,310 @@
+#!/usr/bin/env python
+"""Streaming soak (round-5 artifact): drive the three hardest stateful
+streams — `crawl_dedup_stream`, `heavy_hitters_stream`,
+`anomaly_stream` — over >=20 micro-batches each at sf0.1, KILL the
+query mid-run and RESTART it from the same checkpoint, then assert the
+final result equals the batch reference:
+
+- crawl dedup: streamed pairs + signature index == a sequential BATCH
+  replay of the same 20 crawl batches through `_crawl_dedup_batch`
+  (same deterministic code, no streaming machinery), and the original
+  corpus index files stay byte-stable;
+- heavy hitters: the final Space-Saving generation per key == exact
+  batch groupBy counts (budget >= distinct items, so zero error);
+- anomaly: the parquet-sink flag set (pre-kill rows survive the
+  restart via the file-sink commit log) == the batch scoring pass with
+  the same integer thresholds.
+
+Usage: SPARK_GRAFT_SOAK_OUT=STREAMSOAK_r5.json python scripts/stream_soak.py [sf_dir]
+Writes one JSON object; exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = os.environ.get("SPARK_GRAFT_SOAK_OUT", "STREAMSOAK_r5.json")
+N_BATCHES = 20
+KILL_AFTER = 8  # stop the query once this many micro-batches completed
+
+
+def drive_with_kill(make_query, label: str) -> dict:
+    """Start the streaming query, stop it after KILL_AFTER completed
+    micro-batches, restart from the same checkpoint, run to completion.
+    Returns run metadata. `make_query` must build a FRESH query (new
+    readStream + writeStream) each call, against the same checkpoint."""
+    t0 = time.time()
+    q = make_query()
+    killed_after = None
+    while q.isActive:
+        lp = q.lastProgress
+        if lp is not None and lp.get("batchId", -1) + 1 >= KILL_AFTER:
+            killed_after = lp["batchId"] + 1
+            q.stop()
+            break
+        time.sleep(0.05)
+    q.awaitTermination()
+    restarted = killed_after is not None
+    q2 = make_query()  # resume from the same checkpoint
+    q2.awaitTermination()
+    batches = 0
+    for p in q2.recentProgress:
+        if p.get("numInputRows", 0) >= 0:
+            batches = max(batches, p.get("batchId", -1) + 1)
+    return {
+        "label": label,
+        "killed_after_batches": killed_after,
+        "restarted": restarted,
+        "total_batches": batches,
+        "sec": round(time.time() - t0, 2),
+    }
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from mapreduce_project_spark.session import get_spark
+    from mapreduce_project_spark.sources import load_table
+
+    spark = get_spark("stream-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="soak_")
+    report: dict = {"sf_dir": SF_DIR, "n_batches_target": N_BATCHES, "streams": {}}
+    ok = True
+
+    # ---- shared event micro-batches: 20 time-ordered slices ----
+    ev = load_table(spark, SF_DIR, "events")
+    cuts = [
+        ev.selectExpr(f"percentile(unix_micros(ts), {i / N_BATCHES})").collect()[0][0]
+        for i in range(1, N_BATCHES)
+    ]
+    bounds = [float("-inf"), *cuts, float("inf")]
+    ev_src = os.path.join(work, "evsrc")
+    os.makedirs(ev_src)
+    for i in range(N_BATCHES):
+        lo, hi = bounds[i], bounds[i + 1]
+        sl = ev.filter(
+            (F.unix_micros("ts") > F.lit(lo)) & (F.unix_micros("ts") <= F.lit(hi))
+            if lo != float("-inf")
+            else (F.unix_micros("ts") <= F.lit(hi))
+        )
+        sl.coalesce(1).write.parquet(os.path.join(ev_src, f"b{i:02d}.parquet"))
+        time.sleep(0.02)  # strictly increasing mtimes => stable batch order
+
+    # ---------- 1. heavy hitters (Space-Saving), budget covers ----------
+    from mapreduce_project_spark.streaming.events import heavy_hitters_stream
+
+    hh_cols = ["event_id", "ts", "user_id", "event_type"]
+    hh_out, hh_ck = os.path.join(work, "hh_out"), os.path.join(work, "hh_ck")
+
+    def make_hh():
+        stream = (
+            spark.readStream.schema(ev.select(*hh_cols).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+            .select(*hh_cols)
+        )
+        return (
+            heavy_hitters_stream(stream, budget=4096)
+            .writeStream.format("parquet")
+            .option("path", hh_out)
+            .option("checkpointLocation", hh_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_hh, "heavy_hitters_stream")
+    rows = spark.read.parquet(hh_out).collect()
+    latest_n: dict = {}
+    for r in rows:
+        latest_n[r["event_type"]] = max(latest_n.get(r["event_type"], 0), r["n_seen"])
+    final = {
+        (r["event_type"], r["item"]): (r["count_est"], r["err"])
+        for r in rows
+        if r["n_seen"] == latest_n[r["event_type"]]
+    }
+    truth = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    hh_match = (
+        set(final) == set(truth)
+        and all(final[k] == (truth[k], 0) for k in truth)
+    )
+    meta.update(
+        {"final_rows": len(final), "exact_match_vs_batch": hh_match}
+    )
+    report["streams"]["heavy_hitters"] = meta
+    ok &= hh_match and meta["restarted"]
+
+    # ---------- 2. anomaly flags (EWMA residual vs MAD thresholds) ----------
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+    from mapreduce_project_spark.streaming.events import anomaly_stream
+
+    evx = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+    )
+    sm = ewma_fixed(evx.withColumnRenamed("x", "xc"), "user_id", ["ts"], "xc", 1, 2)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    resid = sm.withColumn("r", F.col("x") - F.lag("ewma_fx").over(w)).filter(
+        F.col("r").isNotNull()
+    )
+    med = int(resid.selectExpr("percentile(r, 0.50)").collect()[0][0])
+    mad = int(resid.selectExpr(f"percentile(abs(r - {med}), 0.50)").collect()[0][0])
+    an_out, an_ck = os.path.join(work, "an_out"), os.path.join(work, "an_ck")
+
+    def make_an():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("x"),
+            )
+        )
+        return (
+            anomaly_stream(stream, med, mad, 5)
+            .writeStream.format("parquet")
+            .option("path", an_out)
+            .option("checkpointLocation", an_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_an, "anomaly_stream")
+    got = {
+        (r["user_id"], r["ts"], r["x"], r["resid"])
+        for r in spark.read.parquet(an_out).collect()
+    }
+    want = {
+        (r["user_id"], r["ts"], r["x"], r["resid"])
+        for r in resid.filter(F.abs(F.col("r") - med) > 5 * mad)
+        .select("user_id", "ts", "x", F.col("r").alias("resid"))
+        .collect()
+    }
+    an_match = got == want and bool(got)
+    meta.update({"flagged_rows": len(got), "match_vs_batch": an_match})
+    report["streams"]["anomaly"] = meta
+    ok &= an_match and meta["restarted"]
+
+    # ---------- 3. growing-corpus crawl dedup ----------
+    from mapreduce_project_spark.operators.dedup import minhash_index_build
+    from mapreduce_project_spark.streaming.events import (
+        _crawl_dedup_batch,
+        crawl_dedup_stream,
+        read_signature_tree,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    n_fresh = fresh.count()
+    per = max(1, n_fresh // N_BATCHES)
+    corpus_rows = corpus.orderBy("doc_id").limit(2 * N_BATCHES).collect()
+    crawl_src = os.path.join(work, "crawlsrc")
+    os.makedirs(crawl_src)
+    batch_dfs = []
+    prev_copy = None
+    fresh_rows = fresh.orderBy("doc_id").collect()
+    for i in range(N_BATCHES):
+        chunk = fresh_rows[i * per : (i + 1) * per] if i < N_BATCHES - 1 else fresh_rows[(N_BATCHES - 1) * per :]
+        rows = [(r["doc_id"], r["text"]) for r in chunk]
+        # plant a dup vs the ORIGINAL corpus index...
+        c = corpus_rows[i]
+        rows.append((2_000_000 + i, c["text"]))
+        # ...and a dup vs a doc that entered the index via the PREVIOUS
+        # micro-batch (the growing-index proof, every batch)
+        if prev_copy is not None:
+            rows.append((3_000_000 + i, prev_copy))
+        prev_copy = rows[0][1]
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        batch_dfs.append(bdf)
+        bdf.coalesce(1).write.parquet(os.path.join(crawl_src, f"b{i:02d}.parquet"))
+        time.sleep(0.02)
+
+    idx_s = os.path.join(work, "idx_stream")
+    idx_b = os.path.join(work, "idx_batch")
+    sig = minhash_index_build(corpus, "doc_id", "text", 3, 64)
+    sig.write.parquet(idx_s)
+    sig.write.parquet(idx_b)
+    orig_files = {
+        f: os.stat(os.path.join(idx_s, f)).st_mtime_ns
+        for f in os.listdir(idx_s)
+        if f.endswith(".parquet")
+    }
+    pairs_s = os.path.join(work, "pairs_stream")
+    pairs_b = os.path.join(work, "pairs_batch")
+    cd_ck = os.path.join(work, "cd_ck")
+
+    def make_cd():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(crawl_src + "/*/")
+        )
+        return crawl_dedup_stream(spark, stream, idx_s, pairs_s, cd_ck)
+
+    meta = drive_with_kill(make_cd, "crawl_dedup_stream")
+    # batch reference: the same 20 batches through the same handler,
+    # sequentially, without any streaming machinery
+    for i, bdf in enumerate(batch_dfs):
+        _crawl_dedup_batch(spark, bdf, i, idx_b, pairs_b)
+
+    def pair_set(path):
+        return {
+            (r["new_id"], r["index_id"], round(r["jac"], 9))
+            for r in read_signature_tree(spark, path).collect()
+        }
+
+    ps, pb = pair_set(pairs_s), pair_set(pairs_b)
+    idx_rows_s = read_signature_tree(spark, idx_s).count()
+    idx_rows_b = read_signature_tree(spark, idx_b).count()
+    cross_batch = sum(1 for (nid, iid, _) in ps if iid >= 1_000_000 or iid >= 2_000_000)
+    index_stable = all(
+        os.stat(os.path.join(idx_s, f)).st_mtime_ns == m for f, m in orig_files.items()
+    )
+    cd_match = ps == pb and bool(ps) and idx_rows_s == idx_rows_b and index_stable
+    meta.update(
+        {
+            "pairs": len(ps),
+            "pairs_vs_batch_replay_equal": ps == pb,
+            "cross_batch_pairs": cross_batch,
+            "index_rows": idx_rows_s,
+            "original_index_files_byte_stable": index_stable,
+        }
+    )
+    report["streams"]["crawl_dedup"] = meta
+    ok &= cd_match and meta["restarted"] and cross_batch > 0
+
+    report["all_green"] = bool(ok)
+    with open(OUT, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps(report))
+    shutil.rmtree(work, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
