@@ -426,6 +426,64 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(t(spark, sf_dir, "documents"), "doc_id", "text", 16, 2)
 
 
+@extra_query(
+    "dedup_exact_substrings",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+15], ' ')) AS dg
+      FROM toks, UNNEST(generate_series(1, len(tk) - 15)) AS t(i)
+      WHERE len(tk) >= 16
+    ),
+    f AS (SELECT dg, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY dg),
+    dup AS (
+      SELECT doc_id, pos FROM w JOIN f USING (dg)
+      WHERE doc_id * 1000000 + pos > fk
+    ),
+    cover AS (
+      SELECT DISTINCT doc_id, pos + o AS j
+      FROM dup, UNNEST(generate_series(0, 15)) AS t(o)
+    ),
+    tokpos AS (
+      SELECT doc_id, j, tk[j] AS tok
+      FROM toks, UNNEST(generate_series(1, len(tk))) AS t(j)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.j, tp.tok
+      FROM tokpos tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.j = c.j
+      WHERE c.doc_id IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY j), ' ') AS text_clean,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.text_clean, '') AS text_clean,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           CAST(len(t.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (`operators/dedup.py:
+    exact_substring_dedup`) — the Lee-et-al.-style transform that
+    `dedup_duplicate_spans` only audits: every overlapping 16-token
+    window whose content appeared earlier (corpus-wide exact integer
+    first-occurrence key) is cut, survivors rejoin in order. Digest
+    (32 B) and (id, pos) shuffles only — the text never crosses the
+    wire until the final per-doc reassembly of KEPT tokens. Output in
+    token space (doc_id, text_clean, n_kept, n_removed), fully
+    integer/string ⇒ hash-matched."""
+    from mapreduce_project_spark.operators.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 16
+    ).withColumnRenamed("id", "doc_id")
+
+
 _DSIR_BK = """
     toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents

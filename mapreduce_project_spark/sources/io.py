@@ -221,6 +221,25 @@ def write_xml(
     df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
 
 
+def read_orc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """ORC source (Spark-native) — the other columnar format legacy
+    Hive/HDFS estates hold beside parquet (A19 widening). Same
+    predicate-pushdown / column-pruning story as the parquet reader;
+    schema comes from the ORC footer."""
+    return spark.read.orc(paths)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (Spark-native, zlib-striped)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Engine-native sink. ``partition_by`` enables partition pruning for
     downstream readers — at 100 TB, partition on coarse query keys

@@ -84,6 +84,33 @@ SF1_REPS = 2
 
 # Appended verbatim after the table on every regeneration.
 FOOTNOTES = """
+## Round-5 notes: the sf≈1 decade
+
+- **`dedup_jaccard_prefix_filter` was the one genuine superlinear
+  plan** the new decade exposed: 13.1× per 10× step before the fix —
+  prefix-token document frequencies grow with the corpus, so AllPairs
+  candidates grew ~df² (measured 46k → 5.0M raw candidate-join rows on
+  the 10× corpus). Fixed twice over (`operators/dedup.py`): (1) the
+  exact PPJoin POSITIONAL filter — overlap through a matched prefix
+  row is bounded by 1 + min(sa−pa, sb−pb), rows below the required
+  ceil(t(sa+sb)/(1+t)) pruned pre-shuffle (raw rows 5.0M → 1.85M);
+  (2) shingles travel as 8-byte xxhash64 values end to end, so both
+  window shuffles, the candidate join key and the verify-stage
+  array_intersect run on bigints (verify 10.7 → ~3 s on 1.1M
+  candidates). Verified output unchanged (equivalence-to-quadratic +
+  oracles green at three SFs). sf≈1 wall 20.1 s → 10.2 s, min-over-3
+  warm ratio 6.7× per decade — the table row carries the post-fix
+  retiming.
+- **`dedup_duplicate_spans`, the round-4 suspect (5.2× on 0.01→0.1),
+  is resolved**: at the decade that matters it grows 2.4× per 10× —
+  the earlier ratio was overhead amortization, not superlinearity.
+- **`cogroup_view_purchase_pairs` at ~6-10× (run-to-run 6.0×/9.6×
+  across two quiet-machine sessions)** is the cogrouped-pandas per-key
+  overhead paying out over 10× more keys — the documented
+  capability-demo query whose scale path is the declarative
+  `interval_join` twin (see SCALE.md §skew); kept as-is by design.
+"""
+_OLD_FOOTNOTES = """
 ## Round-4 note: the two round-3 bench upticks are host noise
 
 `events_variant_stats` (0.39 s r02 → 0.64 s r03) and

@@ -226,3 +226,32 @@ def test_probe_dup_heavy_crawl_verifies_every_pair(spark):
         for r in minhash_probe_pairs(idx, crawl, "doc_id", "text").collect()
     }
     assert got == {(1000, i) for i in range(60)}
+
+
+def test_exact_substring_dedup_planted(spark):
+    # Lee-et-al-style removal semantics on a planted corpus (K=4):
+    # corpus-wide first occurrence kept; an exact copy is fully cut;
+    # a doc embedding a duplicated run loses exactly the covered
+    # tokens; in-document repeats cut the later run; short docs pass
+    # through untouched
+    from mapreduce_project_spark.operators.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo carol delta echo fox golf hotel"),
+            (2, "alpha bravo carol delta echo fox golf hotel"),  # exact copy
+            (3, "xray yankee alpha bravo carol delta zulu walt"),  # embeds run
+            (4, "tiny doc only"),  # < K tokens
+            (5, "papa quebec romeo sierra papa quebec romeo sierra"),  # in-doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in exact_substring_dedup(docs, "doc_id", "text", 4).collect()
+    }
+    assert out[1] == ("alpha bravo carol delta echo fox golf hotel", 8, 0)
+    assert out[2] == ("", 0, 8)
+    assert out[3] == ("xray yankee zulu walt", 4, 4)
+    assert out[4] == ("tiny doc only", 3, 0)
+    assert out[5] == ("papa quebec romeo sierra", 4, 4)

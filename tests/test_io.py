@@ -782,3 +782,21 @@ def test_linefile_writer_roundtrip_and_commit_protocol(spark, tmp_path):
     ).save()
     assert not os.path.exists(old_orphan), "overwrite kept a crashed job's orphan"
     assert os.path.exists(fresh_foreign)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    # A19 widening: the Hive-estate columnar format must roundtrip
+    # typed rows exactly AND serve filter pushdown like parquet
+    from mapreduce_project_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", i * 1.5, i % 3 == 0) for i in range(100)],
+        "k long, s string, v double, b boolean",
+    )
+    write_orc(df, str(tmp_path / "o"), partition_by=None)
+    back = read_orc(spark, str(tmp_path / "o"))
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    from mapreduce_project_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(back.filter("k = 7").select("s"))
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters", 1)[1][:80]
