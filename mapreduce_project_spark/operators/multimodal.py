@@ -471,29 +471,69 @@ def _png_unfilter(raw, h: int, w: int, ch: int):
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec §8.2: starting_col/row = [0,4,0,2,0,1,0]/[0,0,4,0,2,0,1],
+#  col/row_increment = [8,8,4,4,2,2,1]/[8,8,8,4,4,2,2])
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_deinterlace(raw, h: int, w: int, ch: int):
+    """Reassemble an Adam7-interlaced scanline stream: each of the 7
+    passes is an independently-filtered sub-image (its filters refer
+    to the PASS's own previous row/pixel, per spec), unfiltered with
+    the shared scanline machinery and scattered onto the full grid."""
+    import numpy as np
+
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * ch)
+        sub = _png_unfilter(raw[pos : pos + nbytes], ph, pw, ch)
+        pos += nbytes
+        out[np.ix_(np.arange(ph) * ys + y0, np.arange(pw) * xs + x0)] = sub.reshape(
+            ph, pw, ch
+        )
+    if pos != raw.size:
+        raise ValueError(
+            f"Adam7 stream has {raw.size} bytes, consumed {pos}"
+        )
+    return out.reshape(h, w * ch)
+
+
 def _decode_png(b: bytes):
     """REAL PNG decode with nothing but stdlib zlib + numpy — the
-    chunk chain is walked (IHDR → IDAT* → IEND), the concatenated IDAT
-    deflate stream is inflated, and every scanline is unfiltered per
-    its filter byte (all five spec filters). Supports the dominant
-    web/training-corpus shape: 8-bit, non-interlaced, grayscale / RGB /
-    RGBA (color types 0, 2, 6). Palette (3), 16-bit, and Adam7
-    interlacing raise NotImplementedError — they need a palette lookup
-    or pass reassembly, not a codec library, but are rare enough to
-    gate until needed. Returns (width, height, channels, raster bytes)
-    in the canonical row-major top-down layout."""
+    chunk chain is walked (IHDR → PLTE? → IDAT* → IEND), the
+    concatenated IDAT deflate stream is inflated, and every scanline
+    is unfiltered per its filter byte (all five spec filters).
+    Supports the full 8-bit spec surface: grayscale / RGB / RGBA /
+    PALETTE color types (0, 2, 3, 6 — palette indices resolve through
+    PLTE to RGB) and BOTH interlace modes (none and Adam7 — each of
+    the 7 passes unfiltered as its own sub-image then scattered onto
+    the grid). Only 16-bit depth raises — it is rare in training
+    corpora and merely needs a dtype generalization when it binds.
+    Returns (width, height, channels, raster bytes) in the canonical
+    row-major top-down layout (palette images come back as RGB)."""
     import zlib
 
     import numpy as np
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos : pos + 4], "big")
         typ = b[pos + 4 : pos + 8]
         if typ == b"IHDR":
             ihdr = b[pos + 8 : pos + 8 + ln]
+        elif typ == b"PLTE":
+            plte = b[pos + 8 : pos + 8 + ln]
         elif typ == b"IDAT":
             idat.append(b[pos + 8 : pos + 8 + ln])
         elif typ == b"IEND":
@@ -504,40 +544,39 @@ def _decode_png(b: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={ctype} interlace={interlace}: only "
-            "8-bit non-interlaced grayscale/RGB/RGBA decode is implemented"
+            f"PNG depth={depth} color_type={ctype} interlace={interlace}: 8-bit "
+            "gray/RGB/RGBA/palette with interlace 0 or Adam7 is implemented"
         )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing a well-formed PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if raw.size != h * (1 + w * ch):
-        raise ValueError(
-            f"PNG scanline stream has {raw.size} bytes, expected {h * (1 + w * ch)}"
-        )
-    return w, h, ch, _png_unfilter(raw, h, w, ch).tobytes()
+    if interlace:
+        px = _adam7_deinterlace(raw, h, w, ch)
+    else:
+        if raw.size != h * (1 + w * ch):
+            raise ValueError(
+                f"PNG scanline stream has {raw.size} bytes, expected {h * (1 + w * ch)}"
+            )
+        px = _png_unfilter(raw, h, w, ch)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return w, h, 3, pal[idx].reshape(h, w * 3).tobytes()
+    return w, h, ch, px.tobytes()
 
 
-def png_encode(raster: bytes, w: int, h: int, ch: int = 3, filter_type=None) -> bytes:
-    """Spec-complete PNG ENCODER (stdlib zlib only): filters each
-    scanline (``filter_type`` = 0-4, a per-row callable, or None for
-    the y%5 cycle that exercises every filter arm), deflates, and emits
-    signature + IHDR/IDAT/IEND with correct CRCs. The in-query payload
-    generator for the oracle-hashed PNG roundtrip and the property
-    tests' ground-truth producer."""
-    import struct
-    import zlib
-
+def _filter_scanlines(px, h: int, w: int, ch: int, pick) -> bytearray:
+    """Apply the per-row PNG filters to a (h, w·ch) uint8 raster and
+    return the filter-byte-prefixed scanline stream (shared by the
+    sequential and the per-Adam7-pass encode paths)."""
     import numpy as np
 
-    ctype = {1: 0, 3: 2, 4: 6}[ch]
     stride = w * ch
-    px = np.frombuffer(raster, dtype=np.uint8, count=h * stride).reshape(h, stride)
-    pick = (
-        (lambda y: y % 5)
-        if filter_type is None
-        else (filter_type if callable(filter_type) else (lambda y: filter_type))
-    )
     lines = bytearray()
     zero = np.zeros(ch, dtype=np.int32)
     for y in range(h):
@@ -560,6 +599,75 @@ def png_encode(raster: bytes, w: int, h: int, ch: int = 3, filter_type=None) -> 
             raise ValueError(f"invalid PNG filter type {ft}")
         lines.append(ft)
         lines.extend((filt % 256).astype(np.uint8).tobytes())
+    return lines
+
+
+def png_encode(
+    raster: bytes,
+    w: int,
+    h: int,
+    ch: int = 3,
+    filter_type=None,
+    interlace: bool = False,
+    palette: bool = False,
+) -> bytes:
+    """Spec-complete 8-bit PNG ENCODER (stdlib zlib only): filters each
+    scanline (``filter_type`` = 0-4, a per-row callable, or None for
+    the y%5 cycle that exercises every filter arm), deflates, and emits
+    signature + IHDR/(PLTE)/IDAT/IEND with correct CRCs. With
+    ``interlace`` the raster is split into the 7 Adam7 passes, each
+    filtered as its own sub-image; with ``palette`` (requires ch=3 and
+    ≤256 distinct colors) pixels are emitted as PLTE indices with the
+    palette in first-appearance order. The in-query payload generator
+    for the oracle-hashed PNG roundtrip and the property tests'
+    ground-truth producer."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pick = (
+        (lambda y: y % 5)
+        if filter_type is None
+        else (filter_type if callable(filter_type) else (lambda y: filter_type))
+    )
+    plte = b""
+    if palette:
+        if ch != 3:
+            raise ValueError("palette encode requires an RGB raster")
+        rgb = np.frombuffer(raster, dtype=np.uint8, count=h * w * 3).reshape(-1, 3)
+        colors, first, inv = np.unique(
+            rgb, axis=0, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first)  # first-appearance order, deterministic
+        if colors.shape[0] > 256:
+            raise ValueError(f"palette encode needs <=256 colors, got {colors.shape[0]}")
+        rank = np.empty(colors.shape[0], dtype=np.uint8)
+        rank[order] = np.arange(colors.shape[0], dtype=np.uint8)
+        px = rank[inv].reshape(h, w)
+        plte = colors[order].tobytes()
+        ctype, ech = 3, 1
+    else:
+        ctype, ech = {1: 0, 3: 2, 4: 6}[ch], ch
+        px = np.frombuffer(raster, dtype=np.uint8, count=h * w * ch).reshape(
+            h, w * ch
+        )
+
+    if interlace:
+        grid = px.reshape(h, w, ech)
+        lines = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = grid[y0::ys, x0::xs]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            lines.extend(
+                _filter_scanlines(
+                    np.ascontiguousarray(sub).reshape(ph, pw * ech), ph, pw, ech, pick
+                )
+            )
+    else:
+        lines = _filter_scanlines(px, h, w, ech, pick)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -569,13 +677,11 @@ def png_encode(raster: bytes, w: int, h: int, ch: int = 3, filter_type=None) -> 
             + struct.pack(">I", zlib.crc32(typ + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
 
 
 def _decode_wav(b: bytes):
@@ -621,10 +727,11 @@ def decode_media(
     doesn't define them; ``data`` is the canonical decoded bytes.
 
     PNG payloads decode for REAL too (`_decode_png`: chunk walk, zlib
-    inflate, all five scanline filters reversed — 8-bit non-interlaced
-    gray/RGB/RGBA; palette/16-bit/Adam7 raise). Only JPEG remains a
-    documented stub — DCT entropy decode genuinely needs a codec
-    library this container lacks; swap in PIL under the same signature.
+    inflate, all five scanline filters reversed — the full 8-bit spec
+    surface: gray/RGB/RGBA/palette, interlaced or not; only 16-bit
+    depth raises). Only JPEG remains a documented stub — DCT entropy
+    decode genuinely needs a codec library this container lacks; swap
+    in PIL under the same signature.
 
     Arrow-batched ``mapInPandas``, no shuffle (the `byte_features`
     discipline: payloads decode in place, never move). Reference

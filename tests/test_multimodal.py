@@ -48,9 +48,9 @@ def test_frame_sample_matches_python(spark):
 
 def test_decode_stub_and_guard_branches_raise_cleanly(spark):
     # JPEG is the ONE remaining stub branch (DCT needs a codec lib);
-    # PNG now decodes for real, so its guards must be clean errors
-    # too: truncated chunk chain → ValueError, unsupported shapes
-    # (palette / 16-bit / Adam7) → NotImplementedError
+    # PNG now decodes the full 8-bit spec surface, so its guards must
+    # be clean errors too: truncated chunk chain → ValueError, 16-bit
+    # depth → NotImplementedError, palette without PLTE → ValueError
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
@@ -81,9 +81,44 @@ def test_decode_stub_and_guard_branches_raise_cleanly(spark):
             + chunk(b"IEND", b"")
         )
 
-    for depth, ctype, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
-        with pytest.raises(NotImplementedError, match="PNG"):
-            _decode_png(ihdr_png(depth, ctype, inter))
+    with pytest.raises(NotImplementedError, match="PNG"):
+        _decode_png(ihdr_png(16, 2, 0))
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(ihdr_png(8, 3, 0))  # palette type but no PLTE chunk
+
+
+def test_png_adam7_and_palette_roundtrip():
+    # the remaining 8-bit spec surface: Adam7 interlacing (all 7
+    # passes, independently filtered sub-images) and palette color
+    # (PLTE lookup), both property-swept and composable
+    import numpy as np
+
+    from mapreduce_project_spark.operators.multimodal import (
+        _decode_png,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(20260815)
+    for ch in (1, 3, 4):
+        for w, h in [(1, 1), (7, 13), (16, 16), (9, 2), (3, 31)]:
+            raster = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+            for ft in (0, 1, 2, 3, 4, None):
+                got = _decode_png(png_encode(raster, w, h, ch, ft, interlace=True))
+                assert got == (w, h, ch, raster), ("adam7", w, h, ch, ft)
+    for w, h in [(4, 4), (16, 8), (13, 7)]:
+        small = rng.randint(0, 5, size=(h * w, 1)).repeat(3, axis=1) * 40
+        raster = small.astype(np.uint8).tobytes()
+        for il in (False, True):
+            got = _decode_png(
+                png_encode(raster, w, h, 3, None, interlace=il, palette=True)
+            )
+            assert got == (w, h, 3, raster), ("palette", w, h, il)
+    import pytest as _pytest
+
+    big = np.arange(300, dtype=np.uint16)
+    r = np.stack([big % 256, big // 256, big * 0], axis=1).astype(np.uint8).tobytes()
+    with _pytest.raises(ValueError, match="<=256 colors"):
+        png_encode(r, 300, 1, 3, palette=True)
 
 
 def test_png_encode_decode_property_roundtrip():
