@@ -914,6 +914,123 @@ def topk_pq_adc(
     )
 
 
+def topk_ivf_pq(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    m: int = 4,
+    n_cents: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """The FULL production ANN serving composition — IVF coarse routing
+    THEN PQ/ADC scoring within the probed cells — that `topk_ivf` and
+    `topk_pq_adc` each document as "composes with the other at scale":
+    the corpus is coarse-quantized into ``n_clusters`` cells (identical
+    deterministic build to `topk_ivf`: smallest-id seeds, one Lloyd
+    step on the id%10 sample, broadcast zero-shuffle assignment) and
+    PQ-encoded to ``m`` codes (identical deterministic train/encode to
+    `pq_encode`, raw-vector codebooks — the IVF-Flat-PQ hybrid, not
+    residual PQ, keeping both stages independently oracle-replayable);
+    each query probes its ``n_probe`` nearest cells and scores ONLY
+    those cells' rows via the O(1) positional ADC lookups.
+
+    Cost per query: O(N·n_probe/n_clusters) rows touched × m array
+    reads over 2-byte codes — the two multiplicative savings (routing
+    × compression) a petabyte vector store actually stacks. Everything
+    broadcasts except the corpus scan; the only wide exchange is the
+    final per-query top-k window over candidate rows.
+
+    Deterministic end to end ⇒ hash-matched by an SQL oracle that
+    replays coarse build + PQ train + routing + ADC verbatim. Output:
+    (query_id, neighbor_id, rk, dist) — approximate by construction
+    (cell miss + quantization error); recall floor pinned in tests."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    base = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+
+    # coarse quantizer — identical build to topk_ivf
+    seed_w = Window.orderBy("id")
+    seed_cents = (
+        base.orderBy("id")
+        .limit(n_clusters)
+        .select((F.row_number().over(seed_w) - 1).alias("cid"), F.col("v").alias("cv"))
+    )
+    sample = base.filter(F.col("id") % 10 == 0)
+    assign0 = sample.crossJoin(F.broadcast(_cents_row(seed_cents))).select(
+        "id", "v", _nearest_cid(F.col("v")).alias("cid")
+    )
+    cents1 = cluster_centroid_means(assign0, dim).cache()
+    cells = base.crossJoin(F.broadcast(_cents_row(cents1))).select(
+        "id", "v", _nearest_cid(F.col("v")).alias("cell")
+    )
+
+    # PQ codes (2 B/vector) + cell id, one zero-shuffle projection
+    books = pq_train(df, id_col, vec_col, dim, m, n_cents, iters)
+    wide = _with_codebooks(cells, books).select(
+        "id", "cell", *[_pq_code(s, sub).alias(f"c{s}") for s in range(m)]
+    )
+
+    # per-query probe set + ADC tables, all broadcast
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qscored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            sq_dist(F.col("qv"), c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(_cents_row(cents1)))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.slice(F.array_sort(qscored), 1, n_probe)).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("cell"))
+    )
+
+    def _dq(s: int) -> Column:
+        qsv = F.slice(F.col("qv"), s * sub + 1, sub)
+        return F.transform(
+            F.col(f"_cb{s}"),
+            lambda c: F.struct(
+                c.getField("cid").alias("cid"),
+                sq_dist(qsv, c.getField("cv")).alias("d"),
+            ),
+        ).alias(f"dq{s}")
+
+    qtab = _with_codebooks(qprobe, books).select(
+        "query_id", "cell", *[_dq(s) for s in range(m)]
+    )
+    cand = wide.join(F.broadcast(qtab), "cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    def _lookup(s: int) -> Column:
+        return F.element_at(
+            F.col(f"dq{s}"), (F.col(f"c{s}") + 1).cast("int")
+        ).getField("d")
+
+    dist = _lookup(0)
+    for s in range(1, m):
+        dist = dist + _lookup(s)
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        cand.select("query_id", F.col("id").alias("neighbor_id"), dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "dist")
+    )
+
+
 def ivf_assign_cells(
     df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
 ) -> DataFrame:

@@ -520,6 +520,130 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ64 = (
+    "list_reduce(list_transform(generate_series(1, 64),"
+    " i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x,y) -> x+y)"
+)
+
+
+def _ivfpq_oracle(m: int, k: int, iters: int, dim: int, topk: int) -> str:
+    """Unrolled DuckDB twin of `topk_ivf_pq`: the `_pq_chain` training
+    CTEs + wide codes, PLUS the IVF coarse build replayed verbatim from
+    the `similarity_topk_ivf` oracle (smallest-id seeds, one Lloyd step
+    on the id%10 sample with the shared fixed-point mean, full
+    assignment, 4-probe selection), and the ADC distance summed in the
+    fixed left-to-right order over ONLY the probed cells' rows."""
+    sub = dim // m
+    ctes, sq, _finals = _pq_chain(m, k, iters, dim)
+    for s in range(m):
+        ctes.append(
+            f"""enc_{s} AS (
+      SELECT id, cid FROM (
+        SELECT b.id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {sq.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base_{s} b CROSS JOIN cents{iters}_{s} c
+      ) WHERE rk = 1)"""
+        )
+    joins = " ".join(f"JOIN enc_{s} e{s} USING (id)" for s in range(1, m))
+    code_cols = ", ".join(
+        ["e0.cid AS c0"] + [f"e{s}.cid AS c{s}" for s in range(1, m)]
+    )
+    ctes.append(f"codes AS (SELECT id, {code_cols} FROM enc_0 e0 {joins})")
+    # IVF coarse build (identical CTE chain to the topk_ivf oracle)
+    ctes.append(
+        """ivf_seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, fv AS cv
+      FROM (SELECT * FROM baseF ORDER BY id LIMIT 16))"""
+    )
+    ctes.append(
+        f"""ivf_a0 AS (
+      SELECT id, fv, cid FROM (
+        SELECT s.id, s.fv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.id
+                 ORDER BY {_SQ64.format(a='s.fv', b='c.cv')}, c.cid) AS rk
+        FROM (SELECT * FROM baseF WHERE id % 10 = 0) s CROSS JOIN ivf_seeds c
+      ) WHERE rk = 1)"""
+    )
+    ctes.append(
+        f"""ivf_c1 AS (
+      SELECT cid, list(val ORDER BY dim) AS cv FROM (
+        SELECT cid, i - 1 AS dim,
+               CAST(SUM(CAST(floor(fv[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                 / COUNT(fv[i]) AS val
+        FROM ivf_a0, (SELECT unnest(generate_series(1, {dim})) AS i)
+        GROUP BY cid, i
+      ) GROUP BY cid)"""
+    )
+    ctes.append(
+        f"""cellsq AS (
+      SELECT id, cell FROM (
+        SELECT b.id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {_SQ64.format(a='b.fv', b='c.cv')}, c.cid) AS rk
+        FROM baseF b CROSS JOIN ivf_c1 c
+      ) WHERE rk = 1)"""
+    )
+    ctes.append("qs AS (SELECT id AS query_id, fv FROM baseF WHERE id < 10)")
+    ctes.append(
+        f"""probesq AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_SQ64.format(a='q.fv', b='c.cv')}, c.cid) AS rk
+        FROM qs q CROSS JOIN ivf_c1 c
+      ) WHERE rk <= 4)"""
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(
+            f"""dq_{s} AS (
+      SELECT q.query_id, c.cid,
+             {sq.format(a=f'q.fv[{lo}:{hi}]', b='c.cv')} AS d
+      FROM qs q CROSS JOIN cents{iters}_{s} c)"""
+        )
+    dsum = " + ".join(f"d{s}.d" for s in range(m))
+    djoins = " ".join(
+        f"JOIN dq_{s} d{s} ON d{s}.query_id = p.query_id AND d{s}.cid = x.c{s}"
+        for s in range(m)
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT p.query_id, x.id AS neighbor_id, {dsum} AS dist
+      FROM probesq p
+      JOIN cellsq l ON l.cell = p.cell
+      JOIN codes x ON x.id = l.id AND x.id <> p.query_id {djoins})"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {topk}
+    """
+    )
+
+
+@extra_query("similarity_topk_ivfpq", _ivfpq_oracle(4, 16, 1, 64, 5))
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ANN serving composition — IVF coarse routing THEN
+    PQ/ADC scoring inside the probed cells
+    (`operators/similarity.py:topk_ivf_pq`): the two multiplicative
+    savings a petabyte vector store stacks (touch N·n_probe/n_clusters
+    rows, read 2 bytes/vector). Both stages reuse their independently
+    driver-proven deterministic builds, so the ENTIRE composition is
+    hash-matched by an oracle that replays coarse build + PQ train +
+    routing + fixed-order ADC verbatim; recall floor vs exact brute
+    force pinned in tests/test_similarity.py."""
+    from mapreduce_project_spark.operators.similarity import topk_ivf_pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    return topk_ivf_pq(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    )
+
+
 _MRR_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (

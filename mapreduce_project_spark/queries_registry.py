@@ -339,7 +339,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
 # decoder proof), dedup_exact_substrings (D158, Lee-et-al exact-
-# substring removal), plus the rest of the never-checked backlog the
+# substring removal), similarity_topk_ivfpq (D159, the composed
+# IVF->PQ serving path), plus the rest of the never-checked backlog the
 # round-5 wave didn't fit (bm25_search stays pytest-tolerance-only).
 
 for _out, _in in _ROTATION_WAVES:

@@ -323,3 +323,37 @@ def test_ivf_index_upsert_incremental(spark, tmp_path):
         cid = int(cell.split("=")[1])
         if cid not in touched:
             assert sorted(os.listdir(os.path.join(path, cell))) == files
+
+
+def test_ivfpq_quality_floor(spark):
+    # IVF->PQ composition is doubly approximate (cell miss on top of
+    # quantization), so the honest pin mirrors test_pq_adc_quality_floor:
+    # its top-5 must land inside the exact squared-L2 top-50 well above
+    # the 5% chance baseline. (The routing contract itself — neighbors
+    # only from probed cells — is already bit-pinned by the SQL oracle,
+    # whose scored CTE joins through probesq.)
+    import numpy as np
+
+    from mapreduce_project_spark.operators.similarity import topk_ivf_pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    top50 = {}
+    for qi in np.where(ids < 10)[0]:
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        top50[ids[qi]] = set(ids[np.lexsort((ids, d))[:50]].tolist())
+
+    out = topk_ivf_pq(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    ).collect()
+    got = {}
+    for r in out:
+        assert r["dist"] is not None
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(top50)
+    n = sum(len(v) for v in got.values())
+    hit = sum(len(got[q] & top50[q]) for q in got) / n
+    assert hit >= 0.3, f"IVFPQ top-5 within exact top-50 only {hit}"
