@@ -914,6 +914,75 @@ def topk_pq_adc(
     )
 
 
+def _sq8(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(out_id, q array<bigint>, n bigint) — symmetric max-abs int8
+    quantization (the `embedding_quantize_int8` formula) plus the
+    integer self-dot ``n = Σ qᵢ²``. Zero vectors are excluded (same
+    contract as the quantize query)."""
+    mx = F.array_max(F.transform(vec_col, lambda c: F.abs(c.cast("double"))))
+    q = F.transform(
+        vec_col,
+        lambda c: F.floor((c.cast("double") * F.lit(127.0)) / F.col("_mx") + F.lit(0.5))
+        .cast("bigint"),
+    )
+    qd = df.select(F.col(id_col).alias(out_id), F.col(vec_col), mx.alias("_mx")).filter(
+        F.col("_mx") > 0
+    ).select(out_id, q.alias("q"))
+    n = F.aggregate(
+        F.zip_with("q", "q", lambda x, y: x * y), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return qd.select(out_id, "q", n.alias("n"))
+
+
+def topk_sq8(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Scalar-quantized (int8) brute-force top-k — the 4× bandwidth cut
+    of `embedding_quantize_int8` turned into a SEARCH path: both sides
+    quantize symmetrically (per-vector max-abs scale), and because the
+    per-vector scales cancel inside the cosine, the score is
+    ``Σ qaᵢ·qbᵢ / (√Σqaᵢ² · √Σqbᵢ²)`` — an INTEGER dot product and two
+    integer self-dots (exact BIGINT folds, order-independent) under
+    ONE pinned float expression per pair. That makes a brute-force ANN
+    scan hash-matchable bit-for-bit by a SQL oracle, which neither
+    float-dot brute force (`topk_bruteforce`, fold-order-pinned but
+    float) nor most ANN paths can claim so cheaply.
+
+    Scale shape: queries broadcast with their quantized arrays; the
+    corpus scan reads int8-sized codes (here bigint arrays for engine
+    arithmetic — a production sink stores the 1-byte codes), zero
+    shuffle before the per-query top-k window. Composes with IVF
+    routing exactly like the PQ scan. Output:
+    (query_id, neighbor_id, rk, qcos)."""
+    from pyspark.sql import Window
+
+    corpus = _sq8(df, id_col, vec_col, "id")
+    qs = _sq8(queries, id_col, vec_col, "query_id").withColumnRenamed(
+        "q", "qq"
+    ).withColumnRenamed("n", "nq")
+    dot = F.aggregate(
+        F.zip_with("q", "qq", lambda x, y: x * y), F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    qcos = dot.cast("double") / (
+        F.sqrt(F.col("n").cast("double")) * F.sqrt(F.col("nq").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "neighbor_id")
+    return (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), qcos.alias("qcos"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", "qcos")
+    )
+
+
 def topk_ivf_pq(
     df: DataFrame,
     queries: DataFrame,

@@ -1285,3 +1285,83 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+_TWAP_ORACLE = """
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, day, cents, us,
+             lead(us) OVER (PARTITION BY user_id, day ORDER BY us) AS next_us
+      FROM s
+    ),
+    agg AS (
+      SELECT user_id, day,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(CASE WHEN next_us IS NULL THEN 0
+                           ELSE cents * (next_us - us) END) AS BIGINT) AS wsum,
+             CAST(max(us) - min(us) AS BIGINT) AS span_us,
+             min(cents) AS first_only
+      FROM seq GROUP BY user_id, day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_samples, span_us,
+           CASE WHEN span_us = 0 THEN CAST(first_only AS DOUBLE) / 100.0
+                ELSE CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0
+           END AS twap
+    FROM agg
+    """
+
+
+@extra_query("events_twap_daily", _TWAP_ORACLE)
+def q_events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average price per (user, day) — the
+    irregular-sample integral (TimescaleDB's `time_weight('LOCF')`)
+    that a plain AVG gets wrong whenever sampling is bursty: each
+    observation holds its value until the next one (left-constant
+    interpolation over [first_ts, last_ts]), so
+    ``twap = Σ cents_i·(t_{i+1}−t_i) / (t_n − t_1)``. Exactness: the
+    weighted sum is BIGINT cents × BIGINT microseconds (≤ 8.6e15 per
+    sample-day — no overflow), so the only float is the final one
+    pinned division per output row; a single-sample day (span 0)
+    degenerates to the sample itself. One (user, day)-keyed window +
+    one partial-agg shuffle of four integers; values never shuffle
+    twice. Unique corpus timestamps make the lead() order total."""
+    from pyspark.sql import Window
+
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us")
+    seq = s.withColumn("next_us", F.lead("us").over(w))
+    agg = seq.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(
+            F.when(F.col("next_us").isNull(), F.lit(0)).otherwise(
+                F.col("cents") * (F.col("next_us") - F.col("us"))
+            )
+        )
+        .cast("bigint")
+        .alias("wsum"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+        F.min("cents").alias("first_only"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_samples",
+        "span_us",
+        F.when(
+            F.col("span_us") == 0, F.col("first_only").cast("double") / F.lit(100.0)
+        )
+        .otherwise(
+            F.col("wsum").cast("double") / F.col("span_us").cast("double") / F.lit(100.0)
+        )
+        .alias("twap"),
+    )

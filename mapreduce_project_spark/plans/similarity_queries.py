@@ -644,6 +644,54 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_ORACLE = """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0)
+               / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+               + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+    ),
+    z AS (
+      SELECT vec_id, q,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> q[i] * q[i]), (x, y) -> x + y) AS n
+      FROM qz
+    ),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(list_reduce(list_transform(generate_series(1, 64),
+                    i -> a.q[i] * b.q[i]), (x, y) -> x + y) AS DOUBLE)
+             / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS qcos
+      FROM z a JOIN z b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk, qcos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qcos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
+@extra_query("similarity_topk_sq8", _SQ8_ORACLE)
+def q_similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized top-5 search
+    (`operators/similarity.py:topk_sq8`): the D82 quantization turned
+    into a serving path — per-vector max-abs scales CANCEL inside the
+    cosine, so the score is an exact INTEGER dot over int8 codes under
+    one pinned float expression, and the whole brute-force scan
+    hash-matches its SQL oracle bit-for-bit. Queries broadcast; the
+    corpus scan reads codes only; composes with IVF routing like the
+    PQ scan. Quality vs float cosine pinned in tests (int8
+    quantization preserves neighbor order far better than PQ's 16
+    centroids/subspace)."""
+    from mapreduce_project_spark.operators.similarity import topk_sq8
+
+    emb = t(spark, sf_dir, "embeddings")
+    return topk_sq8(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5)
+
+
 _MRR_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (

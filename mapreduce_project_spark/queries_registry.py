@@ -340,7 +340,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
 # decoder proof), dedup_exact_substrings (D158, Lee-et-al exact-
 # substring removal), similarity_topk_ivfpq (D159, the composed
-# IVF->PQ serving path), plus the rest of the never-checked backlog the
+# IVF->PQ serving path), events_twap_daily (D160, time-weighted
+# average), similarity_topk_sq8 (D161, int8 search scan), plus the rest of the never-checked backlog the
 # round-5 wave didn't fit (bm25_search stays pytest-tolerance-only).
 
 for _out, _in in _ROTATION_WAVES:

@@ -357,3 +357,24 @@ def test_ivfpq_quality_floor(spark):
     n = sum(len(v) for v in got.values())
     hit = sum(len(got[q] & top50[q]) for q in got) / n
     assert hit >= 0.3, f"IVFPQ top-5 within exact top-50 only {hit}"
+
+
+def test_sq8_search_recall_vs_float_bruteforce(spark):
+    # int8 symmetric quantization perturbs each component by <= 1/254
+    # of the vector's max-abs, so neighbor ORDER should survive almost
+    # everywhere — unlike PQ's 16-centroids-per-subspace. Pin a high
+    # recall@5 floor vs the exact float brute force, plus the
+    # monotonic-sanity that qcos stays within [-1, 1].
+    from mapreduce_project_spark.operators.similarity import topk_sq8
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(emb, queries, "vec_id", "embedding", 5).collect()
+    }
+    rows = topk_sq8(emb, queries, "vec_id", "embedding", 5).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert all(-1.0 - 1e-9 <= r["qcos"] <= 1.0 + 1e-9 for r in rows)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall@5 {recall} below floor"
