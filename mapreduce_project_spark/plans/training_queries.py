@@ -1083,3 +1083,56 @@ def q_assemble_training_set_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text_deduped")).cast("bigint").alias("n_tok")
     )
     return length_bucketed_batches(sized, "doc_id", "n_tok", 8, 64)
+
+
+_LEAKSAFE_ORACLE = f"""
+    WITH RECURSIVE jac AS ({_JACCARD_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jac
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_key,
+           CASE WHEN substr(md5(CAST(COALESCE(c.rep, d.doc_id) AS VARCHAR)), 1, 8)
+                     < '20000000'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+@extra_query("train_test_split_leakage_safe", _LEAKSAFE_ORACLE)
+def q_train_test_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split — the dedup-aware version of D28
+    that evaluation hygiene actually requires: a near-duplicate of a
+    test document sitting in train leaks the answer, so the split key
+    is the document's near-dup CLUSTER representative (D27's connected
+    components over MinHash-verified pairs), not the document id —
+    every near-dup cluster lands wholly in one split by construction;
+    unclustered documents fall back to their own id (identical
+    assignment to the naive split). Same md5-bucket determinism and
+    growth-stability as `train_test_split`; the cluster join is the
+    only addition (id-keyed, cluster table ≪ corpus). The oracle
+    composes the D27 recursive-CTE components with the split CASE;
+    the straddle-prevention property is pinned in
+    tests/test_training.py."""
+    docs = t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "doc_id", "text").select("doc_id", "rep_id")
+    keyed = (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id", "left")
+        .withColumn(
+            "rep_key", F.coalesce(F.col("rep_id"), F.col("doc_id")).cast("bigint")
+        )
+        .drop("rep_id")
+    )
+    return hash_split(keyed, "rep_key", 0.125).select(
+        "doc_id", "source", "rep_key", "split"
+    )

@@ -393,3 +393,59 @@ def test_dsir_rank_key_is_partition_invariant(spark):
     # ids tiebreak ascending within equal weight
     ids = [i for (i, _) in r32]
     assert ids == sorted(ids)
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    # the whole point of the cluster-keyed split: every near-dup
+    # cluster must land in exactly ONE split. Planted fixture: pairs
+    # of near-identical docs engineered so the NAIVE doc_id-keyed
+    # split provably straddles at least one of them (the leak this
+    # operator exists to prevent), while the leakage-safe split never
+    # does; unclustered docs must keep their naive assignment.
+    import hashlib
+
+    from mapreduce_project_spark.operators.dedup import dedup_clusters
+    from mapreduce_project_spark.operators.sampling import hash_split
+    from mapreduce_project_spark.queries_registry import EXTRA_QUERIES, QUERIES
+
+    def bucket(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8] < "20000000"
+
+    base = (
+        "alpha bravo carol delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    # find an id pair (a, a+1) whose naive buckets DIFFER
+    a = next(i for i in range(0, 10000, 2) if bucket(i) != bucket(i + 1))
+    rows = [(a, base + " uniform"), (a + 1, base + " victor")]  # near-dups
+    # plus isolated docs with distinct text (no pairs)
+    words = ["whiskey", "xray", "yankee", "zulu", "apple", "berry"]
+    for j, w in enumerate(words):
+        rows.append((5000 + j, " ".join(f"{w}{c}" for c in "abcdefghijklmnop")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    docs.createOrReplaceTempView("lk_docs")
+
+    clusters = dedup_clusters(docs, "doc_id", "text").select("doc_id", "rep_id")
+    cl = {r["doc_id"]: r["rep_id"] for r in clusters.collect()}
+    assert cl.get(a) == a and cl.get(a + 1) == a, f"planted pair not clustered: {cl}"
+
+    keyed = (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id", "left")
+        .withColumn("rep_key", F.coalesce(F.col("rep_id"), F.col("doc_id")))
+        .drop("rep_id")
+    )
+    safe = {r["doc_id"]: r["split"] for r in hash_split(keyed, "rep_key").collect()}
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    # the naive split leaks: the planted near-dup pair straddles
+    assert naive[a] != naive[a + 1]
+    # the safe split does not, and matches the cluster rep's bucket
+    assert safe[a] == safe[a + 1] == ("test" if bucket(a) else "train")
+    # unclustered docs keep their naive assignment
+    for j in range(len(words)):
+        assert safe[5000 + j] == naive[5000 + j]
