@@ -1682,3 +1682,69 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
         F.expr("percentile(n_tok, 0.50)").alias("p50_tokens"),
     )
+
+
+@extra_query(
+    "doc_novelty_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS dg
+      FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS t(i)
+      WHERE len(tk) >= 8
+    ),
+    f AS (SELECT dg, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY dg),
+    j AS (
+      SELECT w.doc_id,
+             CASE WHEN f.fk // 1000000 = w.doc_id THEN 1 ELSE 0 END AS novel
+      FROM w JOIN f USING (dg)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST(SUM(novel) AS DOUBLE) / COUNT(*) AS novelty
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY score — the data-quality signal between
+    exact dedup and the drift monitor: the fraction of a document's
+    overlapping 8-token windows whose content first appears in THIS
+    document (corpus-wide exact integer first-occurrence key, the D147
+    machinery pointed at a per-doc metric instead of a span report).
+    Low novelty ⇒ the document is mostly assembled from text seen in
+    earlier documents — the continuous version of "is this a dup",
+    and the audit a curriculum/ordering decision reads. Digest-keyed
+    MIN + one digest join; the text never shuffles; all-integer
+    numerators ⇒ hash-matchable (the ratio is one division per row)."""
+    from mapreduce_project_spark.functions import tokens
+
+    K = 8
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"), tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= K)
+    wins = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {K} + 1), "
+                f"i -> struct(i AS pos, md5(concat_ws(' ', slice(tk, i, {K}))) AS dg))"
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.dg").alias("dg"))
+    wins = wins.withColumn("key", F.col("id") * 1000000 + F.col("pos"))
+    firsts = wins.groupBy("dg").agg(F.min("key").alias("fk"))
+    j = wins.join(firsts, "dg").select(
+        "id",
+        F.when(F.expr("fk div 1000000") == F.col("id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("novel"),
+    )
+    return j.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        (F.sum("novel").cast("double") / F.count(F.lit(1))).alias("novelty"),
+    ).withColumnRenamed("id", "doc_id")

@@ -342,7 +342,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # substring removal), similarity_topk_ivfpq (D159, the composed
 # IVF->PQ serving path), events_twap_daily (D160, time-weighted
 # average), similarity_topk_sq8 (D161, int8 search scan),
-# train_test_split_leakage_safe (D162, cluster-keyed split), plus the rest of the never-checked backlog the
+# train_test_split_leakage_safe (D162, cluster-keyed split),
+# doc_novelty_scores (D163, per-doc novelty). plus the rest of the never-checked backlog the
 # round-5 wave didn't fit (bm25_search stays pytest-tolerance-only).
 
 for _out, _in in _ROTATION_WAVES:

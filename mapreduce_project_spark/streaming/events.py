@@ -594,3 +594,61 @@ def heavy_hitters_stream(events: DataFrame, budget: int = 64) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def twap_stream(events: DataFrame) -> DataFrame:
+    """Streaming time-weighted average — the stateful twin of the
+    batch `events_twap_daily` integral: per (user_id, day) the carried
+    state is (first_us, last_us, last_cents, wsum, n), so the
+    left-constant-interpolation sum ``Σ cents_i·(t_{i+1}−t_i)``
+    continues seamlessly across micro-batch boundaries (the held value
+    from the previous batch's LAST sample is charged for the gap up to
+    the next batch's first — exactly what a frame-based window cannot
+    carry). Same in-order-arrival contract as `ewma_stream`/
+    `transition_stream` (per-key event-time order across batches; the
+    standard LOCF-stream caveat). Emits one generation-tagged summary
+    row per key per batch — "the TWAP as of now" = the max-``n_seen``
+    generation, the `heavy_hitters_stream` reporting convention — so
+    the final generation equals the batch query exactly (pinned in
+    tests/test_streaming.py). All state is integer; the emitted twap
+    is the same one pinned division as the batch twin."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, day string, n_seen long, span_us long, twap double"
+    )
+    state_schema = "first_us long, last_us long, last_cents long, wsum long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("us")
+        if state.exists:
+            first_us, last_us, last_cents, wsum, n = (int(v) for v in state.get)
+        else:
+            first_us = last_us = last_cents = wsum = n = None
+        for us, cents in zip(rows["us"], rows["cents"]):
+            us, cents = int(us), int(cents)
+            if n is None:
+                first_us, last_us, last_cents, wsum, n = us, us, cents, 0, 1
+            else:
+                wsum += last_cents * (us - last_us)
+                last_us, last_cents, n = us, cents, n + 1
+        state.update((first_us, last_us, last_cents, wsum, n))
+        span = last_us - first_us
+        twap = (last_cents / 100.0) if span == 0 else (wsum / span / 100.0)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "day": [key[1]],
+                "n_seen": [n],
+                "span_us": [span],
+                "twap": [twap],
+            }
+        )
+
+    return events.groupBy("user_id", "day").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

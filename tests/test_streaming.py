@@ -880,3 +880,65 @@ def test_heavy_hitters_stream_guarantees_small_budget(spark, tmp_path):
     for (etype, item), t in truth.items():
         if t > totals[etype] / budget:
             assert item in per_key_monitored[etype], (etype, item, t)
+
+
+def test_streaming_twap_matches_batch(spark, tmp_path):
+    # the LOCF integral must carry (last_us, last_cents, wsum) across
+    # micro-batch boundaries: 3 time-sliced batches through twap_stream,
+    # final generation per (user, day) == the batch events_twap_daily
+    from mapreduce_project_spark.queries_registry import (
+        EXTRA_QUERIES,
+        QUERIES as _DECLARED,
+    )
+    from mapreduce_project_spark.streaming.events import twap_stream
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    t1, t2 = ev.selectExpr(
+        "percentile(us, 0.33)", "percentile(us, 0.66)"
+    ).collect()[0]
+    src = tmp_path / "twapsrc"
+    src.mkdir()
+    parts = [
+        ev.filter(F.col("us") <= t1),
+        ev.filter((F.col("us") > t1) & (F.col("us") <= t2)),
+        ev.filter(F.col("us") > t2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        twap_stream(stream)
+        .writeStream.format("memory")
+        .queryName("twap_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "twapckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("twap_s").collect()
+    latest = {}
+    for r in rows:
+        k = (r["user_id"], r["day"])
+        if k not in latest or r["n_seen"] > latest[k]["n_seen"]:
+            latest[k] = r
+    got = {
+        k: (r["n_seen"], r["span_us"], r["twap"]) for k, r in latest.items()
+    }
+    want = {
+        (r["user_id"], r["day"]): (r["n_samples"], r["span_us"], r["twap"])
+        for r in {**_DECLARED, **EXTRA_QUERIES}["events_twap_daily"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and got
