@@ -3,13 +3,16 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct; ingestion comes from the ``binaryFile`` source
 (`sources.io.read_binary_files`) or any parquet with binary columns.
-Header-level metadata decode is REAL in this container
-(`media_header_probe` parses PNG/JPEG/WAV container headers from raw
-bytes; `png_dims` does the PNG case as pure JVM codegen); only the
-pixel/sample decode needs media libraries the container lacks, so that
-single step is a clearly-marked stub (`decode_media`). Everything else
-— schemas, Arrow batch shapes, ``mapInPandas`` signatures, byte-level
-feature extraction (`byte_features`) — runs end-to-end on real bytes.
+Decode is REAL in this container, with no media libraries:
+`media_header_probe` parses PNG/JPEG/WAV container headers from raw
+bytes (`png_dims` does the PNG case as pure JVM codegen), and
+`decode_media` fully decodes PPM, 24-bit BMP, PCM WAV, the complete
+8-bit PNG spec surface (deflate + all filters + palette + Adam7 —
+stdlib zlib + numpy), and baseline JPEG (`operators/jpeg.py`: Annex K
+tables, Huffman entropy decode, dequant + IDCT + YCbCr — 4:4:4 and
+grayscale; progressive/subsampled raise cleanly). Schemas, Arrow batch
+shapes, ``mapInPandas`` signatures and byte-level feature extraction
+(`byte_features`) all run end-to-end on real bytes.
 
 Scale notes: binary payloads ride along columns — keep them OUT of
 shuffles (extract features first, join features later by id). The
@@ -726,12 +729,14 @@ def decode_media(
     bits_per_value, n_values, data) — dims/rate NULL where the modality
     doesn't define them; ``data`` is the canonical decoded bytes.
 
-    PNG payloads decode for REAL too (`_decode_png`: chunk walk, zlib
+    PNG payloads decode for REAL (`_decode_png`: chunk walk, zlib
     inflate, all five scanline filters reversed — the full 8-bit spec
     surface: gray/RGB/RGBA/palette, interlaced or not; only 16-bit
-    depth raises). Only JPEG remains a documented stub — DCT entropy
-    decode genuinely needs a codec library this container lacks; swap
-    in PIL under the same signature.
+    depth raises), and so do baseline JPEGs
+    (`operators/jpeg.py:jpeg_decode`: Annex K Huffman entropy decode,
+    dequant, exact float64 IDCT, YCbCr→RGB — 4:4:4 and grayscale;
+    progressive/subsampled/12-bit raise NotImplementedError). No codec
+    stubs remain in the decode path.
 
     Arrow-batched ``mapInPandas``, no shuffle (the `byte_features`
     discipline: payloads decode in place, never move). Reference
@@ -758,10 +763,10 @@ def decode_media(
             w, h, ch, data = _decode_png(b)
             return ("png", w, h, ch, None, 8, w * h * ch, data)
         if b[:2] == b"\xff\xd8":
-            raise NotImplementedError(
-                "JPEG DCT decode requires a codec library not present in this "
-                "container; PPM/BMP/WAV/PNG decode fully — swap in PIL here"
-            )
+            from mapreduce_project_spark.operators.jpeg import jpeg_decode
+
+            w, h, ch, data = jpeg_decode(b)
+            return ("jpeg", w, h, ch, None, 8, w * h * ch, data)
         raise ValueError(f"unrecognized media payload (magic {b[:4]!r})")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -47,22 +47,30 @@ def test_frame_sample_matches_python(spark):
 
 
 def test_decode_stub_and_guard_branches_raise_cleanly(spark):
-    # JPEG is the ONE remaining stub branch (DCT needs a codec lib);
-    # PNG now decodes the full 8-bit spec surface, so its guards must
-    # be clean errors too: truncated chunk chain → ValueError, 16-bit
-    # depth → NotImplementedError, palette without PLTE → ValueError
+    # no codec stubs remain — but every guard must still be a clean
+    # error: a header-only JPEG (no scan) → ValueError, progressive
+    # SOF2 → NotImplementedError, truncated PNG chain → ValueError,
+    # 16-bit PNG → NotImplementedError, palette without PLTE →
+    # ValueError
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
+    from mapreduce_project_spark.operators.jpeg import jpeg_decode
     from mapreduce_project_spark.operators.multimodal import _decode_png
 
     df = spark.createDataFrame(
         [(1, bytearray(_jpeg(4, 4)))], "doc_id long, payload binary"
     )
     with pytest.raises(
-        (PythonException, Py4JJavaError), match="NotImplementedError|JPEG DCT"
+        (PythonException, Py4JJavaError),
+        match="NotImplementedError|ValueError|subsampled|without a scan",
     ):
+        # header-only fixture: declares 0x00 sampling and has no scan —
+        # either guard firing is a clean, typed error
         decode_media(df).collect()
+    progressive = _jpeg(4, 4).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg_decode(progressive)
     with pytest.raises(ValueError, match="missing IHDR/IDAT"):
         _decode_png(_png(4, 4))  # header-only fixture: no IDAT
     import struct
@@ -337,3 +345,65 @@ def test_patchify_patch_bytes_consistent(spark):
         assert 0 <= r["n_real"] <= 256
         # pads are zeros: count of nonzero bytes <= n_real
         assert sum(1 for b in blob if b) <= r["n_real"]
+
+
+def test_jpeg_codec_property_envelope():
+    # JPEG is lossy, so the pin is an ERROR ENVELOPE, not equality:
+    # decode(encode(x)) within a quality-dependent bound across sizes
+    # (incl. non-multiples of 8), channels and content shapes; decode
+    # and encode are bit-deterministic
+    import numpy as np
+
+    from mapreduce_project_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(20260814)
+    cases = []
+    for w, h in [(8, 8), (32, 24), (17, 9), (7, 5), (64, 16)]:
+        xs, ys = np.linspace(0, 255, w), np.linspace(0, 255, h)
+        grad = np.clip(np.add.outer(ys, xs) / 2, 0, 255).astype(np.uint8)
+        smooth = np.stack([grad, 255 - grad, np.roll(grad, 3, axis=1)], axis=-1)
+        noise = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        cases += [(w, h, 3, smooth, 14), (w, h, 3, noise, 40)]
+        cases.append((w, h, 1, grad[..., None], 8))
+    for w, h, ch, img, bound in cases:
+        raw = img[..., :ch].tobytes()
+        enc = jpeg_encode(raw, w, h, ch, quality=95)
+        W, H, C, data = jpeg_decode(enc)
+        assert (W, H, C) == (w, h, ch)
+        got = np.frombuffer(data, dtype=np.uint8).reshape(h, w, ch).astype(int)
+        err = np.abs(got - img[..., :ch].astype(int))
+        assert err.max() <= bound, (w, h, ch, err.max(), bound)
+        # determinism, both directions
+        assert jpeg_encode(raw, w, h, ch, quality=95) == enc
+        assert jpeg_decode(enc)[3] == data
+    # lower quality compresses harder but still decodes in-range
+    raw = cases[0][3].tobytes()
+    small = jpeg_encode(raw, 8, 8, 3, quality=25)
+    assert len(small) < len(jpeg_encode(raw, 8, 8, 3, quality=95))
+    jpeg_decode(small)
+
+
+def test_jpeg_through_spark_and_header_probe_interop(spark):
+    # decode_media takes the real JPEG path end-to-end, and the
+    # INDEPENDENT header parser (media_header_probe's SOF walk) reads
+    # the encoder's markers — a second implementation agreeing on the
+    # container structure
+    import numpy as np
+
+    from mapreduce_project_spark.operators.jpeg import jpeg_encode
+    from mapreduce_project_spark.operators.multimodal import media_header_probe
+
+    xs = np.linspace(0, 255, 24)
+    grad = np.clip(np.add.outer(np.linspace(0, 255, 16), xs) / 2, 0, 255).astype(
+        np.uint8
+    )
+    rgb = np.stack([grad, grad[::-1], 255 - grad], axis=-1)
+    payload = jpeg_encode(rgb.tobytes(), 24, 16, 3, quality=92)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["format"], r["width"], r["height"], r["channels"]) == ("jpeg", 24, 16, 3)
+    assert r["n_values"] == 24 * 16 * 3 and len(bytes(r["data"])) == r["n_values"]
+    p = media_header_probe(df).collect()[0]
+    assert (p["format"], p["width"], p["height"]) == ("jpeg", 24, 16)
