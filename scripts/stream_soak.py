@@ -207,6 +207,83 @@ def main() -> int:
     report["streams"]["anomaly"] = meta
     ok &= an_match and meta["restarted"]
 
+    # ---------- 2b. streaming TWAP (LOCF integral across batches) ----------
+    from mapreduce_project_spark.streaming.events import twap_stream
+
+    evt = ev.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    tw_out, tw_ck = os.path.join(work, "tw_out"), os.path.join(work, "tw_ck")
+
+    def make_tw():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+            .select(
+                "event_id",
+                "user_id",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                F.unix_micros("ts").alias("us"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        return (
+            twap_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", tw_out)
+            .option("checkpointLocation", tw_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_tw, "twap_stream")
+    latest: dict = {}
+    for r in spark.read.parquet(tw_out).collect():
+        kk = (r["user_id"], r["day"])
+        if kk not in latest or r["n_seen"] > latest[kk][0]:
+            latest[kk] = (r["n_seen"], r["span_us"], r["twap"])
+    from pyspark.sql import Window as _W
+
+    seq = evt.withColumn(
+        "next_us", F.lead("us").over(_W.partitionBy("user_id", "day").orderBy("us"))
+    )
+    want_rows = (
+        seq.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("next_us").isNull(), F.lit(0)).otherwise(
+                    F.col("cents") * (F.col("next_us") - F.col("us"))
+                )
+            )
+            .cast("bigint")
+            .alias("wsum"),
+            (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+            F.min("cents").alias("first_only"),
+        )
+        .collect()
+    )
+    want = {}
+    for r in want_rows:
+        tw = (
+            r["first_only"] / 100.0
+            if r["span_us"] == 0
+            else r["wsum"] / r["span_us"] / 100.0
+        )
+        want[(r["user_id"], r["day"])] = (r["n"], r["span_us"], tw)
+    tw_match = latest == want and bool(latest)
+    meta.update({"keys": len(latest), "match_vs_batch": tw_match})
+    report["streams"]["twap"] = meta
+    ok &= tw_match and meta["restarted"]
+
     # ---------- 3. growing-corpus crawl dedup ----------
     from mapreduce_project_spark.operators.dedup import minhash_index_build
     from mapreduce_project_spark.streaming.events import (
