@@ -486,3 +486,63 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, channels long, sample_rate_hz long, "
         "bits_per_value long, n_values long, sample_sum long",
     )
+
+
+@extra_query("multimodal_jpeg_roundtrip", None)
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 LOSSY-codec closure: each sampled document's bytes become a
+    16-wide RGB raster, encode through the REAL baseline JPEG codec
+    (`operators/jpeg.py` — Annex K tables, Huffman entropy coding,
+    DCT), decode back, and emit integer stats of both the compressed
+    stream and the reconstruction error. JPEG is lossy, so no SQL
+    oracle can replay it — this is a rows-only determinism slot (the
+    codec is bit-deterministic end to end; the ERROR ENVELOPE is
+    pinned in tests/test_multimodal.py) — the documented weaker-check
+    class, like the streaming operators. The doc_id < 200 sample keeps
+    the pure-Python entropy coder inside sweep budgets; the Spark
+    plumbing (Arrow batches, no shuffle) is the same as the PNG/WAV
+    roundtrips. Output: (doc_id, width, height, n_jpeg_bytes,
+    max_abs_err, mean_err_x100)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from mapreduce_project_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_jpeg_bytes",
+                "max_abs_err", "mean_err_x100",
+            )}
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                b = str(txt).encode("utf-8")
+                h = max(1, -(-len(b) // 48))
+                raster = np.frombuffer(
+                    b + b"\x00" * (48 * h - len(b)), dtype=np.uint8
+                ).reshape(h, 16, 3)
+                enc = jpeg_encode(raster.tobytes(), 16, h, 3, quality=90)
+                _w, _h, _c, data = jpeg_decode(enc)
+                got = np.frombuffer(data, dtype=np.uint8).reshape(h, 16, 3)
+                err = np.abs(got.astype(int) - raster.astype(int))
+                out["doc_id"].append(int(did))
+                out["width"].append(16)
+                out["height"].append(int(h))
+                out["n_jpeg_bytes"].append(len(enc))
+                out["max_abs_err"].append(int(err.max()))
+                out["mean_err_x100"].append(int(round(err.mean() * 100)))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id long, width long, height long, n_jpeg_bytes long, "
+        "max_abs_err long, mean_err_x100 long",
+    )
