@@ -185,20 +185,29 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes, pos: int):
+    def __init__(self, data: bytes, pos: int, restart_interval: int = 0):
         self.data = data
         self.pos = pos
+        self.restart_interval = restart_interval
         self.acc = 0
         self.n = 0
         self.marker = None  # set when a non-stuffing marker interrupts
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF data byte
             elif 0xD0 <= nxt <= 0xD7:  # RSTn — handled by caller
+                if not self.restart_interval:
+                    raise ValueError(
+                        "RST marker in entropy data but DRI=0 (malformed JPEG)"
+                    )
                 self.marker = nxt
                 self.acc = (self.acc << 8) | 0
                 self.n += 8
@@ -229,9 +238,13 @@ class _BitReader:
         """Consume a pending RSTn marker and realign to a byte."""
         # drop any partial bits, skip the 2-byte marker
         self.acc, self.n = 0, 0
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream (missing RST marker)")
+            if self.data[self.pos] == 0xFF and (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                break
             self.pos += 1
         self.pos += 2
         self.marker = None
@@ -376,12 +389,18 @@ def jpeg_decode(b: bytes):
     sof = None
     restart_interval = 0
     comps_cfg = None
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry no length field
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
         ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
         body = b[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -442,7 +461,7 @@ def _decode_scan(b, pos, sof, comps_cfg, scan_tabs, qtabs, htabs, restart_interv
     H = -(-h // 8) * 8
     W = -(-w // 8) * 8
     planes = [np.zeros((H, W)) for _ in range(nc)]
-    reader = _BitReader(b, pos)
+    reader = _BitReader(b, pos, restart_interval)
     pred = [0] * nc
     n_mcu = (H // 8) * (W // 8)
     mcus_done = 0

@@ -366,8 +366,10 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are recomputed by the oracle from the TEXT alone. A wrong
     Paeth predictor, cumsum carry, or row-boundary slip breaks the
     hash for every document whose filter cycle touches that arm.
-    Same no-shuffle Arrow discipline as the PPM/WAV roundtrips; only
-    JPEG remains stubbed (DCT needs a codec library)."""
+    Same no-shuffle Arrow discipline as the PPM/WAV roundtrips. JPEG
+    has its own pure-numpy baseline codec (`operators/jpeg.py`) —
+    lossy, so it is pinned by error envelopes + bit-determinism
+    rather than an oracle hash."""
     from collections.abc import Iterator
 
     import pandas as pd

@@ -1719,12 +1719,19 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the audit a curriculum/ordering decision reads. Digest-keyed
     MIN + one digest join; the text never shuffles; all-integer
     numerators ⇒ hash-matchable (the ratio is one division per row)."""
+    return doc_novelty_frame(t(spark, sf_dir, "documents"))
+
+
+def doc_novelty_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", K: int = 8
+) -> DataFrame:
+    """Core of ``doc_novelty_scores``, factored out so the integer
+    first-occurrence key guard (id < 9e12, pos < 1e6 — hard error, not
+    silent collision) is testable on planted out-of-bounds fixtures."""
     from mapreduce_project_spark.functions import tokens
 
-    K = 8
-    docs = t(spark, sf_dir, "documents")
     base = docs.select(
-        F.col("doc_id").alias("id"), tokens(F.col("text")).alias("tk")
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk")
     ).filter(F.size("tk") >= K)
     wins = base.select(
         "id",
@@ -1735,7 +1742,23 @@ def q_doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("id", F.col("w.pos").alias("pos"), F.col("w.dg").alias("dg"))
-    wins = wins.withColumn("key", F.col("id") * 1000000 + F.col("pos"))
+    key_guard = F.when(
+        (F.col("pos") < 1000000)
+        & (F.col("id") >= 0)
+        & (F.col("id") < 9_000_000_000_000),
+        F.col("id") * 1000000 + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("doc_novelty_scores key out of bounds "
+                      "(need 0 <= id < 9e12 and pos < 1e6): id="),
+                F.col("id").cast("string"),
+                F.lit(" pos="),
+                F.col("pos").cast("string"),
+            )
+        )
+    )
+    wins = wins.withColumn("key", key_guard)
     firsts = wins.groupBy("dg").agg(F.min("key").alias("fk"))
     j = wins.join(firsts, "dg").select(
         "id",

@@ -311,6 +311,117 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "training_batches_bucketed",    # D118
         ),
     ),
+    # --- Round 6: clear the never-checked backlog (VERDICT r5 task 1).
+    # 54 oracle-equipped queries had never held a driver slot; this
+    # wave hands 46 of them their first slot (again keeping only the
+    # four sentinels). Deferred to round 7 (8 names): bm25_search
+    # (float ln render — pytest-tolerance-only by convention, never a
+    # driver slot), plus seven near-twins of already-driver-green
+    # queries: fuzzy_token_pairs (fuzzy_token_pairs_d2 green r5),
+    # asof_purchase_after_view (asof_view_before_purchase green
+    # r1-r4), cdc_latest_state / scd2_user_state (changelog family),
+    # heavy_hitters_bigrams, map_event_type_counts,
+    # multimodal_header_probe (the decode roundtrips are stronger).
+    (
+        (
+            # round-5 entrants, now all driver-proven (r5 50/50 green)
+            "tpch_q2_min_cost_supplier",
+            "tpch_q3_shipping_priority",
+            "tpch_q6_revenue_forecast",
+            "tpch_q7_volume_shipping",
+            "tpch_q8_market_share",
+            "tpch_q9_product_profit",
+            "tpch_q10_returned_items",
+            "tpch_q11_important_stock",
+            "tpch_q12_shipmode_priority",
+            "tpch_q13_customer_distribution",
+            "tpch_q14_promo_share",
+            "tpch_q15_top_supplier",
+            "tpch_q16_supplier_variety",
+            "tpch_q17_small_quantity_revenue",
+            "tpch_q18_large_orders",
+            "tpch_q19_disjunctive_brackets",
+            "tpch_q20_excess_suppliers",
+            "tpch_q21_waiting_supplier",
+            "dedup_incremental_crawl",
+            "dedup_duplicate_spans",
+            "dsir_bucket_stats",
+            "dsir_select_topk",
+            "hard_negative_mining",
+            "events_context_pairs",
+            "assemble_training_set_v4",
+            "corpus_drift_kl",
+            "multimodal_decode_roundtrip",
+            "multimodal_wav_roundtrip",
+            "bm25_stats",
+            "word_count_mr",
+            "inverted_index_mr",
+            "assemble_contrastive_pairs",
+            "events_cohort_retention",
+            "events_dau_wau",
+            "event_transition_matrix",
+            "fuzzy_token_pairs_d2",
+            "text_normalize_nfc",
+            "zipf_coverage_curve",
+            "vocab_oov_rate",
+            "corpus_manifest",
+            "histogram_equi_depth",
+            "profile_orders_columns",
+            "table_checksums",
+            "pack_contiguous",
+            "temperature_sample_sources",
+            "training_batches_bucketed",
+        ),
+        (
+            # first-ever driver slots — the backlog, 46 of 54
+            "abtest_conversion_z",            # D135
+            "argmax_order_per_segment",       # D125
+            "bpe_merge_pairs",                # D80
+            "chunk_documents",                # D87
+            "contrastive_negative_samples",   # D122
+            "corr_quantity_discount",         # D107
+            "dedup_embedding_clusters",       # D31 (round-6 LSH rewrite)
+            "dedup_exact_substrings",         # D158
+            "doc_feature_vectors",            # D116
+            "doc_novelty_scores",             # D163
+            "events_gapfill_daily",           # D103
+            "events_pseudonymized",           # D141
+            "events_sessions_dynamic_gap",    # D71
+            "events_trailing_hour",           # D47
+            "events_twap_daily",              # D160
+            "fulfillment_latency_histogram",  # D144
+            "histogram_price_equiwidth",      # D102
+            "interval_join_error_sessions",   # D69
+            "knn_join_label",                 # D34
+            "lateral_recent_orders",          # D92
+            "mad_quantity_by_flag",           # D123
+            "multimodal_downsample",          # D33
+            "multimodal_png_roundtrip",       # D157
+            "pack_sequences",                 # D29
+            "quality_weighted_sample",        # D72
+            "rollup_with_grouping_id",        # D74
+            "search_recall_at_k",             # D136
+            "search_reciprocal_rank",         # D136
+            "session_cooccurrence_lift",      # D104
+            "shortest_paths_trade",           # D106
+            "similarity_topk_ivfpq",          # D159
+            "similarity_topk_sq8",            # D161
+            "skew_profile_custkey",           # D65
+            "source_epochs",                  # D40
+            "source_mixture",                 # D38
+            "spatial_radius_join",            # D100
+            "stratified_sample",              # D30
+            "text_bigram_lm_score",           # D59
+            "text_redact_pii",                # D35
+            "text_repetition",                # D43
+            "trailing_distinct_users",        # D76
+            "train_test_split_leakage_safe",  # D162
+            "trend_revenue_by_nation",        # D124
+            "unpivot_part_metrics",           # B-surface unpivot
+            "winsorize_quantity",             # D142
+            "zscore_doc_length",              # D73
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet

@@ -9,8 +9,11 @@ Construction (copy index i = 0..9; copy 0 is the identity):
   line up only within a copy, so the union behaves like one database
   at 10× the scale factor (10× customers/orders/suppliers, same
   per-entity cardinality ratios), not like 10 overlaid duplicates;
-- ``events.ts`` shifts by ``i`` seconds (keeps corpus-wide timestamp
-  uniqueness the session/EWMA paths rely on);
+- ``events.ts`` shifts by ``i`` seconds. This keeps PER-USER timestamp
+  uniqueness (user_ids are copy-shifted, so each user's events come from
+  exactly one copy) — which is what the session/EWMA/TWAP paths key on.
+  It does NOT guarantee corpus-wide uniqueness: two base events exactly
+  1–9 seconds apart can collide across copies;
 - ``documents.text`` for copies i≥1 gets a copy-specific purely-
   alphabetic marker token inserted every 5 tokens: cross-copy texts
   drop to Jaccard ≈ 0.25 on 3-shingles, so near-dup workloads scale

@@ -126,6 +126,33 @@ not a regression; no plan change warranted.
 """
 
 
+def render_rows(results: dict[str, dict[str, float]]) -> list[str]:
+    """Markdown table rows for whatever was actually measured.
+
+    Regression shape (round-5 ADVICE): SF1-only names with NO
+    measurements (``.sf1/`` absent) must render as all-dash rows, not
+    raise KeyError after the full timing run."""
+    lines: list[str] = []
+    for name in [*QUERIES, *[q for q in SF1_QUERIES if q not in QUERIES]]:
+        r = results.get(name)
+        if r is None:
+            # SF1-only query with no .sf1/ fixture present — nothing measured.
+            lines.append(f"| {name} | — | — | — | — | — | — |")
+            continue
+        ratio = (
+            f"{r['0.1'] / r['0.01']:.2f}×"
+            if r.get("0.01") and r.get("0.1")
+            else "—"
+        )
+        s1 = f"{r['1']}" if "1" in r else "—"
+        r1 = f"{r['1'] / r['0.1']:.2f}×" if "1" in r and r.get("0.1") else "—"
+        lines.append(
+            f"| {name} | {r.get('0.001', '—')} | {r.get('0.01', '—')} | "
+            f"{r.get('0.1', '—')} | {ratio} | {s1} | {r1} |"
+        )
+    return lines
+
+
 def main() -> None:
     from mapreduce_project_spark.queries_registry import EXTRA_QUERIES, QUERIES as DQ
     from mapreduce_project_spark.session import get_spark
@@ -183,19 +210,7 @@ def main() -> None:
         "| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.01→0.1 ratio | sf≈1 s | 0.1→1 ratio |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in [*QUERIES, *[q for q in SF1_QUERIES if q not in QUERIES]]:
-        r = results[name]
-        ratio = (
-            f"{r['0.1'] / r['0.01']:.2f}×"
-            if r.get("0.01") and r.get("0.1")
-            else "—"
-        )
-        s1 = f"{r['1']}" if "1" in r else "—"
-        r1 = f"{r['1'] / r['0.1']:.2f}×" if "1" in r and r.get("0.1") else "—"
-        lines.append(
-            f"| {name} | {r.get('0.001', '—')} | {r.get('0.01', '—')} | "
-            f"{r.get('0.1', '—')} | {ratio} | {s1} | {r1} |"
-        )
+    lines.extend(render_rows(results))
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n" + FOOTNOTES)
     print("wrote SCALING.md")

@@ -255,3 +255,28 @@ def test_exact_substring_dedup_planted(spark):
     assert out[3] == ("xray yankee zulu walt", 4, 4)
     assert out[4] == ("tiny doc only", 3, 0)
     assert out[5] == ("papa quebec romeo sierra", 4, 4)
+
+
+def test_doc_novelty_key_guard_is_hard_error(spark):
+    # round-5 ADVICE: doc_novelty_scores built its first-occurrence key
+    # as id*1e6+pos with NO bounds guard — an out-of-range doc_id
+    # silently collided keys (and the oracle, doing the same
+    # arithmetic, still hash-matched — both wrong). Now it must be a
+    # hard error, same key_guard pattern as exact_substring_dedup.
+    import pytest
+
+    import mapreduce_project_spark.queries_registry  # noqa: F401 — must precede plans.*
+    from mapreduce_project_spark.plans.text_queries import doc_novelty_frame
+
+    ok = spark.createDataFrame(
+        [(1, "alpha bravo carol delta echo fox golf hotel india")],
+        "doc_id long, text string",
+    )
+    assert doc_novelty_frame(ok).count() == 1
+
+    bad = spark.createDataFrame(
+        [(9_000_000_000_001, "alpha bravo carol delta echo fox golf hotel")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="out of bounds"):
+        doc_novelty_frame(bad).collect()

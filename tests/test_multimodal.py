@@ -407,3 +407,47 @@ def test_jpeg_through_spark_and_header_probe_interop(spark):
     assert r["n_values"] == 24 * 16 * 3 and len(bytes(r["data"])) == r["n_values"]
     p = media_header_probe(df).collect()[0]
     assert (p["format"], p["width"], p["height"]) == ("jpeg", 24, 16)
+
+
+def test_jpeg_malformed_and_foreign_stream_robustness():
+    # round-5 ADVICE hardening: a corpus scan hitting a truncated or
+    # oddly-marked JPEG must die with the documented ValueError, never
+    # IndexError, and spec-legal standalone markers (TEM, stray RSTn
+    # before SOS) must not desync the segment walk.
+    import numpy as np
+    import pytest
+
+    from mapreduce_project_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(7)
+    raw = rng.randint(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes()
+    enc = jpeg_encode(raw, 16, 16, 3, quality=90)
+    baseline = jpeg_decode(enc)
+
+    # 1) truncated entropy data -> ValueError, not IndexError
+    sos = enc.find(b"\xff\xda")
+    assert sos > 0
+    truncated = enc[: sos + 20]  # cut mid-entropy, well before EOI
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jpeg_decode(truncated)
+
+    # 2) standalone TEM (0xFF01) after SOI: length-less marker the
+    #    walk must skip, not treat as a sized segment
+    tem = enc[:2] + b"\xff\x01" + enc[2:]
+    assert jpeg_decode(tem) == baseline
+
+    # 3) stray RSTn before SOS: also length-less, also skipped
+    rst = enc[:2] + b"\xff\xd3" + enc[2:]
+    assert jpeg_decode(rst) == baseline
+
+    # 4) RST marker inside entropy data while DRI=0 -> hard error
+    #    (previously fed silent zero bits)
+    body_at = sos + 2 + int.from_bytes(enc[sos + 2 : sos + 4], "big")
+    poisoned = enc[:body_at] + b"\xff\xd4" + enc[body_at:]
+    with pytest.raises(ValueError, match="DRI=0"):
+        jpeg_decode(poisoned)
+
+    # 5) truncated segment header (cut inside a marker's length field)
+    dqt = enc.find(b"\xff\xdb")
+    with pytest.raises(ValueError, match="truncated JPEG segment header"):
+        jpeg_decode(enc[: dqt + 3])

@@ -70,4 +70,6 @@ def test_query_matches_oracle(spark, duck, name):
         a = rows_of(df.toPandas())
         b = rows_of(QUERIES[name](spark, SF_DIR).toPandas())
         assert a == b
-        assert len(a) >= 0
+        # emptiness guard: a no-oracle query that silently returns 0 rows
+        # must FAIL, not vacuously pass (round-5 judge finding)
+        assert len(a) > 0
