@@ -223,6 +223,69 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_cluster_oracle(threshold: float, n_tables: int, n_bits: int, dim: int) -> str:
+    """DuckDB twin of `dedup.embedding_dedup_clusters_lsh`: replays the
+    sign-LSH bucket codes with the IDENTICAL fold expressions
+    (`similarity.lsh_code_exprs` emits both dialects from one ±1 plane
+    family), candidate pairs = code match in >= 1 table, exact cosine
+    verify, recursive-CTE transitive closure — the MinHash-twin
+    discipline applied to the embedding-space family."""
+    from mapreduce_project_spark.operators.similarity import lsh_code_exprs
+
+    _, duck_codes = lsh_code_exprs(n_tables, n_bits, dim)
+    codes_arr = "[" + ", ".join(duck_codes) + "]"
+    or_pred = " OR ".join(
+        f"a.cs[{i + 1}] = b.cs[{i + 1}]" for i in range(n_tables)
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: inlined, the 256 fold
+      -- expressions would re-evaluate per candidate pair row
+      SELECT vec_id, v, {codes_arr} AS cs FROM e
+    ), prs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.vec_id < b.vec_id AND ({or_pred})
+      WHERE {_duck_cos('a.v', 'b.v')} >= {threshold}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT c2.id AS vec_id, c2.rep AS rep_id, s.n AS cluster_size
+    FROM comp c2
+    JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) s ON c2.rep = s.rep
+    """
+
+
+@extra_query("dedup_embedding_clusters_lsh", _lsh_cluster_oracle(0.3, 32, 8, 64))
+def q_dedup_embedding_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clusters WITHOUT a blocking key — sign-LSH
+    candidates (32 tables x 8 bits, seeded Rademacher planes), exact
+    fold-cosine verify, connected components; the oracle replays the
+    bucket codes bit-for-bit, so this is hash-checked end to end at
+    every SF. Companion (and measured counterpoint) to the exact
+    blocked `dedup_embedding_clusters`: see the operator docstring for
+    the recall/pruning physics at near-orthogonal vs production
+    thresholds."""
+    from mapreduce_project_spark.operators.dedup import (
+        embedding_dedup_clusters_lsh,
+    )
+
+    return embedding_dedup_clusters_lsh(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3,
+        n_tables=32, n_bits=8, dim=64,
+    )
+
+
 def _kmeans_oracle(k: int, iters: int) -> str:
     """Unrolled DuckDB twin of `kmeans_lloyd`: one assign+mean CTE pair
     per iteration, every float op in the Spark operand order (left-fold

@@ -447,6 +447,12 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # multimodal_decode_roundtrip + multimodal_wav_roundtrip (D155/D156,
 # the real pixel/PCM decoder proofs).
 #
+# Round-7 rotation pool: dedup_embedding_clusters_lsh (D165, added
+# round 6 — no-block-key sign-LSH semantic dedup with the bit-replayed
+# bucket codes, strict-EQUAL at sf0.001/0.01/0.1), plus the 8 round-6
+# deferrals listed in the round-6 wave comment above (bm25_search
+# stays pytest-tolerance-only).
+#
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
 # decoder proof), dedup_exact_substrings (D158, Lee-et-al exact-

@@ -62,6 +62,24 @@ REPS = 3
 # one more measured decade for exactly the plans whose growth matters.
 SF1_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1")
 SF1_QUERIES = [
+    # round-6 additions (VERDICT r5 tasks 3 + 8): the round-5 operator
+    # families the decade had not seen, the rewritten semantic-dedup
+    # path, and the MR-compat facade (Arrow-UDF overhead vs native).
+    # dedup_embedding_clusters_lsh is deliberately absent: at the
+    # fixture's threshold-0.3 regime its candidate set is ~14% of all
+    # pairs by design (see the operator docstring) — the sf≈1 point
+    # would measure that documented non-regime, not the plan.
+    "similarity_topk_ivfpq",
+    "similarity_topk_sq8",
+    "dedup_exact_substrings",
+    "events_twap_daily",
+    "train_test_split_leakage_safe",
+    "doc_novelty_scores",
+    "dedup_embedding_clusters",
+    "word_count_mr",
+    "inverted_index_mr",
+    "word_count",
+    "inverted_index",
     "bpe_encode_corpus",
     "pagerank_trade_graph",
     "similarity_topk_pq",

@@ -378,3 +378,122 @@ def test_sq8_search_recall_vs_float_bruteforce(spark):
     assert all(-1.0 - 1e-9 <= r["qcos"] <= 1.0 + 1e-9 for r in rows)
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"SQ8 recall@5 {recall} below floor"
+
+
+def test_gemm_pairs_equal_fold_join_pairs(spark):
+    # round-6 rewrite: the GEMM-prefilter + exact-verify pair stage
+    # must be BIT-IDENTICAL (ids and cos values) to the original
+    # all-pairs fold join it replaced — same float expression decides
+    # and scores every pair.
+    from mapreduce_project_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_gemm,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs(emb, "vec_id", "embedding", 0.3, "label").collect()
+    }
+    new = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs_gemm(emb, "vec_id", "embedding", 0.3, "label").collect()
+    }
+    assert len(old) > 0
+    assert old == new  # exact equality, cos values included
+
+
+def test_gemm_pairs_boundary_and_tiny_blocks(spark):
+    import math
+
+    from mapreduce_project_spark.operators.similarity import cosine_pairs_gemm
+
+    # planted geometry: identical pair (cos=1), orthogonal pair
+    # (cos=0), a pair at cos≈0.6 (in), a pair just BELOW threshold at
+    # cos≈0.59 (out), plus a singleton block and a (id, -id) pair —
+    # the exact verify decides the boundary, not the GEMM margin.
+    c, s = math.cos(math.asin(0.8)), 0.8  # cos=0.6 against e1
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [1.0, 0.0, 0.0, 0.0], "a"),       # cos(1,2)=1
+        (3, [0.0, 1.0, 0.0, 0.0], "a"),       # orthogonal to 1,2
+        (4, [c, s, 0.0, 0.0], "a"),           # cos(1,4)=0.6 >= 0.6
+        (10, [1.0, 0.0, 0.0, 0.0], "b"),
+        (11, [0.59, math.sqrt(1 - 0.59**2), 0.0, 0.0], "b"),  # 0.59 < 0.6
+        (20, [0.5, 0.5, 0.5, 0.5], "c"),      # singleton block
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_gemm(df, "vec_id", "embedding", 0.6, "label").collect()
+    }
+    # (3,4): cos(e2, (0.6, 0.8)) = 0.8 — also qualifies
+    assert got == {(1, 2), (1, 4), (2, 4), (3, 4)}
+
+
+def test_lsh_cluster_recall_floor_and_high_threshold_regime(spark):
+    # The two measured claims in embedding_dedup_clusters_lsh's
+    # docstring, pinned:
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mapreduce_project_spark.operators.dedup import (
+        embedding_dedup_clusters_lsh,
+    )
+    from mapreduce_project_spark.operators.similarity import (
+        cosine_pairs_gemm,
+    )
+
+    # (a) near-orthogonal threshold (0.3): pair recall is POOR by
+    # physics but must stay above the pinned floor with the declared
+    # 32x8 family. Exact global pairs via GEMM with one constant block.
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "one", F.lit(1)
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_gemm(emb, "vec_id", "embedding", 0.3, "one").collect()
+    }
+    clustered = embedding_dedup_clusters_lsh(
+        emb, "vec_id", "embedding", 0.3, n_tables=32, n_bits=8, dim=64
+    )
+    # recall proxy on the clustered-vector set: every exact pair whose
+    # two ends land in the same output cluster was recovered
+    rep = {r["vec_id"]: r["rep_id"] for r in clustered.collect()}
+    hit = sum(1 for a, b in exact if rep.get(a) is not None and rep.get(a) == rep.get(b))
+    assert len(exact) > 0
+    assert hit / len(exact) >= 0.40  # measured 0.46 at sf0.1, 32x8
+
+    # (b) production regime: planted clusters at cos >= 0.95 are
+    # recovered COMPLETELY (recall 1.0) by the same family.
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    planted = []
+    for g in range(8):
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        members = []
+        for m in range(4):
+            # noise VECTOR norm ≈ 0.01·√64 = 0.08 ⇒ pairwise member
+            # cos ≈ 1/1.0064 ± 0.02 ≥ 0.97 — safely above the 0.95 cut
+            v = base + 0.01 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            members.append(vid)
+            vid += 1
+        planted.append(set(members))
+    for _ in range(100):  # isotropic noise, no high-cos pairs
+        v = rng.randn(64)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_dedup_clusters_lsh(
+        df, "vec_id", "embedding", 0.95, n_tables=32, n_bits=8, dim=64
+    ).collect()
+    got: dict[int, set[int]] = {}
+    for r in out:
+        got.setdefault(r["rep_id"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, got.values())) == sorted(map(sorted, planted))
