@@ -1,9 +1,12 @@
 """Baseline JPEG codec — pure numpy + stdlib, no media libraries.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4 YCbCr
-(no chroma subsampling), standard Annex K quantization and Huffman
-tables, optional restart markers on decode. Progressive (SOF2),
-subsampled, arithmetic-coded and 12-bit streams raise
+Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+4:4:4 / 4:2:2 / 4:2:0 chroma subsampling (generic sampling factors
+1-2 on decode per T.81 A.2.3 — interleaved hi x vi blocks per MCU,
+replication upsampling; encode offers the same three via block-mean
+downsampling), standard Annex K quantization and Huffman tables,
+optional restart markers on decode. Progressive (SOF2), sampling
+factors > 2, arithmetic-coded and 12-bit streams raise
 ``NotImplementedError`` cleanly.
 
 JPEG is LOSSY, so unlike the PNG codec there is no byte-exact
@@ -275,15 +278,61 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _encode_block(writer, block, qtab, enc_dc, enc_ac, pred, ci):
+    """DCT + quantize + entropy-code one 8x8 block; returns new pred."""
+    F = _C @ block @ _C.T
+    qz = _round_half_away(F / qtab).astype(np.int64)
+    zz = [int(qz[r_, c_]) for r_, c_ in _ZZ]
+    # DC difference
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    cat = _category(diff)
+    code, ln = enc_dc[ci][cat]
+    writer.write(code, ln)
+    if cat:
+        writer.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    # AC run/size
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[ci][0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = enc_ac[ci][(run << 4) | cat]
+        writer.write(code, ln)
+        writer.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = enc_ac[ci][0x00]  # EOB
+        writer.write(code, ln)
+
+
 def jpeg_encode(
-    raster: bytes, w: int, h: int, ch: int = 3, quality: int = 90
+    raster: bytes,
+    w: int,
+    h: int,
+    ch: int = 3,
+    quality: int = 90,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode a row-major top-down raster (grayscale ch=1 or RGB ch=3)
-    as a baseline JFIF JPEG: 4:4:4 (no subsampling), standard tables,
-    no restart markers. Deterministic (fixed float64 DCT + half-away
-    rounding)."""
+    as a baseline JFIF JPEG: standard tables, no restart markers,
+    ``subsampling`` in {"444", "422", "420"} (chroma block-mean
+    downsampled; ignored for grayscale). Deterministic (fixed float64
+    DCT + half-away rounding)."""
     if ch not in (1, 3):
         raise ValueError("jpeg_encode takes grayscale (1) or RGB (3) rasters")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hy, vy = _SUBSAMPLING[subsampling] if ch == 3 else (1, 1)
     qy, qc = _quality_tables(quality)
     px = np.frombuffer(raster, dtype=np.uint8, count=h * w * ch).reshape(h, w, ch)
     if ch == 3:
@@ -298,54 +347,41 @@ def jpeg_encode(
         comps = [px[:, :, 0].astype(np.float64)]
         qtabs = [qy]
 
-    H = -(-h // 8) * 8
-    W = -(-w // 8) * 8
-    padded = []
-    for c in comps:
+    # pad every component at FULL resolution to whole MCUs (mcu =
+    # 8*hy x 8*vy pixels), then block-mean downsample the chroma
+    mcu_h, mcu_w = 8 * vy, 8 * hy
+    H = -(-h // mcu_h) * mcu_h
+    W = -(-w // mcu_w) * mcu_w
+    planes = []
+    for ci, c in enumerate(comps):
         p = np.empty((H, W))
         p[:h, :w] = c
         p[h:, :w] = c[h - 1 : h, :]  # edge replicate
         p[:, w:] = p[:, w - 1 : w]
-        padded.append(p - 128.0)
+        if ci > 0 and (hy, vy) != (1, 1):
+            p = p.reshape(H // vy, vy, W // hy, hy).mean(axis=(1, 3))
+        planes.append(p - 128.0)
 
+    # (hi, vi) per component: luma carries the max factors
+    samps = [(hy, vy)] + [(1, 1)] * (ch - 1)
     enc_dc = [_canonical_codes(*_DC_L)] + [_canonical_codes(*_DC_C)] * (ch - 1)
     enc_ac = [_canonical_codes(*_AC_L)] + [_canonical_codes(*_AC_C)] * (ch - 1)
     writer = _BitWriter()
     pred = [0] * ch
-    for by in range(H // 8):
-        for bx in range(W // 8):
+    for my in range(H // mcu_h):
+        for mx in range(W // mcu_w):
             for ci in range(ch):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                F = _C @ block @ _C.T
-                qz = _round_half_away(F / qtabs[ci]).astype(np.int64)
-                zz = [int(qz[r_, c_]) for r_, c_ in _ZZ]
-                # DC difference
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                cat = _category(diff)
-                code, ln = enc_dc[ci][cat]
-                writer.write(code, ln)
-                if cat:
-                    writer.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-                # AC run/size
-                run = 0
-                for k in range(1, 64):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[ci][0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = enc_ac[ci][(run << 4) | cat]
-                    writer.write(code, ln)
-                    writer.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[ci][0x00]  # EOB
-                    writer.write(code, ln)
+                hi, vi = samps[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        r0 = (my * vi + byi) * 8
+                        c0 = (mx * hi + bxi) * 8
+                        _encode_block(
+                            writer,
+                            planes[ci][r0 : r0 + 8, c0 : c0 + 8],
+                            qtabs[ci],
+                            enc_dc, enc_ac, pred, ci,
+                        )
     entropy = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -359,7 +395,8 @@ def jpeg_encode(
     out += seg(0xFFDB, dqt)
     sof = struct.pack(">BHHB", 8, h, w, ch)
     for ci in range(ch):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += seg(0xFFC0, sof)
     dht = b""
     tables = [(0x00, _DC_L), (0x10, _AC_L)]
@@ -430,11 +467,12 @@ def jpeg_decode(b: bytes):
             comps_cfg = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG (only 4:4:4 / grayscale)"
+                        f"JPEG sampling factors {hi}x{vi} (supported: 1-2)"
                     )
-                comps_cfg.append((cid, qid))
+                comps_cfg.append((cid, qid, hi, vi))
             sof = (ww, hh, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"non-baseline JPEG (SOF marker {marker:#x})")
@@ -456,17 +494,50 @@ def jpeg_decode(b: bytes):
     raise ValueError("JPEG stream ended without a scan")
 
 
+def _decode_one_block(reader, dc_t, ac_t, q, pred, ci):
+    """Entropy-decode + dequantize + IDCT one 8x8 block."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _huff_decode(reader, dc_t)
+    diff = _extend(reader.bits(cat), cat) if cat else 0
+    pred[ci] += diff
+    zz[0] = pred[ci]
+    k = 1
+    while k < 64:
+        sym = _huff_decode(reader, ac_t)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, cat = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.bits(cat), cat)
+        k += 1
+    block = np.zeros((8, 8), dtype=np.int64)
+    for idx, (r_, c_) in enumerate(_ZZ):
+        block[r_, c_] = zz[idx]
+    return _C.T @ (block * q).astype(np.float64) @ _C
+
+
 def _decode_scan(b, pos, sof, comps_cfg, scan_tabs, qtabs, htabs, restart_interval):
     w, h, nc = sof
-    H = -(-h // 8) * 8
-    W = -(-w // 8) * 8
-    planes = [np.zeros((H, W)) for _ in range(nc)]
+    hmax = max(c[2] for c in comps_cfg)
+    vmax = max(c[3] for c in comps_cfg)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    # per-component plane covering whole MCUs at ITS sampling density
+    planes = [
+        np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
+        for (_cid, _qid, hi, vi) in comps_cfg
+    ]
     reader = _BitReader(b, pos, restart_interval)
     pred = [0] * nc
-    n_mcu = (H // 8) * (W // 8)
     mcus_done = 0
-    for by in range(H // 8):
-        for bx in range(W // 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if (
                 restart_interval
                 and mcus_done
@@ -477,32 +548,25 @@ def _decode_scan(b, pos, sof, comps_cfg, scan_tabs, qtabs, htabs, restart_interv
             for ci in range(nc):
                 dc_t = htabs[(0, scan_tabs[ci][0])]
                 ac_t = htabs[(1, scan_tabs[ci][1])]
-                q = qtabs[comps_cfg[ci][1]]
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _huff_decode(reader, dc_t)
-                diff = _extend(reader.bits(cat), cat) if cat else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.bits(cat), cat)
-                    k += 1
-                block = np.zeros((8, 8), dtype=np.int64)
-                for idx, (r_, c_) in enumerate(_ZZ):
-                    block[r_, c_] = zz[idx]
-                spatial = _C.T @ (block * q).astype(np.float64) @ _C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                _cid, qid, hi, vi = comps_cfg[ci]
+                q = qtabs[qid]
+                # T.81 A.2.3: hi x vi blocks per MCU, raster order
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        spatial = _decode_one_block(
+                            reader, dc_t, ac_t, q, pred, ci
+                        )
+                        r0 = (my * vi + byi) * 8
+                        c0 = (mx * hi + bxi) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = spatial
             mcus_done += 1
+    # upsample subsampled components to the luma grid by replication
+    for ci in range(nc):
+        _cid, _qid, hi, vi = comps_cfg[ci]
+        if (hi, vi) != (hmax, vmax):
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], vmax // vi, axis=0), hmax // hi, axis=1
+            )
     if nc == 1:
         y = np.clip(_round_half_away(planes[0] + 128.0), 0, 255)
         return w, h, 1, y[:h, :w].astype(np.uint8).tobytes()

@@ -451,3 +451,65 @@ def test_jpeg_malformed_and_foreign_stream_robustness():
     dqt = enc.find(b"\xff\xdb")
     with pytest.raises(ValueError, match="truncated JPEG segment header"):
         jpeg_decode(enc[: dqt + 3])
+
+
+def test_jpeg_chroma_subsampling_roundtrip_envelopes():
+    # round-6 (VERDICT r5 task 4): 4:2:0 / 4:2:2 decode per T.81 A.2.3
+    # (interleaved hi x vi blocks per MCU, replication upsampling) and
+    # the matching block-mean-downsampling encode. Envelope physics:
+    # luma is NOT subsampled so it stays near the 4:4:4 accuracy even
+    # on noise; chroma of noise is unrecoverable by design (the 2x2
+    # mean is a lowpass), so the noise pin is luma + mean, not max.
+    import numpy as np
+    import pytest
+
+    from mapreduce_project_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(3)
+    for w, h in [(16, 16), (24, 16), (17, 13), (8, 8), (33, 9)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = np.stack(
+            [xx * 255 / max(w - 1, 1), yy * 255 / max(h - 1, 1),
+             (xx + yy) * 128 / max(w + h - 2, 1)], axis=-1
+        ).astype(np.uint8)
+        noise = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ["422", "420"]:
+            for img, kind in [(smooth, "smooth"), (noise, "noise")]:
+                enc = jpeg_encode(img.tobytes(), w, h, 3, quality=95,
+                                  subsampling=sub)
+                W, H, C, data = jpeg_decode(enc)
+                assert (W, H, C) == (w, h, 3)
+                # bit determinism, both directions
+                assert jpeg_encode(img.tobytes(), w, h, 3, quality=95,
+                                   subsampling=sub) == enc
+                assert jpeg_decode(enc)[3] == data
+                got = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+                err = np.abs(got.astype(int) - img.astype(int))
+                if kind == "smooth":
+                    assert err.max() <= 35  # measured <= 26
+                else:
+                    assert err.mean() <= 60  # measured <= 46
+                    ly = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                          + 0.114 * img[:, :, 2])
+                    lg = (0.299 * got[:, :, 0].astype(float)
+                          + 0.587 * got[:, :, 1].astype(float)
+                          + 0.114 * got[:, :, 2].astype(float))
+                    assert np.abs(ly - lg).max() <= 25  # measured <= 17.2
+
+    # subsampled streams are SMALLER on compressible content
+    big = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert len(jpeg_encode(big.tobytes(), 32, 32, 3, subsampling="420")) < len(
+        jpeg_encode(big.tobytes(), 32, 32, 3, subsampling="444")
+    )
+    # grayscale ignores the subsampling parameter entirely
+    g = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    assert jpeg_encode(g.tobytes(), 8, 8, 1, subsampling="420") == jpeg_encode(
+        g.tobytes(), 8, 8, 1
+    )
+    # factors > 2 still rejected cleanly
+    enc = jpeg_encode(noise.tobytes(), 33, 9, 3, quality=95)
+    bad = enc.replace(bytes([1, 0x11, 0]), bytes([1, 0x41, 0]))
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        jpeg_decode(bad)
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(noise.tobytes(), 33, 9, 3, subsampling="411")
