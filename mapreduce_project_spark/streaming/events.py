@@ -520,6 +520,117 @@ def _crawl_dedup_batch(
         sig.unpersist()
 
 
+def ann_ingest_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    dedup_index_path: str,
+    pairs_path: str,
+    ivf_index_path: str,
+    checkpoint_path: str,
+    cents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+):
+    """The composed streaming ANN ingestion pipeline (round-6 VERDICT
+    task 7) — what a continuously crawled corpus actually runs: each
+    micro-batch is (1) near-dup DEDUPED against everything ingested
+    before it (`_crawl_dedup_batch` — probe the persisted MinHash
+    signature index, append this batch's signatures), (2) the
+    SURVIVORS (docs that did not match any older document) are
+    EMBEDDED with the vocabulary-free hashing featurizer
+    (`operators/text.py:hashed_doc_vectors`, densified to a
+    ``dim``-vector), and (3) UPSERTED into the cell-partitioned
+    parquet IVF index with the touched-cell MERGE discipline
+    (`ivf_index_upsert` — frozen centroid geometry between retrains,
+    O(batch + touched cells), never O(index)).
+
+    Exactly-once across kill/restart, by composition of the parts'
+    own disciplines: step (1)'s two writes are batch-id-scoped
+    directory overwrites (replay rewrites only its own directories,
+    and the probe excludes the batch's own subdirectory so a retry
+    never self-joins); steps (2)-(3) are deterministic functions of
+    the batch content, and the IVF MERGE is idempotent — replaying
+    the same upserts replaces the same keys with the same rows, so a
+    crash anywhere in (1)-(3) converges to the identical index state
+    on the checkpoint-driven retry (pinned in tests/test_streaming.py
+    and the round soak).
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        _ann_ingest_batch(
+            spark, batch_df, batch_id, dedup_index_path, pairs_path,
+            ivf_index_path, cents, id_col, text_col, dim, n, n_perm,
+            bands, threshold,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ann_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    dedup_index_path: str,
+    pairs_path: str,
+    ivf_index_path: str,
+    cents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+    n: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of `ann_ingest_stream`, factored out (same
+    pattern as `_crawl_dedup_batch`) so batch-replay idempotence is
+    directly unit-testable."""
+    import os as _os
+
+    from mapreduce_project_spark.operators.similarity import ivf_index_upsert
+    from mapreduce_project_spark.operators.text import hashed_doc_vectors
+
+    batch_df = batch_df.cache()  # consumed by the dedup probe AND the embed
+    try:
+        _crawl_dedup_batch(
+            spark, batch_df, batch_id, dedup_index_path, pairs_path,
+            id_col, text_col, n, n_perm, bands, threshold,
+        )
+        pairs = spark.read.parquet(_os.path.join(pairs_path, f"batch-{batch_id}"))
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        survivors = batch_df.join(dup_ids, id_col, "left_anti")
+        sparse = hashed_doc_vectors(survivors, id_col, text_col, dim)
+        dense = (
+            sparse.groupBy(id_col)
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("dim"), F.collect_list("val")
+                ).alias("m")
+            )
+            .select(
+                id_col,
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    "d -> coalesce(element_at(m, cast(d as bigint)), cast(0.0 as double)))"
+                ).alias("embedding"),
+            )
+        )
+        ivf_index_upsert(spark, ivf_index_path, dense, id_col, "embedding", cents)
+    finally:
+        batch_df.unpersist()
+
+
 def heavy_hitters_stream(events: DataFrame, budget: int = 64) -> DataFrame:
     """Streaming heavy hitters — a Space-Saving summary (Metwally et
     al.) of ``user_id`` frequencies per ``event_type``, maintained as

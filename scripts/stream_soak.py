@@ -375,6 +375,84 @@ def main() -> int:
     report["streams"]["crawl_dedup"] = meta
     ok &= cd_match and meta["restarted"] and cross_batch > 0
 
+    # ---------- 4. composed ANN ingestion (dedup -> featurize -> IVF) ----------
+    # Reuses stream 3's 20 crawl batches: each batch is deduped against
+    # the growing index, survivors are hash-featurized and upserted
+    # into the cell-partitioned IVF index. Kill/restart mid-run; the
+    # final IVF index must equal the sequential batch replay's.
+    from pyspark.sql import Window as _W2
+
+    from mapreduce_project_spark.operators.text import hashed_doc_vectors
+    from mapreduce_project_spark.streaming.events import (
+        _ann_ingest_batch,
+        ann_ingest_stream,
+    )
+
+    DIM = 32
+
+    def dense(df):
+        sparse = hashed_doc_vectors(df, "doc_id", "text", DIM)
+        return (
+            sparse.groupBy("doc_id")
+            .agg(F.map_from_arrays(F.collect_list("dim"), F.collect_list("val")).alias("m"))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"transform(sequence(0, {DIM - 1}), "
+                    "d -> coalesce(element_at(m, cast(d as bigint)), cast(0.0 as double)))"
+                ).alias("embedding"),
+            )
+        )
+
+    cents = dense(corpus.orderBy("doc_id").limit(8)).select(
+        (F.row_number().over(_W2.orderBy("doc_id")) - 1).alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    ai_idx_s = os.path.join(work, "ai_idx_stream")
+    ai_idx_b = os.path.join(work, "ai_idx_batch")
+    sig.write.parquet(ai_idx_s)
+    sig.write.parquet(ai_idx_b)
+    ai_pairs_s = os.path.join(work, "ai_pairs_stream")
+    ai_pairs_b = os.path.join(work, "ai_pairs_batch")
+    ai_ivf_s = os.path.join(work, "ai_ivf_stream")
+    ai_ivf_b = os.path.join(work, "ai_ivf_batch")
+    ai_ck = os.path.join(work, "ai_ck")
+
+    def make_ai():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(crawl_src + "/*/")
+        )
+        return ann_ingest_stream(
+            spark, stream, ai_idx_s, ai_pairs_s, ai_ivf_s, ai_ck, cents, dim=DIM
+        )
+
+    meta = drive_with_kill(make_ai, "ann_ingest_stream")
+    for i, bdf in enumerate(batch_dfs):
+        _ann_ingest_batch(
+            spark, bdf, i, ai_idx_b, ai_pairs_b, ai_ivf_b, cents, dim=DIM
+        )
+
+    def ivf_state(path):
+        return {
+            (r["id"], r["cell"], tuple(r["v"]))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    vs, vb = ivf_state(ai_ivf_s), ivf_state(ai_ivf_b)
+    ai_pairs_eq = pair_set(ai_pairs_s) == pair_set(ai_pairs_b)
+    ai_match = vs == vb and bool(vs) and ai_pairs_eq
+    meta.update(
+        {
+            "ivf_rows": len(vs),
+            "ivf_vs_batch_replay_equal": vs == vb,
+            "pairs_vs_batch_replay_equal": ai_pairs_eq,
+        }
+    )
+    report["streams"]["ann_ingest"] = meta
+    ok &= ai_match and meta["restarted"]
+
     report["all_green"] = bool(ok)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=2)

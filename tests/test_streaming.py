@@ -942,3 +942,118 @@ def test_streaming_twap_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_ann_ingest_stream_restart_equals_batch(spark, tmp_path):
+    # round-6 composition (VERDICT r5 task 7): crawl dedup -> hashing
+    # featurizer -> IVF upsert per micro-batch. Two file-triggered
+    # micro-batches with a STREAM RESTART between them (same
+    # checkpoint); the final IVF index must equal the batch-computed
+    # reference over the dedup survivors, and replaying a batch must
+    # leave the index unchanged (exactly-once by idempotent MERGE).
+    import os
+
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.dedup import minhash_index_build
+    from mapreduce_project_spark.operators.similarity import ivf_assign_cells
+    from mapreduce_project_spark.operators.text import hashed_doc_vectors
+    from mapreduce_project_spark.streaming.events import (
+        _ann_ingest_batch,
+        ann_ingest_stream,
+    )
+
+    DIM = 32
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(7, 60, 80)).collect()
+    }
+
+    def dense(df):
+        sparse = hashed_doc_vectors(df, "doc_id", "text", DIM)
+        return (
+            sparse.groupBy("doc_id")
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("dim"), F.collect_list("val")
+                ).alias("m")
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    f"transform(sequence(0, {DIM - 1}), "
+                    "d -> coalesce(element_at(m, cast(d as bigint)), "
+                    "cast(0.0 as double)))"
+                ).alias("embedding"),
+            )
+        )
+
+    cents = (
+        dense(corpus.filter(F.col("doc_id") < 4))
+        .select(
+            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("cid"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+
+    dedup_idx = str(tmp_path / "ann_dedup_idx")
+    minhash_index_build(corpus, "doc_id", "text", 3, 64).write.parquet(dedup_idx)
+
+    # batch 0: 1000 dups corpus doc 7; 1001 (copy of doc 60) is new.
+    # batch 1: 1002 dups 1001 (which entered the index via batch 0);
+    # 1003 (copy of doc 80... actually doc 80's text) is new.
+    src = tmp_path / "annsrc"
+    src.mkdir()
+    b0 = spark.createDataFrame(
+        [(1000, texts[7]), (1001, texts[60])], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame([(1002, texts[60]), (1003, texts[80])],
+                               "doc_id long, text string")
+    pairs_path = str(tmp_path / "ann_pairs")
+    ivf_path = str(tmp_path / "ann_ivf")
+    ckpt = str(tmp_path / "ann_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*/")
+        )
+        return ann_ingest_stream(
+            spark, stream, dedup_idx, pairs_path, ivf_path, ckpt, cents,
+            dim=DIM,
+        )
+
+    b0.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    start().awaitTermination()  # run 1 consumes batch 0, then stops
+    # restart with the same checkpoint after more data lands
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    start().awaitTermination()
+
+    def index_state():
+        return {
+            (r["id"], r["cell"], tuple(r["v"]))
+            for r in spark.read.parquet(ivf_path).collect()
+        }
+
+    got = index_state()
+    # dedup semantics: 1000 and 1002 are dups -> only 1001, 1003 embed
+    assert {r[0] for r in got} == {1001, 1003}
+    survivors = spark.createDataFrame(
+        [(1001, texts[60]), (1003, texts[80])], "doc_id long, text string"
+    )
+    want = {
+        (r["id"], r["cell"], tuple(r["v"]))
+        for r in ivf_assign_cells(
+            dense(survivors), "doc_id", "embedding", cents
+        ).collect()
+    }
+    assert got == want
+
+    # replaying batch 1 (a post-crash retry) leaves everything unchanged
+    _ann_ingest_batch(
+        spark, b1, 1, dedup_idx, pairs_path, ivf_path, cents, dim=DIM
+    )
+    assert index_state() == got
