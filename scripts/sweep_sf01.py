@@ -48,9 +48,13 @@ def main() -> int:
         t0 = time.time()
         err = None
         n_rows = None
+        spark_sec = oracle_sec = None
         try:
             got = queries[name](spark, SF_DIR).toPandas()
+            spark_sec = round(time.time() - t0, 1)
+            t1 = time.time()
             want = con.sql(oracles[name]).df()
+            oracle_sec = round(time.time() - t1, 1)
             n_rows = len(got)
             ok = (
                 sorted(got.columns) == sorted(want.columns)
@@ -65,9 +69,16 @@ def main() -> int:
         sec = round(time.time() - t0, 1)
         if not ok or vac:
             bad += 1
-        results[name] = {"ok": ok, "vacuous": vac, "rows": n_rows, "sec": sec, "err": err}
+        # spark_sec/oracle_sec split: `sec` alone misattributed oracle
+        # cost to the engine (e.g. dedup_embedding_clusters: 0.9 s Spark
+        # + ~21 s DuckDB recursive-CTE closure read as "24 s query")
+        results[name] = {
+            "ok": ok, "vacuous": vac, "rows": n_rows, "sec": sec,
+            "spark_sec": spark_sec, "oracle_sec": oracle_sec, "err": err,
+        }
         print(
-            f"{'OK ' if ok else 'BAD'}{' VACUOUS' if vac else ''} {name} ({sec}s)",
+            f"{'OK ' if ok else 'BAD'}{' VACUOUS' if vac else ''} {name} "
+            f"({sec}s = spark {spark_sec}s + oracle {oracle_sec}s)",
             flush=True,
         )
     out_path = os.environ.get("SWEEP_JSON_OUT")
