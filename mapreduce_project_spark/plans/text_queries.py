@@ -1771,3 +1771,295 @@ def doc_novelty_frame(
         F.sum("novel").cast("bigint").alias("n_novel"),
         (F.sum("novel").cast("double") / F.count(F.lit(1))).alias("novelty"),
     ).withColumnRenamed("id", "doc_id")
+
+
+_HYBRID_RRF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dlen, tk FROM toks WHERE len(tk) > 0),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dlen) AS dlen
+      FROM (SELECT doc_id, dlen, unnest(tk) AS term FROM dl)
+      WHERE term IN ('spark', 'shuffle', 'vector')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    lex AS (
+      SELECT tf.doc_id,
+             SUM(
+               CAST(round(ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE)
+                                    - df.df + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+                          * 1000000) AS BIGINT)
+               *
+               CAST(round(((CAST(tf.tf AS DOUBLE) * 2.2)
+                           / (CAST(tf.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(tf.dlen AS DOUBLE)
+                                                      / (SELECT avgdl FROM stats)))))
+                          * 1000000) AS BIGINT)
+             ) AS score_u
+      FROM tf JOIN df USING (term)
+      GROUP BY tf.doc_id
+    ),
+    lexrank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank_lex
+      FROM lex
+    ),
+    tok1 AS (SELECT doc_id, unnest(tk) AS tk FROM dl),
+    b AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 32 AS dim
+      FROM tok1
+    ),
+    counts AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+    norms AS (SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+              FROM counts GROUP BY 1),
+    dv AS (SELECT c.doc_id, c.dim, CAST(c.cnt AS DOUBLE) / n.nrm AS val
+           FROM counts c JOIN norms n USING (doc_id)),
+    q AS (SELECT unnest(['spark', 'shuffle', 'vector']) AS term),
+    qb AS (SELECT CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 32 AS dim FROM q),
+    qc AS (SELECT dim, CAST(count(*) AS BIGINT) AS qcnt FROM qb GROUP BY 1),
+    qn AS (SELECT sqrt(CAST(SUM(qcnt * qcnt) AS DOUBLE)) AS qnrm FROM qc),
+    qv AS (SELECT dim, CAST(qcnt AS DOUBLE) / (SELECT qnrm FROM qn) AS qval FROM qc),
+    dense AS (
+      SELECT dv.doc_id,
+             SUM(CAST(round(dv.val * qv.qval * 1000000000000) AS BIGINT)) AS dot_u
+      FROM dv JOIN qv USING (dim)
+      GROUP BY dv.doc_id
+    ),
+    densrank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY dot_u DESC, doc_id) AS BIGINT) AS rank_dense
+      FROM dense
+    ),
+    densetop AS (SELECT * FROM densrank WHERE rank_dense <= 50),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(l.rank_lex, 0) AS rank_lex,
+             COALESCE(d.rank_dense, 0) AS rank_dense,
+             COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+               + COALESCE(1.0 / (60 + d.rank_dense), 0.0) AS rrf
+      FROM lexrank l FULL OUTER JOIN densetop d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@extra_query("search_hybrid_rrf", _HYBRID_RRF_ORACLE)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with Reciprocal Rank Fusion (k=60) — the
+    two-tower search shape every production stack runs (Elasticsearch
+    8 / Vespa / pgvector hybrid queries): a LEXICAL ranking (BM25,
+    k1=1.2, b=0.75) and a DENSE ranking (cosine against the hashed
+    query vector in the D116 feature space) fused by
+    rrf = 1/(60+rank_lex) + 1/(60+rank_dense), top-10.
+
+    Hash-exactness engineering (this query IS rotation-eligible,
+    unlike the float-render `bm25_search`): both rankings order by
+    INTEGERS — BM25 per-(doc,term) contributions quantize idf and the
+    tf-saturation factor separately to micro-fixed-point (the proven
+    micro-log trick: round(x*1e6) as BIGINT before any summation, so
+    per-doc scores are exact integer sums and ranks can never flip on
+    a libm ulp), and the dense dot quantizes each bucket product to
+    1e-12 fixed point (<= 3 matched buckets; order-free integer sum).
+    The fused rrf is one pinned two-term float expression over integer
+    ranks — bit-identical across engines. Scale shape: stats
+    broadcast, TF explode prunes on the term IN-list before counting,
+    dense candidates are the docs sharing >= 1 of the query's <= 3
+    hashed buckets (at 100 TB: an ANN candidate list instead), both
+    rankings are candidate-set-sized windows, fusion is a tiny outer
+    join."""
+    from mapreduce_project_spark.functions import tokens as _tokens
+    from mapreduce_project_spark.operators.text import hashed_doc_vectors
+    from pyspark.sql import Window
+
+    terms = ("spark", "shuffle", "vector")
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", _tokens("text").alias("tk"))
+        .withColumn("dlen", F.size("tk").cast("bigint"))
+        .filter(F.col("dlen") > 0)
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", "dlen", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.any_value("dlen").alias("dlen"),
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf_u = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * F.lit(1000000)
+    ).cast("bigint")
+    tfn_u = F.round(
+        (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dlen").cast("double") / F.col("avgdl")))
+        )
+        * F.lit(1000000)
+    ).cast("bigint")
+    lex = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf_u * tfn_u).alias("score_u"))
+    )
+    lexrank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_u"), "doc_id"))
+        .cast("bigint")
+        .alias("rank_lex"),
+    )
+    dv = hashed_doc_vectors(docs, "doc_id", "text", 32)
+    qv = (
+        spark.createDataFrame([(tm,) for tm in terms], "term string")
+        .select(
+            F.expr(
+                "cast(conv(substr(md5(cast(term AS binary)), 1, 8), 16, 10) AS bigint) % 32"
+            ).alias("dim")
+        )
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("qcnt"))
+    )
+    qn = qv.agg(F.sqrt(F.sum(F.col("qcnt") * F.col("qcnt")).cast("double")).alias("qnrm"))
+    qvn = qv.crossJoin(F.broadcast(qn)).select(
+        "dim", (F.col("qcnt").cast("double") / F.col("qnrm")).alias("qval")
+    )
+    dense = (
+        dv.join(F.broadcast(qvn), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("val") * F.col("qval") * F.lit(1000000000000)).cast("bigint")
+            ).alias("dot_u")
+        )
+    )
+    densetop = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dot_u"), "doc_id"))
+        .cast("bigint")
+        .alias("rank_dense"),
+    ).filter(F.col("rank_dense") <= 50)
+    fused = (
+        lexrank.join(densetop, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).cast("bigint").alias("rank_lex"),
+            F.coalesce("rank_dense", F.lit(0)).cast("bigint").alias("rank_dense"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_dense")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+_SPAN_CORRUPT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents
+    ),
+    base AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) >= 8),
+    flagged AS (
+      SELECT doc_id, tk, n,
+             list_transform(generate_series(1, n), i ->
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                                 || CAST(i AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < 15
+                    THEN 1 ELSE 0 END) AS f
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(list_sum(f) AS BIGINT) AS n_dropped,
+           CAST(list_sum(list_transform(generate_series(1, n), i ->
+                 CASE WHEN f[i] = 1 AND (i = 1 OR f[i - 1] = 0)
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans,
+           COALESCE(array_to_string(flatten(list_transform(generate_series(1, n), i ->
+             CASE WHEN f[i] = 0 THEN [tk[i]]
+                  WHEN i = 1 OR f[i - 1] = 0 THEN ['<x>']
+                  ELSE []::VARCHAR[] END)), ' '), '') AS corrupted_text,
+           COALESCE(array_to_string(flatten(list_transform(generate_series(1, n), i ->
+             CASE WHEN f[i] = 1 AND (i = 1 OR f[i - 1] = 0) THEN ['<x>', tk[i]]
+                  WHEN f[i] = 1 THEN [tk[i]]
+                  ELSE []::VARCHAR[] END)), ' '), '') AS target_text
+    FROM flagged
+    """
+
+
+@extra_query("denoise_span_corruption_pairs", _SPAN_CORRUPT_ORACLE)
+def q_denoise_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN-CORRUPTION pair builder — the denoising-objective
+    training-data transform (Raffel et al. 2020): each document yields
+    (corrupted_text, target_text) where a deterministic ~15% of tokens
+    are dropped, each dropped RUN is replaced by one '<x>' sentinel in
+    the input, and the target replays the dropped spans each prefixed
+    by its sentinel. The drop decision for token i of doc d is
+    md5(d:i) mod 100 < 15 — the engine-portable seeded-hash family, so
+    the corruption is reproducible anywhere and the whole transform
+    (strings + integers) hash-matches its SQL oracle. One projection,
+    no shuffle, no Python: flags, run starts, and both renders are
+    array transforms over the token sequence (run-start logic reads
+    f[i-1], so consecutive drops collapse into a single span exactly
+    like the T5 preprocessing). n_spans/n_dropped ship alongside for
+    budget accounting."""
+    from mapreduce_project_spark.functions import tokens as _tokens
+
+    docs = t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", _tokens("text").alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") >= 8)
+    )
+    hashi = (
+        "cast(conv(substr(md5(cast(concat(cast(doc_id as string), ':', "
+        "cast(i as string)) as binary)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    flagged = base.withColumn(
+        "f",
+        F.expr(
+            f"transform(sequence(1, n), i -> "
+            f"CASE WHEN {hashi} < 15 THEN 1 ELSE 0 END)"
+        ),
+    )
+    return flagged.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr("aggregate(f, 0L, (a, x) -> a + x)").alias("n_dropped"),
+        F.expr(
+            "aggregate(transform(sequence(1, n), i -> "
+            "CASE WHEN element_at(f, i) = 1 AND (i = 1 OR element_at(f, i - 1) = 0) "
+            "THEN 1 ELSE 0 END), 0L, (a, x) -> a + x)"
+        ).alias("n_spans"),
+        F.expr(
+            "concat_ws(' ', flatten(transform(sequence(1, n), i -> "
+            "CASE WHEN element_at(f, i) = 0 THEN array(element_at(tk, i)) "
+            "WHEN i = 1 OR element_at(f, i - 1) = 0 THEN array('<x>') "
+            "ELSE array() END)))"
+        ).alias("corrupted_text"),
+        F.expr(
+            "concat_ws(' ', flatten(transform(sequence(1, n), i -> "
+            "CASE WHEN element_at(f, i) = 1 AND (i = 1 OR element_at(f, i - 1) = 0) "
+            "THEN array('<x>', element_at(tk, i)) "
+            "WHEN element_at(f, i) = 1 THEN array(element_at(tk, i)) "
+            "ELSE array() END)))"
+        ).alias("target_text"),
+    )

@@ -1136,3 +1136,139 @@ def q_train_test_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFra
     return hash_split(keyed, "rep_key", 0.125).select(
         "doc_id", "source", "rep_key", "split"
     )
+
+
+_WATERFILL_ORACLE = """
+    WITH dl AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS dlen
+      FROM documents
+    ),
+    src AS (SELECT source, CAST(SUM(dlen) AS BIGINT) AS ti FROM dl GROUP BY source),
+    tot AS (SELECT CAST(SUM(ti) AS BIGINT) AS total,
+                   CAST(SUM(ti) // 2 AS BIGINT) AS budget,
+                   CAST(count(*) AS BIGINT) AS m FROM src),
+    ord AS (
+      SELECT source, ti, 2 * ti AS cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY 2 * ti, source) AS BIGINT) AS k,
+             CAST(COALESCE(SUM(2 * ti) OVER (ORDER BY 2 * ti, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pref
+      FROM src
+    ),
+    feas AS (
+      SELECT o.*, t.budget - o.pref AS rem, t.m - o.k + 1 AS cnt,
+             o.cap * (t.m - o.k + 1) <= t.budget - o.pref AS is_full
+      FROM ord o, tot t
+    ),
+    kstar AS (SELECT MIN(k) AS ks FROM feas WHERE NOT is_full),
+    star AS (
+      SELECT f.rem AS rem_s, f.cnt AS cnt_s,
+             f.rem // f.cnt AS base, f.rem % f.cnt AS extra
+      FROM feas f, kstar WHERE f.k = kstar.ks
+    )
+    SELECT f.source, f.ti AS tokens_available, f.cap,
+           CAST(CASE
+             WHEN (SELECT ks FROM kstar) IS NULL THEN f.cap
+             WHEN f.k < (SELECT ks FROM kstar) THEN f.cap
+             ELSE (SELECT base FROM star)
+                  + CASE WHEN f.k - (SELECT ks FROM kstar) + 1
+                              <= (SELECT extra FROM star)
+                         THEN 1 ELSE 0 END
+           END AS BIGINT) AS tokens_allocated,
+           CAST(CASE
+             WHEN (SELECT ks FROM kstar) IS NULL THEN f.cap
+             WHEN f.k < (SELECT ks FROM kstar) THEN f.cap
+             ELSE (SELECT base FROM star)
+                  + CASE WHEN f.k - (SELECT ks FROM kstar) + 1
+                              <= (SELECT extra FROM star)
+                         THEN 1 ELSE 0 END
+           END * 1000 // f.ti AS BIGINT) AS epochs_milli
+    FROM feas f
+    """
+
+
+@extra_query("source_token_allocation", _WATERFILL_ORACLE)
+def q_source_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-BUDGET allocation by exact integer
+    WATER-FILLING — the data-mixture planning step every pretraining
+    pipeline runs before sampling (how many tokens of each source fit
+    a fixed compute budget without over-epoching any source): source i
+    contributes min(cap_i, λ) tokens, cap_i = 2·T_i (max 2 epochs),
+    with the level λ chosen so allocations sum to EXACTLY the budget
+    (here: half the corpus' total tokens — small sources upsample to
+    their cap, large sources clip at a common level). All arithmetic
+    is BIGINT: sources sort by cap, the full-allocation prefix is
+    {k : cap_k·(m-k+1) ≤ B - Σ_{j<k} cap_j} (a window expression —
+    the standard water-filling prefix argument), the clipped tail gets
+    floor(remaining/count) each with the remainder distributed one
+    token apiece to the first rows in sort order, so Σ = B exactly and
+    every engine agrees bit-for-bit. Plan shape: one groupBy(source)
+    token count (map-side partial agg), then all decisions happen on
+    the #sources-row table — window + two scalar subqueries; nothing
+    corpus-sized shuffles twice."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    src = (
+        docs.select("source", F.size(tokens("text")).cast("bigint").alias("dlen"))
+        .groupBy("source")
+        .agg(F.sum("dlen").cast("bigint").alias("ti"))
+    )
+    tot = src.agg(
+        F.sum("ti").cast("bigint").alias("total"),
+        F.expr("CAST(sum(ti) div 2 AS bigint)").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    w = Window.orderBy(F.col("cap"), F.col("source"))
+    ordered = (
+        src.withColumn("cap", F.lit(2) * F.col("ti"))
+        .withColumn("k", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "pref",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    feas = ordered.crossJoin(F.broadcast(tot)).select(
+        "source", "ti", "cap", "k",
+        (F.col("budget") - F.col("pref")).alias("rem"),
+        (F.col("m") - F.col("k") + 1).alias("cnt"),
+        (F.col("cap") * (F.col("m") - F.col("k") + 1)
+         <= F.col("budget") - F.col("pref")).alias("is_full"),
+    )
+    kstar = feas.filter(~F.col("is_full")).agg(F.min("k").alias("ks"))
+    star = (
+        feas.join(F.broadcast(kstar), feas["k"] == kstar["ks"])
+        .select(
+            F.expr("CAST(rem div cnt AS bigint)").alias("base"),
+            (F.col("rem") % F.col("cnt")).alias("extra"),
+            F.col("ks").alias("ks2"),
+        )
+    )
+    alloc = (
+        feas.crossJoin(F.broadcast(kstar))
+        .join(F.broadcast(star), F.col("ks") == F.col("ks2"), "left")
+        .select(
+            "source",
+            F.col("ti").alias("tokens_available"),
+            "cap",
+            F.when(F.col("ks").isNull(), F.col("cap"))
+            .when(F.col("k") < F.col("ks"), F.col("cap"))
+            .otherwise(
+                F.col("base")
+                + F.when(
+                    F.col("k") - F.col("ks") + 1 <= F.col("extra"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tokens_allocated"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.expr("CAST((tokens_allocated * 1000) div tokens_available AS bigint)"),
+        )
+    )
+    return alloc

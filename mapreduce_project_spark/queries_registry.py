@@ -447,11 +447,14 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # multimodal_decode_roundtrip + multimodal_wav_roundtrip (D155/D156,
 # the real pixel/PCM decoder proofs).
 #
-# Round-7 rotation pool: dedup_embedding_clusters_lsh (D165, added
-# round 6 — no-block-key sign-LSH semantic dedup with the bit-replayed
-# bucket codes, strict-EQUAL at sf0.001/0.01/0.1), plus the 8 round-6
-# deferrals listed in the round-6 wave comment above (bm25_search
-# stays pytest-tolerance-only).
+# Round-7 rotation pool (added round 6, all strict-EQUAL at
+# sf0.001/0.01/0.1): dedup_embedding_clusters_lsh (D165, no-block-key
+# sign-LSH semantic dedup with the bit-replayed bucket codes),
+# search_hybrid_rrf (D167, integer-ranked BM25 + dense RRF fusion),
+# denoise_span_corruption_pairs (D168, T5-style span corruption),
+# source_token_allocation (D169, exact water-filling mixture budget),
+# plus the 8 round-6 deferrals listed in the round-6 wave comment
+# above (bm25_search stays pytest-tolerance-only).
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

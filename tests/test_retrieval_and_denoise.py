@@ -1,0 +1,119 @@
+"""Round-6 operator batch: hybrid RRF retrieval (D167), span-corruption
+pair building (D168), water-filling token allocation (D169).  Each is
+oracle-checked by tests/test_oracle.py; these tests pin the SEMANTICS
+against independent pure-Python reimplementations and invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import mapreduce_project_spark.queries_registry as R  # noqa: F401 — must precede plans.*
+from tests.conftest import SF_DIR
+
+
+def _toks(text: str) -> list[str]:
+    return re.findall(r"[a-z]+", text.lower())
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    out = R.EXTRA_QUERIES["search_hybrid_rrf"](spark, SF_DIR).collect()
+    assert len(out) == 10
+    prev = None
+    for r in out:
+        rl, rd = r["rank_lex"], r["rank_dense"]
+        assert rl >= 0 and rd >= 0 and (rl > 0 or rd > 0)
+        # rrf is exactly the two-term fusion of the integer ranks
+        # (0 = absent from that ranking, contributes nothing)
+        want = (1.0 / (60 + rl) if rl else 0.0) + (1.0 / (60 + rd) if rd else 0.0)
+        assert r["rrf"] == want
+        if prev is not None:  # ordered by rrf desc, doc_id asc
+            assert r["rrf"] < prev["rrf"] or (
+                r["rrf"] == prev["rrf"] and r["doc_id"] > prev["doc_id"]
+            )
+        prev = r
+    # the fusion is genuinely hybrid on the fixture: both rankings
+    # contribute members to the top-10
+    assert any(r["rank_lex"] > 0 for r in out)
+    assert any(r["rank_dense"] > 0 for r in out)
+
+
+def _flag(doc_id: int, i: int) -> bool:
+    h = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+    return int(h[:8], 16) % 100 < 15
+
+
+def test_span_corruption_matches_pure_python(spark):
+    # independent reimplementation (hashlib + lists) of the T5-style
+    # span corruption for a handful of fixture docs — catches any
+    # drift in the md5 seeding, run-collapse or render logic
+    from mapreduce_project_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter("doc_id < 20")
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in R.EXTRA_QUERIES["denoise_span_corruption_pairs"](spark, SF_DIR)
+        .filter("doc_id < 20")
+        .collect()
+    }
+    checked = 0
+    for did, text in docs.items():
+        tk = _toks(text)
+        if len(tk) < 8:
+            assert did not in got
+            continue
+        f = [_flag(did, i) for i in range(1, len(tk) + 1)]
+        corrupted, target, n_spans = [], [], 0
+        for i, (tok, fi) in enumerate(zip(tk, f)):
+            start = fi and (i == 0 or not f[i - 1])
+            if not fi:
+                corrupted.append(tok)
+            elif start:
+                corrupted.append("<x>")
+            if fi:
+                if start:
+                    target.append("<x>")
+                    n_spans += 1
+                target.append(tok)
+        r = got[did]
+        assert r["n_tokens"] == len(tk)
+        assert r["n_dropped"] == sum(f)
+        assert r["n_spans"] == n_spans
+        assert r["corrupted_text"] == " ".join(corrupted)
+        assert r["target_text"] == " ".join(target)
+        checked += 1
+    assert checked >= 10
+
+
+def test_water_filling_allocation_exact(spark):
+    from mapreduce_project_spark.sources import load_table
+
+    out = R.EXTRA_QUERIES["source_token_allocation"](spark, SF_DIR).collect()
+    total = sum(r["tokens_available"] for r in out)
+    budget = total // 2
+    # the budget is spent EXACTLY, no allocation exceeds its cap
+    assert sum(r["tokens_allocated"] for r in out) == budget
+    for r in out:
+        assert 0 <= r["tokens_allocated"] <= r["cap"] == 2 * r["tokens_available"]
+        assert r["epochs_milli"] == r["tokens_allocated"] * 1000 // r["tokens_available"]
+    # independent water-fill: greedy ascending-cap reference
+    caps = sorted((r["cap"], r["source"]) for r in out)
+    alloc = {}
+    rem, cnt = budget, len(caps)
+    clipped_at = None
+    for idx, (cap, srcname) in enumerate(caps):
+        if clipped_at is None and cap * (cnt - idx) <= rem:
+            alloc[srcname] = cap
+            rem -= cap
+        else:
+            if clipped_at is None:
+                clipped_at = idx
+                base, extra = rem // (cnt - idx), rem % (cnt - idx)
+            alloc[srcname] = base + (1 if idx - clipped_at < extra else 0)
+    got = {r["source"]: r["tokens_allocated"] for r in out}
+    assert got == alloc
