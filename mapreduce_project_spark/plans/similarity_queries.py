@@ -886,3 +886,107 @@ def q_search_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_relevant",
         (F.col("n_hits").cast("double") / F.col("n_relevant")).alias("recall_at_20"),
     )
+
+
+def _mrl_oracle(dims=(8, 16, 32, 64), k=5, nq=10) -> str:
+    """DuckDB twin of `matryoshka_recall_curve`: one ranked CTE per
+    truncated dimensionality (fold cosine over the array PREFIX, the
+    same operand order as Spark's slice+fold), hits counted against
+    the full-dim exact top-k."""
+    def cos(d: int) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {d}),"
+            " i -> q.v[i]*c.v[i]), (x,y) -> x+y)"
+            f" / (sqrt(list_reduce(list_transform(generate_series(1, {d}),"
+            " i -> q.v[i]*q.v[i]), (x,y) -> x+y))"
+            f" * sqrt(list_reduce(list_transform(generate_series(1, {d}),"
+            " i -> c.v[i]*c.v[i]), (x,y) -> x+y)))"
+        )
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for d in dims:
+        ctes.append(
+            f"""top{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos(d)} DESC, c.vec_id) AS rk
+        FROM e q JOIN e c ON q.vec_id < {nq} AND c.vec_id != q.vec_id
+      ) WHERE rk <= {k})"""
+        )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS dim_prefix, query_id, neighbor_id FROM top{d}"
+        for d in dims if d != max(dims)
+    )
+    full = max(dims)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    trunc AS (
+      {unions}
+    ),
+    hits AS (
+      -- LEFT join so a prefix with ZERO overlap still emits its row
+      SELECT t.dim_prefix,
+             CAST(SUM(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM trunc t LEFT JOIN top{full} f
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY t.dim_prefix
+    )
+    SELECT CAST(dim_prefix AS BIGINT) AS dim_prefix, n_hits,
+           CAST({k * nq} AS BIGINT) AS n_possible,
+           CAST(n_hits AS DOUBLE) / {k * nq} AS recall
+    FROM hits
+    """
+    )
+
+
+@extra_query("matryoshka_recall_curve", _mrl_oracle())
+def q_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) TRUNCATION-QUALITY curve — the measurement
+    behind serving embeddings at a prefix of their trained
+    dimensionality (Kusupati et al. 2022; the cost/recall dial every
+    vector store now exposes): for dim prefixes 8/16/32, exact top-5
+    cosine retrieval over the TRUNCATED vectors, scored by overlap
+    with the full-dim (64) exact top-5 for the same queries
+    (vec_id < 10). Output is one row per prefix: integer hit counts
+    (hash-exact), fixed denominator, recall as one division. Each
+    ranking is the brute-force broadcast-query scan (`topk_bruteforce`
+    over pre-sliced vectors — queries broadcast, corpus scanned once
+    per prefix); at 100 TB each prefix scan reads proportionally
+    less data, which is the point of the technique."""
+    from mapreduce_project_spark.operators.similarity import topk_bruteforce
+
+    emb = t(spark, sf_dir, "embeddings")
+    dims, k, nq = (8, 16, 32, 64), 5, 10
+    full = max(dims)
+    tops = {}
+    for d in dims:
+        sl = emb.select(
+            "vec_id", F.slice(F.col("embedding"), 1, d).alias("embedding")
+        )
+        tops[d] = topk_bruteforce(
+            sl, sl.filter(F.col("vec_id") < nq), "vec_id", "embedding", k
+        ).select("query_id", "neighbor_id")
+    trunc = None
+    for d in dims:
+        if d == full:
+            continue
+        part = tops[d].withColumn("dim_prefix", F.lit(d).cast("bigint"))
+        trunc = part if trunc is None else trunc.unionByName(part)
+    # LEFT join so a prefix with ZERO overlap still emits its row
+    hits = (
+        trunc.join(
+            tops[full].withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("dim_prefix")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "dim_prefix",
+        "n_hits",
+        F.lit(k * nq).cast("bigint").alias("n_possible"),
+        (F.col("n_hits").cast("double") / F.lit(k * nq)).alias("recall"),
+    )

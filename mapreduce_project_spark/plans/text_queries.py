@@ -2067,3 +2067,89 @@ def q_denoise_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             "ELSE array() END)))"
         ).alias("target_text"),
     )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+    ), sizes AS (
+      SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+    ), common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ), prs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ), lab AS (
+      SELECT p.id_a, p.id_b,
+             least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM prs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+    ), grouped AS (
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM lab GROUP BY 1, 2
+    ), dcnt AS (
+      SELECT src_a, src_b, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT src_a, src_b, unnest([id_a, id_b]) AS d FROM lab)
+      GROUP BY 1, 2
+    )
+    SELECT g.src_a, g.src_b, g.n_pairs, d.n_docs
+    FROM grouped g JOIN dcnt d USING (src_a, src_b)
+    """
+
+
+@extra_query("source_overlap_matrix", _SOURCE_OVERLAP_ORACLE)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE near-dup overlap matrix — the corpus-composition
+    audit run before mixing sources into a training set (which feeds
+    contain copies of which, and how badly): MinHash/LSH-verified
+    near-dup pairs (the C2 machinery, threshold 0.8) labeled with each
+    side's source, canonicalized to an unordered source pair, with
+    pair counts and the distinct documents involved. A diagonal cell
+    (src, src) is internal duplication; an off-diagonal cell is
+    cross-source contamination — the number a source-mixture planner
+    (D169) reads before trusting per-source token counts. Pair stream
+    is LSH-candidates-then-verify (never all-pairs); the source join
+    broadcasts the (doc_id, source) projection; integers end-to-end ⇒
+    hash-matched against the exact quadratic SQL at three SFs (same
+    full-band-recall argument as `dedup_minhash_lsh`)."""
+    from mapreduce_project_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.8).select(
+        "id_a", "id_b"
+    )
+    srcs = docs.select("doc_id", "source")
+    lab = (
+        prs.join(
+            F.broadcast(srcs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(srcs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b",
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    grouped = lab.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    dcnt = (
+        lab.select("src_a", "src_b", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    return grouped.join(dcnt, ["src_a", "src_b"])

@@ -453,6 +453,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # search_hybrid_rrf (D167, integer-ranked BM25 + dense RRF fusion),
 # denoise_span_corruption_pairs (D168, T5-style span corruption),
 # source_token_allocation (D169, exact water-filling mixture budget),
+# source_overlap_matrix (D170, cross-source near-dup contamination
+# matrix), matryoshka_recall_curve (D171, MRL truncation quality),
 # plus the 8 round-6 deferrals listed in the round-6 wave comment
 # above (bm25_search stays pytest-tolerance-only).
 #

@@ -117,3 +117,26 @@ def test_water_filling_allocation_exact(spark):
             alloc[srcname] = base + (1 if idx - clipped_at < extra else 0)
     got = {r["source"]: r["tokens_allocated"] for r in out}
     assert got == alloc
+
+
+def test_source_overlap_matrix_invariants(spark):
+    out = R.EXTRA_QUERIES["source_overlap_matrix"](spark, SF_DIR).collect()
+    assert out  # the fixture plants near-dups, so cells exist
+    diag = [r for r in out if r["src_a"] == r["src_b"]]
+    assert diag  # internal duplication shows on the diagonal
+    for r in out:
+        assert r["src_a"] <= r["src_b"]
+        assert 1 <= r["n_docs"] <= 2 * r["n_pairs"]
+
+
+def test_matryoshka_recall_curve_shape(spark):
+    out = {r["dim_prefix"]: r for r in
+           R.EXTRA_QUERIES["matryoshka_recall_curve"](spark, SF_DIR).collect()}
+    assert sorted(out) == [8, 16, 32]  # zero-hit prefixes still emit
+    for d, r in out.items():
+        assert r["n_possible"] == 50
+        assert 0 <= r["n_hits"] <= 50
+        assert r["recall"] == r["n_hits"] / 50.0
+    # more dimensions can only help on this fixture (noise-like
+    # embeddings: the 32-dim prefix must beat or match the 8-dim one)
+    assert out[32]["n_hits"] >= out[8]["n_hits"]
