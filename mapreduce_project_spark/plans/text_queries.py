@@ -826,13 +826,19 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
         ).alias("bg"),
     )
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # per-(doc, bigram) counts ONCE, cached: both the corpus count
+    # table and the scoring join derive from this (~docs x alphabet²
+    # rows) instead of re-running the corpus-sized explode per branch
+    bgc = bg.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).cache()
+    counts = bgc.groupBy("bg").agg(F.sum("cnt").alias("c"))
     return (
-        bg.join(F.broadcast(counts), "bg")
+        bgc.join(F.broadcast(counts), "bg")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("sum_freq"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("c")).alias("sum_freq"),
+            F.sum("cnt").alias("n_bigrams"),
         )
         .select(
             "doc_id",

@@ -971,12 +971,15 @@ def q_assemble_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.operators.sampling import negative_samples
 
     docs = t(spark, sf_dir, "documents")
+    # cached: the pair stream feeds BOTH the output union and the
+    # anchor-id draw — without it the whole prefix-filter Jaccard join
+    # runs twice (measured ~2x this query's wall time)
     pos = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 4, 5).select(
         F.col("id_a").alias("anchor"),
         F.col("id_b").alias("other"),
         F.lit("pos").alias("label"),
         "jac",
-    )
+    ).cache()
     anchors = pos.select(F.col("anchor").alias("doc_id")).distinct()
     negs = negative_samples(docs.select("doc_id"), "doc_id", anchors, 2, 64).select(
         F.col("anchor_id").alias("anchor"),
