@@ -1365,3 +1365,76 @@ def q_events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("twap"),
     )
+
+
+_OHLC_ORACLE = """
+    WITH s AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, day, cents,
+             first_value(cents) OVER (PARTITION BY user_id, day ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_c,
+             last_value(cents) OVER (PARTITION BY user_id, day ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_c
+      FROM s
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           max(open_c) AS open_c, max(cents) AS high_c,
+           min(cents) AS low_c, max(close_c) AS close_c,
+           CAST(SUM(cents) AS BIGINT) AS volume_c
+    FROM seq GROUP BY user_id, day
+    """
+
+
+@extra_query("events_ohlc_daily", _OHLC_ORACLE)
+def q_events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (user, day) — the canonical
+    time-series downsample every market/telemetry store ships
+    (TimescaleDB `candlestick_agg`, kdb/InfluxDB OHLC): open = value at
+    the earliest tick, close = at the latest, high/low/volume over the
+    bar. Values travel as BIGINT cents end to end, so the whole row is
+    integer-exact (hash-green with no float convention needed).
+    Plan shape: ONE window sort per (user, day) partition computes both
+    open and close via full-frame first/last (no second descending
+    sort, no self-join), then one partial-aggregated shuffle collapses
+    the bar; unique per-user timestamps make the frame order total. At
+    100 TB the events scan parallelizes on (user, day) hash — no
+    skew hazard beyond the per-user tick rate itself, and AQE splits
+    any hot user-day since the window key equals the agg key."""
+    from pyspark.sql import Window
+
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w_full = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = s.select(
+        "user_id",
+        "day",
+        "cents",
+        F.first("cents").over(w_full).alias("open_c"),
+        F.last("cents").over(w_full).alias("close_c"),
+    )
+    return seq.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        F.max("open_c").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max("close_c").alias("close_c"),
+        F.sum("cents").cast("bigint").alias("volume_c"),
+    ).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_trades", "open_c", "high_c", "low_c", "close_c", "volume_c",
+    )

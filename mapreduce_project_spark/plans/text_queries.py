@@ -2159,3 +2159,155 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
     )
     return grouped.join(dcnt, ["src_a", "src_b"])
+
+
+_CCNET_ORACLE = """
+    WITH d AS (SELECT doc_id, source, lower(text) AS t FROM documents),
+    bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+      FROM d, LATERAL unnest(generate_series(1, length(t) - 1)) AS g(i)
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+    counts AS (SELECT bg, SUM(cnt) AS c FROM bgc GROUP BY bg),
+    scored AS (
+      SELECT doc_id,
+             CAST((SUM(cnt * c) * 1000000) // SUM(cnt) AS BIGINT) AS score_fp
+      FROM bgc JOIN counts USING (bg)
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, s.score_fp,
+             CAST(ntile(3) OVER (PARTITION BY d.source
+                                 ORDER BY s.score_fp DESC, d.doc_id) AS BIGINT)
+               AS tercile
+      FROM d JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, source, score_fp, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+    FROM ranked
+    """
+
+
+@extra_query("ccnet_quality_buckets", _CCNET_ORACLE)
+def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source quality terciles (Wenzek et al. 2020):
+    score every document with the corpus-trained char-bigram LM
+    (the D59 statistic — mean bigram frequency, higher = more typical
+    text) and split EACH SOURCE into head/middle/tail thirds of the
+    score distribution — the bucketing CCNet uses to keep head+middle
+    and drop tail before LM pretraining. Per-source ntile (not a
+    global cut) is the point: a clean source's tail is still dropped
+    and a noisy source's head still kept, so no source dominates by
+    its absolute perplexity range. Exactness: the score is quantized
+    to BIGINT micro-units with truncating division (identical in both
+    engines) BEFORE ranking, and the ntile order is totalized by
+    doc_id — bucket boundaries can never flip on a float ulp. Plan:
+    the per-(doc,bigram) count table is computed ONCE and cached
+    (feeds both the corpus count table and the scoring join — the
+    round-6 repeated-expression lesson), the ≤|alphabet|² frequency
+    table broadcasts, and the tercile window shuffles one integer row
+    per document on the source key."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower(F.col("text")).alias("t")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("bg"),
+    )
+    bgc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    counts = bgc.groupBy("bg").agg(F.sum("cnt").alias("c"))
+    scored = (
+        bgc.join(F.broadcast(counts), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(cnt * c) * 1000000L div sum(cnt)").alias("score_fp")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("score_fp"), "doc_id")
+    ranked = (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id", "source", "score_fp",
+            F.ntile(3).over(w).cast("bigint").alias("tercile"),
+        )
+    )
+    return ranked.select(
+        "doc_id", "source", "score_fp", "tercile",
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# In-query planted corruption: testdata text is pure ASCII, so the
+# detector would be vacuous on it; docs with doc_id % 7 == 0 get a
+# marker suffix carrying one of each artifact class (the same
+# plant-then-detect pattern as the media decode roundtrips).
+_MOJIBAKE_MARKER = " caff\u00c3\u00a8 \u00e2\u20ac\u0153quote\u00e2\u20ac\u009d \ufffd"
+_P_LATIN1 = "\u00c3[^\\x00-\\x7F]"
+_P_PUNCT = "\u00e2\u20ac"
+_P_REPL = "\ufffd"
+_P_C1 = "[\\x80-\\x9F]"
+
+_MOJIBAKE_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '{_MOJIBAKE_MARKER}'
+                  ELSE text END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '{_P_LATIN1}')) AS BIGINT) AS n_utf8_latin1,
+           CAST(len(regexp_extract_all(s, '{_P_PUNCT}')) AS BIGINT) AS n_punct_mojibake,
+           CAST(len(regexp_extract_all(s, '{_P_REPL}')) AS BIGINT) AS n_replacement,
+           CAST(len(regexp_extract_all(s, '{_P_C1}')) AS BIGINT) AS n_c1_control,
+           CAST(CASE WHEN len(regexp_extract_all(s, '{_P_LATIN1}')) = 0
+                      AND len(regexp_extract_all(s, '{_P_PUNCT}')) = 0
+                      AND len(regexp_extract_all(s, '{_P_REPL}')) = 0
+                      AND len(regexp_extract_all(s, '{_P_C1}')) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS clean
+    FROM c
+    """
+
+
+@extra_query("text_mojibake_audit", _MOJIBAKE_ORACLE)
+def q_text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) audit — the ftfy-class crawl-hygiene
+    check every web corpus needs before training: per document, counts
+    of (a) UTF-8-bytes-read-as-Latin-1/cp1252 artifacts (U+00C3 + a
+    non-ASCII continuation, the 'caff\u00c3\u00a8' signature), (b) cp1252
+    smart-punctuation mojibake (the U+00E2 U+20AC prefix family), (c)
+    U+FFFD replacement characters (lossy prior transcodes), and (d)
+    stray C1 control codepoints U+0080-U+009F (double-decode residue)
+    — plus a per-doc clean flag. All counts are integers from single
+    regexp passes over a pure projection (codegen'd, zero shuffle);
+    the artifact classes compose into corpus-clean pipelines as one
+    cheap map stage. Detection is the operator; the planted marker
+    (docs \u2261 0 mod 7) makes the check non-vacuous on ASCII
+    testdata, exactly like the media decode roundtrips plant payloads."""
+    docs = t(spark, sf_dir, "documents")
+    s = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_MOJIBAKE_MARKER))
+    ).otherwise(F.col("text"))
+    c = docs.select("doc_id", s.alias("s"))
+    n1 = F.regexp_count(F.col("s"), F.lit(_P_LATIN1))
+    n2 = F.regexp_count(F.col("s"), F.lit(_P_PUNCT))
+    n3 = F.regexp_count(F.col("s"), F.lit(_P_REPL))
+    n4 = F.regexp_count(F.col("s"), F.lit(_P_C1))
+    return c.select(
+        "doc_id",
+        n1.cast("bigint").alias("n_utf8_latin1"),
+        n2.cast("bigint").alias("n_punct_mojibake"),
+        n3.cast("bigint").alias("n_replacement"),
+        n4.cast("bigint").alias("n_c1_control"),
+        ((n1 == 0) & (n2 == 0) & (n3 == 0) & (n4 == 0))
+        .cast("bigint")
+        .alias("clean"),
+    )

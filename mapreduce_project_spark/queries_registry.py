@@ -455,6 +455,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # source_token_allocation (D169, exact water-filling mixture budget),
 # source_overlap_matrix (D170, cross-source near-dup contamination
 # matrix), matryoshka_recall_curve (D171, MRL truncation quality),
+# events_ohlc_daily (D172, integer-cents OHLC bars),
+# ccnet_quality_buckets (D173, per-source LM-score terciles),
+# text_mojibake_audit (D174, encoding-artifact audit),
 # plus the 8 round-6 deferrals listed in the round-6 wave comment
 # above (bm25_search stays pytest-tolerance-only).
 #

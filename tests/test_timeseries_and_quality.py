@@ -1,0 +1,98 @@
+"""Continuation-batch operators: OHLC bars (D175), CCNet-style quality
+terciles (D173), mojibake audit (D176).  Each is oracle-checked by
+tests/test_oracle.py; these tests pin the SEMANTICS against independent
+pure-Python reimplementations and invariants."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import mapreduce_project_spark.queries_registry as R  # noqa: F401 — must precede plans.*
+from tests.conftest import SF_DIR
+
+
+def test_ohlc_matches_pure_python(spark):
+    from mapreduce_project_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter("user_id < 30")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    bars = defaultdict(list)
+    for r in ev:
+        cents = int(r["value"] * 100 + 0.5)  # floor(x*100+0.5), x>0
+        bars[(r["user_id"], r["ts"].strftime("%Y-%m-%d"))].append((r["ts"], cents))
+    got = {
+        (r["user_id"], r["day"]): r
+        for r in R.EXTRA_QUERIES["events_ohlc_daily"](spark, SF_DIR)
+        .filter("user_id < 30")
+        .collect()
+    }
+    assert set(got) == set(bars)
+    for key, ticks in bars.items():
+        ticks.sort()
+        r = got[key]
+        cs = [c for _, c in ticks]
+        assert r["open_c"] == cs[0] and r["close_c"] == cs[-1]
+        assert r["high_c"] == max(cs) and r["low_c"] == min(cs)
+        assert r["n_trades"] == len(cs) and r["volume_c"] == sum(cs)
+        assert r["low_c"] <= r["open_c"] <= r["high_c"]
+        assert r["low_c"] <= r["close_c"] <= r["high_c"]
+
+
+def test_ccnet_terciles_per_source_invariants(spark):
+    rows = R.EXTRA_QUERIES["ccnet_quality_buckets"](spark, SF_DIR).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+        assert r["bucket"] == {1: "head", 2: "middle", 3: "tail"}[r["tercile"]]
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r["tercile"]] += 1
+        # ntile invariant: bucket sizes differ by at most 1, earlier
+        # buckets take the remainder
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sizes[1] >= sizes[2] >= sizes[3]
+        # the tercile order IS the (score desc, doc_id asc) order
+        rs.sort(key=lambda r: (-r["score_fp"], r["doc_id"]))
+        tcs = [r["tercile"] for r in rs]
+        assert tcs == sorted(tcs)
+        # head scores dominate tail scores within every source
+        head_min = min(r["score_fp"] for r in rs if r["tercile"] == 1)
+        tail_max = max(r["score_fp"] for r in rs if r["tercile"] == 3)
+        assert head_min >= tail_max
+
+
+def test_mojibake_planted_counts(spark):
+    rows = R.EXTRA_QUERIES["text_mojibake_audit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 7 == 0:
+            # the planted marker carries exactly one latin-1 artifact,
+            # two punctuation-mojibake prefixes, one U+FFFD and one C1
+            assert r["n_utf8_latin1"] == 1
+            assert r["n_punct_mojibake"] == 2
+            assert r["n_replacement"] == 1
+            assert r["n_c1_control"] == 1
+            assert r["clean"] == 0
+        else:
+            # untouched testdata text is pure ASCII
+            assert r["n_utf8_latin1"] == 0
+            assert r["n_punct_mojibake"] == 0
+            assert r["n_replacement"] == 0
+            assert r["n_c1_control"] == 0
+            assert r["clean"] == 1
+
+
+def test_mojibake_detects_real_double_encode(spark):
+    # the detector (not the plant): UTF-8 bytes of real non-ASCII text
+    # re-read as Latin-1 must trip the latin-1 artifact counter
+    s = "caffè crème brûlée"
+    garbled = s.encode("utf-8").decode("latin-1")
+    hits = re.findall("Ã[^\x00-\x7f]", garbled)
+    assert len(hits) == 4  # è, è, û, é each become Ã + continuation
