@@ -135,3 +135,83 @@ def semantic_contamination_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _bloom_pos(gram_col: str, k: int, m: int):
+    """The k seeded bloom positions of a gram as an exploded (j, pos)
+    pair stream — positions from the engine-portable md5 bridge
+    (`conv(substr(md5(...)))` ≡ DuckDB's hex cast), so the WHOLE
+    filter, false positives included, is deterministic and
+    oracle-replayable. Production swap-in: Spark's native
+    `bloom_filter_agg`/`might_contain` bitset (not SQL-replayable) —
+    identical semantics, this is its auditable twin."""
+    return [
+        F.expr(
+            f"cast(conv(substr(md5(cast(concat({gram_col}, '#', '{j}') AS binary)),"
+            f" 1, 8), 16, 10) AS bigint) % {m}"
+        ).alias(f"_pos{j}")
+        for j in range(k)
+    ]
+
+
+def bloom_contamination_audit(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 3,
+    m: int = 262144,
+) -> DataFrame:
+    """Bloom-filter decontamination probe: per corpus document,
+    ``(id, n_grams, n_flagged, n_true_hits)`` where ``n_flagged``
+    counts distinct n-grams whose k bloom positions are ALL set by the
+    benchmark's n-grams and ``n_true_hits`` the genuinely shared ones
+    — so ``n_flagged - n_true_hits`` is the audit's visible
+    false-positive mass (deterministic: both engines compute the same
+    md5 positions).
+
+    Why a bloom twin of `contamination_hits` at all: at 100 TB the
+    benchmark GRAM SET may be too wide to broadcast as strings (13-gram
+    suites reach GBs), while the m-bit filter is fixed-size (32 KiB
+    here, tunable) regardless of benchmark growth — the classic
+    memory/precision dial. Plan shape is unchanged from the exact
+    path: the position set (≤ m rows, here as a broadcast semi-join
+    standing in for the bitset) broadcasts, the corpus explodes grams
+    map-side, and only position matches reach the (id, gram) hit
+    count; a gram is flagged iff all k of its j-rows matched, which
+    handles duplicate positions within a gram correctly (hits = k ⟺
+    every position present)."""
+    bench_bits = (
+        benchmark_ngrams(benchmark, text_col, n)
+        .select(F.explode(F.array(*_bloom_pos("_gram", k, m))).alias("pos"))
+        .distinct()
+    )
+    grams = _distinct_doc_grams(corpus, id_col, text_col, n)
+    probe = grams.select(
+        F.col(id_col), "_gram", F.explode(F.array(*_bloom_pos("_gram", k, m))).alias("pos")
+    )
+    flagged = (
+        probe.join(F.broadcast(bench_bits), "pos")
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    )
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    truth = contamination_hits(corpus, benchmark, id_col, text_col, n).select(
+        F.col(id_col), F.col("n_hit_ngrams").alias("n_true_hits")
+    )
+    return (
+        totals.join(flagged, id_col, "left")
+        .join(truth, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
+            F.coalesce("n_true_hits", F.lit(0)).cast("bigint").alias("n_true_hits"),
+        )
+    )

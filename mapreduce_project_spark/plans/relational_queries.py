@@ -1174,3 +1174,67 @@ def q_fulfillment_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("days").cast("bigint").alias("max_days"),
         )
     )
+
+
+_DP_NOISY_ORACLE = """
+    WITH g AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    u AS (
+      SELECT source, lang, n,
+             (CAST(CAST('0x' || substr(md5('dp1:' || source || ':' || lang), 1, 8)
+                        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+      FROM g
+    )
+    SELECT source, lang,
+           CAST(1000000 AS BIGINT) AS epsilon_micro,
+           CAST(n * 1000000
+                + CAST(round((-sign(uu - 0.5)
+                              * ln(1.0 - 2.0 * abs(uu - 0.5))) * 1000000.0)
+                       AS BIGINT) AS BIGINT) AS noisy_count_micro
+    FROM u
+    """
+
+
+@extra_query("dp_noisy_source_counts", _DP_NOISY_ORACLE)
+def q_dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the per-(source, lang) document
+    histogram — the governance sibling of the k-anonymity audit and the
+    pseudonymized release: counts get Laplace(sensitivity/epsilon = 1/1)
+    noise via the inverse-CDF transform of a SEEDED md5 uniform (u from
+    the engine-portable hex bridge, noise = -sign(u-1/2)·ln(1-2|u-1/2|)),
+    so the release is reproducible, auditable, and oracle-replayable —
+    the per-release seed string is the privacy-accounting ledger key a
+    real deployment rotates per query. The noise lands as micro-unit
+    BIGINTs (the micro-log fixed-point trick: one ln per GROUP — a
+    handful of rows — quantized before any further arithmetic), so the
+    released column is integer-exact cross-engine. True counts are NOT
+    in the output by construction; the noisy histogram is the whole
+    release. One partial-agg shuffle over (source, lang); noise is a
+    per-group projection."""
+    g = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uu = (
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('dp1:', source, ':', lang)"
+            " AS binary)), 1, 8), 16, 10) AS bigint)"
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    lap = -F.signum(uu - F.lit(0.5)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))
+    )
+    return g.select(
+        "source",
+        "lang",
+        F.lit(1000000).cast("bigint").alias("epsilon_micro"),
+        (
+            F.col("n") * F.lit(1000000)
+            + F.round(lap * F.lit(1000000.0), 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("noisy_count_micro"),
+    )

@@ -167,3 +167,103 @@ def q_sketch_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_churned"),
     )
+
+
+_HLL_EXACT_ORACLE = """
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+      FROM events
+    ),
+    r AS (SELECT event_type, hv % 256 AS reg, hv // 256 AS w FROM h),
+    rr AS (
+      SELECT event_type, reg,
+             MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m
+      FROM r GROUP BY event_type, reg
+    ),
+    z AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - m))
+                  + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+               AS z_scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_regs
+      FROM rr GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT z.event_type, n_regs, z_scaled,
+           ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+               + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+            * CAST(65536.0 AS DOUBLE)
+            * CAST(9007199254740992.0 AS DOUBLE)) / CAST(z_scaled AS DOUBLE)
+             AS hll_est,
+           n_exact
+    FROM z JOIN ex USING (event_type)
+    """
+
+
+@extra_query("sketch_hll_registers_exact", _HLL_EXACT_ORACLE)
+def q_sketch_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog whose REGISTERS are engine-exact — the
+    hash-checkable complement of the built-in DataSketches HLL (which
+    is rows-only by necessity: its hashing is library-internal).
+    Flajolet's estimator from first principles on an engine-portable
+    hash: 60 md5 bits split into an 8-bit register index and a 52-bit
+    pattern w with rho = leading-zeros(w)+1 via integer bit-length
+    (string-free of floats), per-register MAX is order-independent,
+    and the harmonic denominator is accumulated as the EXACT BIGINT
+    Z·2^53 = Σ 2^(53-rho) (+ 2^53 per empty register), so the only
+    float anywhere is the final pinned alpha·m²·2^53/Z division per
+    row. m = 256 registers (~6.5% RSE); the plan — one
+    (key, reg)-keyed partial-agg MAX then one key-keyed integer sum —
+    is the mergeable-sketch shape at any m, and yesterday's register
+    table unions with today's by the same MAX. Exact distinct count
+    joined alongside makes the estimator's error visible and the
+    oracle non-vacuous."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.expr(
+            "cast(conv(substr(md5(cast(cast(user_id AS string) AS binary)),"
+            " 1, 15), 16, 10) AS bigint)"
+        ).alias("hv"),
+    )
+    r = h.select(
+        "event_type",
+        F.expr("hv % 256").alias("reg"),
+        F.expr("hv div 256").alias("w"),
+    )
+    rr = r.groupBy("event_type", "reg").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+            )
+        ).alias("m")
+    )
+    z = rr.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 AS bigint), 53 - m)"))
+            + (F.lit(256) - F.count(F.lit(1))) * F.expr("shiftleft(cast(1 AS bigint), 53)")
+        )
+        .cast("bigint")
+        .alias("z_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return z.join(ex, "event_type").select(
+        "event_type",
+        "n_regs",
+        "z_scaled",
+        (
+            (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+            * F.lit(65536.0)
+            * F.lit(9007199254740992.0)
+            / F.col("z_scaled").cast("double")
+        ).alias("hll_est"),
+        "n_exact",
+    )

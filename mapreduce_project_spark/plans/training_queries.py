@@ -1275,3 +1275,84 @@ def q_source_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return alloc
+
+
+_BLOOM_DECONTAM_ORACLE = """
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents)
+    ),
+    lab AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '20000000' AS is_test
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM grams JOIN lab USING (doc_id) WHERE is_test
+    ),
+    jj AS (SELECT unnest(generate_series(0, 2)) AS j),
+    bbits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(gram || '#' || CAST(j AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 262144 AS pos
+      FROM bench, jj
+    ),
+    tg AS (
+      SELECT g.doc_id, gram FROM grams g JOIN lab USING (doc_id)
+      WHERE NOT is_test
+    ),
+    probe AS (
+      SELECT doc_id, gram, COUNT(*) AS hits
+      FROM (SELECT doc_id, gram,
+                   CAST('0x' || substr(md5(gram || '#' || CAST(j AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 262144 AS pos
+            FROM tg, jj) p
+      JOIN bbits USING (pos)
+      GROUP BY doc_id, gram
+    ),
+    flagged AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM probe
+      WHERE hits = 3 GROUP BY doc_id
+    ),
+    truth AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM tg JOIN bench USING (gram) GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tg GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           CAST(COALESCE(f.nf, 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(tr.nt, 0) AS BIGINT) AS n_true_hits
+    FROM tot t
+    LEFT JOIN flagged f USING (doc_id)
+    LEFT JOIN truth tr USING (doc_id)
+    """
+
+
+@extra_query("decontam_bloom_audit", _BLOOM_DECONTAM_ORACLE)
+def q_decontam_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit (`operators/decontam.py:
+    bloom_contamination_audit`): the constant-memory twin of D42's
+    exact n-gram probe — the benchmark's 3-grams set k=3 md5-seeded
+    positions in an m=262144-slot filter, every train document reports
+    its total / bloom-flagged / truly-shared distinct 3-gram counts,
+    and the flagged-minus-true gap IS the filter's false-positive mass,
+    visible and deterministic (both engines compute identical
+    positions, so even the false positives hash-match). Why it exists
+    at scale: a 13-gram benchmark suite's string set can reach GBs —
+    too wide to broadcast — while the bitset stays fixed-size; Spark's
+    native bloom_filter_agg/might_contain is the production form, this
+    formulation is its oracle-replayable audit. Same held-out md5
+    split as `decontam_hits` plays the benchmark."""
+    from mapreduce_project_spark.operators.decontam import (
+        bloom_contamination_audit,
+    )
+
+    docs = hash_split(t(spark, sf_dir, "documents"), "doc_id", 0.125)
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return bloom_contamination_audit(train, test, "doc_id", "text", 3, 3, 262144)
