@@ -180,12 +180,19 @@ def cosine_pairs_gemm(
     vec_col: str,
     threshold: float,
     block_col: str,
-    margin: float = 1e-4,
+    margin: float | None = None,
     grid: int = 4,
 ) -> DataFrame:
     """Exact blocked cosine pairs with the quadratic CONSTANT paid in
     BLAS, not in interpreted fold-joins: (id_a, id_b, cos), cos >=
     threshold, id_a < id_b within equal ``block_col``.
+
+    ID CONTRACT: ``id_col`` must be integer-valued (cast to int64 for
+    the pair emit) and unique; duplicate ids would collapse to
+    id_a == id_b self-pairs, which the emit drops (strict id_a < id_b,
+    matching `cosine_pairs`' value-level ordering). String-keyed
+    callers must pre-map to int64 (e.g. xxhash64) — the schema makes
+    a non-numeric id fail loudly at analysis time.
 
     Round-6 rewrite of the `cosine_pairs` hot path (it was the slowest
     sweep query at 22.7 s/sf0.1). Two stages:
@@ -226,10 +233,14 @@ def cosine_pairs_gemm(
     across grid·(grid+1)/2 tasks instead of one — the round-6 sf≈1
     decade measured the un-gridded form at 42x/decade purely because
     10 label blocks left 22 of 32 cores idle. The prefilter GEMM runs
-    in float32 (2x BLAS rate, half the traffic); its error on
-    unit-normalized vectors is < 1e-5, so the default ``margin`` of
-    1e-4 strictly over-collects and the float64 fold verify still
-    decides every pair. At 100 TB the real lever remains the
+    in float32 (2x BLAS rate, half the traffic); worst-case float32
+    dot error on unit vectors grows ~dim*2^-24, so the default
+    ``margin`` scales with the OBSERVED dimension per group:
+    max(1e-4, dim * 2e-7) — 1e-4 alone covers dim <~ 500, the scaled
+    term keeps the over-collection guarantee for wide embeddings
+    (dim 4096 => margin 8.2e-4). The prefilter strictly
+    over-collects and the float64 fold verify still decides every
+    pair. At 100 TB the real lever remains the
     threshold: production semantic dedup runs at >= 0.85 where the
     LSH path (`dedup.embedding_dedup_clusters_lsh`) is near-linear."""
     import numpy as np
@@ -242,7 +253,11 @@ def cosine_pairs_gemm(
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
     )
-    cut = np.float32(threshold - margin)
+
+    def _cut(dim: int) -> np.float32:
+        # margin scales with observed dim (float32 GEMM error ~ dim*2^-24)
+        m = margin if margin is not None else max(1e-4, dim * 2e-7)
+        return np.float32(threshold - m)
 
     # replicate each row into every sub-bucket pair it participates in:
     # row with bucket b joins groups (min(b,o), max(b,o)) for o in
@@ -276,6 +291,11 @@ def cosine_pairs_gemm(
     def _emit(m, ids, ia, ib):
         lo = np.minimum(ids[ia], ids[ib])
         hi = np.maximum(ids[ia], ids[ib])
+        # strict value-level id_a < id_b: duplicate input ids would
+        # otherwise surface as self-pairs (ADVICE round-6)
+        keep = lo < hi
+        if not keep.all():
+            ia, ib, lo, hi = ia[keep], ib[keep], lo[keep], hi[keep]
         swap = ids[ia] > ids[ib]
         va = np.where(swap, ib, ia)
         vb = np.where(swap, ia, ib)
@@ -297,6 +317,7 @@ def cosine_pairs_gemm(
         m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = np.sqrt((m * m).sum(axis=1))
         mn32 = (m / nrm[:, None]).astype(np.float32)
+        cut = _cut(m.shape[1])
         sb = pdf["sb"].to_numpy()
         if gi == gj:
             # within-bucket pairs: strict upper triangle, row-tiled

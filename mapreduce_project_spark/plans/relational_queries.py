@@ -1198,20 +1198,43 @@ _DP_NOISY_ORACLE = """
 
 @extra_query("dp_noisy_source_counts", _DP_NOISY_ORACLE)
 def q_dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private release of the per-(source, lang) document
+    """DP-SHAPED noisy release of the per-(source, lang) document
     histogram — the governance sibling of the k-anonymity audit and the
     pseudonymized release: counts get Laplace(sensitivity/epsilon = 1/1)
     noise via the inverse-CDF transform of a SEEDED md5 uniform (u from
-    the engine-portable hex bridge, noise = -sign(u-1/2)·ln(1-2|u-1/2|)),
-    so the release is reproducible, auditable, and oracle-replayable —
-    the per-release seed string is the privacy-accounting ledger key a
-    real deployment rotates per query. The noise lands as micro-unit
-    BIGINTs (the micro-log fixed-point trick: one ln per GROUP — a
-    handful of rows — quantized before any further arithmetic), so the
-    released column is integer-exact cross-engine. True counts are NOT
-    in the output by construction; the noisy histogram is the whole
-    release. One partial-agg shuffle over (source, lang); noise is a
-    per-group projection."""
+    the engine-portable hex bridge, noise = -sign(u-1/2)·ln(1-2|u-1/2|)).
+
+    PRIVACY SEMANTICS (what this does and does NOT provide): with the
+    public constant seed 'dp1' the noise is exactly recomputable by
+    anyone — and therefore SUBTRACTABLE — so this pipeline demonstrates
+    the Laplace MECHANISM (correct distribution, sensitivity-calibrated
+    scale, true counts absent from the output) but provides NO actual
+    differential privacy. Determinism against a known seed and the DP
+    guarantee are fundamentally incompatible: a real deployment MUST
+    draw the seed from a secret, non-logged source, which necessarily
+    forfeits oracle replay. Correspondingly, the DuckDB oracle here
+    proves the mechanism's TRANSFORM is implemented exactly (uniform →
+    inverse-CDF → micro-unit quantization, cross-engine bit-equal); it
+    cannot and does not certify a privacy property of a randomized
+    release — see tests/test_governance_sketches.py for the planted
+    epsilon-sensitivity pin (noise scale halves when epsilon doubles).
+
+    The noise lands as micro-unit BIGINTs (the micro-log fixed-point
+    trick: one ln per GROUP — a handful of rows — quantized before any
+    further arithmetic), so the released column is integer-exact
+    cross-engine. One partial-agg shuffle over (source, lang); noise is
+    a per-group projection."""
+    return dp_noisy_source_counts(spark, sf_dir, epsilon=1.0)
+
+
+def dp_noisy_source_counts(
+    spark: SparkSession, sf_dir: str, epsilon: float = 1.0, seed: str = "dp1"
+) -> DataFrame:
+    """Parameterized Laplace mechanism over the (source, lang) counts —
+    scale b = sensitivity/epsilon = 1/epsilon. Same seeded-uniform
+    caveats as the registered query (see q_dp_noisy_source_counts);
+    epsilon is exposed so the scale calibration is testable: with the
+    same seed, noise(2*eps) is exactly noise(eps)/2 pre-quantization."""
     g = (
         t(spark, sf_dir, "documents")
         .groupBy("source", "lang")
@@ -1219,18 +1242,20 @@ def q_dp_noisy_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uu = (
         F.expr(
-            "cast(conv(substr(md5(cast(concat('dp1:', source, ':', lang)"
+            f"cast(conv(substr(md5(cast(concat('{seed}:', source, ':', lang)"
             " AS binary)), 1, 8), 16, 10) AS bigint)"
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
-    lap = -F.signum(uu - F.lit(0.5)) * F.log(
-        F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))
+    lap = (
+        -F.signum(uu - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5)))
+        / F.lit(float(epsilon))
     )
     return g.select(
         "source",
         "lang",
-        F.lit(1000000).cast("bigint").alias("epsilon_micro"),
+        F.lit(int(round(epsilon * 1000000))).cast("bigint").alias("epsilon_micro"),
         (
             F.col("n") * F.lit(1000000)
             + F.round(lap * F.lit(1000000.0), 0).cast("bigint")

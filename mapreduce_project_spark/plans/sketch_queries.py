@@ -193,15 +193,25 @@ _HLL_EXACT_ORACLE = """
     ex AS (
       SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
       FROM events GROUP BY event_type
+    ),
+    raw AS (
+      SELECT z.event_type, n_regs, z_scaled,
+             ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                 + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+              * CAST(65536.0 AS DOUBLE)
+              * CAST(9007199254740992.0 AS DOUBLE)) / CAST(z_scaled AS DOUBLE)
+               AS raw_est,
+             n_exact
+      FROM z JOIN ex USING (event_type)
     )
-    SELECT z.event_type, n_regs, z_scaled,
-           ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-               + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
-            * CAST(65536.0 AS DOUBLE)
-            * CAST(9007199254740992.0 AS DOUBLE)) / CAST(z_scaled AS DOUBLE)
-             AS hll_est,
+    SELECT event_type, n_regs, z_scaled,
+           CASE WHEN raw_est <= CAST(640.0 AS DOUBLE) AND n_regs < 256
+                THEN CAST(256.0 AS DOUBLE)
+                     * ln(CAST(256.0 AS DOUBLE)
+                          / CAST(256 - n_regs AS DOUBLE))
+                ELSE raw_est END AS hll_est,
            n_exact
-    FROM z JOIN ex USING (event_type)
+    FROM raw
     """
 
 
@@ -217,7 +227,10 @@ def q_sketch_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the harmonic denominator is accumulated as the EXACT BIGINT
     Z·2^53 = Σ 2^(53-rho) (+ 2^53 per empty register), so the only
     float anywhere is the final pinned alpha·m²·2^53/Z division per
-    row. m = 256 registers (~6.5% RSE); the plan — one
+    row, plus the mandatory small-range LinearCounting branch
+    (E <= 2.5m and V empty registers > 0 => E = m*ln(m/V)) without
+    which the raw estimator returns ~alpha*m for tiny groups.
+    m = 256 registers (~6.5% RSE); the plan — one
     (key, reg)-keyed partial-agg MAX then one key-keyed integer sum —
     is the mergeable-sketch shape at any m, and yesterday's register
     table unions with today's by the same MAX. Exact distinct count
@@ -255,7 +268,7 @@ def q_sketch_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact")
     )
-    return z.join(ex, "event_type").select(
+    raw = z.join(ex, "event_type").select(
         "event_type",
         "n_regs",
         "z_scaled",
@@ -264,6 +277,23 @@ def q_sketch_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(65536.0)
             * F.lit(9007199254740992.0)
             / F.col("z_scaled").cast("double")
-        ).alias("hll_est"),
+        ).alias("raw_est"),
+        "n_exact",
+    )
+    # HLL small-range correction (Flajolet §4): when most registers are
+    # empty the raw estimator degenerates toward alpha*m, so switch to
+    # LinearCounting E = m*ln(m/V) for raw <= 2.5m (=640) with V>0 empty
+    # registers.  One ln per row; the 9-decimal hash comparator absorbs
+    # libm last-ulp differences vs the oracle's ln.
+    return raw.select(
+        "event_type",
+        "n_regs",
+        "z_scaled",
+        F.when(
+            (F.col("raw_est") <= F.lit(640.0)) & (F.col("n_regs") < F.lit(256)),
+            F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("n_regs")).cast("double")),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("hll_est"),
         "n_exact",
     )

@@ -62,6 +62,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             rec = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         rec["sec"] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()  # bound memory: builders may .cache()
         results[name] = rec
         ok = rec.get("hash_match", rec.get("rows_match", False)) and not rec["err"]
         vac = rec.get("spark_rows") == 0

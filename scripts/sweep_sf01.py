@@ -67,6 +67,9 @@ def main() -> int:
             err = f"{type(exc).__name__}: {exc}"[:200]
             print(f"ERR {name}: {err}", flush=True)
         sec = round(time.time() - t0, 1)
+        # query builders may .cache() intermediates; drop them so cached
+        # partitions don't accumulate across the ~200-query sweep
+        spark.catalog.clearCache()
         if not ok or vac:
             bad += 1
         # spark_sec/oracle_sec split: `sec` alone misattributed oracle

@@ -67,6 +67,16 @@ def _hll_rho(w: int) -> int:
     return 53 if w == 0 else 53 - w.bit_length()
 
 
+def _hll_estimate(z_scaled: int, n_regs: int) -> float:
+    """The two-branch HLL estimator (raw + small-range LinearCounting),
+    the independent model the query must match bit-for-bit."""
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = alpha * 65536.0 * 9007199254740992.0 / float(z_scaled)
+    if raw <= 640.0 and n_regs < 256:
+        return 256.0 * math.log(256.0 / float(256 - n_regs))
+    return raw
+
+
 def test_hll_registers_match_pure_python(spark):
     from mapreduce_project_spark.sources import load_table
 
@@ -84,18 +94,42 @@ def test_hll_registers_match_pure_python(spark):
         for r in R.EXTRA_QUERIES["sketch_hll_registers_exact"](spark, SF_DIR).collect()
     }
     assert set(got) == set(regs)
-    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     for et, rmap in regs.items():
         z = sum(1 << (53 - m) for m in rmap.values()) + (256 - len(rmap)) * (1 << 53)
         r = got[et]
         assert r["z_scaled"] == z
         assert r["n_regs"] == len(rmap)
         assert r["n_exact"] == len(users[et])
-        want = alpha * 65536.0 * 9007199254740992.0 / float(z)
+        want = _hll_estimate(z, len(rmap))
         assert abs(r["hll_est"] - want) <= abs(want) * 1e-12
         # estimator sanity: within a wide envelope of exact (m=256
         # HLL RSE is ~6.5%; allow 4 sigma for the fixture's one draw)
         assert abs(r["hll_est"] / r["n_exact"] - 1.0) < 0.3
+
+
+def test_hll_small_range_linear_counting(spark, tmp_path):
+    # Regression for the round-6 bug: with most registers empty the raw
+    # Flajolet estimator degenerates to ~alpha*m (~190 for m=256), so a
+    # planted 15-distinct-user group MUST take the LinearCounting branch.
+    import datetime
+
+    rows = [
+        ("tiny", uid, datetime.datetime(2024, 1, 1, 0, 0, uid % 60))
+        for uid in range(1, 16)
+        for _ in range(3)  # duplicates must not change the estimate
+    ]
+    spark.createDataFrame(rows, "event_type string, user_id bigint, ts timestamp") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = R.EXTRA_QUERIES["sketch_hll_registers_exact"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_exact"] == 15
+    assert r["n_regs"] <= 15
+    want = _hll_estimate(r["z_scaled"], r["n_regs"])
+    assert abs(r["hll_est"] - want) <= abs(want) * 1e-12
+    # the LC branch fired: the estimate is near 15, nowhere near alpha*m
+    assert abs(r["hll_est"] / 15.0 - 1.0) < 0.3
+    assert r["hll_est"] < 100.0
 
 
 def test_hll_register_table_is_mergeable(spark):
@@ -136,3 +170,39 @@ def test_dp_noise_matches_pure_python_and_is_bounded(spark):
     # determinism: the seeded release is reproducible run-to-run
     again = R.EXTRA_QUERIES["dp_noisy_source_counts"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_dp_epsilon_calibrates_noise_scale(spark):
+    # The Laplace mechanism's defining calibration: scale b = 1/epsilon,
+    # so with the SAME seeded uniform, doubling epsilon halves the noise
+    # (exactly, pre-quantization; +-1 micro after independent rounding).
+    # This pins that epsilon actually reaches the mechanism — a release
+    # that ignored epsilon would pass the distribution checks above.
+    from mapreduce_project_spark.plans.relational_queries import (
+        dp_noisy_source_counts,
+    )
+
+    e1 = {
+        (r["source"], r["lang"]): r
+        for r in dp_noisy_source_counts(spark, SF_DIR, epsilon=1.0).collect()
+    }
+    e2 = {
+        (r["source"], r["lang"]): r
+        for r in dp_noisy_source_counts(spark, SF_DIR, epsilon=2.0).collect()
+    }
+    assert set(e1) == set(e2) and e1
+    saw_nonzero = False
+    for (source, lang), r1 in e1.items():
+        r2 = e2[(source, lang)]
+        assert r1["epsilon_micro"] == 1_000_000
+        assert r2["epsilon_micro"] == 2_000_000
+        # replay the seeded draw: the noise is deterministic, so the
+        # true count is recoverable and must agree across both releases
+        u = (int(_md5hex(f"dp1:{source}:{lang}")[:8], 16) + 0.5) / 4294967296.0
+        lap = -math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+        n1 = (r1["noisy_count_micro"] - round(lap * 1e6)) / 1_000_000
+        n2 = (r2["noisy_count_micro"] - round(lap / 2.0 * 1e6)) / 1_000_000
+        assert n1 == int(n1) and n1 >= 1
+        assert n1 == n2  # same true count under both epsilons
+        saw_nonzero = saw_nonzero or round(lap * 1e6) != 0
+    assert saw_nonzero

@@ -433,6 +433,46 @@ def test_gemm_pairs_boundary_and_tiny_blocks(spark):
     assert got == {(1, 2), (1, 4), (2, 4), (3, 4)}
 
 
+def test_gemm_pairs_drop_duplicate_id_self_pairs_and_scale_margin(spark):
+    # ADVICE round-6: (a) duplicate input ids must NOT surface as
+    # id_a == id_b self-pairs — strict value-level id_a < id_b like
+    # cosine_pairs; (b) the default prefilter margin scales with the
+    # observed dimension so wide embeddings can't silently lose
+    # boundary pairs to float32 GEMM error.
+    from mapreduce_project_spark.operators.similarity import cosine_pairs_gemm
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (1, [1.0, 0.0], "a"),  # duplicate id — would self-pair at cos=1
+        (2, [1.0, 0.0], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_gemm(df, "vec_id", "embedding", 0.9, "label").collect()
+    }
+    assert got == {(1, 2)}  # no (1,1); the (1,2) pair survives (twice dedup'd by set)
+
+    # wide-dim margin: dim=4096 unit-ish vectors at the exact threshold
+    # still come through — the scaled margin covers the float32 error.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=4096)
+    base /= np.linalg.norm(base)
+    rows2 = [
+        (1, base.tolist(), "w"),
+        (2, base.tolist(), "w"),        # cos exactly 1.0
+        (3, (-base).tolist(), "w"),     # cos -1
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>, label string")
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_gemm(df2, "vec_id", "embedding", 1.0, "label").collect()
+    }
+    assert got2 == {(1, 2)}
+
+
 def test_lsh_cluster_recall_floor_and_high_threshold_regime(spark):
     # The two measured claims in embedding_dedup_clusters_lsh's
     # docstring, pinned:
