@@ -458,6 +458,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # events_ohlc_daily (D172, integer-cents OHLC bars),
 # ccnet_quality_buckets (D173, per-source LM-score terciles),
 # text_mojibake_audit (D174, encoding-artifact audit),
+# decontam_bloom_audit (D175, Bloom FP-mass audit),
+# sketch_hll_registers_exact (D176, exact-register HLL — round-7
+# LinearCounting fix applied + re-proven at three SFs),
+# dp_noisy_source_counts (D177, seeded Laplace mechanism demo),
 # plus the 8 round-6 deferrals listed in the round-6 wave comment
 # above (bm25_search stays pytest-tolerance-only).
 #
