@@ -1438,3 +1438,118 @@ def q_events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_trades", "open_c", "high_c", "low_c", "close_c", "volume_c",
     )
+
+
+_ATTRIB_ORACLE = """
+    WITH touches AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    purch AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.p_id, t.event_id, t.event_type, t.tus
+      FROM purch p JOIN touches t USING (user_id)
+      WHERE t.tus >= p.pus - 86400000000 AND t.tus < p.pus
+    ),
+    ranked AS (
+      SELECT p_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY tus, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p_id) AS n
+      FROM j
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN 10000
+               WHEN n = 2 THEN 5000
+               WHEN pos = 1 OR pos = n THEN 4000
+               ELSE 2000 // (n - 2)
+                    + CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+             END AS credit_bp,
+             p_id
+      FROM ranked
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions_touched,
+           CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_total
+    FROM credited GROUP BY event_type
+    """
+
+
+@extra_query("events_attribution_position", _ATTRIB_ORACLE)
+def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) MULTI-TOUCH ATTRIBUTION — the marketing
+    analytics workhorse beyond D45's ordered funnel: each purchase's
+    credit (10000 basis points) splits over its preceding 24 h of
+    view/click touchpoints as 40% first touch / 40% last touch / 20%
+    spread over the middles — in EXACT integer arithmetic (floor share
+    + one extra bp to the earliest middles, so every conversion's
+    credit sums to exactly 10000; n=1 takes all, n=2 splits 50/50).
+
+    Plan: the purchase↔touch pairing is the D69 bounded-interval-join
+    discipline — each touch replicates to exactly TWO day buckets (its
+    own and the next: a 24 h lookback spans at most two), the join key
+    is (user_id, purchase-day bucket), and each qualifying pair meets
+    in exactly one bucket, so the shuffle is 2x touches, never
+    users x days. Per-purchase ranking windows partition on the
+    conversion id (small groups by construction); credit is a pure
+    projection. Integers end-to-end ⇒ hash-matched at three SFs."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("bucket"),
+    )
+    tr = touches.select(
+        "event_id", "user_id", "event_type", "tus",
+        F.explode(F.expr("sequence(d, d + 1)")).alias("bucket"),
+    )
+    j = tr.join(purch, ["user_id", "bucket"]).filter(
+        (F.col("tus") >= F.col("pus") - F.lit(86400000000))
+        & (F.col("tus") < F.col("pus"))
+    )
+    wp = Window.partitionBy("p_id")
+    w = wp.orderBy("tus", "event_id")
+    ranked = j.select(
+        "p_id", "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000))
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(
+                F.col("pos") - 1 <= F.expr("2000 % (n - 2)"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+    )
+    return (
+        ranked.select("p_id", "event_type", credit.alias("credit_bp"))
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("p_id").cast("bigint").alias("n_conversions_touched"),
+            F.sum("credit_bp").cast("bigint").alias("credit_bp_total"),
+        )
+        .select(
+            F.col("event_type").alias("channel"),
+            "n_conversions_touched",
+            "credit_bp_total",
+        )
+    )

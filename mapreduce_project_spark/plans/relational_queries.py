@@ -1263,3 +1263,73 @@ def dp_noisy_source_counts(
         .cast("bigint")
         .alias("noisy_count_micro"),
     )
+
+
+_WMEDIAN_ORACLE = """
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 10 + l_linenumber AS rid
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT grp, cents, w,
+             SUM(w) OVER (PARTITION BY grp ORDER BY cents, rid
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY grp) AS wt
+      FROM c
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MIN(wt) AS BIGINT) AS w_total,
+           CAST(MIN(CASE WHEN 2 * cw >= wt THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM cum GROUP BY grp
+    """
+
+
+@extra_query("weighted_median_price", _WMEDIAN_ORACLE)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped WEIGHTED median — the robust location estimate when
+    rows carry unequal mass (here: price weighted by quantity, the
+    "median dollar-weighted unit price" a pricing analyst wants, which
+    neither D8's exact percentiles nor D123's MAD computes): the lower
+    weighted median is the smallest value whose cumulative weight
+    reaches half the group total, decided entirely in BIGINT (cents via
+    the half-up floor(x*100+0.5) fixed-point bridge, integer weights,
+    2*cum >= total avoids any division). Plan: one cumulative-sum
+    window per group ordered by (value, rowid) — a totalized order so
+    the running sum is engine-identical — then one conditional-MIN
+    partial agg; no self-join, no sort beyond the window's. At 100 TB
+    this is sort-within-group + streaming scan, the same shape the
+    exact-percentile family already runs."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("cents", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    cum = c.select(
+        "grp", "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("wt"),
+    )
+    return cum.groupBy(F.col("grp").alias("l_returnflag")).agg(
+        F.min("wt").cast("bigint").alias("w_total"),
+        F.min(F.when(2 * F.col("cw") >= F.col("wt"), F.col("cents")))
+        .cast("bigint")
+        .alias("wmedian_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

@@ -990,3 +990,50 @@ def q_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k * nq).cast("bigint").alias("n_possible"),
         (F.col("n_hits").cast("double") / F.lit(k * nq)).alias("recall"),
     )
+
+
+_CENTROID_ORACLE = """
+    WITH cell AS (
+      SELECT label, CAST(i AS BIGINT) AS dim,
+             CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 1000000000.0) AS BIGINT) AS v_fp
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(v_fp) AS BIGINT) AS sum_fp,
+           CAST(SUM(v_fp) // COUNT(*) AS BIGINT) AS mean_fp
+    FROM cell GROUP BY label, dim
+    """
+
+
+@extra_query("embedding_label_centroids", _CENTROID_ORACLE)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label embedding CENTROIDS — the class prototype every
+    nearest-class-mean classifier, k-means seeding, and domain-drift
+    monitor starts from. Float summation is order-dependent (a plain
+    AVG over a shuffled explode is NOT reproducible run-to-run, let
+    alone cross-engine), so each component quantizes to 1e-9
+    fixed-point BIGINT BEFORE aggregation — integer sums are
+    order-independent, the mean is one truncating division, and the
+    result is bit-identical at any parallelism. Plan: posexplode is a
+    map-side projection; ONE partial-agg shuffle on (label, dim) —
+    at 100 TB this is the canonical map-side-combine aggregation, KB
+    of state per (label, dim). float32 -> float64 widening is exact on
+    both engines, so quantization agrees bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    cell = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") * F.lit(1000000000.0), 0)
+        .cast("bigint")
+        .alias("v_fp"),
+    )
+    return cell.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("v_fp").cast("bigint").alias("sum_fp"),
+        F.expr("sum(v_fp) div count(1)").cast("bigint").alias("mean_fp"),
+    )

@@ -297,3 +297,158 @@ def q_sketch_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hll_est"),
         "n_exact",
     )
+
+
+_HLL_ROLLING_ORACLE = """
+    WITH pd AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed
+      FROM events
+    ),
+    days AS (SELECT DISTINCT ed FROM pd),
+    h AS (
+      SELECT ed,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               AS hv
+      FROM pd
+    ),
+    r AS (
+      SELECT ed, hv % 256 AS reg,
+             MAX(CASE WHEN hv // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(hv // 256)) END) AS m
+      FROM h GROUP BY ed, reg
+    ),
+    win AS (
+      SELECT d.ed AS wd, r.reg, MAX(r.m) AS m
+      FROM r JOIN days d ON r.ed BETWEEN d.ed - 6 AND d.ed
+      GROUP BY d.ed, r.reg
+    ),
+    z AS (
+      SELECT wd,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - m))
+                  + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT)
+               AS z_scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_regs
+      FROM win GROUP BY wd
+    ),
+    ex AS (
+      SELECT d.ed AS wd, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_exact
+      FROM pd p JOIN days d ON p.ed BETWEEN d.ed - 6 AND d.ed
+      GROUP BY d.ed
+    ),
+    raw AS (
+      SELECT z.wd, n_regs, z_scaled,
+             ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                 + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+              * CAST(65536.0 AS DOUBLE)
+              * CAST(9007199254740992.0 AS DOUBLE)) / CAST(z_scaled AS DOUBLE)
+               AS raw_est,
+             n_exact
+      FROM z JOIN ex USING (wd)
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(wd AS INT), '%Y-%m-%d') AS day,
+           n_regs, z_scaled,
+           CASE WHEN raw_est <= CAST(640.0 AS DOUBLE) AND n_regs < 256
+                THEN CAST(256.0 AS DOUBLE)
+                     * ln(CAST(256.0 AS DOUBLE)
+                          / CAST(256 - n_regs AS DOUBLE))
+                ELSE raw_est END AS hll_est,
+           n_exact
+    FROM raw
+    """
+
+
+@extra_query("sketch_hll_rolling_7d", _HLL_ROLLING_ORACLE)
+def q_sketch_hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day via HLL REGISTER MERGE —
+    the operation that justifies keeping registers at all (D176's
+    mergeability contract exercised as a query): per-day register
+    tables are tiny (256 rows/day), and a trailing window's sketch is
+    just the elementwise MAX of its days' registers — no rescan of the
+    raw events, which is how a 100 TB event store answers "7-day
+    uniques, daily" (per-day sketches roll up incrementally; the naive
+    exact form rescans each day 7x). Replication is bounded by the
+    window length: each (day, reg) row serves <= 7 window-days (the
+    D69 bounded interval-join discipline), and the exact companion
+    replicates only the DISTINCT (user, day) pairs the same bounded
+    way. Estimator = the D176 two-branch form (raw + LinearCounting);
+    z_scaled/n_regs/n_exact are the hash-checked integers, the
+    estimate is one pinned expression per row."""
+    ev = t(spark, sf_dir, "events")
+    pd_ = ev.select(
+        "user_id", F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("ed")
+    ).distinct()
+    days = pd_.select("ed").distinct()
+    h = pd_.select(
+        "ed",
+        F.expr(
+            "cast(conv(substr(md5(cast(cast(user_id AS string) AS binary)),"
+            " 1, 15), 16, 10) AS bigint)"
+        ).alias("hv"),
+    )
+    r = (
+        h.select(
+            "ed",
+            F.expr("hv % 256").alias("reg"),
+            F.expr("hv div 256").alias("w"),
+        )
+        .groupBy("ed", "reg")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                    F.lit(53)
+                    - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+                )
+            ).alias("m")
+        )
+    )
+    # bounded replication: each register row serves its <=7 window-days
+    rw = r.select(
+        "reg", "m",
+        F.explode(F.expr("sequence(ed, ed + 6)")).alias("wd"),
+    ).join(days.withColumnRenamed("ed", "wd"), "wd")
+    win = rw.groupBy("wd", "reg").agg(F.max("m").alias("m"))
+    z = win.groupBy("wd").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 AS bigint), 53 - m)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.expr("shiftleft(cast(1 AS bigint), 53)")
+        )
+        .cast("bigint")
+        .alias("z_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+    )
+    exw = (
+        pd_.select(
+            "user_id", F.explode(F.expr("sequence(ed, ed + 6)")).alias("wd")
+        )
+        .join(days.withColumnRenamed("ed", "wd"), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    raw = z.join(exw, "wd").select(
+        "wd", "n_regs", "z_scaled",
+        (
+            (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0)))
+            * F.lit(65536.0)
+            * F.lit(9007199254740992.0)
+            / F.col("z_scaled").cast("double")
+        ).alias("raw_est"),
+        "n_exact",
+    )
+    return raw.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("wd").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n_regs",
+        "z_scaled",
+        F.when(
+            (F.col("raw_est") <= F.lit(640.0)) & (F.col("n_regs") < F.lit(256)),
+            F.lit(256.0)
+            * F.log(F.lit(256.0) / (F.lit(256) - F.col("n_regs")).cast("double")),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("hll_est"),
+        "n_exact",
+    )

@@ -28,6 +28,7 @@ from mapreduce_project_spark.operators.text import (
     quality_score,
     with_token_stats,
 )
+from mapreduce_project_spark.functions import tokens
 from mapreduce_project_spark.queries_registry import extra_query, query, t
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
@@ -2311,3 +2312,156 @@ def q_text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clean"),
     )
+
+
+_PHRASE_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tg AS (
+      SELECT doc_id,
+             tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+               || ' ' || tk[CAST(i AS INT) + 2] AS ph,
+             CAST(i AS BIGINT) AS pos
+      FROM tk, LATERAL unnest(generate_series(1, len(tk) - 2)) AS g(i)
+    ),
+    top AS (
+      SELECT ph FROM (SELECT ph, COUNT(*) AS c FROM tg GROUP BY ph)
+      ORDER BY c DESC, ph LIMIT 1
+    )
+    SELECT doc_id, ph AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM tg JOIN top USING (ph)
+    GROUP BY doc_id, ph
+    """
+
+
+@extra_query("search_phrase_positions", _PHRASE_ORACLE)
+def q_search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE search over positional postings — the retrieval primitive
+    BM25/RRF (D105/D167) cannot express: "these tokens, ADJACENT, in
+    this order". The query phrase is corpus-derived for determinism
+    (the exact most-frequent trigram, total order by count desc then
+    phrase — the exact-argmax complement of D41's approximate heavy
+    hitters); every document reports its match count and first match
+    position (1-based), the (doc, positions) payload a highlighter or
+    a proximity ranker consumes.
+
+    Plan: positions materialize as a zero-shuffle array transform on
+    the corpus scan (trigram struct per offset) — NOT a postings
+    self-join: adjacent-pair matching inside the array needs no
+    shuffle at all, so the only exchanges are the trigram count
+    partial-agg and the 1-row broadcast of the winning phrase; at
+    100 TB the corpus is scanned twice (count pass + match pass) and
+    text never crosses the wire. Integers + strings end-to-end ⇒
+    hash-matched at three SFs."""
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
+    tg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tk) - 2, 0)), "
+                "i -> struct(concat_ws(' ', tk[i-1], tk[i], tk[i+1]) AS ph,"
+                " cast(i AS bigint) AS pos))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.ph").alias("ph"), F.col("g.pos").alias("pos"))
+    top = (
+        tg.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "ph")
+        .limit(1)
+        .select("ph")
+    )
+    return (
+        tg.join(F.broadcast(top), "ph")
+        .groupBy("doc_id", "ph")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .select(
+            "doc_id", F.col("ph").alias("phrase"), "n_matches", "first_pos"
+        )
+    )
+
+
+_PMI_ORACLE = f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+           LATERAL unnest(tk) AS t(term)
+    ),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY term),
+    top AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 100),
+    tt AS (SELECT dt.doc_id, dt.term FROM dt JOIN top USING (term)),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM dt),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT term_a, term_b, n_ab, ta.df AS df_a, tb.df AS df_b,
+           CAST(round(ln(CAST(n_ab AS DOUBLE)) * 1000000) AS BIGINT)
+           + CAST(round(ln(CAST((SELECT nd FROM n) AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(ta.df AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(tb.df AS DOUBLE)) * 1000000) AS BIGINT)
+             AS pmi_fp
+    FROM pairs
+    JOIN top ta ON ta.term = term_a
+    JOIN top tb ON tb.term = term_b
+    WHERE n_ab >= 5
+    ORDER BY pmi_fp DESC, term_a, term_b
+    LIMIT 20
+    """
+
+
+@extra_query("term_pmi_top", _PMI_ORACLE)
+def q_term_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION mining: top-20 term pairs by document-level pointwise
+    mutual information — the statistic behind phrase induction and
+    stop-pair lists (D104's session lift for CO-OCCURRING TERMS, but
+    log-scored and vocabulary-pruned). Scale discipline: the pair space
+    is pruned to the top-100 terms by document frequency BEFORE any
+    pairing (deterministic cutoff: df desc, term asc), so the within-doc
+    self-join generates <= C(100,2) pairs per doc regardless of corpus
+    size — the vocabulary cutoff, not the corpus, bounds the quadratic.
+    PMI ranks by the micro-log fixed-point convention (each ln of an
+    integer quantized to BIGINT micro-units BEFORE the sum, so the
+    top-20 cut can never flip on a libm ulp); min support n_ab >= 5.
+    Plan: distinct (doc, term) explode -> df partial agg -> 100-row
+    broadcast -> doc-keyed pair join -> pair partial agg; text never
+    shuffles, only (doc_id, term) pairs of the pruned vocabulary."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    dfs = d.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    top = dfs.orderBy(F.desc("df"), "term").limit(100)
+    tt = d.join(F.broadcast(top.select("term")), "term")
+    nd = d.agg(F.countDistinct("doc_id").cast("bigint").alias("nd"))
+    a, b = tt.alias("a"), tt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ta = top.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    tb = top.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    lnfp = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("bigint")  # noqa: E731
+    scored = (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a", "term_b", "n_ab", "df_a", "df_b",
+            (
+                lnfp(F.col("n_ab")) + lnfp(F.col("nd"))
+                - lnfp(F.col("df_a")) - lnfp(F.col("df_b"))
+            ).alias("pmi_fp"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_fp"), "term_a", "term_b").limit(20)

@@ -1356,3 +1356,149 @@ def q_decontam_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("split") == "train")
     test = docs.filter(F.col("split") == "test")
     return bloom_contamination_audit(train, test, "doc_id", "text", 3, 3, 262144)
+
+
+_V5_ORACLE = None  # assembled below from text_queries' pattern constants
+
+
+def _build_v5_oracle() -> str:
+    from mapreduce_project_spark.plans.text_queries import (
+        _MOJIBAKE_MARKER,
+        _P_C1,
+        _P_LATIN1,
+        _P_PUNCT,
+        _P_REPL,
+    )
+
+    return f"""
+    WITH marked AS (
+      SELECT doc_id, source, text,
+             CASE WHEN doc_id % 7 = 0 THEN text || '{_MOJIBAKE_MARKER}'
+                  ELSE text END AS s
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, source, text FROM marked
+      WHERE len(regexp_extract_all(s, '{_P_LATIN1}')) = 0
+        AND len(regexp_extract_all(s, '{_P_PUNCT}')) = 0
+        AND len(regexp_extract_all(s, '{_P_REPL}')) = 0
+        AND len(regexp_extract_all(s, '{_P_C1}')) = 0
+    ),
+    d AS (SELECT doc_id, source, lower(text) AS t FROM clean),
+    bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+      FROM d, LATERAL unnest(generate_series(1, length(t) - 1)) AS g(i)
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+    counts AS (SELECT bg, SUM(cnt) AS c FROM bgc GROUP BY bg),
+    scored AS (
+      SELECT doc_id,
+             CAST((SUM(cnt * c) * 1000000) // SUM(cnt) AS BIGINT) AS score_fp
+      FROM bgc JOIN counts USING (bg)
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, s.score_fp,
+             CAST(ntile(3) OVER (PARTITION BY d.source
+                                 ORDER BY s.score_fp DESC, d.doc_id) AS BIGINT)
+               AS tercile
+      FROM d JOIN scored s USING (doc_id)
+    )
+    SELECT r.doc_id, r.source, r.score_fp,
+           CASE r.tercile WHEN 1 THEN 'head' ELSE 'middle' END AS bucket,
+           CAST(len(regexp_extract_all(lower(c.text), '[a-z]+')) AS BIGINT)
+             AS n_tok,
+           CAST('0x' || substr(md5('v5:' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 16 AS shard
+    FROM ranked r JOIN clean c ON c.doc_id = r.doc_id
+    WHERE r.tercile <= 2
+    """
+
+
+@extra_query("assemble_training_set_v5", _build_v5_oracle())
+def q_assemble_training_set_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition, generation 5 — the HYGIENE-gated quality
+    pipeline the round-6 operators were built for: mojibake audit
+    (D174 — the planted-marker dirty docs, ~1/7 of the corpus, are
+    dropped exactly as a crawl-hygiene gate would strike
+    double-encoded pages) -> CCNet per-source quality terciles trained
+    ON THE SURVIVORS (D173/D59 — the LM never sees the dirty text,
+    which is the order CCNet itself runs its pipeline in) -> keep
+    head+middle per source -> token counting + deterministic md5
+    shard assignment (D79 machinery, seed 'v5'). Where v1 filters,
+    v2 mixes, v4 matches a target, v5 certifies the DATA-HYGIENE
+    composition: a doc reaches a shard only if it is byte-clean AND
+    in its source's top two quality terciles.
+
+    Scale: the audit is a zero-shuffle codegen'd regexp projection on
+    the corpus scan; the bigram LM caches ONE per-(doc,bigram) count
+    table (round-6 CSE lesson) whose frequency side broadcasts; the
+    tercile window shuffles one integer row per doc on the source
+    key; shard assignment is map-side md5. Text crosses the wire
+    once, for the final n_tok projection. Composed oracle replays the
+    D174 and D173 sub-oracles verbatim over the same survivor chain."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.plans.text_queries import (
+        _MOJIBAKE_MARKER,
+        _P_C1,
+        _P_LATIN1,
+        _P_PUNCT,
+        _P_REPL,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    s = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_MOJIBAKE_MARKER))
+    ).otherwise(F.col("text"))
+    clean = (
+        docs.select("doc_id", "source", "text", s.alias("s"))
+        .filter(
+            (F.regexp_count(F.col("s"), F.lit(_P_LATIN1)) == 0)
+            & (F.regexp_count(F.col("s"), F.lit(_P_PUNCT)) == 0)
+            & (F.regexp_count(F.col("s"), F.lit(_P_REPL)) == 0)
+            & (F.regexp_count(F.col("s"), F.lit(_P_C1)) == 0)
+        )
+        .select("doc_id", "source", "text")
+    )
+    d = clean.select("doc_id", "source", F.lower(F.col("text")).alias("t"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")
+        ).alias("bg"),
+    )
+    bgc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    counts = bgc.groupBy("bg").agg(F.sum("cnt").alias("c"))
+    scored = (
+        bgc.join(F.broadcast(counts), "bg")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(cnt * c) * 1000000L div sum(cnt)").alias("score_fp"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_fp"), "doc_id")
+    ranked = (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id", "source", "score_fp",
+            F.ntile(3).over(w).cast("bigint").alias("tercile"),
+        )
+        .filter(F.col("tercile") <= 2)
+    )
+    shard = F.expr(
+        "cast(conv(substr(md5(cast(concat('v5:', cast(doc_id AS string))"
+        " AS binary)), 1, 8), 16, 10) AS bigint) % 16"
+    )
+    return (
+        ranked.join(clean.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "score_fp",
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+            F.size(tokens("text")).cast("bigint").alias("n_tok"),
+            shard.alias("shard"),
+        )
+    )

@@ -465,6 +465,15 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # plus the 8 round-6 deferrals listed in the round-6 wave comment
 # above (bm25_search stays pytest-tolerance-only).
 #
+# Round-7 additions (built round 7, strict-EQUAL at sf0.001/0.01/0.1):
+# assemble_training_set_v5 (D178, hygiene-gated flagship),
+# search_phrase_positions (D179, positional phrase search),
+# sketch_hll_rolling_7d (D180, register-merge rolling distinct),
+# events_attribution_position (D181, U-shaped multi-touch attribution),
+# embedding_label_centroids (D182, fixed-point exact centroids),
+# weighted_median_price (D183, exact grouped weighted median),
+# term_pmi_top (D184, df-pruned PMI collocations).
+#
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
 # decoder proof), dedup_exact_substrings (D158, Lee-et-al exact-

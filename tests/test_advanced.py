@@ -507,3 +507,31 @@ def test_ewma_negative_values_match_duckdb_truncation(spark, duck):
     # sanity: the series really does hit a negative-odd-sum division
     # (where floor and truncation disagree), e.g. (4 + -7) // 2
     assert got[(1, 1)] == -1  # truncation; floor would give -2
+
+
+def test_weighted_median_planted(spark, tmp_path):
+    # lower weighted median: smallest value whose cumulative weight
+    # reaches half the total — a heavy tail row drags the median to
+    # itself, equal weights reduce to the ordinary lower median.
+    rows = [
+        # grp A: weights 1,1,98 -> median = the heavy 30.00
+        (1, 1, 10.00, 1.0, "A"),
+        (2, 1, 20.00, 1.0, "A"),
+        (3, 1, 30.00, 98.0, "A"),
+        # grp B: equal weights, even count -> lower median = 2nd value
+        (4, 1, 1.00, 1.0, "B"),
+        (5, 1, 2.00, 1.0, "B"),
+        (6, 1, 3.00, 1.0, "B"),
+        (7, 1, 4.00, 1.0, "B"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_linenumber bigint, l_extendedprice double,"
+        " l_quantity double, l_returnflag string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: r
+        for r in ALL_QUERIES["weighted_median_price"](spark, str(tmp_path)).collect()
+    }
+    assert got["A"]["wmedian_cents"] == 3000 and got["A"]["w_total"] == 100
+    assert got["B"]["wmedian_cents"] == 200 and got["B"]["w_total"] == 4

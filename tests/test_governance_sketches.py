@@ -206,3 +206,30 @@ def test_dp_epsilon_calibrates_noise_scale(spark):
         assert n1 == n2  # same true count under both epsilons
         saw_nonzero = saw_nonzero or round(lap * 1e6) != 0
     assert saw_nonzero
+
+
+def test_hll_rolling_window_semantics_and_accuracy(spark):
+    # D180: the rolling 7-day sketch must equal the register merge of
+    # its days — proven indirectly by recomputing the window's exact
+    # distinct set in pure python and checking (a) n_exact equality,
+    # (b) estimator accuracy envelope on every window.
+    from mapreduce_project_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    by_day: dict = defaultdict(set)
+    for r in ev:
+        by_day[r["ts"].date()].add(r["user_id"])
+    got = {
+        r["day"]: r
+        for r in R.EXTRA_QUERIES["sketch_hll_rolling_7d"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {d.isoformat() for d in by_day}
+    for d, users in by_day.items():
+        window = set()
+        for dd, uu in by_day.items():
+            if 0 <= (d - dd).days <= 6:
+                window |= uu
+        r = got[d.isoformat()]
+        assert r["n_exact"] == len(window)
+        # m=256 HLL RSE ~6.5%; 4-sigma envelope
+        assert abs(r["hll_est"] / r["n_exact"] - 1.0) < 0.3

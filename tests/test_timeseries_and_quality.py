@@ -96,3 +96,55 @@ def test_mojibake_detects_real_double_encode(spark):
     garbled = s.encode("utf-8").decode("latin-1")
     hits = re.findall("Ã[^\x00-\x7f]", garbled)
     assert len(hits) == 4  # è, è, û, é each become Ã + continuation
+
+
+def test_attribution_position_planted_credit_split(spark, tmp_path):
+    # Planted journeys pin the U-shaped credit rules exactly:
+    #  u1: 4 touches in window  -> 4000/1000/1000/4000
+    #  u2: 1 touch              -> 10000
+    #  u3: 2 touches            -> 5000/5000
+    #  u4: 5 touches            -> 4000/667/667/666/4000 (remainder to
+    #      the EARLIEST middles)
+    #  u5: touch 25h before and touch AFTER purchase -> excluded, no row
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 10, 12, 0, 0)
+
+    def e(eid, uid, typ, minutes_before_purchase):
+        return (eid, base - dt.timedelta(minutes=minutes_before_purchase),
+                uid, typ, 0.0, "{}")
+
+    rows = []
+    # u1: views at -240,-180 clicks at -120,-60, purchase at 0
+    rows += [e(101, 1, "view", 240), e(102, 1, "view", 180),
+             e(103, 1, "click", 120), e(104, 1, "click", 60),
+             e(105, 1, "purchase", 0)]
+    rows += [e(201, 2, "click", 30), e(202, 2, "purchase", 0)]
+    rows += [e(301, 3, "view", 90), e(302, 3, "click", 45),
+             e(303, 3, "purchase", 0)]
+    rows += [e(401, 4, "view", 300), e(402, 4, "view", 250),
+             e(403, 4, "view", 200), e(404, 4, "click", 150),
+             e(405, 4, "click", 100), e(406, 4, "purchase", 0)]
+    rows += [e(501, 5, "view", 25 * 60), e(502, 5, "purchase", 0),
+             e(503, 5, "click", -10)]  # after the purchase
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["channel"]: r
+        for r in R.EXTRA_QUERIES["events_attribution_position"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # u1: view 4000+1000, click 1000+4000; u2: click 10000;
+    # u3: view 5000, click 5000;
+    # u4: view 4000+667+667, click 666+4000; u5 contributes nothing
+    assert got["view"]["credit_bp_total"] == 4000 + 1000 + 5000 + 4000 + 667 + 667
+    assert got["click"]["credit_bp_total"] == 1000 + 4000 + 10000 + 5000 + 666 + 4000
+    assert got["view"]["n_conversions_touched"] == 3
+    assert got["click"]["n_conversions_touched"] == 4
+    # conservation: total credit = 10000 x attributed conversions (4)
+    assert sum(r["credit_bp_total"] for r in got.values()) == 40000

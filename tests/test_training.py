@@ -449,3 +449,37 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
     # unclustered docs keep their naive assignment
     for j in range(len(words)):
         assert safe[5000 + j] == naive[5000 + j]
+
+
+def test_assemble_v5_hygiene_and_quality_invariants(spark):
+    # v5's composition contract: (a) every planted-dirty doc
+    # (doc_id % 7 == 0 carries the mojibake marker) is absent; (b) only
+    # head/middle buckets survive (tail dropped); (c) per source, kept
+    # docs are ~2/3 of its clean docs (ntile semantics); (d) shards are
+    # 0..15 and deterministic.
+    import mapreduce_project_spark.queries_registry as R
+
+    rows = R.EXTRA_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["doc_id"] % 7 != 0 for r in rows)
+    assert {r["bucket"] for r in rows} <= {"head", "middle"}
+    assert all(0 <= r["shard"] <= 15 for r in rows)
+    assert all(r["n_tok"] >= 0 for r in rows)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    clean_per_source = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("doc_id") % 7 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    kept = Counter(r["source"] for r in rows)
+    for src, n_clean in clean_per_source.items():
+        want = n_clean - n_clean // 3  # ntile(3): tail gets floor share
+        assert kept[src] == want, (src, kept[src], want, n_clean)
+
+    again = R.EXTRA_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
