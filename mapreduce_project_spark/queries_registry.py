@@ -422,6 +422,119 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "zscore_doc_length",              # D73
         ),
     ),
+    # --- Round 7: the r6 entrants are all driver-proven (r6 50/50
+    # green); rotate them out (keeping the four sentinels and
+    # dedup_embedding_clusters, whose gemm pair stage CHANGED this
+    # round — margin scaling + self-pair guard — and must re-prove).
+    # In: the 26 remaining never-driver-checked oracle-equipped
+    # queries (12 round-6 staged + 7 round-6 deferrals + 7 round-7
+    # additions — D165-D184 complete their driver evidence) plus a
+    # 19-slot re-verification slice: the 9 non-sentinel bench-panel
+    # queries (the cross-round perf series re-earns correctness
+    # evidence at the current code state) and 10 r1-era Tier-B/C
+    # basics whose last driver proof predates five rounds of engine
+    # change.
+    (
+        (
+            "abtest_conversion_z",
+            "argmax_order_per_segment",
+            "bpe_merge_pairs",
+            "chunk_documents",
+            "contrastive_negative_samples",
+            "corr_quantity_discount",
+            "dedup_exact_substrings",
+            "doc_feature_vectors",
+            "doc_novelty_scores",
+            "events_gapfill_daily",
+            "events_pseudonymized",
+            "events_sessions_dynamic_gap",
+            "events_trailing_hour",
+            "events_twap_daily",
+            "fulfillment_latency_histogram",
+            "histogram_price_equiwidth",
+            "interval_join_error_sessions",
+            "knn_join_label",
+            "lateral_recent_orders",
+            "mad_quantity_by_flag",
+            "multimodal_downsample",
+            "multimodal_png_roundtrip",
+            "pack_sequences",
+            "quality_weighted_sample",
+            "rollup_with_grouping_id",
+            "search_recall_at_k",
+            "search_reciprocal_rank",
+            "session_cooccurrence_lift",
+            "shortest_paths_trade",
+            "similarity_topk_ivfpq",
+            "similarity_topk_sq8",
+            "skew_profile_custkey",
+            "source_epochs",
+            "source_mixture",
+            "spatial_radius_join",
+            "stratified_sample",
+            "text_bigram_lm_score",
+            "text_redact_pii",
+            "text_repetition",
+            "trailing_distinct_users",
+            "train_test_split_leakage_safe",
+            "trend_revenue_by_nation",
+            "unpivot_part_metrics",
+            "winsorize_quantity",
+            "zscore_doc_length",
+        ),
+        (
+            # first-ever driver slots — D165-D177 staged + deferrals
+            "dedup_embedding_clusters_lsh",   # D165
+            "search_hybrid_rrf",              # D167
+            "denoise_span_corruption_pairs",  # D168
+            "source_token_allocation",        # D169
+            "source_overlap_matrix",          # D170
+            "matryoshka_recall_curve",        # D171
+            "events_ohlc_daily",              # D172
+            "ccnet_quality_buckets",          # D173
+            "text_mojibake_audit",            # D174
+            "decontam_bloom_audit",           # D175
+            "sketch_hll_registers_exact",     # D176 (round-7 LC fix)
+            "dp_noisy_source_counts",         # D177
+            # first-ever driver slots — round-6 deferrals
+            "fuzzy_token_pairs",              # D46 (d2 twin green r5)
+            "asof_purchase_after_view",       # D70
+            "cdc_latest_state",               # D44
+            "scd2_user_state",                # D60
+            "heavy_hitters_bigrams",          # D41
+            "map_event_type_counts",          # A4 facade map
+            "multimodal_header_probe",        # D86
+            # first-ever driver slots — round-7 additions
+            "assemble_training_set_v5",       # D178
+            "search_phrase_positions",        # D179
+            "sketch_hll_rolling_7d",          # D180
+            "events_attribution_position",    # D181
+            "embedding_label_centroids",      # D182
+            "weighted_median_price",          # D183
+            "term_pmi_top",                   # D184
+            # re-verification: bench-panel members (non-sentinel)
+            "join_revenue_by_nation",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_jaccard_prefix_filter",
+            "similarity_topk_ivf",
+            "events_sessions_pandas",
+            "tpch_q5_local_supplier_volume",
+            "bpe_train_merges",
+            "pagerank_trade_graph",
+            # re-verification: r1-era Tier-B/C basics
+            "similarity_topk",
+            "events_tumbling_hour",
+            "multimodal_meta",
+            "top_orders",
+            "union_party_keys",
+            "count_distinct_parts",
+            "text_normalize",
+            "filter_project",
+            "text_lang_id",
+            "text_stats",
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet

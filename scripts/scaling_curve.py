@@ -97,6 +97,29 @@ SF1_QUERIES = [
     "decontam_hits",
     "graph_components_cosupply",
     "cogroup_view_purchase_pairs",
+    # round-7 additions (VERDICT r6 task 4): the round-6 operator
+    # families the decade had not seen...
+    "search_hybrid_rrf",
+    "source_overlap_matrix",
+    "denoise_span_corruption_pairs",
+    "source_token_allocation",
+    "events_ohlc_daily",
+    "ccnet_quality_buckets",
+    "text_mojibake_audit",
+    "matryoshka_recall_curve",
+    # dedup_embedding_clusters_lsh joins the decade too: at the
+    # fixture's threshold-0.3 the candidate fraction is the documented
+    # ~14%-of-all-pairs non-regime, so its ratio MEASURES that physics
+    # (the production >=0.9 regime is pinned separately in tests).
+    "dedup_embedding_clusters_lsh",
+    # ...and the round-7 operators, decade-measured from birth.
+    "assemble_training_set_v5",
+    "search_phrase_positions",
+    "sketch_hll_rolling_7d",
+    "events_attribution_position",
+    "embedding_label_centroids",
+    "weighted_median_price",
+    "term_pmi_top",
 ]
 SF1_REPS = 2
 
