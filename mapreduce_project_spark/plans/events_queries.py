@@ -1553,3 +1553,92 @@ def q_events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame
             "credit_bp_total",
         )
     )
+
+
+_WELCH_ORACLE = """
+    WITH px AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(value * 1000) AS BIGINT) AS x_fp
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_fp) AS BIGINT) AS sx,
+             CAST(SUM(x_fp * x_fp) AS BIGINT) AS sxx
+      FROM px GROUP BY arm
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'A' THEN sx END) AS sx1,
+             MAX(CASE WHEN arm = 'A' THEN sxx END) AS sxx1,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+             MAX(CASE WHEN arm = 'B' THEN sx END) AS sx2,
+             MAX(CASE WHEN arm = 'B' THEN sxx END) AS sxx2
+      FROM m
+    )
+    SELECT n1, sx1, sxx1, n2, sx2, sxx2,
+           (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(
+               ((CAST(sxx1 AS DOUBLE)
+                 - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                / CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+               + ((CAST(sxx2 AS DOUBLE)
+                   - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                  / CAST(n2 - 1 AS DOUBLE)) / CAST(n2 AS DOUBLE)
+             ) AS t_welch
+    FROM w
+    """
+
+
+@extra_query("abtest_value_welch", _WELCH_ORACLE)
+def q_abtest_value_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on a CONTINUOUS metric (purchase
+    value) between the same deterministic md5 arms as the D135
+    two-proportion z-test — the other half of every experimentation
+    readout (conversion moves vs revenue-per-event moves). Exactness
+    discipline: values quantize to milli-unit BIGINTs, so n/Σx/Σx² are
+    order-independent EXACT integer moments (the D107 correlation
+    trick; x ≤ ~5·10⁵ milli ⇒ Σx² headroom to ~10⁵ rows per arm at
+    fixture scales — at 100 TB promote the two sums to DECIMAL(38)
+    with the same pinned render); the t statistic is ONE pinned IEEE
+    expression over the six integers (divisions, one correctly-rounded
+    sqrt — no libm), so even the float hash-matches. Plan: one
+    filtered scan, one 2-group partial agg, a 1-row pivot."""
+    ev = t(spark, sf_dir, "events")
+    px = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+            ).isin(*"01234567"),
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        F.round(F.col("value") * 1000, 0).cast("bigint").alias("x_fp"),
+    )
+    m = px.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_fp").cast("bigint").alias("sx"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("bigint").alias("sxx"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("arm") == "A", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("arm") == "B", F.col("sxx"))).alias("sxx2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var1 = (d("sxx1") - d("sx1") * d("sx1") / d("n1")) / (d("n1") - F.lit(1.0))
+    var2 = (d("sxx2") - d("sx2") * d("sx2") / d("n2")) / (d("n2") - F.lit(1.0))
+    return w.select(
+        "n1", "sx1", "sxx1", "n2", "sx2", "sxx2",
+        (
+            (d("sx1") / d("n1") - d("sx2") / d("n2"))
+            / F.sqrt(var1 / d("n1") + var2 / d("n2"))
+        ).alias("t_welch"),
+    )

@@ -2465,3 +2465,48 @@ def q_term_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_fp"), "term_a", "term_b").limit(20)
+
+
+_CONTAINMENT_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents)
+    ), sizes AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY id
+    ), common AS (
+      SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS o
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS contained_id, ib AS container_id, o AS n_shared,
+           sa.sz AS sz_contained, sb.sz AS sz_container
+    FROM common
+    JOIN sizes sa ON ia = sa.id
+    JOIN sizes sb ON ib = sb.id
+    WHERE sa.sz >= 5 AND 10 * o >= 7 * sa.sz
+    """
+
+
+@extra_query("dedup_containment_pairs", _CONTAINMENT_ORACLE)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-CONTAINMENT detection (|A∩B| ≥ 0.7·|A| over
+    3-gram shingles, |A| ≥ 5): the asymmetric dedup question the C2
+    Jaccard family cannot answer — a short doc pasted into a long one
+    (quotes, boilerplate wrappers, doc inclusion) scores high
+    containment but LOW Jaccard because the union is container-sized.
+    Runs the PPJoin-C prefix+positional filter
+    (`operators/dedup.py:containment_pairs`): the contained side joins
+    on its rarest |A|−ceil(0.7|A|)+1 shingles, the container side
+    indexes all of them (the asymmetry IS the semantics), every
+    qualifying pair provably survives via its lowest-ordered shared
+    shingle; one array_intersect verify per candidate; oracle = the
+    quadratic string-shingle SQL. All-integer output, hash-matched at
+    three SFs."""
+    from mapreduce_project_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 3, 7, 10, 5
+    )

@@ -611,3 +611,8 @@ assert len(QUERIES) <= MAX_DECLARED, (
     f"{len(QUERIES)} declared queries exceed the driver's {MAX_DECLARED}-entry "
     "correctness window — move a near-duplicate variant to extra_query"
 )
+
+# Rotation-proof lookup (tests/tools must never depend on which side of
+# the wave table a query currently sits): the union view of both maps.
+ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

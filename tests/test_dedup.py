@@ -280,3 +280,34 @@ def test_doc_novelty_key_guard_is_hard_error(spark):
     )
     with pytest.raises(Exception, match="out of bounds"):
         doc_novelty_frame(bad).collect()
+
+
+def test_containment_pairs_planted_asymmetry(spark):
+    # A is fully pasted into B (plus B's own long tail): containment
+    # A->B = 1.0 qualifies; B->A fails (B's set is much larger than
+    # 0.7 coverage of it allows); Jaccard(A,B) is LOW — the case the
+    # symmetric C2 family cannot flag. C and D share nothing.
+    from mapreduce_project_spark.operators.dedup import containment_pairs
+
+    a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b_text = a_text + " " + " ".join(f"filler{'x' * (i % 3)}word{i} tail{i} mid{i}" for i in range(40))
+    rows = [
+        (1, a_text),
+        (2, b_text),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "red orange yellow green blue indigo violet pink brown black"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): r
+        for r in containment_pairs(df, "doc_id", "text", 3, 7, 10, 5).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["n_shared"] == r["sz_contained"]  # full containment
+    assert r["sz_container"] > r["sz_contained"] * 2
+    assert (2, 1) not in got  # asymmetry
+    assert all(k == (1, 2) for k in got)  # C/D uninvolved
+    # and the Jaccard twin would NOT pair them at 0.8
+    jac = r["n_shared"] / (r["sz_contained"] + r["sz_container"] - r["n_shared"])
+    assert jac < 0.5

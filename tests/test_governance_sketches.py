@@ -41,7 +41,7 @@ def test_bloom_audit_matches_pure_python(spark):
     bits = {_bloom_pos(g, j) for g in bench_grams for j in range(3)}
     got = {
         r["doc_id"]: r
-        for r in R.EXTRA_QUERIES["decontam_bloom_audit"](spark, SF_DIR).collect()
+        for r in R.ALL_QUERIES["decontam_bloom_audit"](spark, SF_DIR).collect()
     }
     train_ids = [d for d in docs if not is_test[d] and _grams(docs[d])]
     assert set(got) == set(train_ids)
@@ -91,7 +91,7 @@ def test_hll_registers_match_pure_python(spark):
         users[r["event_type"]].add(r["user_id"])
     got = {
         r["event_type"]: r
-        for r in R.EXTRA_QUERIES["sketch_hll_registers_exact"](spark, SF_DIR).collect()
+        for r in R.ALL_QUERIES["sketch_hll_registers_exact"](spark, SF_DIR).collect()
     }
     assert set(got) == set(regs)
     for et, rmap in regs.items():
@@ -120,7 +120,7 @@ def test_hll_small_range_linear_counting(spark, tmp_path):
     ]
     spark.createDataFrame(rows, "event_type string, user_id bigint, ts timestamp") \
         .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
-    got = R.EXTRA_QUERIES["sketch_hll_registers_exact"](spark, str(tmp_path)).collect()
+    got = R.ALL_QUERIES["sketch_hll_registers_exact"](spark, str(tmp_path)).collect()
     assert len(got) == 1
     r = got[0]
     assert r["n_exact"] == 15
@@ -155,7 +155,7 @@ def test_hll_register_table_is_mergeable(spark):
 
 
 def test_dp_noise_matches_pure_python_and_is_bounded(spark):
-    rows = R.EXTRA_QUERIES["dp_noisy_source_counts"](spark, SF_DIR).collect()
+    rows = R.ALL_QUERIES["dp_noisy_source_counts"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         u = (int(_md5hex(f"dp1:{r['source']}:{r['lang']}")[:8], 16) + 0.5) / 4294967296.0
@@ -168,7 +168,7 @@ def test_dp_noise_matches_pure_python_and_is_bounded(spark):
         # ln(2^32) ≈ 22.18
         assert abs(noise_micro) <= 22_200_000
     # determinism: the seeded release is reproducible run-to-run
-    again = R.EXTRA_QUERIES["dp_noisy_source_counts"](spark, SF_DIR).collect()
+    again = R.ALL_QUERIES["dp_noisy_source_counts"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
@@ -221,7 +221,7 @@ def test_hll_rolling_window_semantics_and_accuracy(spark):
         by_day[r["ts"].date()].add(r["user_id"])
     got = {
         r["day"]: r
-        for r in R.EXTRA_QUERIES["sketch_hll_rolling_7d"](spark, SF_DIR).collect()
+        for r in R.ALL_QUERIES["sketch_hll_rolling_7d"](spark, SF_DIR).collect()
     }
     assert set(got) == {d.isoformat() for d in by_day}
     for d, users in by_day.items():

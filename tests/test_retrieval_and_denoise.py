@@ -17,7 +17,7 @@ def _toks(text: str) -> list[str]:
 
 
 def test_hybrid_rrf_fusion_invariants(spark):
-    out = R.EXTRA_QUERIES["search_hybrid_rrf"](spark, SF_DIR).collect()
+    out = R.ALL_QUERIES["search_hybrid_rrf"](spark, SF_DIR).collect()
     assert len(out) == 10
     prev = None
     for r in out:
@@ -57,7 +57,7 @@ def test_span_corruption_matches_pure_python(spark):
     }
     got = {
         r["doc_id"]: r
-        for r in R.EXTRA_QUERIES["denoise_span_corruption_pairs"](spark, SF_DIR)
+        for r in R.ALL_QUERIES["denoise_span_corruption_pairs"](spark, SF_DIR)
         .filter("doc_id < 20")
         .collect()
     }
@@ -93,7 +93,7 @@ def test_span_corruption_matches_pure_python(spark):
 def test_water_filling_allocation_exact(spark):
     from mapreduce_project_spark.sources import load_table
 
-    out = R.EXTRA_QUERIES["source_token_allocation"](spark, SF_DIR).collect()
+    out = R.ALL_QUERIES["source_token_allocation"](spark, SF_DIR).collect()
     total = sum(r["tokens_available"] for r in out)
     budget = total // 2
     # the budget is spent EXACTLY, no allocation exceeds its cap
@@ -120,7 +120,7 @@ def test_water_filling_allocation_exact(spark):
 
 
 def test_source_overlap_matrix_invariants(spark):
-    out = R.EXTRA_QUERIES["source_overlap_matrix"](spark, SF_DIR).collect()
+    out = R.ALL_QUERIES["source_overlap_matrix"](spark, SF_DIR).collect()
     assert out  # the fixture plants near-dups, so cells exist
     diag = [r for r in out if r["src_a"] == r["src_b"]]
     assert diag  # internal duplication shows on the diagonal
@@ -131,7 +131,7 @@ def test_source_overlap_matrix_invariants(spark):
 
 def test_matryoshka_recall_curve_shape(spark):
     out = {r["dim_prefix"]: r for r in
-           R.EXTRA_QUERIES["matryoshka_recall_curve"](spark, SF_DIR).collect()}
+           R.ALL_QUERIES["matryoshka_recall_curve"](spark, SF_DIR).collect()}
     assert sorted(out) == [8, 16, 32]  # zero-hit prefixes still emit
     for d, r in out.items():
         assert r["n_possible"] == 50

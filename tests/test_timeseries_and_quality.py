@@ -27,7 +27,7 @@ def test_ohlc_matches_pure_python(spark):
         bars[(r["user_id"], r["ts"].strftime("%Y-%m-%d"))].append((r["ts"], cents))
     got = {
         (r["user_id"], r["day"]): r
-        for r in R.EXTRA_QUERIES["events_ohlc_daily"](spark, SF_DIR)
+        for r in R.ALL_QUERIES["events_ohlc_daily"](spark, SF_DIR)
         .filter("user_id < 30")
         .collect()
     }
@@ -44,7 +44,7 @@ def test_ohlc_matches_pure_python(spark):
 
 
 def test_ccnet_terciles_per_source_invariants(spark):
-    rows = R.EXTRA_QUERIES["ccnet_quality_buckets"](spark, SF_DIR).collect()
+    rows = R.ALL_QUERIES["ccnet_quality_buckets"](spark, SF_DIR).collect()
     by_src = defaultdict(list)
     for r in rows:
         by_src[r["source"]].append(r)
@@ -69,7 +69,7 @@ def test_ccnet_terciles_per_source_invariants(spark):
 
 
 def test_mojibake_planted_counts(spark):
-    rows = R.EXTRA_QUERIES["text_mojibake_audit"](spark, SF_DIR).collect()
+    rows = R.ALL_QUERIES["text_mojibake_audit"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         if r["doc_id"] % 7 == 0:
@@ -135,7 +135,7 @@ def test_attribution_position_planted_credit_split(spark, tmp_path):
 
     got = {
         r["channel"]: r
-        for r in R.EXTRA_QUERIES["events_attribution_position"](
+        for r in R.ALL_QUERIES["events_attribution_position"](
             spark, str(tmp_path)
         ).collect()
     }

@@ -459,7 +459,7 @@ def test_assemble_v5_hygiene_and_quality_invariants(spark):
     # 0..15 and deterministic.
     import mapreduce_project_spark.queries_registry as R
 
-    rows = R.EXTRA_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
+    rows = R.ALL_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
     assert rows
     assert all(r["doc_id"] % 7 != 0 for r in rows)
     assert {r["bucket"] for r in rows} <= {"head", "middle"}
@@ -481,5 +481,5 @@ def test_assemble_v5_hygiene_and_quality_invariants(spark):
         want = n_clean - n_clean // 3  # ntile(3): tail gets floor share
         assert kept[src] == want, (src, kept[src], want, n_clean)
 
-    again = R.EXTRA_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
+    again = R.ALL_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
