@@ -585,7 +585,11 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # events_attribution_position (D181, U-shaped multi-touch attribution),
 # embedding_label_centroids (D182, fixed-point exact centroids),
 # weighted_median_price (D183, exact grouped weighted median),
-# term_pmi_top (D184, df-pruned PMI collocations).
+# term_pmi_top (D184, df-pruned PMI collocations),
+# dedup_containment_pairs (D185, PPJoin-C directional containment),
+# abtest_value_welch (D186, Welch t on exact integer moments) —
+# D185/D186 postdate the round-7 wave; they are the round-8 rotation
+# seed.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

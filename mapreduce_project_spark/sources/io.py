@@ -676,3 +676,64 @@ def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     if len(df.columns) != 1:
         raise ValueError("write_text_lines expects a single-column DataFrame")
     df.select(F.col(df.columns[0]).cast("string").alias("value")).write.mode(mode).text(path)
+
+
+def merge_hll_register_rollup(
+    spark: SparkSession,
+    batch: DataFrame,
+    rollup_path: str,
+    part_col: str,
+    user_col: str,
+) -> None:
+    """`merge_sketch_rollup`'s HASH-CHECKABLE twin: incremental
+    maintenance of the D176 exact-register HLL table (part, reg, m)
+    instead of opaque library sketch bytes. Same merge algebra — a
+    register table is a mergeable synopsis whose union is elementwise
+    MAX — with two extra properties the library sketch cannot offer:
+    the stored state is plain integers (auditable, diffable,
+    oracle-replayable), and the estimator over it is the pinned
+    two-branch expression the batch query D180 hash-matches against
+    DuckDB. Replaying the SAME batch is a no-op (MAX is idempotent),
+    so at-least-once delivery needs no upstream dedup; only touched
+    partitions are read back and rewritten (dynamic overwrite)."""
+    h = batch.select(
+        F.col(part_col),
+        F.expr(
+            f"cast(conv(substr(md5(cast(cast({user_col} AS string) AS binary)),"
+            " 1, 15), 16, 10) AS bigint)"
+        ).alias("hv"),
+    )
+    fresh = (
+        h.select(
+            part_col,
+            F.expr("hv % 256").alias("reg"),
+            F.expr("hv div 256").alias("w"),
+        )
+        .groupBy(part_col, "reg")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                    F.lit(53)
+                    - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+                )
+            ).alias("m")
+        )
+    )
+    out_cols = [part_col, "reg", "m"]
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        parts = [r[0] for r in batch.select(part_col).distinct().collect()]
+        old = spark.read.parquet(rollup_path).filter(F.col(part_col).isin(parts))
+        merged = (
+            old.select(*out_cols)
+            .unionByName(fresh.select(*out_cols))
+            .groupBy(part_col, "reg")
+            .agg(F.max("m").alias("m"))
+        )
+    else:
+        merged = fresh
+    with _dynamic_overwrite(spark):
+        merged.select(*out_cols).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(rollup_path)

@@ -125,6 +125,39 @@ SF1_REPS = 2
 
 # Appended verbatim after the table on every regeneration.
 FOOTNOTES = """
+## Round-7 notes: the decade reaches the round-6/7 families
+
+- **`weighted_median_price` was the round's genuine catch**: the first
+  cut rode the cumulative-weight window over RAW rows with
+  partitionBy(l_returnflag) — 3 groups ⇒ the window sort serialized on
+  3 tasks, measured **6.66×/decade** (1.51 s → 10.0 s). Fix: collapse
+  to DISTINCT (group, cents) cells with a partial-agg weight sum
+  FIRST, window only the cell table — per-group sort is bounded by the
+  value domain (≤10⁷ cents), not the row count. Re-measured
+  **1.48×/decade** (2.9 s → 4.3 s, fresh-session protocol), outputs
+  hash-equal at all three SFs, planted fixtures green.
+- **`dedup_embedding_clusters_lsh` 20.7×/decade is the documented
+  fixed-bits physics, now measured**: candidates ∝ N²/2^bits at fixed
+  (32 tables × 8 bits) — the registered query pins bits for oracle
+  replay. The production lever the SCALE.md §semantic-dedup section
+  prescribes (bits grow with log N to hold bucket sizes constant) was
+  measured directly at sf≈1, threshold 0.9: **8 bits 62.8 s → 10 bits
+  17.5 s → 12 bits 8.5 s** (recall at 0.9 with 32×12 ≈ 0.996 by the
+  p=cos-collision model). Also note the 0.3-threshold regime the
+  registered query runs is the documented cannot-prune case — its
+  decade ratio measures candidate mass, not plan quality.
+- **`dedup_embedding_clusters` ratio moved 5.7× → 10.6× ONLY via the
+  sf0.1 constant** (1.73 → 1.02 s; sf≈1 9.84 → 10.76 s, ≈ run noise):
+  the round-7 margin/self-pair changes did not alter the plan; the
+  grid-decomposed GEMM's inherent FLOPs-quadratic at threshold 0.3 is
+  unchanged and documented.
+- **Everything else in the new families is sub-linear-to-linear per
+  decade**: RRF 1.9×, overlap matrix 4.4× (pair mass ∝ duplication),
+  span corruption 1.5×, water-filling 1.1×, OHLC 4.3×, CCNet terciles
+  1.8×, mojibake 1.3×, Matryoshka 1.1×, flagship v5 1.6×, phrase
+  search 1.6×, rolling HLL 3.1× (bounded 7× replication), attribution
+  2.3×, centroids 1.6×, PMI 1.8×.
+
 ## Round-6 notes: the extended sf≈1 decade
 
 - **`dedup_embedding_clusters` was this round's genuine catch — twice.**

@@ -1057,3 +1057,58 @@ def test_ann_ingest_stream_restart_equals_batch(spark, tmp_path):
         spark, b1, 1, dedup_idx, pairs_path, ivf_path, cents, dim=DIM
     )
     assert index_state() == got
+
+
+def test_streaming_feeds_hll_register_rollup(spark, tmp_path):
+    # D180's streaming half: micro-batches MAX-merge their per-(day,
+    # reg) exact HLL registers into a partitioned rollup; the final
+    # register table equals the one-shot batch registers bit-for-bit
+    # (stream ≡ batch), so every estimate derived from it — including
+    # the rolling-7d merge — is identical too. A replayed batch is a
+    # no-op (MAX idempotence), pinned by folding the LAST batch twice.
+    from mapreduce_project_spark.sources.io import merge_hll_register_rollup
+
+    rollup = str(tmp_path / "hllreg")
+    ev = read_event_stream(spark, SF_DIR).withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+
+    last = {}
+
+    def fold(batch_df, batch_id):
+        merge_hll_register_rollup(
+            batch_df.sparkSession, batch_df, rollup, "day", "user_id"
+        )
+        last["df"] = batch_df.sparkSession.createDataFrame(
+            batch_df.select("day", "user_id").collect(),
+            "day string, user_id bigint",
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # at-least-once: replay the final batch — must change nothing
+    merge_hll_register_rollup(spark, last["df"], rollup, "day", "user_id")
+
+    got = {
+        (str(r["day"]), r["reg"]): r["m"]
+        for r in spark.read.parquet(rollup).collect()
+    }
+    import hashlib
+
+    regs: dict = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"))
+        .select("day", "user_id")
+        .collect()
+    ):
+        hv = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:15], 16)
+        w = hv // 256
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        k = (r["day"], hv % 256)
+        regs[k] = max(regs.get(k, 0), rho)
+    assert got == regs and got
