@@ -452,3 +452,79 @@ def q_sketch_hll_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hll_est"),
         "n_exact",
     )
+
+
+_CMS_ORACLE = """
+    WITH posting AS (
+      SELECT user_id, j,
+             CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                      || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 256 AS col
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+    ),
+    cells AS (
+      SELECT j, col, CAST(COUNT(*) AS BIGINT) AS cell
+      FROM posting GROUP BY j, col
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY user_id
+    ),
+    top AS (SELECT user_id, n_exact FROM exact
+            ORDER BY n_exact DESC, user_id LIMIT 10),
+    probe AS (
+      SELECT DISTINCT t.user_id, t.n_exact, p.j, p.col
+      FROM top t JOIN posting p USING (user_id)
+    )
+    SELECT p.user_id, p.n_exact,
+           CAST(MIN(c.cell) AS BIGINT) AS cms_est
+    FROM probe p JOIN cells c ON c.j = p.j AND c.col = p.col
+    GROUP BY p.user_id, p.n_exact
+    """
+
+
+@extra_query("sketch_cms_registers_exact", _CMS_ORACLE)
+def q_sketch_cms_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled COUNT-MIN sketch with engine-exact registers — the
+    frequency-sketch member completing the mergeable family (theta D81
+    / HLL D176 / KLL D24 cover distincts and quantiles; CMS covers
+    per-key COUNTS in fixed memory): a 4x256 integer cell matrix from
+    seeded md5 row hashes, estimate(u) = min over u's four cells —
+    never an underestimate (each cell upper-bounds the key's true
+    count; pinned in tests), overestimate bounded by collisions
+    (~N/256 per row, min over 4 rows). The cell matrix is mergeable by
+    plain ADDITION (unlike HLL's MAX), so per-partition/per-day CMS
+    tables fold with a sum — the partial-agg shape Spark already
+    plans. Query output: the top-10 exact-frequency users with their
+    CMS estimates alongside the truth — the estimator's bias is
+    VISIBLE and the whole thing is integers, so the DuckDB oracle
+    hash-matches every cell-derived value. Plan: one 4x explode, one
+    (j, col) partial agg (<=1024 cells), one broadcast probe."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+    posting = ev.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> struct(j AS j,"
+                " cast(conv(substr(md5(cast(concat('cms', cast(j AS string),"
+                " ':', cast(user_id AS string)) AS binary)), 1, 8), 16, 10)"
+                " AS bigint) % 256 AS col))"
+            )
+        ).alias("g"),
+    ).select("user_id", F.col("g.j").alias("j"), F.col("g.col").alias("col"))
+    cells = posting.groupBy("j", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    top = exact.orderBy(F.desc("n_exact"), "user_id").limit(10)
+    probe = top.join(posting, "user_id").select(
+        "user_id", "n_exact", "j", "col"
+    ).distinct()
+    return (
+        probe.join(F.broadcast(cells), ["j", "col"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+        .select("user_id", "n_exact", "cms_est")
+    )

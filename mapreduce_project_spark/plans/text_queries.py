@@ -2510,3 +2510,61 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", 3, 7, 10, 5
     )
+
+
+_FERTILITY_ORACLE = """
+    WITH d AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+                  '([a-z]{1,4}|[0-9]|[^a-z0-9\\s])')) AS BIGINT) AS n_bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+           CAST(SUM(n_chars) * 1000 // SUM(n_bpe) AS BIGINT)
+             AS chars_per_bpe_milli,
+           CAST(SUM(n_bpe) * 1000 // SUM(n_words) AS BIGINT)
+             AS fertility_milli
+    FROM d GROUP BY source
+    """
+
+
+@extra_query("tokenizer_fertility_by_source", _FERTILITY_ORACLE)
+def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per source — the compression telemetry
+    every tokenizer/corpus pairing is judged by (tokens per word,
+    chars per token): a source whose fertility spikes is either
+    non-linguistic, mis-encoded, or out-of-domain for the tokenizer,
+    and its COST per trained token is proportionally higher. Uses the
+    same BPE-ish regex as D121's token counter and the word tokenizer
+    the whole text family shares, so the ratios are comparable across
+    queries; sums are exact integers, ratios land as truncating
+    milli-unit divisions (engine-identical). One scan, one partial agg
+    — the canonical map-side-combine shape."""
+    docs = t(spark, sf_dir, "documents")
+    from mapreduce_project_spark.operators.text import bpe_token_count
+
+    d = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(tokens("text")).cast("bigint").alias("n_words"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        F.sum("n_bpe").cast("bigint").alias("sum_bpe"),
+        F.expr("sum(n_chars) * 1000 div sum(n_bpe)")
+        .cast("bigint")
+        .alias("chars_per_bpe_milli"),
+        F.expr("sum(n_bpe) * 1000 div sum(n_words)")
+        .cast("bigint")
+        .alias("fertility_milli"),
+    )

@@ -233,3 +233,26 @@ def test_hll_rolling_window_semantics_and_accuracy(spark):
         assert r["n_exact"] == len(window)
         # m=256 HLL RSE ~6.5%; 4-sigma envelope
         assert abs(r["hll_est"] / r["n_exact"] - 1.0) < 0.3
+
+
+def test_cms_never_underestimates_and_matches_pure_python(spark):
+    # CMS's defining one-sided error: est >= exact for EVERY probed key
+    # (each cell upper-bounds the key's count); registers replayed in
+    # pure python so the cell derivation itself is pinned.
+    rows = R.ALL_QUERIES["sketch_cms_registers_exact"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    from mapreduce_project_spark.sources import load_table
+
+    ev = [r["user_id"] for r in load_table(spark, SF_DIR, "events").collect()]
+    cells: dict = defaultdict(int)
+    counts: dict = defaultdict(int)
+    for u in ev:
+        counts[u] += 1
+        for j in range(4):
+            cells[(j, int(_md5hex(f"cms{j}:{u}")[:8], 16) % 256)] += 1
+    for r in rows:
+        u = r["user_id"]
+        assert r["n_exact"] == counts[u]
+        want = min(cells[(j, int(_md5hex(f"cms{j}:{u}")[:8], 16) % 256)] for j in range(4))
+        assert r["cms_est"] == want
+        assert r["cms_est"] >= r["n_exact"]  # never underestimates

@@ -364,3 +364,20 @@ def test_hot_key_keyed_udf_paths_under_skew(spark):
         want_ewma.add((ts, s))
     assert out == want_ewma and len(out) == hot
     skewed.unpersist()
+
+
+def test_tokenizer_fertility_invariants(spark):
+    import mapreduce_project_spark.queries_registry as R
+    from tests.conftest import SF_DIR
+
+    rows = R.ALL_QUERIES["tokenizer_fertility_by_source"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # BPE-ish chunks are <= 4 chars, words are >= 1 char: a word of
+        # length L yields >= ceil(L/4) >= 1 chunks, so fertility >= 1.
+        assert r["fertility_milli"] >= 1000
+        # chunks are at most 4 chars -> chars per BPE token < 4000 milli
+        # (whitespace contributes chars but no chunks; fixture text is
+        # space-separated words, so the bound holds with slack)
+        assert 0 < r["chars_per_bpe_milli"] < 6000
+        assert r["sum_bpe"] >= r["sum_words"]
