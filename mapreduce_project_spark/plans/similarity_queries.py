@@ -1037,3 +1037,61 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_fp").cast("bigint").alias("sum_fp"),
         F.expr("sum(v_fp) div count(1)").cast("bigint").alias("mean_fp"),
     )
+
+
+_MUTUAL_KNN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             {_duck_cos('a.v', 'b.v')} AS cos
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ), knn AS (SELECT * FROM ranked WHERE rk <= 3)
+    SELECT a.id AS id_a, a.neighbor_id AS id_b,
+           CAST(a.rk AS BIGINT) AS rk_ab, CAST(b.rk AS BIGINT) AS rk_ba,
+           a.cos
+    FROM knn a JOIN knn b
+      ON a.id = b.neighbor_id AND a.neighbor_id = b.id AND a.id < b.id
+    """
+
+
+@extra_query("mutual_knn_pairs", _MUTUAL_KNN_ORACLE)
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-nearest-neighbor pairs — the reciprocity filter on the
+    D34 kNN graph (a IN b's top-3 AND b IN a's top-3, unordered): the
+    standard step between raw kNN and clustering/dedup decisions,
+    because one-directional nearness is dominated by hubs (a vector
+    near a dense region lists popular neighbors that do NOT list it
+    back; mutuality kills exactly those edges — the hubness correction
+    kNN-graph literature prescribes, and what SemDeDup-style curation
+    applies before union-find). Composition: the blocked-exact kNN
+    graph (each unordered pair's cosine evaluated once, mirrored) then
+    ONE self-equi-join of the k·N-row kNN edge table on the reversed
+    (id, neighbor) key — the mutual join touches k·N rows, never the
+    pair stream. Both ranks are reported so the asymmetry that
+    survived (rk_ab ≠ rk_ba) stays visible. Oracle composes the D34
+    SQL with the same reversed join; hash-matched at three SFs."""
+    from mapreduce_project_spark.operators.similarity import knn_join
+
+    knn = knn_join(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 3, "label"
+    )
+    a, b = knn.alias("a"), knn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+            F.col("a.rk").cast("bigint").alias("rk_ab"),
+            F.col("b.rk").cast("bigint").alias("rk_ba"),
+            F.col("a.cos").alias("cos"),
+        )
+    )

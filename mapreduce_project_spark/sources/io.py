@@ -737,3 +737,64 @@ def merge_hll_register_rollup(
         merged.select(*out_cols).write.mode("overwrite").partitionBy(
             part_col
         ).parquet(rollup_path)
+
+
+def merge_join_view(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    a_batch: DataFrame | None,
+    b_batch: DataFrame | None,
+    a_key: str,
+    b_key: str,
+) -> None:
+    """Incremental EQUI-JOIN VIEW maintenance (insert-only IVM): keep a
+    materialized A ⋈ B up to date under deltas arriving on BOTH sides,
+    by the classic delta rule
+
+        ΔJ = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    — never re-joining the full tables (the whole point: a new batch
+    costs |Δ|·join-selectivity work, not |A|·|B|). State layout:
+    ``state_dir/{a,b,j}`` parquet, each partitioned by the integer
+    batch column ``_b``. EXACTLY-ONCE under replay by construction:
+    every write for batch ``batch_id`` lands in the ``_b=batch_id``
+    partitions via dynamic overwrite, and the "old" side reads
+    EXCLUDE that partition — so re-running a batch recomputes the
+    identical ΔJ and overwrites it in place (the same batch-id-scoping
+    discipline as `incremental_dedup_sink`). Insert-only matches
+    Spark's own append-mode stream-stream join semantics; updates /
+    deletes compose via `apply_changelog` upstream.
+
+    Read the view back with ``spark.read.parquet(state_dir + "/j")``."""
+    a_dir, b_dir, j_dir = (f"{state_dir}/{s}" for s in ("a", "b", "j"))
+
+    def _old(path: str, schema_of: DataFrame | None) -> DataFrame | None:
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        return spark.read.parquet(path).filter(F.col("_b") != batch_id).drop("_b")
+
+    a_old = _old(a_dir, a_batch)
+    b_old = _old(b_dir, b_batch)
+    parts = []
+    if a_batch is not None and b_old is not None:
+        parts.append(a_batch.join(b_old, a_batch[a_key] == b_old[b_key]))
+    if a_old is not None and b_batch is not None:
+        parts.append(a_old.join(b_batch, a_old[a_key] == b_batch[b_key]))
+    if a_batch is not None and b_batch is not None:
+        parts.append(a_batch.join(b_batch, a_batch[a_key] == b_batch[b_key]))
+    with _dynamic_overwrite(spark):
+        if parts:
+            dj = parts[0]
+            for p in parts[1:]:
+                dj = dj.unionByName(p)
+            dj.withColumn("_b", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("_b").parquet(j_dir)
+        for batch, path in ((a_batch, a_dir), (b_batch, b_dir)):
+            if batch is not None:
+                batch.withColumn("_b", F.lit(batch_id)).write.mode(
+                    "overwrite"
+                ).partitionBy("_b").parquet(path)

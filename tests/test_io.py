@@ -800,3 +800,52 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
 
     plan = formatted_plan(back.filter("k = 7").select("s"))
     assert "PushedFilters" in plan and "k" in plan.split("PushedFilters", 1)[1][:80]
+
+
+def test_merge_join_view_incremental_equals_full_join(spark, tmp_path):
+    # IVM delta rule: interleaved inserts on BOTH sides; after all
+    # batches the materialized view equals the one-shot full join, and
+    # replaying a middle batch changes nothing (batch-id-scoped
+    # partitions make the maintenance idempotent).
+    from mapreduce_project_spark.sources.io import merge_join_view
+
+    state = str(tmp_path / "jv")
+    cust = [(i, f"c{i}") for i in range(1, 7)]
+    orders = [(100 + j, 1 + (j % 6), float(j)) for j in range(18)]
+
+    def cdf(rows):
+        return spark.createDataFrame(rows, "c_custkey bigint, c_name string")
+
+    def odf(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_total double"
+        )
+
+    # batch 0: first half of customers only
+    merge_join_view(spark, state, 0, None, cdf(cust[:3]), "o_custkey", "c_custkey")
+    # batch 1: first orders (join against old customers + nothing new)
+    merge_join_view(spark, state, 1, odf(orders[:6]), None, "o_custkey", "c_custkey")
+    # batch 2: both sides at once (all three delta terms fire)
+    merge_join_view(
+        spark, state, 2, odf(orders[6:12]), cdf(cust[3:]), "o_custkey", "c_custkey"
+    )
+    # batch 3: the rest of the orders
+    merge_join_view(spark, state, 3, odf(orders[12:]), None, "o_custkey", "c_custkey")
+
+    def view_rows():
+        return {
+            (r["o_orderkey"], r["c_custkey"], r["c_name"])
+            for r in spark.read.parquet(state + "/j").collect()
+        }
+
+    want = {
+        (100 + j, 1 + (j % 6), f"c{1 + (j % 6)}") for j in range(18)
+    }
+    got = view_rows()
+    assert got == want
+
+    # replay batch 2 verbatim: exactly-once — the view is unchanged
+    merge_join_view(
+        spark, state, 2, odf(orders[6:12]), cdf(cust[3:]), "o_custkey", "c_custkey"
+    )
+    assert view_rows() == want
