@@ -787,3 +787,92 @@ def decode_media(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
+
+
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int):
+    """HTK mel triangle filterbank (n_mels, n_fft//2+1), pure numpy."""
+    import numpy as np
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(rate / 2.0), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bin_pts = np.floor((n_fft + 1) * hz_pts / rate).astype(np.int64)
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bin_pts[m - 1], bin_pts[m], bin_pts[m + 1]
+        for k in range(lo, min(ctr, n_bins)):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, min(hi, n_bins)):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+def logmel_features(
+    df: DataFrame,
+    id_col: str = "id",
+    data_col: str = "data",
+    rate_col: str = "sample_rate_hz",
+    n_fft: int = 256,
+    hop: int = 128,
+    n_mels: int = 16,
+) -> DataFrame:
+    """REAL audio feature extraction over decoded PCM — the log-mel
+    spectrogram every speech/audio training pipeline front-ends with,
+    in pure numpy (Hann window → rfft power spectrum → HTK mel
+    triangle filterbank → log10 with a 1e-10 floor): per payload,
+    (id, n_frames, n_mels, feats row-major array, energy_q) where
+    ``energy_q`` is the micro-quantized total log-energy — an integer
+    checksum that pins the whole FFT+filterbank numerically in the
+    rows-only determinism check. Short clips zero-pad to one frame.
+    Arrow-batched mapInPandas; PCM bytes never shuffle (features are
+    ~n_frames*n_mels doubles, a large reduction); numpy's rfft is
+    deterministic for identical input, so repeated runs are
+    byte-identical. Lossy-analysis class: no SQL twin (DuckDB cannot
+    FFT) — semantics pinned in tests by a planted pure tone landing
+    its energy in the predicted mel bin, against an independent DFT."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, n_frames long, n_mels long, "
+        "feats array<double>, energy_q long"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fbs: dict[int, np.ndarray] = {}
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+        for pdf in batches:
+            ids, nfr, nme, feats, eq = [], [], [], [], []
+            for i, d in zip(pdf[id_col], pdf[data_col]):
+                x = np.frombuffer(bytes(d), dtype="<i2").astype(np.float64) / 32768.0
+                rate = int(pdf[rate_col][pdf[id_col] == i].iloc[0])
+                if rate not in fbs:
+                    fbs[rate] = _mel_filterbank(n_mels, n_fft, rate)
+                if len(x) < n_fft:
+                    x = np.pad(x, (0, n_fft - len(x)))
+                starts = range(0, len(x) - n_fft + 1, hop)
+                frames = np.stack([x[s : s + n_fft] * win for s in starts])
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                mel = power @ fbs[rate].T
+                logmel = np.log10(mel + 1e-10)
+                ids.append(i)
+                nfr.append(logmel.shape[0])
+                nme.append(n_mels)
+                feats.append(logmel.ravel().tolist())
+                eq.append(int(round(float(logmel.sum()) * 1e6)))
+            yield pd.DataFrame(
+                {id_col: ids, "n_frames": nfr, "n_mels": nme,
+                 "feats": feats, "energy_q": eq}
+            )
+
+    return df.select(id_col, data_col, rate_col).mapInPandas(compute, out_schema)

@@ -548,3 +548,74 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, n_jpeg_bytes long, "
         "max_abs_err long, mean_err_x100 long",
     )
+
+
+@extra_query("multimodal_audio_logmel")
+def q_multimodal_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 audio FEATURE-EXTRACT closure (the brief's 'feature-extract'
+    step made real, not a stub): document text becomes a real RIFF/WAVE
+    PCM payload (the D156 encode), the real decoder extracts samples,
+    and `operators/multimodal.logmel_features` computes the log-mel
+    spectrogram (Hann -> rfft power -> HTK mel bank -> log floor) that
+    speech models train on. Output per doc: frame/band counts, the
+    micro-quantized total log-energy checksum, and the argmax mel band
+    of the mean spectrum — all integers, so the rows-only determinism
+    check pins the whole numeric pipeline run-to-run. No SQL twin by
+    nature (DuckDB cannot FFT); the planted-tone bin test in
+    tests/test_multimodal.py is the semantic pin."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mapreduce_project_spark.operators.multimodal import (
+        decode_media,
+        logmel_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                b = str(txt).encode("utf-8")
+                if len(b) % 2:
+                    b += b"\x00"
+                fmt = (
+                    b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+                    + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                )
+                data = b"data" + len(b).to_bytes(4, "little") + b
+                body = b"WAVE" + fmt + data
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    wav = docs.mapInPandas(encode, "doc_id long, payload binary")
+    dec = decode_media(wav, "doc_id", "payload").select(
+        "doc_id", "data", "sample_rate_hz"
+    )
+    # n_fft=64/hop=32 so even short documents produce several frames
+    lm = logmel_features(
+        dec, "doc_id", "data", "sample_rate_hz", n_fft=64, hop=32, n_mels=8
+    )
+    # argmax mel band of the summed spectrum: a compact integer signature
+    nm = 8
+    withbm = lm.select(
+        "doc_id", "n_frames", "n_mels", "energy_q",
+        F.expr(
+            f"transform(sequence(0, {nm - 1}), m -> aggregate("
+            f"  transform(sequence(0, cast(n_frames AS int) - 1),"
+            f"            fr -> feats[fr * {nm} + m]),"
+            "  cast(0.0 AS double), (acc, x) -> acc + x))"
+        ).alias("bm"),
+    )
+    return withbm.select(
+        "doc_id", "n_frames", "n_mels", "energy_q",
+        (F.expr("array_position(bm, array_max(bm))") - F.lit(1))
+        .cast("bigint")
+        .alias("peak_band"),
+    )

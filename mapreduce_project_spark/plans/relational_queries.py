@@ -1340,3 +1340,92 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wmedian_cents"),
         F.sum("cnt").cast("bigint").alias("n_rows"),
     )
+
+
+_ASSOC_ORACLE = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS nb FROM li),
+    l1 AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM li GROUP BY item HAVING COUNT(*) >= 2
+    ),
+    f AS (SELECT li.bid, li.item FROM li JOIN l1 USING (item)),
+    p AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS supp_ab
+      FROM f a JOIN f b ON a.bid = b.bid AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT ia AS antecedent, ib AS consequent, supp_ab,
+             la.supp AS supp_a, lb.supp AS supp_b
+      FROM p JOIN l1 la ON la.item = ia JOIN l1 lb ON lb.item = ib
+      UNION ALL
+      SELECT ib, ia, supp_ab, lb.supp, la.supp
+      FROM p JOIN l1 la ON la.item = ia JOIN l1 lb ON lb.item = ib
+    )
+    SELECT antecedent, consequent, supp_ab, supp_a, supp_b,
+           CAST(supp_ab * 1000000 // supp_a AS BIGINT) AS conf_fp,
+           CAST(supp_ab * (SELECT nb FROM n) * 1000000
+                // (supp_a * supp_b) AS BIGINT) AS lift_fp
+    FROM rules
+    ORDER BY lift_fp DESC, conf_fp DESC, antecedent, consequent
+    LIMIT 50
+    """
+
+
+@extra_query("basket_association_rules", _ASSOC_ORACLE)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket ASSOCIATION RULES (the A-priori classic, order =
+    basket, part = item): directional A -> B with exact integer
+    support / confidence / lift, top-50 by lift — the other half of
+    co-occurrence analytics next to D104's session lift (different
+    granularity, and CONFIDENCE — an asymmetric, rule-shaped metric —
+    is the point). A-priori discipline at scale: items below min
+    support (2) are pruned BEFORE pairing (L1 filter — the frequent-
+    itemset lattice's antimonotonicity), and pair generation is a
+    basket-keyed self-join bounded by the basket alphabet (<= 13 items
+    per order here), never corpus-quadratic. Ratios land as truncating
+    micro-unit divisions over exact BIGINT counts; the top-50 cut
+    orders by integers only. One distinct-projection, two partial
+    aggs, one bounded self-join."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = li.agg(F.countDistinct("bid").cast("bigint").alias("nb"))
+    l1 = (
+        li.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+    f = li.join(F.broadcast(l1.select("item")), "item")
+    a, b = f.alias("a"), f.alias("b")
+    p = (
+        a.join(b, (F.col("a.bid") == F.col("b.bid"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    la = l1.select(F.col("item").alias("ia"), F.col("supp").alias("supp_ia"))
+    lb = l1.select(F.col("item").alias("ib"), F.col("supp").alias("supp_ib"))
+    pj = p.join(F.broadcast(la), "ia").join(F.broadcast(lb), "ib")
+    fwd = pj.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"),
+        "supp_ab", F.col("supp_ia").alias("supp_a"), F.col("supp_ib").alias("supp_b"),
+    )
+    rev = pj.select(
+        F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"),
+        "supp_ab", F.col("supp_ib").alias("supp_a"), F.col("supp_ia").alias("supp_b"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb)).select(
+        "antecedent", "consequent", "supp_ab", "supp_a", "supp_b",
+        F.expr("supp_ab * 1000000 div supp_a").cast("bigint").alias("conf_fp"),
+        F.expr("supp_ab * nb * 1000000 div (supp_a * supp_b)")
+        .cast("bigint")
+        .alias("lift_fp"),
+    )
+    return rules.orderBy(
+        F.desc("lift_fp"), F.desc("conf_fp"), "antecedent", "consequent"
+    ).limit(50)

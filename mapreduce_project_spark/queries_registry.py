@@ -590,10 +590,12 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # abtest_value_welch (D186, Welch t on exact integer moments),
 # sketch_cms_registers_exact (D188, exact-register count-min sketch),
 # tokenizer_fertility_by_source (D189, per-source fertility audit) —
-# mutual_knn_pairs (D190, reciprocity-filtered kNN pairs) —
-# D185/D186/D188/D189/D190 postdate the round-7 wave; they are the
-# round-8 rotation seed (D187 merge_hll_register_rollup and D191
-# merge_join_view are the pytest-pinned streaming/sink classes).
+# mutual_knn_pairs (D190, reciprocity-filtered kNN pairs),
+# basket_association_rules (D192, A-priori rules w/ exact lift) —
+# D185/D186/D188/D189/D190/D192 postdate the round-7 wave; they are
+# the round-8 rotation seed (D187 merge_hll_register_rollup and D191
+# merge_join_view are pytest-pinned streaming/sink classes;
+# multimodal_audio_logmel D193 is the rows-only FFT class).
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

@@ -513,3 +513,51 @@ def test_jpeg_chroma_subsampling_roundtrip_envelopes():
         jpeg_decode(bad)
     with pytest.raises(ValueError, match="subsampling"):
         jpeg_encode(noise.tobytes(), 33, 9, 3, subsampling="411")
+
+
+def test_logmel_planted_tone_lands_in_predicted_band(spark):
+    # A pure 3 kHz tone at 8 kHz must put its energy in the mel band
+    # whose triangle covers 3 kHz — computed INDEPENDENTLY here from
+    # the HTK mel formula — and the whole pipeline must match a
+    # from-scratch numpy DFT reference per cell.
+    import numpy as np
+
+    from mapreduce_project_spark.operators.multimodal import (
+        _mel_filterbank,
+        logmel_features,
+    )
+
+    sr, n_fft, hop, n_mels = 8000, 256, 128, 16
+    t = np.arange(sr)  # 1 second
+    tone = (0.5 * np.sin(2 * np.pi * 3000.0 * t / sr) * 32767).astype("<i2")
+    quiet = (np.zeros(sr)).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(tone.tobytes()), sr), (2, bytearray(quiet.tobytes()), sr)],
+        "id long, data binary, sample_rate_hz long",
+    )
+    got = {
+        r["id"]: r
+        for r in logmel_features(df, "id", "data", "sample_rate_hz",
+                                 n_fft, hop, n_mels).collect()
+    }
+    # independent reference for the tone
+    x = tone.astype(np.float64) / 32768.0
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    frames = np.stack([x[s:s + n_fft] * win
+                       for s in range(0, len(x) - n_fft + 1, hop)])
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = _mel_filterbank(n_mels, n_fft, sr)
+    ref = np.log10(power @ fb.T + 1e-10)
+    r = got[1]
+    assert r["n_frames"] == ref.shape[0]
+    feats = np.array(r["feats"]).reshape(-1, n_mels)
+    assert np.allclose(feats, ref, rtol=0, atol=1e-12)
+    # the tone's band: argmax of the summed spectrum == the band whose
+    # mel center is nearest 3 kHz, derived straight from the formula
+    centers_mel = np.linspace(0, 2595 * np.log10(1 + (sr / 2) / 700), n_mels + 2)[1:-1]
+    centers_hz = 700 * (10 ** (centers_mel / 2595) - 1)
+    want_band = int(np.argmin(np.abs(centers_hz - 3000.0)))
+    assert int(feats.sum(axis=0).argmax()) == want_band
+    # silence floors at log10(1e-10) = -10 in every cell
+    qf = np.array(got[2]["feats"])
+    assert np.allclose(qf, -10.0, atol=1e-9)
