@@ -1095,3 +1095,84 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.cos").alias("cos"),
         )
     )
+
+
+def _jl_exprs(k: int = 16, dim: int = 64):
+    """(spark_proj_exprs, duck_proj_exprs) — k oracle-replayable ±1
+    Rademacher projection dots over a double-array column ``v``,
+    micro-quantized to BIGINT (the D165 fold↔chain IEEE-equivalence)."""
+    from mapreduce_project_spark.operators.similarity import rademacher_signs
+
+    planes = rademacher_signs(1, k, dim, seed=771)[0]
+    sp, du = [], []
+    for plane in planes:
+        s_arr = ",".join("1.0D" if c > 0 else "-1.0D" for c in plane)
+        s_dot = (
+            f"aggregate(zip_with(v, array({s_arr}), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        d_dot = "0.0" + "".join(
+            f" {'+' if c > 0 else '-'} v[{j + 1}]" for j, c in enumerate(plane)
+        )
+        sp.append(f"cast(round({s_dot} * 1000000.0) as bigint)")
+        du.append(f"CAST(round(({d_dot}) * 1000000.0) AS BIGINT)")
+    return sp, du
+
+
+_JL_SPARK, _JL_DUCK = _jl_exprs()
+
+_JL_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT vec_id,
+             [{", ".join(_JL_DUCK)}] AS proj,
+             CAST(round((0.0{"".join(f" + v[{j + 1}] * v[{j + 1}]" for j in range(64))}) * 1000000000000.0) AS BIGINT) AS norm2_orig_q
+      FROM e
+    )
+    SELECT vec_id, proj, norm2_orig_q,
+           CAST(list_aggregate(list_transform(proj, x -> x * x), 'sum')
+                AS BIGINT) AS norm2_proj_q,
+           CAST(list_aggregate(list_transform(proj, x -> x * x), 'sum')
+                * 1000 // (16 * norm2_orig_q) AS BIGINT) AS distortion_milli
+    FROM p
+    """
+
+
+@extra_query("embedding_jl_projection", _JL_ORACLE)
+def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION 64 → 16 dims with the
+    database-friendly ±1 Rademacher matrix (Achlioptas 2003) — the
+    dimensionality-reduction step upstream of ANN indexing and the
+    cheap-distance tier below Matryoshka truncation (D171): unlike a
+    learned truncation, JL needs no training and preserves all pairwise
+    distances within (1±ε) w.h.p. Exactness discipline: each projected
+    component is ONE seeded ±1 fold (the D165 fold↔unrolled-chain IEEE
+    equivalence — bit-identical across engines) quantized to micro
+    BIGINT, and BOTH norm columns derive from already-quantized
+    integers, so even the distortion ratio (E[‖Pv‖²] = k·‖v‖² for ±1
+    entries ⇒ distortion_milli ≈ 1000) is integer-exact. One
+    zero-shuffle projection over the scan; at 100 TB this is a map
+    stage whose output is 4x narrower than its input."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    norm_chain = "0.0" + "".join(f" + v[{j}] * v[{j}]" for j in range(64))
+    p = e.select(
+        "vec_id",
+        F.expr("array(" + ", ".join(_JL_SPARK) + ")").alias("proj"),
+        F.expr(f"cast(round(({norm_chain}) * 1000000000000.0) as bigint)")
+        .alias("norm2_orig_q"),
+    )
+    npq = F.expr(
+        "aggregate(transform(proj, x -> x * x), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return p.select(
+        "vec_id", "proj", "norm2_orig_q",
+        npq.cast("bigint").alias("norm2_proj_q"),
+        F.expr(
+            "aggregate(transform(proj, x -> x * x), cast(0 as bigint),"
+            " (acc, x) -> acc + x) * 1000 div (16 * norm2_orig_q)"
+        ).cast("bigint").alias("distortion_milli"),
+    )

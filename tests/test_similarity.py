@@ -537,3 +537,19 @@ def test_lsh_cluster_recall_floor_and_high_threshold_regime(spark):
     for r in out:
         got.setdefault(r["rep_id"], set()).add(r["vec_id"])
     assert sorted(map(sorted, got.values())) == sorted(map(sorted, planted))
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    # The JL lemma's testable content at k=16: per-vector distortion
+    # E[|Pv|^2]/(k|v|^2) = 1, concentrated — every fixture vector within
+    # a wide [0.2, 3.0] envelope and the mean within 15% of 1.
+    import mapreduce_project_spark.queries_registry as R
+    from tests.conftest import SF_DIR
+
+    rows = R.ALL_QUERIES["embedding_jl_projection"](spark, SF_DIR).collect()
+    assert rows
+    ds = [r["distortion_milli"] for r in rows]
+    assert all(200 <= d <= 3000 for d in ds), (min(ds), max(ds))
+    mean = sum(ds) / len(ds)
+    assert abs(mean - 1000) < 150, mean
+    assert all(len(r["proj"]) == 16 for r in rows)
