@@ -1642,3 +1642,104 @@ def q_abtest_value_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(var1 / d("n1") + var2 / d("n2"))
         ).alias("t_welch"),
     )
+
+
+_CUSUM_ORACLE = """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT ed, n, ROW_NUMBER() OVER (ORDER BY ed) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nd,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot
+      FROM daily
+    ),
+    base AS (
+      SELECT ed, n, i, tot * 1000 // nd AS mean_fp,
+             (tot * 1000 // nd) // 4 AS slack_fp
+      FROM idx
+    ),
+    rec(i, ed, n, mean_fp, s_up, s_dn) AS (
+      SELECT i, ed, n, mean_fp,
+             GREATEST(CAST(0 AS BIGINT), n * 1000 - mean_fp - slack_fp),
+             GREATEST(CAST(0 AS BIGINT), mean_fp - n * 1000 - slack_fp)
+      FROM base WHERE i = 1
+      UNION ALL
+      SELECT b.i, b.ed, b.n, b.mean_fp,
+             GREATEST(CAST(0 AS BIGINT),
+                      r.s_up + b.n * 1000 - b.mean_fp - b.slack_fp),
+             GREATEST(CAST(0 AS BIGINT),
+                      r.s_dn + b.mean_fp - b.n * 1000 - b.slack_fp)
+      FROM rec r JOIN base b ON b.i = r.i + 1
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(ed AS INT), '%Y-%m-%d') AS day,
+           n, s_up, s_dn,
+           CAST(CASE WHEN s_up > mean_fp OR s_dn > mean_fp
+                THEN 1 ELSE 0 END AS BIGINT) AS changepoint
+    FROM rec
+    """
+
+
+@extra_query("events_cusum_changepoints", _CUSUM_ORACLE)
+def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection on the daily event-count series —
+    the classic sequential drift detector (Page 1954) the monitoring
+    family lacked next to D134's pointwise MAD outliers: one-sided
+    cumulative sums S⁺/S⁻ of milli-unit deviations from the global
+    mean (slack k = mean/4, alarm h = mean), all BIGINT so the
+    recursion is engine-exact — each output depends on the previous
+    OUTPUT, the D112 recursion class no window frame expresses, so the
+    oracle replays it as a recursive CTE over the day index. Plan: one
+    partial-agg shuffle to ~#days rows, then the recursion runs in ONE
+    pandas group — state is calendar-bounded (≤365·years rows), which
+    is the honest scale story for a GLOBAL series; per-key series
+    would reuse the D112 keyed shape unchanged."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("ed"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = daily.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    base = daily.crossJoin(F.broadcast(tot)).select(
+        "ed", "n",
+        F.expr("tot * 1000 div nd").alias("mean_fp"),
+        F.expr("(tot * 1000 div nd) div 4").alias("slack_fp"),
+    )
+
+    def cusum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches)).sort_values("ed").reset_index(drop=True)
+        s_up = s_dn = 0
+        ups, dns = [], []
+        for n, mean_fp, slack_fp in zip(pdf["n"], pdf["mean_fp"], pdf["slack_fp"]):
+            s_up = max(0, s_up + int(n) * 1000 - int(mean_fp) - int(slack_fp))
+            s_dn = max(0, s_dn + int(mean_fp) - int(n) * 1000 - int(slack_fp))
+            ups.append(s_up)
+            dns.append(s_dn)
+        pdf["s_up"] = ups
+        pdf["s_dn"] = dns
+        yield pdf
+
+    out = base.repartition(1).mapInPandas(
+        cusum, "ed long, n long, mean_fp long, slack_fp long, s_up long, s_dn long"
+    )
+    return out.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n", "s_up", "s_dn",
+        (
+            (F.col("s_up") > F.col("mean_fp")) | (F.col("s_dn") > F.col("mean_fp"))
+        )
+        .cast("bigint")
+        .alias("changepoint"),
+    )

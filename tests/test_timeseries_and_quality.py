@@ -148,3 +148,41 @@ def test_attribution_position_planted_credit_split(spark, tmp_path):
     assert got["click"]["n_conversions_touched"] == 4
     # conservation: total credit = 10000 x attributed conversions (4)
     assert sum(r["credit_bp_total"] for r in got.values()) == 40000
+
+
+def test_cusum_flags_planted_level_shift_only(spark, tmp_path):
+    # 18 baseline days at 300 events, then a 2-day spike at 900:
+    # mean = 360, slack = 90 -> baseline deviations never accumulate
+    # (300 - 360 - 90 < 0 both sides), the spike adds 450k milli/day so
+    # S+ crosses h = mean_fp = 360000 on the FIRST spike day; no other
+    # day alarms.
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 900 if d >= 18 else 300
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 5, 1 + d, j // 60 % 24, j % 60, 0),
+                 j % 50, "view", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r
+        for r in R.ALL_QUERIES["events_cusum_changepoints"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 20
+    for d in range(20):
+        day = f"2024-05-{1 + d:02d}"
+        if d >= 18:
+            assert got[day]["changepoint"] == 1, (day, dict(got[day].asDict()))
+        else:
+            assert got[day]["changepoint"] == 0, (day, dict(got[day].asDict()))
