@@ -1429,3 +1429,70 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.desc("lift_fp"), F.desc("conf_fp"), "antecedent", "consequent"
     ).limit(50)
+
+
+_SKYLINE_ORACLE = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS date_ed
+      FROM orders
+    )
+    SELECT b.o_orderkey, b.price_cents, b.date_ed
+    FROM o b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o a
+      WHERE a.price_cents <= b.price_cents AND a.date_ed <= b.date_ed
+        AND (a.price_cents < b.price_cents OR a.date_ed < b.date_ed)
+    )
+    """
+
+
+@extra_query("skyline_orders", _SKYLINE_ORACLE)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) — the multi-objective operator
+    (Börzsönyi et al., ICDE'01) the relational tier lacked: orders not
+    DOMINATED on (price minimize, order date minimize) — no other
+    order is at-most-equal on both and strictly better on one. The
+    scale insight (same discipline as the weighted-median rewrite): in
+    2-D the quadratic NOT-EXISTS is unnecessary, AND the global sort
+    never has to see the rows — only the per-price MIN date matters
+    for dominance, so rows first collapse to (price, min_date) CELLS
+    with a partial agg (cell count bounded by the price DOMAIN, not
+    the row count), the cell skyline falls out of one cummin window
+    over that tiny table (a cell survives iff its date beats every
+    strictly-cheaper cell's running min), and survivors join back by
+    the exact (price, date) pair — a broadcast join against the
+    frontier, which is at most |skyline| rows. All BIGINT (half-up
+    cents, epoch days) ⇒ hash-exact; the oracle is the definitional
+    quadratic NOT EXISTS, so the rewrite itself is what the hash
+    proves."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint").alias("date_ed"),
+    )
+    cells = o.groupBy("price_cents").agg(F.min("date_ed").alias("min_d"))
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        cells.select(
+            "price_cents", "min_d",
+            F.min("min_d").over(w_cheaper).alias("min_d_cheaper"),
+        )
+        .filter(
+            F.col("min_d_cheaper").isNull()
+            | (F.col("min_d_cheaper") > F.col("min_d"))
+        )
+        .select("price_cents", F.col("min_d").alias("date_ed"))
+    )
+    return o.join(F.broadcast(sky), ["price_cents", "date_ed"]).select(
+        "o_orderkey", "price_cents", "date_ed"
+    )

@@ -593,8 +593,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # mutual_knn_pairs (D190, reciprocity-filtered kNN pairs),
 # basket_association_rules (D192, A-priori rules w/ exact lift),
 # embedding_jl_projection (D194, hash-exact JL projection),
-# events_cusum_changepoints (D195, CUSUM drift detector) —
-# D185/D186/D188-D190/D192/D194/D195 postdate the round-7 wave; they are
+# events_cusum_changepoints (D195, CUSUM drift detector),
+# skyline_orders (D196, 2-D Pareto frontier) —
+# D185/D186/D188-D190/D192/D194-D196 postdate the round-7 wave; they are
 # the round-8 rotation seed (D187 merge_hll_register_rollup and D191
 # merge_join_view are pytest-pinned streaming/sink classes;
 # multimodal_audio_logmel D193 is the rows-only FFT class).

@@ -535,3 +535,29 @@ def test_weighted_median_planted(spark, tmp_path):
     }
     assert got["A"]["wmedian_cents"] == 3000 and got["A"]["w_total"] == 100
     assert got["B"]["wmedian_cents"] == 200 and got["B"]["w_total"] == 4
+
+
+def test_skyline_planted_dominance_edges(spark, tmp_path):
+    # (price, date) plants: duplicates of a frontier point BOTH survive
+    # (dominance requires a strict inequality), equal-price-later-date
+    # and equal-date-higher-price rows are dominated, and an
+    # incomparable point (cheaper but later) stays on the frontier.
+    import datetime as dt
+
+    rows = [
+        (1, 10.00, dt.datetime(2024, 1, 5)),   # frontier
+        (2, 10.00, dt.datetime(2024, 1, 5)),   # duplicate -> survives
+        (3, 10.00, dt.datetime(2024, 1, 9)),   # same price, later -> out
+        (4, 12.00, dt.datetime(2024, 1, 5)),   # same date, pricier -> out
+        (5, 8.00, dt.datetime(2024, 1, 20)),   # cheaper but later -> frontier
+        (6, 9.00, dt.datetime(2024, 1, 30)),   # dominated by 5 -> out
+        (7, 15.00, dt.datetime(2024, 1, 2)),   # earliest -> frontier
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_totalprice double, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["o_orderkey"]
+        for r in ALL_QUERIES["skyline_orders"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1, 2, 5, 7}
