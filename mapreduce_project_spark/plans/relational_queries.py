@@ -1496,3 +1496,102 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(F.broadcast(sky), ["price_cents", "date_ed"]).select(
         "o_orderkey", "price_cents", "date_ed"
     )
+
+
+_RFM_ORACLE = """
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+    cust AS (
+      SELECT o_custkey AS c,
+             CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                           (SELECT d FROM maxd)) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+    ranked AS (
+      SELECT recency_days, cents,
+             row_number() OVER (ORDER BY -recency_days, c) AS rn_r,
+             row_number() OVER (ORDER BY n_orders, c) AS rn_f,
+             row_number() OVER (ORDER BY cents, c) AS rn_m
+      FROM cust
+    ),
+    scored AS (
+      SELECT recency_days, cents,
+             ((rn_r - 1) * 5) // (SELECT n FROM n) + 1 AS r_s,
+             ((rn_f - 1) * 5) // (SELECT n FROM n) + 1 AS f_s,
+             ((rn_m - 1) * 5) // (SELECT n FROM n) + 1 AS m_s
+      FROM ranked
+    )
+    SELECT CAST(r_s * 100 + f_s * 10 + m_s AS BIGINT) AS rfm_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS sum_monetary_cents,
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency_days,
+           CAST(MAX(recency_days) AS BIGINT) AS max_recency_days
+    FROM scored GROUP BY rfm_cell
+    """
+
+
+@extra_query("rfm_segmentation", _RFM_ORACLE)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes' recency/frequency/monetary
+    scoring — the classic CRM workhorse) with EXACT balanced quintiles
+    at any scale: each dimension is scored 1-5 by the explicit rank
+    formula score = (rank-1)*5 div n + 1 over a deterministic total
+    order ((metric, custkey); recency ranked on the NEGATED day count
+    so most-recent earns 5) — NOT the engines' NTILE, whose tie/bucket
+    conventions differ, and NOT a single-task global window: all three
+    ranks come from `operators/windows.py:global_rank` (range partition
+    + per-partition offsets, the D129 machinery) chained so no join
+    reassembles the scores. Output is the 125-cell RFM lattice with
+    customer counts, monetary mass and recency spread per cell — the
+    segment-sizing table a CRM ships. Recency anchor = corpus max
+    order date (deterministic, replayable). One grouped agg over
+    orders, three range-partitioned rank passes over ~#customers rows,
+    one 125-cell partial agg."""
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "c",
+            F.datediff("maxd", "last_date").cast("bigint").alias("recency_days"),
+            "n_orders",
+            "cents",
+        )
+        .withColumn("neg_rec", -F.col("recency_days"))
+    )
+    nrow = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_rank(
+        global_rank(global_rank(cust, ["neg_rec", "c"], "rn_r"),
+                    ["n_orders", "c"], "rn_f"),
+        ["cents", "c"], "rn_m",
+    )
+    scored = ranked.crossJoin(F.broadcast(nrow)).select(
+        "recency_days",
+        "cents",
+        F.expr("(rn_r - 1) * 5 div n + 1").alias("r_s"),
+        F.expr("(rn_f - 1) * 5 div n + 1").alias("f_s"),
+        F.expr("(rn_m - 1) * 5 div n + 1").alias("m_s"),
+    )
+    return scored.groupBy(
+        (F.col("r_s") * 100 + F.col("f_s") * 10 + F.col("m_s"))
+        .cast("bigint")
+        .alias("rfm_cell")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("sum_monetary_cents"),
+        F.min("recency_days").cast("bigint").alias("min_recency_days"),
+        F.max("recency_days").cast("bigint").alias("max_recency_days"),
+    )

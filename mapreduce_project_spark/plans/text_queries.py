@@ -2568,3 +2568,205 @@ def q_tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("fertility_milli"),
     )
+
+
+# Stupid Backoff (Brants et al., EMNLP 2007 "Large Language Models in
+# Machine Translation") — the distributed-LM score designed FOR
+# MapReduce-scale count tables: no discount normalization, so scoring
+# needs only raw n-gram counts and a fixed 0.4 backoff penalty.
+# Micro-log fixed point (each ln-of-an-integer-count quantized to
+# BIGINT micro-units BEFORE summation) keeps every per-doc sum
+# order-independent and hash-exact cross-engine.
+_LN04_MICRO = -916291  # round(ln(0.4) * 1e6), baked identically both sides
+_LNM = "CAST(round(ln(CAST({c} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+_BACKOFF_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+      ) GROUP BY w1, w2 HAVING COUNT(*) >= 2
+    ),
+    pos AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+    ),
+    tri AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+      FROM pos GROUP BY w1, w2, w3 HAVING COUNT(*) >= 2
+    ),
+    grp AS (
+      SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM pos GROUP BY doc_id, w1, w2, w3
+    ),
+    scored AS (
+      SELECT g.doc_id, g.occ,
+        CASE WHEN tri.c3 IS NOT NULL THEN 3
+             WHEN bbo.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+        CASE WHEN tri.c3 IS NOT NULL THEN
+               {_LNM.format(c='tri.c3')} - {_LNM.format(c='bctx.c2')}
+             WHEN bbo.c2 IS NOT NULL THEN
+               {_LN04_MICRO} + {_LNM.format(c='bbo.c2')}
+               - {_LNM.format(c='u2.c1')}
+             ELSE
+               {2 * _LN04_MICRO} + {_LNM.format(c='u3.c1')}
+               - {_LNM.format(c='(SELECT n FROM tot)')}
+        END AS s_micro
+      FROM grp g
+      LEFT JOIN tri ON tri.w1 = g.w1 AND tri.w2 = g.w2 AND tri.w3 = g.w3
+      LEFT JOIN big bctx ON bctx.w1 = g.w1 AND bctx.w2 = g.w2
+      LEFT JOIN big bbo ON bbo.w1 = g.w2 AND bbo.w2 = g.w3
+      JOIN uni u2 ON u2.w = g.w2
+      JOIN uni u3 ON u3.w = g.w3
+    )
+    SELECT doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_tri,
+           CAST(SUM(occ * s_micro) AS BIGINT) AS sum_score_micro,
+           CAST(SUM(occ * s_micro) // SUM(occ) AS BIGINT) AS avg_score_micro,
+           CAST(SUM(CASE WHEN lvl = 3 THEN occ ELSE 0 END) AS BIGINT) AS n_hit3,
+           CAST(SUM(CASE WHEN lvl = 2 THEN occ ELSE 0 END) AS BIGINT) AS n_hit2,
+           CAST(SUM(CASE WHEN lvl = 1 THEN occ ELSE 0 END) AS BIGINT) AS n_hit1
+    FROM scored GROUP BY doc_id
+    """
+
+
+@extra_query("text_trigram_backoff_score", _BACKOFF_ORACLE)
+def q_text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff trigram LM scoring (Brants et al., EMNLP 2007) —
+    the distributed-LM design point the bigram-frequency score (D59)
+    and DSIR (D148) sit either side of: train trigram/bigram/unigram
+    count tables from the corpus itself (trigrams and bigrams pruned
+    at count >= 2 — the antimonotone lattice guarantees a surviving
+    trigram's context bigram also survives), then score every document
+    position with S(w3|w1,w2) = c3/c2 if the trigram is known, else
+    0.4 * c2(w2,w3)/c1(w2) if the bigram is, else 0.4^2 * c1(w3)/N.
+    Every term is a micro-quantized ln of an exact BIGINT count, so
+    per-doc sums are order-independent integers and the oracle
+    hash-matches (the D148 discipline); per-level hit counts keep the
+    backoff distribution auditable. Scale shape: count tables are
+    plain partial-agg shuffles; scoring is the per-doc DISTINCT
+    trigram stream (occ-weighted, so repeated trigrams join once)
+    hash-joined against the three count tables — at 100 TB the grams
+    travel as xxhash64 bigints and the pruned tables shard-join;
+    nothing is corpus-quadratic and no Python runs.
+    Reference anchor: generalizes the reference's word-count pipeline
+    (mapreduce-project `test.py` word_count) into its published
+    descendant — n-gram LM training as pure count aggregation."""
+    # Tokenize ONCE: five count/score branches consume this projection
+    # (uni, ntot, big, tri, the per-doc stream); uncached, each branch
+    # re-scans + re-regexes the corpus (measured 7 scans, 0 reused
+    # exchanges). Same discipline as bgc above; sweeps/bench clear the
+    # cache per query. At 100 TB this is the "tokenize, persist, then
+    # count n-grams over it" staging every distributed LM build uses.
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    ).cache()
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    ntot = uni.agg(F.sum("c1").cast("bigint").alias("n_total"))
+    big = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> "
+                    "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .filter(F.col("c2") >= 2)
+    )
+    pos = (
+        d.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), i -> struct("
+                    "element_at(t, i) AS w1, element_at(t, i + 1) AS w2, "
+                    "element_at(t, i + 2) AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    tri = (
+        pos.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+        .filter(F.col("c3") >= 2)
+    )
+    grp = pos.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+
+    def lnm(c: str):
+        return F.expr(_LNM.format(c=c))
+
+    scored = (
+        grp.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            big.select("w1", "w2", F.col("c2").alias("c2ctx")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c2bo"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2")), ["w2"])
+        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w3")), ["w3"])
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "doc_id",
+            "occ",
+            F.when(F.col("c3").isNotNull(), F.lit(3))
+            .when(F.col("c2bo").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("lvl"),
+            F.when(F.col("c3").isNotNull(), lnm("c3") - lnm("c2ctx"))
+            .when(
+                F.col("c2bo").isNotNull(),
+                F.lit(_LN04_MICRO) + lnm("c2bo") - lnm("c1w2"),
+            )
+            .otherwise(
+                F.lit(2 * _LN04_MICRO) + lnm("c1w3") - lnm("n_total")
+            )
+            .alias("s_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("n_tri"),
+        F.sum(F.col("occ") * F.col("s_micro")).cast("bigint").alias("sum_score_micro"),
+        F.expr("sum(occ * s_micro) div sum(occ)")
+        .cast("bigint")
+        .alias("avg_score_micro"),
+        F.sum(F.when(F.col("lvl") == 3, F.col("occ")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit3"),
+        F.sum(F.when(F.col("lvl") == 2, F.col("occ")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit2"),
+        F.sum(F.when(F.col("lvl") == 1, F.col("occ")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_hit1"),
+    )

@@ -594,8 +594,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # basket_association_rules (D192, A-priori rules w/ exact lift),
 # embedding_jl_projection (D194, hash-exact JL projection),
 # events_cusum_changepoints (D195, CUSUM drift detector),
-# skyline_orders (D196, 2-D Pareto frontier) —
-# D185/D186/D188-D190/D192/D194-D196 postdate the round-7 wave; they are
+# skyline_orders (D196, 2-D Pareto frontier),
+# text_trigram_backoff_score (D197, Stupid-Backoff trigram LM),
+# rfm_segmentation (D198, exact-quintile RFM lattice) —
+# D185/D186/D188-D190/D192/D194-D198 postdate the round-7 wave; they are
 # the round-8 rotation seed (D187 merge_hll_register_rollup and D191
 # merge_join_view are pytest-pinned streaming/sink classes;
 # multimodal_audio_logmel D193 is the rows-only FFT class).

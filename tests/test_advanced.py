@@ -561,3 +561,37 @@ def test_skyline_planted_dominance_edges(spark, tmp_path):
         for r in ALL_QUERIES["skyline_orders"](spark, str(tmp_path)).collect()
     }
     assert got == {1, 2, 5, 7}
+
+
+def test_rfm_segmentation_planted_quintiles(spark, tmp_path):
+    # Customer k (1..10) gets k orders, all on day k, each priced
+    # 100*k: every dimension ranks customers in the same order
+    # (higher k = more recent, more frequent, higher spend), so all
+    # three quintile scores agree -> exactly five diagonal cells
+    # {111,222,333,444,555} with two customers each, and the explicit
+    # (rank-1)*5 div n + 1 bucketing is pinned end to end.
+    rows = []
+    oid = 1
+    for k in range(1, 11):
+        for _ in range(k):
+            rows.append((oid, k, float(100 * k), dt.datetime(2024, 1, k)))
+            oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["rfm_cell"]: r
+        for r in ALL_QUERIES["rfm_segmentation"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {111, 222, 333, 444, 555}
+    for s in (1, 2, 3, 4, 5):
+        cell = got[s * 111]
+        k_lo, k_hi = 2 * s - 1, 2 * s  # customers in this quintile
+        assert cell["n_customers"] == 2
+        # customer k spends k orders x (100*k dollars) = k^2 * 10000 cents
+        assert cell["sum_monetary_cents"] == (k_lo**2 + k_hi**2) * 10000
+        # recency anchored at day 10 (customer 10's last order)
+        assert cell["min_recency_days"] == 10 - k_hi
+        assert cell["max_recency_days"] == 10 - k_lo

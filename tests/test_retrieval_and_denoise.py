@@ -140,3 +140,87 @@ def test_matryoshka_recall_curve_shape(spark):
     # more dimensions can only help on this fixture (noise-like
     # embeddings: the 32-dim prefix must beat or match the 8-dim one)
     assert out[32]["n_hits"] >= out[8]["n_hits"]
+
+
+
+def test_trigram_backoff_matches_pure_python(spark, tmp_path):
+    # Planted corpus pinning all three backoff levels against an
+    # independent pure-Python Stupid-Backoff replay:
+    #  doc 1: "a b c" x4   -> every trigram count >= 2 (level 3)
+    #  doc 2: "a c b z z q" -> novel trigrams over pruned bigrams,
+    #                          falls through to level 1 (unigram)
+    #  doc 3: "b c x b c x y" -> own repeats give level 3 AND a final
+    #                          level-2 ("x y" unseen, "c x"... ) mix
+    import math
+
+    texts = {
+        1: "a b c a b c a b c a b c",
+        2: "a c b z z q",
+        3: "b c x b c x y",
+    }
+    spark.createDataFrame(
+        [(i, s, "en", "plant", len(s)) for i, s in texts.items()],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def toks(s):
+        return re.findall(r"[a-z]+", s.lower())
+
+    uni, big, tri, n_total = {}, {}, {}, 0
+    for s in texts.values():
+        t = toks(s)
+        n_total += len(t)
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(t) - 1):
+            big[(t[i], t[i + 1])] = big.get((t[i], t[i + 1]), 0) + 1
+        for i in range(len(t) - 2):
+            k = (t[i], t[i + 1], t[i + 2])
+            tri[k] = tri.get(k, 0) + 1
+    big = {k: v for k, v in big.items() if v >= 2}
+    tri = {k: v for k, v in tri.items() if v >= 2}
+    LN04 = round(math.log(0.4) * 1e6)
+
+    def lnm(n):
+        return round(math.log(n) * 1e6)
+
+    want = {}
+    for doc_id, s in texts.items():
+        t = toks(s)
+        n, ssum, h3, h2, h1 = 0, 0, 0, 0, 0
+        for i in range(len(t) - 2):
+            w1, w2, w3 = t[i], t[i + 1], t[i + 2]
+            if (w1, w2, w3) in tri:
+                sc, lvl = lnm(tri[(w1, w2, w3)]) - lnm(big[(w1, w2)]), 3
+            elif (w2, w3) in big:
+                sc, lvl = LN04 + lnm(big[(w2, w3)]) - lnm(uni[w2]), 2
+            else:
+                sc, lvl = 2 * LN04 + lnm(uni[w3]) - lnm(n_total), 1
+            n += 1
+            ssum += sc
+            h3 += lvl == 3
+            h2 += lvl == 2
+            h1 += lvl == 1
+        want[doc_id] = (n, ssum, h3, h2, h1)
+
+    got = {
+        r["doc_id"]: r
+        for r in R.ALL_QUERIES["text_trigram_backoff_score"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    saw_levels = set()
+    for doc_id, (n, ssum, h3, h2, h1) in want.items():
+        g = got[doc_id]
+        assert g["n_tri"] == n
+        assert g["sum_score_micro"] == ssum
+        # truncation toward zero, as Spark div / DuckDB // do on BIGINT
+        tz = -((-ssum) // n) if ssum < 0 else ssum // n
+        assert g["avg_score_micro"] == tz
+        assert (g["n_hit3"], g["n_hit2"], g["n_hit1"]) == (h3, h2, h1)
+        for lvl, h in ((3, h3), (2, h2), (1, h1)):
+            if h:
+                saw_levels.add(lvl)
+    # the fixture genuinely exercises all three backoff levels
+    assert saw_levels == {1, 2, 3}
