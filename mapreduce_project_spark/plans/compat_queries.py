@@ -619,3 +619,105 @@ def q_multimodal_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("peak_band"),
     )
+
+
+@extra_query("multimodal_phash_dedup")
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection via 64-bit DCT perceptual hash
+    (pHash) — the C2 dedup discipline applied to the pixel modality:
+    every document's bytes render to a real P6 PPM (the D155 encode),
+    the real decoder recovers the raster, and `operators/multimodal.py:
+    phash64` reduces each image to 8 BYTES (balanced top-32-rank bits
+    over the milli-quantized 8×8 DCT block — deterministic and
+    replayable, no float-median tie noise).
+
+    Scale discipline, two stages, never doc-quadratic: (1) EXACT
+    perceptual clusters by plain groupBy(phash) — linear, the C1
+    first-occurrence shape; perceptually identical images (including
+    every exact byte duplicate) collapse into one row per distinct
+    hash with min-doc-id representative and member count. (2) NEAR
+    clusters by 4×16-bit band buckets over the DISTINCT hashes only —
+    the pigeonhole guarantee (Hamming ≤ 3 ⇒ at least one band equal)
+    makes recall at the threshold total, and the join is bounded by
+    distinct-hash structure, not document count. Verification is one
+    `bit_count(xor)` per candidate. Output: cluster-pair rows
+    (rep_a, rep_b, hamming 1..3, docs_a, docs_b) plus self rows
+    (rep, rep, 0) for every multi-member exact cluster, so both dedup
+    signals are visible. Pixels never shuffle (hash-in-place
+    mapInPandas). Rows-only class (no SQL engine can replay a DCT);
+    determinism + planted perturbation/recall semantics pytest-pinned;
+    non-vacuous by construction — exact duplicate texts render
+    identical rasters."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mapreduce_project_spark.operators.multimodal import (
+        decode_media,
+        phash64,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                b = str(txt).encode("utf-8")
+                h = -(-max(len(b), 1) // 48)  # 16 px/row × 3 ch = 48 B/row
+                payloads.append(
+                    b"P6\n16 %d\n255\n" % h + b + b"\x00" * (48 * h - len(b))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    enc = docs.mapInPandas(encode, "doc_id long, payload binary")
+    hashes = phash64(decode_media(enc, "doc_id", "payload"))
+    # stage 1: exact perceptual clusters — linear groupBy, no pairs
+    clusters = hashes.groupBy("phash").agg(
+        F.min("doc_id").cast("bigint").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).cache()
+    exact = (
+        clusters.filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("rep").alias("rep_a"), F.col("rep").alias("rep_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+            F.col("n_docs").alias("docs_a"), F.col("n_docs").alias("docs_b"),
+        )
+    )
+    # stage 2: near clusters — band buckets over DISTINCT hashes only
+    bands = clusters.select(
+        "phash", "rep", "n_docs",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftrightunsigned(phash, {16 * j}) & 65535")
+                    for j in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    near = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"),
+            F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"),
+            F.col("a.n_docs").alias("docs_a"), F.col("b.n_docs").alias("docs_b"),
+        )
+        .distinct()
+        .select(
+            "rep_a", "rep_b",
+            F.expr("bit_count(pa ^ pb)").cast("bigint").alias("hamming"),
+            "docs_a", "docs_b",
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    return exact.unionByName(near)

@@ -1743,3 +1743,106 @@ def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("changepoint"),
     )
+
+
+_PATHS_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    per AS (
+      SELECT user_id, sid,
+             array_to_string(
+               (array_agg(event_type ORDER BY ts, event_id))[1:5], '>') AS path,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM sess GROUP BY user_id, sid
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM per),
+    agg AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(conv) AS BIGINT) AS n_converted
+      FROM per GROUP BY path
+    )
+    SELECT path, n_sessions, n_converted,
+           CAST(n_sessions * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS share_micro
+    FROM agg ORDER BY n_sessions DESC, path LIMIT 20
+    """
+
+
+@extra_query("session_path_mining", _PATHS_ORACLE)
+def q_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey PATHS (clickstream path / Sankey analysis —
+    the sequence-shaped sibling of D45's fixed funnel and D88's
+    one-step transition matrix): each 30-minute session (the D104 gap
+    islands, µs-exact, (ts, event_id) tie-broken) renders its first
+    five event types as an ordered '>'-joined path; paths are counted,
+    conversion-tagged (did the session ever purchase), and ranked by
+    frequency with corpus share in exact micro-units. The path string
+    is built by one array_sort over per-session structs — deterministic
+    where a bare collect_list is not — so the oracle's ORDER BY
+    array_agg replays it byte-identically (ASCII paths compare binary
+    in both engines). Scale: one user-keyed window pass + one
+    (user, session) partial agg + one path-keyed count — session
+    alphabet bounds the path string, never corpus-quadratic; top-20 is
+    a TakeOrdered, not a global sort."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ts, event_id,"
+                    " event_type))), x -> x.event_type)"
+                ),
+                1,
+                5,
+            ),
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    agg = per.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "path", "n_sessions", "n_converted",
+            F.expr("n_sessions * 1000000 div t").cast("bigint")
+            .alias("share_micro"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

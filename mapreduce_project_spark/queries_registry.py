@@ -596,11 +596,13 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # events_cusum_changepoints (D195, CUSUM drift detector),
 # skyline_orders (D196, 2-D Pareto frontier),
 # text_trigram_backoff_score (D197, Stupid-Backoff trigram LM),
-# rfm_segmentation (D198, exact-quintile RFM lattice) —
-# D185/D186/D188-D190/D192/D194-D198 postdate the round-7 wave; they are
+# rfm_segmentation (D198, exact-quintile RFM lattice),
+# session_path_mining (D199, top-20 journey paths) —
+# D185/D186/D188-D190/D192/D194-D199 postdate the round-7 wave; they are
 # the round-8 rotation seed (D187 merge_hll_register_rollup and D191
 # merge_join_view are pytest-pinned streaming/sink classes;
-# multimodal_audio_logmel D193 is the rows-only FFT class).
+# multimodal_audio_logmel D193 is the rows-only FFT class, and
+# multimodal_phash_dedup D200 the rows-only DCT class).
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

@@ -561,3 +561,104 @@ def test_logmel_planted_tone_lands_in_predicted_band(spark):
     # silence floors at log10(1e-10) = -10 in every cell
     qf = np.array(got[2]["feats"])
     assert np.allclose(qf, -10.0, atol=1e-9)
+
+
+def _phash_reference(text: str) -> int:
+    # Independent pHash replay: same documented spec (16-wide PPM
+    # raster from UTF-8 bytes, grayscale, 32x32 nearest sample), but
+    # the DCT is the DIRECT per-coefficient double sum, not the
+    # operator's matrix product — any drift in the cosine basis,
+    # normalization, median rule or bit packing shows up here.
+    import math
+
+    import numpy as np
+
+    b = text.encode("utf-8")
+    h = -(-max(len(b), 1) // 48)
+    raster = b + b"\x00" * (48 * h - len(b))
+    a = np.frombuffer(raster, np.uint8).astype(np.float64).reshape(h, 16, 3)
+    gray = a.mean(axis=2)
+    rows = (np.arange(32) * h) // 32
+    cols = (np.arange(32) * 16) // 32
+    small = gray[np.ix_(rows, cols)]
+    blk = []
+    for k in range(8):
+        for el in range(8):
+            ak = math.sqrt((1.0 if k == 0 else 2.0) / 32)
+            al = math.sqrt((1.0 if el == 0 else 2.0) / 32)
+            s = 0.0
+            for x in range(32):
+                for y in range(32):
+                    s += (
+                        small[x, y]
+                        * math.cos(math.pi * (2 * x + 1) * k / 64)
+                        * math.cos(math.pi * (2 * y + 1) * el / 64)
+                    )
+            blk.append(ak * al * s)
+    q = [round(c * 10000.0) for c in blk]
+    top = sorted(range(64), key=lambda j: (-q[j], j))[:32]
+    val = 0
+    for j in top:
+        val |= 1 << j
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_phash_dedup_planted_perturbation(spark, tmp_path):
+    import mapreduce_project_spark.queries_registry as R
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a slow waltz under paper lanterns and the crowd hums "
+        "along to every familiar bar of the tune"
+    )
+    near = base[:80] + "x" * 10 + base[90:]  # visible local smudge
+    other = "z" * 40 + "q w e r t y " * 20 + "m" * 37
+    texts = {1: base, 2: near, 3: other, 4: base}
+    spark.createDataFrame(
+        [(i, s, "en", "plant", len(s)) for i, s in texts.items()],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = R.ALL_QUERIES["multimodal_phash_dedup"](
+        spark, str(tmp_path)
+    ).collect()
+    exact = {(r["rep_a"], r["rep_b"]): r for r in rows if r["hamming"] == 0}
+    nears = {(r["rep_a"], r["rep_b"]): r for r in rows if r["hamming"] > 0}
+    # docs 1+4 are byte-identical -> one exact perceptual cluster,
+    # represented once (min doc id), never as member pairs
+    assert set(exact) == {(1, 1)}
+    assert exact[(1, 1)]["docs_a"] == 2
+    # the smudged copy lands within the Hamming threshold as a
+    # cluster-to-cluster near pair; the unrelated image never appears
+    assert set(nears) == {(1, 2)}
+    assert 1 <= nears[(1, 2)]["hamming"] <= 3
+    assert nears[(1, 2)]["docs_a"] == 2 and nears[(1, 2)]["docs_b"] == 1
+    assert not any(3 in k for k in list(exact) + list(nears))
+
+    # per-bit equality of the operator's hash vs the direct-sum DCT
+    # replay (independent cosine evaluation, quantization, ranking)
+    ref = {i: _phash_reference(s) for i, s in texts.items()}
+    from mapreduce_project_spark.operators.multimodal import (
+        decode_media,
+        phash64,
+    )
+
+    def enc_one(i, s):
+        b = s.encode("utf-8")
+        h = -(-max(len(b), 1) // 48)
+        return (i, b"P6\n16 %d\n255\n" % h + b + b"\x00" * (48 * h - len(b)))
+
+    enc = spark.createDataFrame(
+        [enc_one(i, s) for i, s in texts.items()], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in phash64(decode_media(enc, "doc_id", "payload")).collect()
+    }
+    assert got == ref
+    # every hash is balanced: exactly 32 set bits by construction
+    for v in got.values():
+        assert bin(v & ((1 << 64) - 1)).count("1") == 32
+    assert bin((ref[1] ^ ref[2]) & ((1 << 64) - 1)).count("1") == nears[
+        (1, 2)
+    ]["hamming"]

@@ -186,3 +186,54 @@ def test_cusum_flags_planted_level_shift_only(spark, tmp_path):
             assert got[day]["changepoint"] == 1, (day, dict(got[day].asDict()))
         else:
             assert got[day]["changepoint"] == 0, (day, dict(got[day].asDict()))
+
+
+def test_session_path_mining_planted_journeys(spark, tmp_path):
+    # Three planted journeys pin the gap split, the first-5 truncation
+    # and the conversion tag:
+    #  u1: view>click>purchase in one session, then (>30 min later) a
+    #      lone view session
+    #  u2: the same view>click>purchase shape
+    #  u3: seven events -> path truncates to the first five types
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = []
+
+    def e(eid, uid, typ, minutes):
+        rows.append((eid, base + dt.timedelta(minutes=minutes), uid, typ,
+                     0.0, "{}"))
+
+    e(1, 1, "view", 0); e(2, 1, "click", 5); e(3, 1, "purchase", 10)
+    e(4, 1, "view", 60)  # > 30 min gap -> new session
+    e(5, 2, "view", 0); e(6, 2, "click", 4); e(7, 2, "purchase", 8)
+    for i, typ in enumerate(
+        ["view", "view", "click", "view", "click", "view", "purchase"]
+    ):
+        e(100 + i, 3, typ, i)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["path"]: r
+        for r in R.ALL_QUERIES["session_path_mining"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {
+        "view>click>purchase", "view", "view>view>click>view>click"
+    }
+    vcp = got["view>click>purchase"]
+    assert vcp["n_sessions"] == 2 and vcp["n_converted"] == 2
+    lone = got["view"]
+    assert lone["n_sessions"] == 1 and lone["n_converted"] == 0
+    # u3's purchase is event 6 of 7: the path truncates to five types
+    # but the conversion tag still sees the whole session
+    trunc = got["view>view>click>view>click"]
+    assert trunc["n_sessions"] == 1 and trunc["n_converted"] == 1
+    # shares are exact micro-units of the 4 total sessions
+    assert vcp["share_micro"] == 2 * 1000000 // 4
+    assert lone["share_micro"] == 1000000 // 4
