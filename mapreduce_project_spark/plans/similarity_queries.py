@@ -1176,3 +1176,129 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc + x) * 1000 div (16 * norm2_orig_q)"
         ).cast("bigint").alias("distortion_milli"),
     )
+
+
+def _mmr_oracle() -> str:
+    """Generate the 10-step unrolled MMR selection as chained CTEs —
+    argmax-per-step is ORDER BY ... LIMIT 1; the selected set grows by
+    UNION ALL. All scores are 1e-12 fixed-point BIGINTs, so every
+    comparison the selection makes is integer-exact cross-engine."""
+    cos_q = _duck_cos("e.v", "q.qv")
+    cos_ab = _duck_cos("a.v", "b.v")
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+      SELECT vec_id, v,
+             CAST(round(({cos_q}) * 1000000000000.0) AS BIGINT) AS rel_fp
+      FROM e, q WHERE vec_id <> 0
+    ),
+    cand AS MATERIALIZED (SELECT * FROM rel ORDER BY rel_fp DESC, vec_id LIMIT 50),
+    pw AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round(({cos_ab}) * 1000000000000.0) AS BIGINT) AS sim_fp
+      FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+    ),
+    s1 AS MATERIALIZED (SELECT vec_id, rel_fp, 7 * rel_fp AS mmr
+           FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    ]
+    for k in range(2, 11):
+        parts.append(f""",
+    s{k} AS MATERIALIZED (
+      SELECT c.vec_id, c.rel_fp,
+             7 * c.rel_fp - 3 * (
+               SELECT MAX(p.sim_fp) FROM pw p
+               WHERE (p.ia = c.vec_id
+                      AND p.ib IN (SELECT vec_id FROM sel{k - 1}))
+                  OR (p.ib = c.vec_id
+                      AND p.ia IN (SELECT vec_id FROM sel{k - 1}))
+             ) AS mmr
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (SELECT vec_id FROM sel{k - 1}
+               UNION ALL SELECT vec_id FROM s{k})""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, vec_id, rel_fp,"
+        f" CAST(mmr AS BIGINT) AS mmr_fp10 FROM s{k}"
+        for k in range(1, 11)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@extra_query("similarity_mmr_rerank", _mmr_oracle())
+def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-k re-ranking (Carbonell & Goldstein, SIGIR'98 —
+    maximal marginal relevance): the retrieval-diversity stage between
+    raw top-k (C3) and downstream consumers that can't afford ten
+    near-identical hits. Select 10 of the top-50 candidates greedily by
+    mmr = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7 — in
+    1e-12 fixed point with the λ split as exact integers (×10:
+    7·rel_fp − 3·maxsim_fp), so every greedy comparison is
+    integer-exact and the 10-step unrolled CTE oracle replays the
+    selection decision-for-decision (both cosines are the pinned
+    left-fold, same as every C3 oracle). Scale shape: the corpus-wide
+    stage is the distributed top-50 scan (TakeOrdered over the fold
+    cosine — queries broadcast, corpus scanned once); the greedy loop
+    touches only 50 collected INTEGER rows + the 50×50 integer sim
+    matrix (computed in Spark, collected as ints — no float ever
+    crosses the driver boundary), the same metadata-scale license as
+    the BPE winner and k-means centroids. Query vector = corpus
+    vec_id 0, deterministic."""
+    from mapreduce_project_spark.operators.similarity import as_double, cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")) * 1e12)
+            .cast("bigint")
+            .alias("rel_fp"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel_fp"), "vec_id").limit(50).cache()
+    a, b = cand.alias("a"), cand.alias("b")
+    pw = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        F.round(
+            cosine(F.col("a.embedding"), F.col("b.embedding")) * 1e12
+        )
+        .cast("bigint")
+        .alias("sim_fp"),
+    )
+    rel_map = {
+        r["vec_id"]: r["rel_fp"]
+        for r in cand.select("vec_id", "rel_fp").collect()
+    }
+    sim = {}
+    for r in pw.collect():
+        sim[(r["ia"], r["ib"])] = r["sim_fp"]
+        sim[(r["ib"], r["ia"])] = r["sim_fp"]
+    selected: list[tuple[int, int, int, int]] = []
+    chosen: list[int] = []
+    remaining = set(rel_map)
+    for rank in range(1, 11):
+        best_id, best_mmr = None, None
+        for d in sorted(remaining):
+            maxsim = max((sim[(d, s)] for s in chosen), default=0)
+            mmr = 7 * rel_map[d] - 3 * maxsim
+            if best_mmr is None or mmr > best_mmr:
+                best_id, best_mmr = d, mmr
+        selected.append((rank, best_id, rel_map[best_id], best_mmr))
+        chosen.append(best_id)
+        remaining.discard(best_id)
+    return spark.createDataFrame(
+        selected, "rank bigint, vec_id bigint, rel_fp bigint, mmr_fp10 bigint"
+    )

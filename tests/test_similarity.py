@@ -553,3 +553,46 @@ def test_jl_projection_distortion_concentrates(spark):
     mean = sum(ds) / len(ds)
     assert abs(mean - 1000) < 150, mean
     assert all(len(r["proj"]) == 16 for r in rows)
+
+
+def test_mmr_rerank_planted_diversity(spark, tmp_path):
+    # The defining MMR behavior: a near-duplicate of the #1 hit is
+    # DEMOTED below a diverse hit of slightly lower relevance. The
+    # query spans axes 1+2; vec 1 (rel ~.72) and its near-copy vec 2
+    # (sim(1,2) ~ 1) compete with the orthogonal vec 3 (rel ~.69,
+    # sim(1,3) = 0). Pure relevance ranks 1, 2, 3 — MMR's redundancy
+    # penalty (7*rel - 3*maxsim, lambda 0.7) must rank 3 ahead of 2:
+    # mmr(2) ~ 7*.72 - 3*1 = 2.04 < mmr(3) = 7*.69 - 0 = 4.83.
+    import mapreduce_project_spark.queries_registry as R
+
+    rows = [
+        (0, [0.72, 0.69, 0.0, 0.0], 0),   # query spans axes 1+2
+        (1, [1.0, 0.0, 0.0, 0.0], 0),     # rel ~ 0.72
+        (2, [1.0, -0.001, 0.0, 0.0], 0),  # near-dup of 1, rel just below
+        (3, [0.0, 1.0, 0.0, 0.0], 0),     # rel ~ 0.69, orthogonal to 1
+    ]
+    # fillers so the greedy loop has its full 10 picks: low relevance,
+    # mutually spread along the 3rd/4th axes
+    for k in range(4, 14):
+        rows.append(
+            (k, [0.05, 0.1, 1.0 + 0.01 * k, 0.001 * k * k], 1)
+        )
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = R.ALL_QUERIES["similarity_mmr_rerank"](spark, str(tmp_path)).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert len(order) == 10 and len(set(order)) == 10
+    assert order[0] == 1  # highest relevance always opens
+    assert order.index(3) < order.index(2)  # diversity demotes the dup
+    by_rank = {r["rank"]: r for r in out}
+    # step 1 has no redundancy term: mmr == 7 * rel exactly
+    assert by_rank[1]["mmr_fp10"] == 7 * by_rank[1]["rel_fp"]
+    # vec 3's pick pays ZERO penalty (orthogonal to everything chosen)
+    assert by_rank[2]["vec_id"] == 3
+    assert by_rank[2]["mmr_fp10"] == 7 * by_rank[2]["rel_fp"]
+    # every later pick overlaps something already chosen on this
+    # fixture, so the penalty is strictly positive
+    for k in range(3, 11):
+        assert by_rank[k]["mmr_fp10"] < 7 * by_rank[k]["rel_fp"]
