@@ -1846,3 +1846,171 @@ def q_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+_MK_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS ed,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+    pairs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn,
+             CAST((b.cents - a.cents) * 1000000 // (b.ed - a.ed) AS BIGINT)
+               AS slope_micro
+      FROM daily a JOIN daily b ON a.ed < b.ed
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+    s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY cents HAVING COUNT(*) >= 2)
+    ),
+    var18 AS (
+      SELECT CAST((SELECT nd FROM n) * ((SELECT nd FROM n) - 1)
+                  * (2 * (SELECT nd FROM n) + 5)
+                  - (SELECT tie_term FROM ties) AS BIGINT) AS v18
+    ),
+    cells AS (
+      SELECT slope_micro, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1
+    ),
+    cum AS (
+      SELECT slope_micro,
+             SUM(c) OVER (ORDER BY slope_micro ROWS UNBOUNDED PRECEDING)
+               AS cw
+      FROM cells
+    ),
+    sen AS (
+      SELECT CAST(MIN(CASE WHEN 2 * cw >= (SELECT np FROM m)
+                           THEN slope_micro END) AS BIGINT) AS sen_micro
+      FROM cum
+    )
+    SELECT (SELECT nd FROM n) AS n_days,
+           (SELECT np FROM m) AS n_pairs,
+           (SELECT s_stat FROM s) AS s_stat,
+           (SELECT v18 FROM var18) AS var_x18,
+           CASE WHEN (SELECT s_stat FROM s) > 0 THEN
+                  (CAST((SELECT s_stat FROM s) AS DOUBLE) - 1.0)
+                  / sqrt(CAST((SELECT v18 FROM var18) AS DOUBLE) / 18.0)
+                WHEN (SELECT s_stat FROM s) < 0 THEN
+                  (CAST((SELECT s_stat FROM s) AS DOUBLE) + 1.0)
+                  / sqrt(CAST((SELECT v18 FROM var18) AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z_score,
+           (SELECT sen_micro FROM sen) AS sen_slope_micro
+    """
+
+
+@extra_query("trend_mann_kendall", _MK_ORACLE)
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Sen's slope over the daily
+    revenue series — the nonparametric trend detector (Mann 1945,
+    Kendall's tau family; Sen 1968 robust slope) that completes the
+    monitoring family next to D195's CUSUM (level shifts) and D134's
+    MAD outliers (points): S = Σ sign(later − earlier) over all day
+    pairs, tie-corrected variance, and the Sen slope = exact lower
+    median of all pairwise slopes in truncating micro-units/day.
+
+    The scale insight: the corpus collapses to ≤ one row per CALENDAR
+    DAY before anything quadratic — the pair join is bounded by the
+    date domain (~2.4k days ⇒ ≤ 3M pairs) FOREVER, independent of row
+    count, so the O(days²) definition is safe at 100 TB. The slope
+    median rides the D183 cells-first cumsum (bounded by the slope
+    value domain ≤ pair count, single ordered pass); S, the tie term
+    and the variance are exact BIGINTs; z is ONE pinned IEEE expression
+    over them. Hash-matched at three SFs; planted monotone /
+    tied / alternating fixtures pin S, ties and the Sen median."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("ed")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .cache()
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.ed") < F.col("b.ed")).select(
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        F.expr("(b.cents - a.cents) * 1000000 div (b.ed - a.ed)")
+        .cast("bigint")
+        .alias("slope_micro"),
+    ).cache()
+    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    s = pairs.agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") >= 2)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    cells = pairs.groupBy("slope_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("slope_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select("slope_micro", F.sum("c").over(w).alias("cw"))
+    sen = cum.crossJoin(F.broadcast(m)).agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("np"), F.col("slope_micro"))
+        )
+        .cast("bigint")
+        .alias("sen_slope_micro")
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0))
+            / F.sqrt(F.col("var_x18").cast("double") / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0))
+            / F.sqrt(F.col("var_x18").cast("double") / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nd.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sen))
+        .select(
+            F.col("nd").alias("n_days"),
+            F.col("np").alias("n_pairs"),
+            "s_stat",
+            F.expr("nd * (nd - 1) * (2 * nd + 5) - tie_term")
+            .cast("bigint")
+            .alias("var_x18"),
+            "sen_slope_micro",
+        )
+        .select(
+            "n_days", "n_pairs", "s_stat", "var_x18",
+            z.alias("z_score"), "sen_slope_micro",
+        )
+    )

@@ -1595,3 +1595,131 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").cast("bigint").alias("min_recency_days"),
         F.max("recency_days").cast("bigint").alias("max_recency_days"),
     )
+
+
+# log10(1 + 1/d) in micro-units for d = 1..9, baked identically into
+# both engines (no libm at query time).
+_BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                  51153, 45757]
+
+_BENFORD_ORACLE = f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cents),
+    obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM cents GROUP BY 1
+    ),
+    exp AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({d}, {m})' for d, m in enumerate(_BENFORD_MICRO, 1))})
+        AS t(digit, expected_micro)
+    )
+    SELECT exp.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+           CAST(COALESCE(obs.n_obs, 0) * 1000000 // (SELECT nt FROM n)
+                AS BIGINT) AS share_micro,
+           CAST(exp.expected_micro AS BIGINT) AS expected_micro,
+           CAST(COALESCE(obs.n_obs, 0) * 1000000 // (SELECT nt FROM n)
+                - exp.expected_micro AS BIGINT) AS dev_micro
+    FROM exp LEFT JOIN obs ON obs.digit = exp.digit
+    """
+
+
+@extra_query("benford_first_digit_audit", _BENFORD_ORACLE)
+def q_benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fabrication/anomaly screen auditors run on financial columns
+    (Newcomb 1881 / Benford 1938; genuine multi-scale amounts follow
+    P(d) = log10(1 + 1/d), synthetic or tampered ones usually don't):
+    per leading digit, observed count, exact micro-unit share and the
+    deviation from the baked-in Benford expectation (constants
+    pre-quantized in Python — no libm at query time, so every output
+    cell is an exact integer). TPC-H prices are uniform-ish, so the
+    fixture SHOWS a strong deviation — that's the audit working, not
+    failing. One scan, one 9-cell partial agg, one broadcast join
+    against the 9-row expectation table; digits with zero mass still
+    emit a row (LEFT join from the expectation side)."""
+    cents = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c")
+    )
+    n = cents.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    obs = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    exp = spark.createDataFrame(
+        [(d, m) for d, m in enumerate(_BENFORD_MICRO, 1)],
+        "digit bigint, expected_micro bigint",
+    )
+    return (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.expr("coalesce(n_obs, 0) * 1000000 div nt")
+            .cast("bigint")
+            .alias("share_micro"),
+            "expected_micro",
+            F.expr("coalesce(n_obs, 0) * 1000000 div nt - expected_micro")
+            .cast("bigint")
+            .alias("dev_micro"),
+        )
+    )
+
+
+_LDIV_ORACLE = """
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT MIN(l) FROM cells) AS BIGINT) AS min_l,
+           CAST((SELECT COUNT(*) FROM cells WHERE l < 3) AS BIGINT)
+             AS n_cells_below_l3,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM cells WHERE l < 3) AS BIGINT)
+             AS n_rows_below_l3
+    """
+
+
+@extra_query("l_diversity_audit", _LDIV_ORACLE)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    governance check k-anonymity (D131) cannot make: a cell can be
+    k-anonymous yet leak its sensitive attribute when every member
+    shares one value (the homogeneity attack). Quasi-identifiers =
+    (segment, nation); sensitive = the coarse balance band; per cell,
+    l = distinct sensitive values; report the cell count, worst l and
+    the cells/rows below l = 3 that a release would generalize or
+    suppress. One grouped count-distinct + a four-scalar summary —
+    the D93/D131 audit shape; integer-only ⇒ hash-matched."""
+    c = t(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("l"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cells_below_l3"),
+        F.coalesce(
+            F.sum(F.when(F.col("l") < 3, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_rows_below_l3"),
+    )

@@ -160,8 +160,13 @@ def q_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     and mirrored, per-id window ranks with a deterministic tie-break.
     The batch kNN-graph builder behind semantic-dedup threshold tuning
     and graph-based curation; the blocking key bounds the pair stream
-    by Σ block² (at 100 TB with no key: `knn_join_ann`)."""
-    out = knn_join(
+    by Σ block² (at 100 TB with no key: `knn_join_ann`). Runs on
+    `knn_join_gemm` — the grid-decomposed BLAS path (the sf≈1 decade
+    measured the fold-join at 24.6×/decade; the GEMM over-collect +
+    fold verify is bit-identical, pinned in tests)."""
+    from mapreduce_project_spark.operators.similarity import knn_join_gemm
+
+    out = knn_join_gemm(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 3, "label"
     )
     return out.withColumn("rk", F.col("rk").cast("bigint"))
@@ -1073,10 +1078,13 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, neighbor) key — the mutual join touches k·N rows, never the
     pair stream. Both ranks are reported so the asymmetry that
     survived (rk_ab ≠ rk_ba) stays visible. Oracle composes the D34
-    SQL with the same reversed join; hash-matched at three SFs."""
-    from mapreduce_project_spark.operators.similarity import knn_join
+    SQL with the same reversed join; hash-matched at three SFs. Runs
+    on the grid-decomposed `knn_join_gemm` (bit-identical to the fold
+    join, pinned) after the sf≈1 decade measured the interpreted
+    fold-join at 24.6×/decade."""
+    from mapreduce_project_spark.operators.similarity import knn_join_gemm
 
-    knn = knn_join(
+    knn = knn_join_gemm(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 3, "label"
     )
     a, b = knn.alias("a"), knn.alias("b")

@@ -2770,3 +2770,76 @@ def q_text_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hit1"),
     )
+
+
+_ENTROPY_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS sum_c_lnc
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, sum_c_lnc,
+           CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                - sum_c_lnc // n_tokens AS BIGINT) AS entropy_micro,
+           CAST(CASE WHEN n_types > 1 THEN
+                  (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                   - sum_c_lnc // n_tokens) * 1000000
+                  // CAST(round(ln(CAST(n_types AS DOUBLE)) * 1000000) AS BIGINT)
+                ELSE 0 END AS BIGINT) AS evenness_micro
+    FROM agg
+    """
+
+
+@extra_query("token_entropy_by_source", _ENTROPY_ORACLE)
+def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per source — the diversity telemetry next
+    to the drift KL (D153) and fertility (D189) audits: a source whose
+    entropy collapses is boilerplate/templated (low training value per
+    token), one whose evenness H/ln(V) spikes toward 1 is noise-like.
+    H = ln(N) − Σ c·ln(c) / N, computed entirely in micro-log fixed
+    point (each ln-of-an-integer quantized to BIGINT micro-units
+    BEFORE the Σ c·lnµ(c) sum — order-independent, hash-exact; the
+    divisions are truncating BIGINT). One token explode + one
+    (source, token) partial agg + one per-source rollup — the word-
+    count shuffle shape, nothing quadratic. Hash-matched at three SFs;
+    planted uniform (H = ln V exactly) and single-token (H = 0)
+    corners pinned."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("w")
+    )
+    counts = d.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lnm = lambda c: F.expr(  # noqa: E731
+        f"CAST(round(ln(CAST({c} AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * lnm("c")).cast("bigint").alias("sum_c_lnc"),
+    )
+    return agg.select(
+        "source", "n_tokens", "n_types", "sum_c_lnc",
+        (lnm("n_tokens") - F.expr("sum_c_lnc div n_tokens"))
+        .cast("bigint")
+        .alias("entropy_micro"),
+        F.expr(
+            "CASE WHEN n_types > 1 THEN"
+            " (CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sum_c_lnc div n_tokens) * 1000000"
+            " div CAST(round(ln(CAST(n_types AS DOUBLE)) * 1000000) AS BIGINT)"
+            " ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("evenness_micro"),
+    )

@@ -598,8 +598,13 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # text_trigram_backoff_score (D197, Stupid-Backoff trigram LM),
 # rfm_segmentation (D198, exact-quintile RFM lattice),
 # session_path_mining (D199, top-20 journey paths),
-# similarity_mmr_rerank (D201, MMR diverse top-k) —
-# D185/D186/D188-D190/D192/D194-D199/D201 postdate the round-7 wave; they are
+# similarity_mmr_rerank (D201, MMR diverse top-k),
+# trend_mann_kendall (D202, MK trend + Sen slope),
+# benford_first_digit_audit (D203, Benford screen),
+# token_entropy_by_source (D204, Shannon diversity telemetry),
+# l_diversity_audit (D205, homogeneity-attack audit) —
+# D185/D186/D188-D190/D192/D194-D199/D201-D205 postdate the round-7
+# wave; they are
 # the round-8 rotation seed (D187 merge_hll_register_rollup and D191
 # merge_join_view are pytest-pinned streaming/sink classes;
 # multimodal_audio_logmel D193 is the rows-only FFT class, and

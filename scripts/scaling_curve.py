@@ -120,11 +120,55 @@ SF1_QUERIES = [
     "embedding_label_centroids",
     "weighted_median_price",
     "term_pmi_top",
+    # round-7 continuation (D185-D201), decade-measured from birth
+    "dedup_containment_pairs",
+    "abtest_value_welch",
+    "sketch_cms_registers_exact",
+    "tokenizer_fertility_by_source",
+    "mutual_knn_pairs",
+    "basket_association_rules",
+    "embedding_jl_projection",
+    "events_cusum_changepoints",
+    "skyline_orders",
+    "text_trigram_backoff_score",
+    "rfm_segmentation",
+    "session_path_mining",
+    "similarity_mmr_rerank",
+    "multimodal_phash_dedup",
+    "multimodal_audio_logmel",
 ]
 SF1_REPS = 2
 
 # Appended verbatim after the table on every regeneration.
 FOOTNOTES = """
+## Round-7 continuation notes: the decade reaches D185-D205
+
+- **`mutual_knn_pairs` was the continuation's genuine catch**: the
+  D34 kNN composition rode `knn_join`'s interpreted per-pair fold —
+  with 10 label blocks growing 10x on the sf~1 fixture the block^2
+  FLOPs ran on few tasks, measured **24.6x/decade** (0.90 s ->
+  22.2 s). Fix (`operators/similarity.py:knn_join_gemm`): the round-6
+  grid decomposition applied to TOP-K — per (block, sub-bucket pair)
+  group one float64 numpy matmul, per-row over-collect within 1e-12
+  of the group-local k-th GEMM score (float64 BLAS vs fold drift is
+  ~dim*2^-53, so the collect strictly covers the fold ranking), exact
+  fold re-score + one per-id window decide everything. Re-measured
+  **3.2x/decade** (1.85 s -> 5.91 s), outputs BIT-IDENTICAL to the
+  fold join (pinned in tests/test_similarity.py) and both dependent
+  queries hash-green at three SFs. `knn_join_label` (D34) switched to
+  the same path.
+- **`dedup_containment_pairs` 11.33x/decade is OUTPUT growth, not a
+  candidate blow-up**: emitted pairs grow 512 -> 5660 (11.05x) on the
+  sf~1 fixture — the key-shifted copies genuinely contain each other
+  (the fixture's marker tokens cap Jaccard, not containment), so the
+  wall tracks true duplication mass linearly. The prefix+positional
+  filters hold; no plan change.
+- **Everything else in D185-D205 is sub-linear-to-linear**: Welch
+  0.97x, CMS 1.5x, fertility 2.0x, basket rules 9.5x (pair counting
+  ~ linear in baskets), JL 0.86x, CUSUM 0.91x, skyline 1.9x,
+  Stupid-Backoff LM 2.2x, RFM 1.2x, path mining 6.2x (sessions grow
+  10x), MMR 1.1x, pHash dedup 1.5x, log-mel 1.0x.
+
 ## Round-7 notes: the decade reaches the round-6/7 families
 
 - **`weighted_median_price` was the round's genuine catch**: the first

@@ -224,3 +224,39 @@ def test_trigram_backoff_matches_pure_python(spark, tmp_path):
                 saw_levels.add(lvl)
     # the fixture genuinely exercises all three backoff levels
     assert saw_levels == {1, 2, 3}
+
+
+def test_token_entropy_planted_corners(spark, tmp_path):
+    # source "uni": 4 types x 3 tokens each -> H = ln(12) - ln(3)
+    #   exactly, in micro-log arithmetic; evenness vs ln(4)
+    # source "mono": one type repeated -> H = 0, evenness pinned to 0
+    import math
+
+    docs = [
+        (1, "a b c d a b c d a b c d", "en", "uni", 23),
+        (2, "z z z z z", "en", "mono", 9),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in R.ALL_QUERIES["token_entropy_by_source"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def lnm(n):
+        return round(math.log(n) * 1e6)
+
+    u = got["uni"]
+    assert u["n_tokens"] == 12 and u["n_types"] == 4
+    assert u["sum_c_lnc"] == 4 * 3 * lnm(3)
+    want_h = lnm(12) - (4 * 3 * lnm(3)) // 12
+    assert u["entropy_micro"] == want_h
+    assert u["evenness_micro"] == want_h * 1000000 // lnm(4)
+    m = got["mono"]
+    assert m["n_tokens"] == 5 and m["n_types"] == 1
+    assert m["entropy_micro"] == lnm(5) - (5 * lnm(5)) // 5
+    assert m["evenness_micro"] == 0

@@ -596,3 +596,21 @@ def test_mmr_rerank_planted_diversity(spark, tmp_path):
     # fixture, so the penalty is strictly positive
     for k in range(3, 11):
         assert by_rank[k]["mmr_fp10"] < 7 * by_rank[k]["rel_fp"]
+
+
+def test_knn_join_gemm_bit_identical_to_fold(spark):
+    # the GEMM top-k over-collect (1e-12 margin) + fold verify must
+    # reproduce the interpreted fold-join EXACTLY — ids, ranks and
+    # every cosine bit — or downstream oracles would silently drift
+    from mapreduce_project_spark.operators.similarity import (
+        knn_join,
+        knn_join_gemm,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {tuple(r) for r in knn_join(emb, "vec_id", "embedding", 3, "label").collect()}
+    b = {
+        tuple(r)
+        for r in knn_join_gemm(emb, "vec_id", "embedding", 3, "label").collect()
+    }
+    assert a == b and len(a) > 0

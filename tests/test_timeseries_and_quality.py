@@ -237,3 +237,92 @@ def test_session_path_mining_planted_journeys(spark, tmp_path):
     # shares are exact micro-units of the 4 total sessions
     assert vcp["share_micro"] == 2 * 1000000 // 4
     assert lone["share_micro"] == 1000000 // 4
+
+
+def test_mann_kendall_planted_trends(spark, tmp_path):
+    # Three hand-checkable regimes in one table is impossible (the
+    # query is global), so plant the cleanest: a strictly increasing
+    # series with ONE tied day pair. 6 days: cents 100,200,300,300,
+    # 400,500 (days 0..5, one order per day, price = cents/100).
+    import datetime as dt
+
+    cents = [10000, 20000, 30000, 30000, 40000, 50000]
+    rows = [
+        (k + 1, 1, cents[k] / 100.0, dt.datetime(2024, 1, 1) + dt.timedelta(days=k))
+        for k in range(6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = R.ALL_QUERIES["trend_mann_kendall"](spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 6 and r["n_pairs"] == 15
+    # S: every pair ascending except the (300,300) tie -> 14 - 0 + tie 0
+    assert r["s_stat"] == 14
+    # var*18 = n(n-1)(2n+5) - t(t-1)(2t+5) with one tie group of 2
+    assert r["var_x18"] == 6 * 5 * 17 - 2 * 1 * 9
+    # z = (S-1)/sqrt(var), one pinned expression
+    import math
+
+    assert abs(r["z_score"] - 13.0 / math.sqrt(r["var_x18"] / 18.0)) < 1e-12
+    # Sen: pairwise slopes in micro-cents/day; the lower median of the
+    # 15 slopes computed independently
+    slopes = sorted(
+        (cents[j] - cents[i]) * 1000000 // (j - i)
+        for i in range(6)
+        for j in range(i + 1, 6)
+    )
+    m = len(slopes)
+    # lower median = smallest value whose cumulative count reaches m/2
+    assert r["sen_slope_micro"] == slopes[(m - 1) // 2]
+
+
+def test_benford_audit_planted_digits(spark, tmp_path):
+    # 6 orders whose cents start with digits 1,1,1,2,3,9: shares are
+    # exact micro-units of 6; digits with zero mass still emit rows.
+    import datetime as dt
+
+    prices = [1.00, 150.00, 19.99, 2.50, 34.00, 90.01]
+    rows = [
+        (k + 1, 1, p, dt.datetime(2024, 2, 1)) for k, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+        " o_orderdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["digit"]: r
+        for r in R.ALL_QUERIES["benford_first_digit_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    assert got[1]["n_obs"] == 3 and got[2]["n_obs"] == 1
+    assert got[3]["n_obs"] == 1 and got[9]["n_obs"] == 1
+    assert all(got[d]["n_obs"] == 0 for d in (4, 5, 6, 7, 8))
+    assert got[1]["share_micro"] == 3 * 1000000 // 6
+    assert got[1]["dev_micro"] == 500000 - 301030
+    assert got[4]["share_micro"] == 0 and got[4]["dev_micro"] == -96910
+
+
+def test_l_diversity_flags_homogeneous_cell(spark, tmp_path):
+    # cell (AUTO, 1): three customers, all in balance band 0 -> l = 1
+    # cell (AUTO, 2): two customers in bands 0 and 5 -> l = 2
+    # cell (BLDG, 1): three customers in bands 0, 5, 9 -> l = 3
+    rows = [
+        (1, "AUTO", 1, 100.0), (2, "AUTO", 1, 200.0), (3, "AUTO", 1, 300.0),
+        (4, "AUTO", 2, 100.0), (5, "AUTO", 2, 5500.0),
+        (6, "BLDG", 1, 100.0), (7, "BLDG", 1, 5500.0), (8, "BLDG", 1, 9500.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_mktsegment string, c_nationkey bigint,"
+        " c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    r = R.ALL_QUERIES["l_diversity_audit"](spark, str(tmp_path)).collect()[0]
+    assert r["n_cells"] == 3
+    assert r["min_l"] == 1
+    assert r["n_cells_below_l3"] == 2
+    assert r["n_rows_below_l3"] == 5
