@@ -853,9 +853,9 @@ def logmel_features(
         win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
         for pdf in batches:
             ids, nfr, nme, feats, eq = [], [], [], [], []
-            for i, d in zip(pdf[id_col], pdf[data_col]):
+            for i, d, r in zip(pdf[id_col], pdf[data_col], pdf[rate_col]):
                 x = np.frombuffer(bytes(d), dtype="<i2").astype(np.float64) / 32768.0
-                rate = int(pdf[rate_col][pdf[id_col] == i].iloc[0])
+                rate = int(r)
                 if rate not in fbs:
                     fbs[rate] = _mel_filterbank(n_mels, n_fft, rate)
                 if len(x) < n_fft:
@@ -896,14 +896,16 @@ def phash64(
     sample (index (i·dim) div 32 — defined for ANY input size) →
     orthonormal 2-D DCT-II (explicit cosine matrix, float64 BLAS) →
     top-left 8×8 coefficient block, each coefficient quantized to
-    MILLI-units (round(c·1000) BIGINT — float64 DCT error ~1e-6 abs is
-    three orders below the 0.5e-3 quantization edge, so the bits are
-    stable against summation order; an unquantized median compare
-    measurably flips bits between BLAS and direct-sum evaluation) →
-    bit i set iff 2·q_i > q_(32) + q_(33) (strict integer compare
-    against twice the lower+upper median — no float median). The hash
-    packs to one SIGNED int64 (two's complement), so downstream
-    banding/XOR run as plain BIGINT column ops.
+    round(c·10000) BIGINT (float64 DCT error ~1e-6 abs is orders below
+    the 0.5e-4 quantization edge, so the bits are stable against
+    summation order; an unquantized median compare measurably flips
+    bits between BLAS and direct-sum evaluation) → BALANCED bit
+    selection: exactly the 32 largest quantized coefficients get their
+    bit set (lexsort rank on (-q, index) — ties broken by lower index
+    first), so every hash has Hamming weight 32 and no float median is
+    ever computed. The hash packs to one SIGNED int64 (two's
+    complement), so downstream banding/XOR run as plain BIGINT column
+    ops.
 
     Arrow-batched ``mapInPandas``; rasters hash in place and never
     shuffle — 8 bytes per image leave the scan, which is the entire

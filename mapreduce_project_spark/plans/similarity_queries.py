@@ -1304,6 +1304,10 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             mmr = 7 * rel_map[d] - 3 * maxsim
             if best_mmr is None or mmr > best_mmr:
                 best_id, best_mmr = d, mmr
+        if best_id is None:
+            # tiny corpus: fewer than 10 non-query candidates — return
+            # the short ranking instead of KeyError'ing on rel_map[None]
+            break
         selected.append((rank, best_id, rel_map[best_id], best_mmr))
         chosen.append(best_id)
         remaining.discard(best_id)

@@ -2354,12 +2354,20 @@ def q_search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus is scanned twice (count pass + match pass) and
     text never crosses the wire. Integers + strings end-to-end ⇒
     hash-matched at three SFs."""
-    d = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("tk"))
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tk"))
+        # size guard: sequence(1, size-2) DESCENDS to [1, 0] for <3-token
+        # docs (ANSI: out-of-bounds tk[i+1] crash; non-ANSI: phantom short
+        # "phrases" the oracle never emits) — same convention as
+        # text_trigram_backoff_score.
+        .filter(F.size("tk") >= 3)
+    )
     tg = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tk) - 2, 0)), "
+                "transform(sequence(1, size(tk) - 2), "
                 "i -> struct(concat_ws(' ', tk[i-1], tk[i], tk[i+1]) AS ph,"
                 " cast(i AS bigint) AS pos))"
             )

@@ -766,18 +766,36 @@ def merge_join_view(
     Spark's own append-mode stream-stream join semantics; updates /
     deletes compose via `apply_changelog` upstream.
 
+    The two sides must have DISJOINT column names (the joined view
+    keeps both sides' columns verbatim; an overlap — including
+    ``a_key == b_key`` — would produce duplicate output columns whose
+    parquet write fails), so it is validated up front with a clear
+    error instead of a deep writer stack trace.
+
     Read the view back with ``spark.read.parquet(state_dir + "/j")``."""
     a_dir, b_dir, j_dir = (f"{state_dir}/{s}" for s in ("a", "b", "j"))
 
-    def _old(path: str, schema_of: DataFrame | None) -> DataFrame | None:
+    a_cols = set(a_batch.columns) if a_batch is not None else None
+    b_cols = set(b_batch.columns) if b_batch is not None else None
+    if a_cols is not None and b_cols is not None:
+        overlap = sorted(a_cols & b_cols)
+        if overlap:
+            raise ValueError(
+                "merge_join_view requires disjoint column names across the "
+                f"two sides; overlapping: {overlap} (rename/prefix one side)"
+            )
+    if "_b" in (a_cols or set()) | (b_cols or set()):
+        raise ValueError("merge_join_view reserves the column name '_b'")
+
+    def _old(path: str) -> DataFrame | None:
         p = spark._jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
             return None
         return spark.read.parquet(path).filter(F.col("_b") != batch_id).drop("_b")
 
-    a_old = _old(a_dir, a_batch)
-    b_old = _old(b_dir, b_batch)
+    a_old = _old(a_dir)
+    b_old = _old(b_dir)
     parts = []
     if a_batch is not None and b_old is not None:
         parts.append(a_batch.join(b_old, a_batch[a_key] == b_old[b_key]))
