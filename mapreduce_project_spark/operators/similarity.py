@@ -471,6 +471,68 @@ def _hyperplanes(n_tables: int, n_bits: int, dim: int, seed: int = _LSH_SEED) ->
     return planes
 
 
+def rademacher_signs_pc(
+    n_tables: int, n_bits: int, dim: int, seed: int = _LSH_SEED
+) -> list[list[list[int]]]:
+    """PREFIX-CONSISTENT ±1 plane family: plane (t, b) is generated
+    from its own mixed seed, independent of ``n_bits`` — so the K-bit
+    family is EXACTLY the first K planes per table of the 24-bit
+    family. This is what lets a data-dependent bit width (the
+    ``n_bits="auto"`` rule) stay oracle-replayable: the DuckDB twin
+    embeds the full-width codes once, statically, and masks to the
+    COUNT-derived width with ``code & ((1 << nb) - 1)``, while the
+    Spark side computes only the first ``nb`` planes — identical bits
+    by construction. (`rademacher_signs` draws all planes from ONE
+    sequential LCG stream, so its (t, b) plane depends on n_bits —
+    fine for pinned-width queries, useless for auto width.)"""
+    out = []
+    for t in range(n_tables):
+        table = []
+        for b in range(n_bits):
+            # splitmix-style per-plane seed decorrelation
+            s = (
+                seed
+                ^ (t * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + 0x632BE59BD9B4E019)
+            ) % (2**63)
+            state = s
+
+            def uniform() -> float:
+                nonlocal state
+                state = (
+                    state * 6364136223846793005 + 1442695040888963407
+                ) % (2**63)
+                return ((state >> 11) % 10**9) / 10**9
+
+            plane = [
+                1
+                if (uniform() + uniform() + uniform() + uniform() - 2.0) > 0
+                else -1
+                for _ in range(dim)
+            ]
+            table.append(plane)
+        out.append(table)
+    return out
+
+
+def duck_code_exprs_for_signs(signs: list[list[list[int]]]) -> list[str]:
+    """DuckDB-side per-table bucket-code expressions for an explicit
+    ±1 plane family (same unrolled signed-addition chain as
+    `lsh_code_exprs` — bit-exact to the Spark cumsum kernel)."""
+    duck_codes = []
+    for table in signs:
+        d_bits = []
+        for k, plane in enumerate(table):
+            d_dot = "0.0" + "".join(
+                f" {'+' if c > 0 else '-'} v[{j + 1}]"
+                for j, c in enumerate(plane)
+            )
+            d_bits.append(
+                f"(CASE WHEN ({d_dot}) > 0 THEN {1 << k} ELSE 0 END)"
+            )
+        duck_codes.append("CAST(" + " + ".join(d_bits) + " AS INT)")
+    return duck_codes
+
+
 def rademacher_signs(
     n_tables: int, n_bits: int, dim: int, seed: int = _LSH_SEED
 ) -> list[list[list[int]]]:
