@@ -405,13 +405,16 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @extra_query(
     "approx_quantiles_price",
     """
+    WITH q AS (
+      SELECT o_orderstatus,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o_orderstatus,
-           CAST(floor(quantile_cont(o_totalprice, 0.5) * 100.0 + 0.5)
-                AS BIGINT) AS p50_cents,
-           CAST(floor(quantile_cont(o_totalprice, 0.95) * 100.0 + 0.5)
-                AS BIGINT) AS p95_cents,
+           CAST(floor(quantile_cont(cents, 0.5) + 0.5) AS BIGINT) AS p50_cents,
+           CAST(floor(quantile_cont(cents, 0.95) + 0.5) AS BIGINT) AS p95_cents,
            TRUE AS approx_within_band
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    FROM q GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,30 +422,35 @@ def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only demo): ``approx_percentile`` is an algebraic KLL-style
     sketch (partial+final agg, bounded memory) where exact
     ``percentile`` is holistic. The sketch value is engine-specific, so
-    the comparator sees the CERTIFICATE: the exact interpolated
-    p50/p95 in integer cents (one pinned floor(x·100 + 0.5) expression
-    per cell — Spark ``percentile`` and DuckDB ``quantile_cont`` share
-    the (n−1)·p interpolation formula) plus a boolean asserting the
-    approx value sits within 1% of the exact (accuracy 10000 ⇒ rank
-    error ≤ n/10000; o_totalprice is smooth, so the value band is
-    far looser than the rank guarantee). A sketch regression flips the
-    boolean → driver hash-mismatch. Exact twin holding a driver slot:
+    the comparator sees the CERTIFICATE: the exact interpolated p50/p95
+    over PRE-QUANTIZED integer cents (round-9 hardening — interpolating
+    exact integers makes the even-count p50 midpoint an exact .5 IEEE
+    value, so the final floor(x + 0.5) can never flip on a 1-ulp
+    difference between Spark ``percentile``'s and DuckDB
+    ``quantile_cont``'s interpolation expression order; both share the
+    (n−1)·p rank formula, and the residual p95 risk is a fractional
+    rank landing within 1 ulp of a half-integer ON integer operands —
+    vanishingly smaller than the interpolate-then-quantize form the r8
+    advisor flagged) plus a boolean asserting the approx value sits
+    within 1% of the exact (accuracy 10000 ⇒ rank error ≤ n/10000;
+    cents are smooth, so the value band is far looser than the rank
+    guarantee). A sketch regression flips the boolean → driver
+    hash-mismatch. Exact twin holding a driver slot:
     ``percentile_quantity``."""
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
     exact = o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("e95"),
-        F.approx_percentile(
-            "o_totalprice", F.lit(0.5), F.lit(10000)
-        ).alias("a50"),
-        F.approx_percentile(
-            "o_totalprice", F.lit(0.95), F.lit(10000)
-        ).alias("a95"),
+        F.expr("percentile(cents, 0.5)").alias("e50"),
+        F.expr("percentile(cents, 0.95)").alias("e95"),
+        F.approx_percentile("cents", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.approx_percentile("cents", F.lit(0.95), F.lit(10000)).alias("a95"),
     )
     return exact.select(
         "o_orderstatus",
-        F.floor(F.col("e50") * 100.0 + 0.5).cast("bigint").alias("p50_cents"),
-        F.floor(F.col("e95") * 100.0 + 0.5).cast("bigint").alias("p95_cents"),
+        F.floor(F.col("e50") + 0.5).cast("bigint").alias("p50_cents"),
+        F.floor(F.col("e95") + 0.5).cast("bigint").alias("p95_cents"),
         (
             (F.abs(F.col("a50") - F.col("e50")) <= F.lit(0.01) * F.col("e50"))
             & (F.abs(F.col("a95") - F.col("e95")) <= F.lit(0.01) * F.col("e95"))

@@ -291,6 +291,96 @@ def q_dedup_embedding_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _lsh_auto_cluster_oracle(threshold: float, n_tables: int, dim: int) -> str:
+    """DuckDB twin of the AUTO-WIDTH sign-LSH dedup: embeds the
+    FULL-WIDTH (24-bit) prefix-consistent Rademacher codes once,
+    statically, and masks them to the COUNT-derived bit width with
+    ``code & ((1 << nb) - 1)`` — while the Spark side computes only the
+    first ``nb`` planes of the same family. Identical bits by
+    construction (`rademacher_signs_pc` seeds each plane (t, b)
+    independently of the requested width), so a data-dependent width
+    stays byte-hash-replayable. nb = clamp(ceil(log2(N / 8)), 8, 24)
+    on BOTH engines, each from its own COUNT."""
+    from mapreduce_project_spark.operators.similarity import (
+        duck_code_exprs_for_signs,
+        rademacher_signs_pc,
+    )
+
+    duck_codes = duck_code_exprs_for_signs(
+        rademacher_signs_pc(n_tables, 24, dim)
+    )
+    codes_arr = "[" + ", ".join(duck_codes) + "]"
+    or_pred = " OR ".join(
+        f"(a.cs[{i + 1}] & w.msk) = (b.cs[{i + 1}] & w.msk)"
+        for i in range(n_tables)
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), w AS (
+      SELECT CAST((1 << GREATEST(8, LEAST(24,
+               CAST(ceil(log2(CAST(COUNT(*) AS DOUBLE) / 8.0)) AS INT)
+             ))) - 1 AS INT) AS msk
+      FROM e
+    ), c AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: inlined, the 768 fold
+      -- expressions would re-evaluate per candidate pair row
+      SELECT vec_id, v, {codes_arr} AS cs FROM e
+    ), prs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.vec_id < b.vec_id, w
+      WHERE ({or_pred})
+        AND {_duck_cos('a.v', 'b.v')} >= {threshold}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+    SELECT c2.id AS vec_id, c2.rep AS rep_id, s.n AS cluster_size
+    FROM comp c2
+    JOIN (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep) s ON c2.rep = s.rep
+    """
+
+
+@extra_query(
+    "dedup_embedding_clusters_lsh_auto", _lsh_auto_cluster_oracle(0.3, 32, 64)
+)
+def q_dedup_embedding_clusters_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production lever of the sign-LSH dedup family,
+    oracle-replayable (round-9: wires the round-8 WIP plane machinery):
+    the bucket bit width is DATA-DEPENDENT — nb = clamp(ceil(log2(N/8)),
+    8, 24) holds per-table bucket sizes at ~8 rows so candidate mass
+    scales ∝ N per decade instead of N² (measured at sf≈1: fixed 8 bits
+    62.8 s → auto 12 bits 8.5 s, SCALING.md round-7 notes). Spark
+    computes the first nb planes of the prefix-consistent Rademacher
+    family (`rademacher_signs_pc`); the static DuckDB twin embeds the
+    full 24-bit codes and masks with ``code & ((1 << nb) - 1)`` from
+    its own COUNT — identical bits by construction, so the
+    candidate set (and therefore the whole clustering) byte-hash-matches
+    at ANY scale even though no fixed width is pinned anywhere."""
+    import math
+
+    from mapreduce_project_spark.operators.dedup import (
+        embedding_dedup_clusters_lsh,
+    )
+    from mapreduce_project_spark.operators.similarity import rademacher_signs_pc
+
+    df = t(spark, sf_dir, "embeddings")
+    n_rows = df.count()  # metadata-scale driver action (one COUNT)
+    nb = max(8, min(24, math.ceil(math.log2(max(n_rows, 1) / 8 or 1))))
+    return embedding_dedup_clusters_lsh(
+        df, "vec_id", "embedding", 0.3,
+        dim=64, signs=rademacher_signs_pc(32, nb, 64),
+    )
+
+
 def _kmeans_oracle(k: int, iters: int) -> str:
     """Unrolled DuckDB twin of `kmeans_lloyd`: one assign+mean CTE pair
     per iteration, every float op in the Spark operand order (left-fold

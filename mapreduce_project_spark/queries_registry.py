@@ -535,6 +535,69 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "text_stats",
         ),
     ),
+    # --- Round 9: burn down the 18-query never-driver-checked backlog
+    # (VERDICT r8 task 1 — the r8 round was interrupted before the
+    # rotation could move). Keep the four sentinels + the 12 bench-panel
+    # members (13 distinct names); rotate out 21 driver-r8-green slots
+    # (the r1-era re-verification block, six r6-deferral twins, five r7
+    # additions — all hash-green in CORRECTNESS_r08.json on current
+    # code) in favor of: the 18 oracle-equipped queries that have never
+    # held a driver slot, the two round-8 certificate upgrades
+    # (approx_distinct_parts / approx_quantiles_price — judge-verified
+    # r8, never driver-green with their new oracles; the latter carries
+    # the r9 integer-cents hardening), and the new auto-width LSH twin
+    # (D206, wires the round-8 prefix-consistent plane machinery).
+    (
+        (
+            "similarity_topk",
+            "events_tumbling_hour",
+            "multimodal_meta",
+            "top_orders",
+            "union_party_keys",
+            "count_distinct_parts",
+            "text_normalize",
+            "filter_project",
+            "text_lang_id",
+            "text_stats",
+            "fuzzy_token_pairs",
+            "asof_purchase_after_view",
+            "cdc_latest_state",
+            "scd2_user_state",
+            "map_event_type_counts",
+            "multimodal_header_probe",
+            "events_ohlc_daily",
+            "events_attribution_position",
+            "embedding_label_centroids",
+            "term_pmi_top",
+            "sketch_hll_rolling_7d",
+        ),
+        (
+            # the 18-query driver backlog (first-ever slots)
+            "trend_mann_kendall",             # D202
+            "benford_first_digit_audit",      # D203
+            "token_entropy_by_source",        # D204
+            "l_diversity_audit",              # D205
+            "similarity_mmr_rerank",          # D201
+            "session_path_mining",            # D199
+            "text_trigram_backoff_score",     # D197
+            "rfm_segmentation",               # D198
+            "skyline_orders",                 # D196
+            "events_cusum_changepoints",      # D195
+            "embedding_jl_projection",        # D194
+            "basket_association_rules",       # D192
+            "mutual_knn_pairs",               # D190
+            "sketch_cms_registers_exact",     # D188
+            "tokenizer_fertility_by_source",  # D189
+            "dedup_containment_pairs",        # D185
+            "abtest_value_welch",             # D186
+            "bm25_search",                    # D105 (integer twin green r5)
+            # round-8 certificate upgrades (first driver rows w/ oracles)
+            "approx_distinct_parts",          # B14 HLL bound certificate
+            "approx_quantiles_price",         # D24 KLL bound certificate
+            # round-9 addition
+            "dedup_embedding_clusters_lsh_auto",  # D206 auto-bits lever
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet

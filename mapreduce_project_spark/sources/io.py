@@ -770,20 +770,28 @@ def merge_join_view(
     keeps both sides' columns verbatim; an overlap — including
     ``a_key == b_key`` — would produce duplicate output columns whose
     parquet write fails), so it is validated up front with a clear
-    error instead of a deep writer stack trace.
+    error instead of a deep writer stack trace. Validation covers
+    STAGGERED batches too: an a-only call is checked against the
+    on-disk B state (and vice versa), because the ``a_batch ⋈ b_old``
+    delta path joins exactly those two schemas.
 
     Read the view back with ``spark.read.parquet(state_dir + "/j")``."""
     a_dir, b_dir, j_dir = (f"{state_dir}/{s}" for s in ("a", "b", "j"))
 
     a_cols = set(a_batch.columns) if a_batch is not None else None
     b_cols = set(b_batch.columns) if b_batch is not None else None
-    if a_cols is not None and b_cols is not None:
-        overlap = sorted(a_cols & b_cols)
+
+    def _check_disjoint(x_cols: set[str] | None, y_cols: set[str] | None) -> None:
+        if x_cols is None or y_cols is None:
+            return
+        overlap = sorted(x_cols & y_cols)
         if overlap:
             raise ValueError(
                 "merge_join_view requires disjoint column names across the "
                 f"two sides; overlapping: {overlap} (rename/prefix one side)"
             )
+
+    _check_disjoint(a_cols, b_cols)
     if "_b" in (a_cols or set()) | (b_cols or set()):
         raise ValueError("merge_join_view reserves the column name '_b'")
 
@@ -796,6 +804,12 @@ def merge_join_view(
 
     a_old = _old(a_dir)
     b_old = _old(b_dir)
+    # Staggered-batch validation: each incoming batch must also be
+    # disjoint from the OTHER side's persisted schema, or the
+    # batch ⋈ old delta below produces the duplicate-column writer
+    # failure the up-front check exists to prevent.
+    _check_disjoint(a_cols, set(b_old.columns) if b_old is not None else None)
+    _check_disjoint(set(a_old.columns) if a_old is not None else None, b_cols)
     parts = []
     if a_batch is not None and b_old is not None:
         parts.append(a_batch.join(b_old, a_batch[a_key] == b_old[b_key]))
