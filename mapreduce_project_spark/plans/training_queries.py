@@ -1358,6 +1358,156 @@ def q_decontam_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination_audit(train, test, "doc_id", "text", 3, 3, 262144)
 
 
+_V6_ORACLE = """
+    WITH cells AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    kpass AS (SELECT seg, bal_band, n FROM cells WHERE n >= 5),
+    lstat AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS l_bands,
+             CAST(SUM(n) AS BIGINT) AS n_released
+      FROM kpass GROUP BY seg
+    ),
+    segtot AS (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_total
+               FROM customer GROUP BY 1),
+    released AS (
+      SELECT c.c_mktsegment AS seg,
+             substr(md5('v6:' || CAST(c.c_custkey AS VARCHAR)), 1, 16) AS pseud
+      FROM customer c
+      JOIN kpass k ON k.seg = c.c_mktsegment
+                 AND k.bal_band = CAST(floor(c.c_acctbal / 1000) AS BIGINT)
+      JOIN lstat l ON l.seg = c.c_mktsegment AND l.l_bands >= 3
+    ),
+    chk AS (
+      SELECT seg,
+             bit_xor(CAST('0x' || substr(md5(pseud), 1, 15) AS BIGINT))
+               AS release_checksum
+      FROM released GROUP BY seg
+    )
+    SELECT l.seg AS segment, l.l_bands, l.n_released,
+           CAST(t.n_total - l.n_released AS BIGINT) AS n_suppressed_k,
+           CAST(1000000 AS BIGINT) AS epsilon_micro,
+           CAST(l.n_released * 1000000
+                + CAST(round((-sign(uu - 0.5)
+                              * ln(1.0 - 2.0 * abs(uu - 0.5))) * 1000000.0)
+                       AS BIGINT) AS BIGINT) AS noisy_released_micro,
+           c.release_checksum
+    FROM lstat l
+    JOIN segtot t ON t.seg = l.seg
+    JOIN chk c ON c.seg = l.seg,
+    LATERAL (SELECT (CAST(CAST('0x' || substr(md5('v6dp:' || l.seg), 1, 8)
+                              AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS uu) u
+    WHERE l.l_bands >= 3
+    ORDER BY segment
+    """
+
+
+@extra_query("assemble_training_set_v6", _V6_ORACLE)
+def q_assemble_training_set_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition, generation 6 — the GOVERNANCE-gated release
+    the round-7/8 privacy operators were built for: where v5 certifies
+    data HYGIENE, v6 certifies RELEASABILITY. Chain: k-anonymity gate
+    (D131's cell discipline — QI = (segment, balance band), rows in
+    cells below k = 5 suppressed) → l-diversity gate on the survivors
+    (D205 — a segment whose released bands show l < 3 distinct
+    sensitive values is wholly suppressed against the homogeneity
+    attack) → pseudonymized release of the survivors (D141's keyed-md5
+    pseudonyms, pepper 'v6:') → DP-shaped noisy release counts (D177's
+    seeded Laplace transform, pepper 'v6dp:', with exactly that query's
+    mechanism-not-privacy caveat) → dataset-card manifest (the output:
+    one row per releasable segment with the gate evidence l_bands /
+    n_released / n_suppressed_k, the noisy public count, and a
+    D139-style order-independent XOR release checksum that pins the
+    exact pseudonymized row SET without emitting it).
+
+    Scale: the gate tables are DOMAIN-bounded (segments × ~12 balance
+    bands) partial aggs, broadcast back against the customer scan — the
+    full table shuffles only once, on the segment key, for the
+    checksum partial agg; everything else is metadata-scale. Integer +
+    md5 arithmetic end to end ⇒ hash-matched at three SFs, with the
+    sf0.001 fixture exercising BOTH suppression paths for real (3 of 5
+    segments l-suppressed, ~20 rows/segment k-suppressed) while
+    sf0.01/0.1 release everything — the gates visibly bite only where
+    the data is genuinely sparse. Composed oracle replays the D131 /
+    D205 / D141 / D177 sub-oracle expressions verbatim over the same
+    survivor chain; planted below-k and below-l fixtures pinned in
+    tests/test_training.py."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("custkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    cells = c.groupBy("seg", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    kpass = cells.filter(F.col("n") >= 5)
+    lstat = (
+        kpass.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("l_bands"),
+            F.sum("n").cast("bigint").alias("n_released"),
+        )
+        .filter(F.col("l_bands") >= 3)
+    )
+    segtot = c.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    released = (
+        c.join(F.broadcast(kpass.select("seg", "bal_band")), ["seg", "bal_band"])
+        .join(F.broadcast(lstat.select("seg")), "seg")
+        .select(
+            "seg",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("v6:"), F.col("custkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                16,
+            ).alias("pseud"),
+        )
+    )
+    chk = released.groupBy("seg").agg(
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(cast(pseud AS binary)), 1, 15),"
+            " 16, 10) AS bigint))"
+        ).alias("release_checksum")
+    )
+    uu = (
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('v6dp:', seg) AS binary)),"
+            " 1, 8), 16, 10) AS bigint)"
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    lap = -F.signum(uu - F.lit(0.5)) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))
+    )
+    return (
+        lstat.join(segtot, "seg")
+        .join(chk, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            "l_bands",
+            "n_released",
+            (F.col("n_total") - F.col("n_released"))
+            .cast("bigint")
+            .alias("n_suppressed_k"),
+            F.lit(1000000).cast("bigint").alias("epsilon_micro"),
+            (
+                F.col("n_released") * F.lit(1000000)
+                + F.round(lap * F.lit(1000000.0), 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("noisy_released_micro"),
+            "release_checksum",
+        )
+        .orderBy("segment")
+    )
+
+
 _V5_ORACLE = None  # assembled below from text_queries' pattern constants
 
 

@@ -570,6 +570,7 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "embedding_label_centroids",
             "term_pmi_top",
             "sketch_hll_rolling_7d",
+            "decontam_bloom_audit",
         ),
         (
             # the 18-query driver backlog (first-ever slots)
@@ -594,8 +595,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             # round-8 certificate upgrades (first driver rows w/ oracles)
             "approx_distinct_parts",          # B14 HLL bound certificate
             "approx_quantiles_price",         # D24 KLL bound certificate
-            # round-9 addition
+            # round-9 additions
             "dedup_embedding_clusters_lsh_auto",  # D206 auto-bits lever
+            "assemble_training_set_v6",           # D207 flagship gen 6
         ),
     ),
 )
@@ -672,6 +674,17 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # merge_join_view are pytest-pinned streaming/sink classes;
 # multimodal_audio_logmel D193 is the rows-only FFT class, and
 # multimodal_phash_dedup D200 the rows-only DCT class).
+#
+# Round-9 additions (built round 9, strict-EQUAL at sf0.001/0.01/0.1,
+# both holding round-9 driver slots): dedup_embedding_clusters_lsh_auto
+# (D206, the data-dependent-width sign-LSH lever with the
+# prefix-consistent plane family and the masked full-width oracle) and
+# assemble_training_set_v6 (D207, governance-gated release flagship:
+# k-gate -> l-gate -> pseudonymized release -> DP noisy counts ->
+# checksummed manifest). Round-10 rotation pool: the 21 round-9
+# rotated-out names are all driver-green through r8 and can re-verify
+# on demand; streaming twins (events_cusum streaming, D208) stay
+# pytest-pinned.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

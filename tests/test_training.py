@@ -483,3 +483,47 @@ def test_assemble_v5_hygiene_and_quality_invariants(spark):
 
     again = R.ALL_QUERIES["assemble_training_set_v5"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_assemble_v6_governance_gates_planted(spark, tmp_path):
+    # v6's release contract, pinned on planted fixtures exercising BOTH
+    # suppression paths: S1 passes (3 bands x 6 rows >= k=5, l=3) but
+    # carries a 2-row band the k-gate suppresses; S2 has one k-passing
+    # band (l=1) and S3 two (l=2) -> both wholly l-suppressed.
+    import duckdb
+
+    import mapreduce_project_spark.queries_registry as R
+    from tests.conftest import rows_of
+
+    rows, ck = [], 1
+    def seg_rows(seg, band_sizes):
+        nonlocal ck
+        out = []
+        for band, size in band_sizes:
+            for _ in range(size):
+                out.append((ck, seg, band * 1000.0 + 500.0))
+                ck += 1
+        return out
+
+    rows += seg_rows("S1", [(0, 6), (1, 6), (2, 6), (3, 2)])  # k kills band 3
+    rows += seg_rows("S2", [(0, 9), (1, 2)])                  # l=1 -> suppressed
+    rows += seg_rows("S3", [(0, 5), (1, 5)])                  # l=2 -> suppressed
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    got = R.ALL_QUERIES["assemble_training_set_v6"](spark, str(tmp_path)).toPandas()
+    assert list(got["segment"]) == ["S1"]
+    r = got.iloc[0]
+    assert r["l_bands"] == 3 and r["n_released"] == 18
+    assert r["n_suppressed_k"] == 2  # the 2-row band, suppressed not released
+    # the noisy count differs from the true count (noise actually lands)
+    assert r["noisy_released_micro"] != 18 * 1_000_000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    want = con.sql(R.ALL_ORACLES["assemble_training_set_v6"]).df()
+    assert rows_of(got) == rows_of(want)
