@@ -763,3 +763,69 @@ def twap_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id", "day").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def cusum_stream(daily: DataFrame, mean_fp: int, slack_fp: int) -> DataFrame:
+    """Streaming CUSUM change-point detection — the stateful twin of
+    the batch `events_cusum_changepoints` (D195): the carried state is
+    the pair of one-sided cumulative sums (S⁺, S⁻), so Page's
+    previous-OUTPUT recursion
+
+        S⁺_i = max(0, S⁺_{i-1} + n_i·1000 − mean_fp − slack_fp)
+        S⁻_i = max(0, S⁻_{i-1} + mean_fp − n_i·1000 − slack_fp)
+
+    continues seamlessly across micro-batch boundaries (no window frame
+    expresses it; the D112/D134 recursion class). Deployment split as
+    in `anomaly_stream`: the (mean_fp, slack_fp) milli-unit thresholds
+    are the batch job's global statistics passed in as scalars —
+    retrained offline, scored online (a self-updating mean would let a
+    drift raise its own baseline). Input: one row per COMPLETED day
+    (``series`` string key, ``ed`` epoch-day BIGINT, ``n`` count) —
+    the upstream day-closing aggregation is the tumbling-window count
+    stream; per-series keying generalizes the batch query's single
+    global series for free. Same in-order-arrival contract as
+    `ewma_stream` (days arrive in ed order across batches). Emits one
+    (series, ed, n, s_up, s_dn, changepoint) row per day; all state is
+    BIGINT, so stream ≡ batch bit-exactly (pinned in
+    tests/test_streaming.py and soaked with kill/restart in
+    scripts/stream_soak.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "series string, ed long, n long, s_up long, s_dn long, changepoint long"
+    )
+    state_schema = "s_up long, s_dn long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("ed")
+        if state.exists:
+            s_up, s_dn = (int(v) for v in state.get)
+        else:
+            s_up = s_dn = 0
+        ups, dns, flags = [], [], []
+        for n in rows["n"]:
+            n = int(n)
+            s_up = max(0, s_up + n * 1000 - mean_fp - slack_fp)
+            s_dn = max(0, s_dn + mean_fp - n * 1000 - slack_fp)
+            ups.append(s_up)
+            dns.append(s_dn)
+            flags.append(1 if (s_up > mean_fp or s_dn > mean_fp) else 0)
+        state.update((s_up, s_dn))
+        yield pd.DataFrame(
+            {
+                "series": [key[0]] * len(rows),
+                "ed": rows["ed"].to_numpy(),
+                "n": rows["n"].to_numpy(),
+                "s_up": ups,
+                "s_dn": dns,
+                "changepoint": flags,
+            }
+        )
+
+    return daily.groupBy("series").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Streaming soak (round-5 artifact): drive the three hardest stateful
+"""Streaming soak (round-5 artifact): drive the hardest stateful
 streams — `crawl_dedup_stream`, `heavy_hitters_stream`,
-`anomaly_stream` — over >=20 micro-batches each at sf0.1, KILL the
+`anomaly_stream`, `twap_stream`, `cusum_stream`, `ann_ingest_stream`
+— over >=20 micro-batches each at sf0.1, KILL the
 query mid-run and RESTART it from the same checkpoint, then assert the
 final result equals the batch reference:
 
@@ -34,6 +35,23 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = os.environ.get("SPARK_GRAFT_SOAK_OUT", "STREAMSOAK_r5.json")
 N_BATCHES = 20
 KILL_AFTER = 8  # stop the query once this many micro-batches completed
+
+
+def stamp_batch_dir(path: str, idx: int) -> None:
+    """Force a strictly-increasing, widely-spaced mtime onto every file
+    of a just-written batch directory. The parquet file source orders
+    batches by modification time; under load a sleep-based scheme can
+    produce equal-to-the-granularity mtimes, letting two source files
+    coalesce into one micro-batch — harmless for order-insensitive
+    streams, but it shifts batch BOUNDARIES for the crawl-dedup stream
+    whose within-batch vs cross-batch dedup semantics the soak compares
+    against a 20-batch sequential replay (observed once: 19 triggers,
+    pair-set mismatch). Explicit 10-second spacing makes the grouping
+    deterministic."""
+    t = 1_600_000_000 + idx * 10
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
 
 
 def drive_with_kill(make_query, label: str) -> dict:
@@ -97,7 +115,7 @@ def main() -> int:
             else (F.unix_micros("ts") <= F.lit(hi))
         )
         sl.coalesce(1).write.parquet(os.path.join(ev_src, f"b{i:02d}.parquet"))
-        time.sleep(0.02)  # strictly increasing mtimes => stable batch order
+        stamp_batch_dir(os.path.join(ev_src, f"b{i:02d}.parquet"), i)
 
     # ---------- 1. heavy hitters (Space-Saving), budget covers ----------
     from mapreduce_project_spark.streaming.events import heavy_hitters_stream
@@ -284,6 +302,73 @@ def main() -> int:
     report["streams"]["twap"] = meta
     ok &= tw_match and meta["restarted"]
 
+    # ---------- 2c. streaming CUSUM (S+/S- recursion across batches) ----------
+    from mapreduce_project_spark.streaming.events import cusum_stream
+
+    daily = ev.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("ed")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dtot, dnd = daily.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    mean_fp = int(dtot * 1000 // dnd)
+    slack_fp = mean_fp // 4
+    day_rows = (
+        daily.withColumn("series", F.lit("all"))
+        .select("series", "ed", "n")
+        .orderBy("ed")
+        .collect()
+    )
+    cu_src = os.path.join(work, "cusrc")
+    os.makedirs(cu_src)
+    cu_batches = min(N_BATCHES, len(day_rows))
+    per_day = max(1, len(day_rows) // cu_batches)
+    for i in range(cu_batches):
+        chunk = (
+            day_rows[i * per_day : (i + 1) * per_day]
+            if i < cu_batches - 1
+            else day_rows[(cu_batches - 1) * per_day :]
+        )
+        spark.createDataFrame(
+            [(r["series"], r["ed"], r["n"]) for r in chunk],
+            "series string, ed long, n long",
+        ).coalesce(1).write.parquet(os.path.join(cu_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(cu_src, f"b{i:02d}.parquet"), i)
+    cu_out, cu_ck = os.path.join(work, "cu_out"), os.path.join(work, "cu_ck")
+
+    def make_cu():
+        stream = (
+            spark.readStream.schema("series string, ed long, n long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cu_src + "/*/")
+        )
+        return (
+            cusum_stream(stream, mean_fp, slack_fp)
+            .writeStream.format("parquet")
+            .option("path", cu_out)
+            .option("checkpointLocation", cu_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_cu, "cusum_stream")
+    got_cu = {
+        (r["ed"], r["n"], r["s_up"], r["s_dn"], r["changepoint"])
+        for r in spark.read.parquet(cu_out).collect()
+    }
+    s_up = s_dn = 0
+    want_cu = set()
+    for r in day_rows:
+        n = int(r["n"])
+        s_up = max(0, s_up + n * 1000 - mean_fp - slack_fp)
+        s_dn = max(0, s_dn + mean_fp - n * 1000 - slack_fp)
+        want_cu.add(
+            (r["ed"], n, s_up, s_dn, 1 if (s_up > mean_fp or s_dn > mean_fp) else 0)
+        )
+    cu_match = got_cu == want_cu and bool(got_cu)
+    meta.update({"days": len(got_cu), "match_vs_batch": cu_match})
+    report["streams"]["cusum"] = meta
+    ok &= cu_match and meta["restarted"]
+
     # ---------- 3. growing-corpus crawl dedup ----------
     from mapreduce_project_spark.operators.dedup import minhash_index_build
     from mapreduce_project_spark.streaming.events import (
@@ -319,7 +404,7 @@ def main() -> int:
         bdf = spark.createDataFrame(rows, "doc_id long, text string")
         batch_dfs.append(bdf)
         bdf.coalesce(1).write.parquet(os.path.join(crawl_src, f"b{i:02d}.parquet"))
-        time.sleep(0.02)
+        stamp_batch_dir(os.path.join(crawl_src, f"b{i:02d}.parquet"), i)
 
     idx_s = os.path.join(work, "idx_stream")
     idx_b = os.path.join(work, "idx_batch")

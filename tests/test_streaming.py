@@ -1112,3 +1112,67 @@ def test_streaming_feeds_hll_register_rollup(spark, tmp_path):
         k = (r["day"], hv % 256)
         regs[k] = max(regs.get(k, 0), rho)
     assert got == regs and got
+
+
+def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
+    # D195's S+/S- recursion must continue across micro-batch
+    # boundaries: stream the batch query's own daily series in 3 chunks
+    # with its own offline-trained (mean_fp, slack_fp) and the per-day
+    # outputs must equal the batch query bit-exactly.
+    import mapreduce_project_spark.queries_registry as R
+    from mapreduce_project_spark.streaming.events import cusum_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.groupBy(
+        F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("ed")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot, nd = daily.agg(F.sum("n"), F.count(F.lit(1))).collect()[0]
+    mean_fp = tot * 1000 // nd
+    slack_fp = mean_fp // 4
+
+    days = daily.withColumn("series", F.lit("all")).select("series", "ed", "n")
+    lo, hi = days.agg(F.min("ed"), F.max("ed")).collect()[0]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    src = tmp_path / "cusrc"
+    src.mkdir()
+    parts = [
+        days.filter(F.col("ed") <= c1),
+        days.filter((F.col("ed") > c1) & (F.col("ed") <= c2)),
+        days.filter(F.col("ed") > c2),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("series string, ed long, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        cusum_stream(stream, int(mean_fp), int(slack_fp))
+        .writeStream.format("memory")
+        .queryName("cusum_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cuckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["ed"], r["n"], r["s_up"], r["s_dn"], r["changepoint"])
+        for r in spark.table("cusum_s").collect()
+    }
+    want = {
+        (
+            # map the batch query's rendered day back to the epoch-day key
+            (__import__("datetime").date.fromisoformat(r["day"])
+             - __import__("datetime").date(1970, 1, 1)).days,
+            r["n"], r["s_up"], r["s_dn"], r["changepoint"],
+        )
+        for r in R.ALL_QUERIES["events_cusum_changepoints"](spark, SF_DIR).collect()
+    }
+    assert got == want and got
+    # the recursion genuinely crossed batch boundaries: at least one
+    # day in batches 2-3 carries non-zero state from an earlier batch
+    later = {t for t in got if t[0] > c1}
+    assert any(t[2] > 0 or t[3] > 0 for t in later)
