@@ -381,3 +381,115 @@ def test_tokenizer_fertility_invariants(spark):
         # space-separated words, so the bound holds with slack)
         assert 0 < r["chars_per_bpe_milli"] < 6000
         assert r["sum_bpe"] >= r["sum_words"]
+
+
+def test_containment_prefix_immune_to_hot_shingle(spark):
+    # VERDICT r8 task 7: PPJoin-C's rarest-first prefix must not
+    # explode when 30% of the corpus shares one boilerplate shingle.
+    # Protocol: (1) the hot shingle never enters any prefix (rarest-
+    # first ranks it dead last), so (2) candidate counts under skew
+    # stay within noise of the no-boilerplate control, and (3) the
+    # output pair set under skew equals a pure-Python brute force.
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.dedup import (
+        containment_pairs,
+        shingle_sets,
+    )
+
+    def word(prefix, i):
+        # purely alphabetic unique tokens (the [a-z]+ tokenizer drops digits)
+        s, i = "", i + 1
+        while i:
+            s, i = chr(97 + i % 26) + s, i // 26
+        return prefix + s
+
+    HOT = "common boiler plate"
+    docs, doc_tokens = [], {}
+    k = 0
+    for d in range(600):
+        toks = [word("u", k + j) for j in range(12)]
+        k += 12
+        hot = d % 10 < 3  # 30% of docs carry the boilerplate
+        if hot:
+            toks += HOT.split()
+        docs.append((d, " ".join(toks)))
+        doc_tokens[d] = toks
+    # plant true containment: 5 short docs pasted into 5 longer hosts,
+    # both sides carrying the hot phrase
+    for i in range(5):
+        small = doc_tokens[i * 10]          # a hot doc (d % 10 == 0)
+        host = 1000 + i
+        toks = small + [word("h", k + j) for j in range(4)]
+        k += 4
+        docs.append((host, " ".join(toks)))
+        doc_tokens[host] = toks
+    skewed = spark.createDataFrame(docs, "doc_id long, text string")
+    control = spark.createDataFrame(
+        [(d, " ".join([t for t in doc_tokens[d] if t not in HOT.split()]))
+         for d, _ in docs],
+        "doc_id long, text string",
+    )
+
+    # (1)+(2): replicate the operator's prefix stage and count
+    def prefix_and_candidates(df):
+        sh = shingle_sets(df, "doc_id", "text", 3).select(
+            "id", F.xxhash64("shingle").alias("h")
+        )
+        with_df = sh.withColumn(
+            "df_", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        ranked = (
+            with_df.withColumn(
+                "pos",
+                F.row_number().over(Window.partitionBy("id").orderBy("df_", "h")),
+            )
+            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        )
+        o_req = F.floor((F.lit(7) * F.col("sz") + F.lit(9)) / F.lit(10))
+        prefix = ranked.filter(
+            (F.col("pos") <= F.col("sz") - o_req + F.lit(1))
+            & (F.col("sz") >= F.lit(5))
+        )
+        cand = prefix.alias("a").join(
+            ranked.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")),
+        )
+        return prefix, cand.count()
+
+    import pyspark.sql.functions as F  # noqa: F811 (local alias for clarity)
+
+    hot_hash = spark.createDataFrame([(0, HOT + " x")], "doc_id long, text string")
+    hot_h = (
+        shingle_sets(hot_hash, "doc_id", "text", 3)
+        .select(F.xxhash64("shingle").alias("h"))
+        .collect()[0]["h"]
+    )
+    prefix_s, cand_s = prefix_and_candidates(skewed)
+    _, cand_c = prefix_and_candidates(control)
+    assert prefix_s.filter(F.col("h") == hot_h).count() == 0, (
+        "hot shingle leaked into a prefix — rarest-first ordering broken"
+    )
+    # the hot shingle's df is ~185; a df-ordered prefix join must stay
+    # within noise of the boilerplate-free control (not ~185x it)
+    assert cand_s <= 2 * max(cand_c, 1) + 50, (cand_s, cand_c)
+
+    # (3) exact output under skew vs pure-Python brute force
+    def shingles(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {d: shingles(tk) for d, tk in doc_tokens.items()}
+    want = set()
+    for da, sa in sets.items():
+        if len(sa) < 5:
+            continue
+        need = -(-7 * len(sa) // 10)
+        for db, sb in sets.items():
+            if da != db and len(sa & sb) >= need:
+                want.add((da, db))
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in containment_pairs(skewed, "doc_id", "text", 3, 7, 10, 5).collect()
+    }
+    assert got == want
+    assert sum(1 for a, b in want if b >= 1000) >= 5  # planted pairs found
