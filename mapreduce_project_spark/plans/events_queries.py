@@ -1919,12 +1919,21 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale insight: the corpus collapses to ≤ one row per CALENDAR
     DAY before anything quadratic — the pair join is bounded by the
     date domain (~2.4k days ⇒ ≤ 3M pairs) FOREVER, independent of row
-    count, so the O(days²) definition is safe at 100 TB. The slope
-    median rides the D183 cells-first cumsum (bounded by the slope
-    value domain ≤ pair count, single ordered pass); S, the tie term
-    and the variance are exact BIGINTs; z is ONE pinned IEEE expression
-    over them. Hash-matched at three SFs; planted monotone /
-    tied / alternating fixtures pin S, ties and the Sen median."""
+    count, so the O(days²) definition is safe at 100 TB. The Sen
+    median is a TWO-LEVEL distributed selection (round-9 rewrite of
+    the single cells-first cumsum, whose unpartitioned window moved
+    all ~2.9M distinct slope cells through one task — the only
+    single-partition sort in the slate): arithmetic-shift buckets
+    (shift chosen from the measured slope range so ≤ 4096 buckets;
+    shiftright ≡ floor-div 2^s, order-preserving on negatives where
+    ``div`` truncation is not) → a cumsum over the TINY bucket table
+    locates the median bucket → only that bucket's cells ride an
+    ordered window, offset by the preceding buckets' mass. Both
+    passes are partial aggs over the cached pair table; identical
+    output by construction. S, the tie term and the variance are
+    exact BIGINTs; z is ONE pinned IEEE expression over them.
+    Hash-matched at three SFs; planted monotone / tied / alternating
+    fixtures pin S, ties and the Sen median."""
     from pyspark.sql import Window
 
     o = t(spark, sf_dir, "orders")
@@ -1954,8 +1963,11 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_micro"),
     ).cache()
-    m = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
-    s = pairs.agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    ms = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+    ).cache()
+    m = ms.select("np")
     ties = (
         daily.groupBy("cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
@@ -1968,13 +1980,47 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tie_term")
         )
     )
-    cells = pairs.groupBy("slope_micro").agg(
+    # two-level distributed selection of the lower median slope: the
+    # bucket shift is picked from the MEASURED slope range (one
+    # two-bigint driver action on the cached pair table) so the bucket
+    # table stays ≤ 4096 rows whatever the value scale — a fixed shift
+    # can't know that the micro-slope range spans ~±3·10¹⁴ here.
+    # shiftright is an arithmetic shift ≡ floor-division by 2^shift,
+    # monotone on NEGATIVE slopes too (BIGINT `div` truncates toward
+    # zero, which would fold -x and +x into the same bucket 0).
+    lo_hi = pairs.agg(
+        F.min("slope_micro").alias("lo"), F.max("slope_micro").alias("hi")
+    ).collect()[0]
+    span = max(int(lo_hi["hi"]) - int(lo_hi["lo"]), 1)
+    shift = max(0, span.bit_length() - 12)  # ≤ 2^12 = 4096 buckets
+    bcnt = (
+        pairs.groupBy(F.expr(f"shiftright(slope_micro, {shift})").alias("bk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wb = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bcum = bcnt.select("bk", "c", F.sum("c").over(wb).alias("bcw"))
+    target = (
+        bcum.crossJoin(F.broadcast(m))
+        .filter(2 * F.col("bcw") >= F.col("np"))
+        .orderBy("bk")
+        .limit(1)
+        .select("bk", (F.col("bcw") - F.col("c")).alias("prev_mass"))
+    )
+    in_bucket = pairs.join(
+        F.broadcast(target),
+        F.expr(f"shiftright(slope_micro, {shift})") == F.col("bk"),
+    )
+    cells = in_bucket.groupBy("slope_micro", "prev_mass").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     w = Window.orderBy("slope_micro").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = cells.select("slope_micro", F.sum("c").over(w).alias("cw"))
+    cum = cells.select(
+        "slope_micro", (F.sum("c").over(w) + F.col("prev_mass")).alias("cw")
+    )
     sen = cum.crossJoin(F.broadcast(m)).agg(
         F.min(
             F.when(2 * F.col("cw") >= F.col("np"), F.col("slope_micro"))
@@ -1996,8 +2042,7 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
     )
     return (
-        nd.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(s))
+        nd.crossJoin(F.broadcast(ms))
         .crossJoin(F.broadcast(ties))
         .crossJoin(F.broadcast(sen))
         .select(

@@ -374,21 +374,26 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-ENGINE against the exact count. The sketch estimate itself is
     engine-specific (no SQL oracle can replay Spark's HLL++ registers),
     so what crosses the comparator is the CERTIFICATE: the exact count
-    plus a boolean asserting |hll − exact| ≤ 5·rsd·exact (rsd 0.01;
+    plus a boolean asserting |hll − exact| ≤ 2.5·rsd·exact (rsd 0.02,
+    measured max relative error ≤ 0.95% on these fixtures — 5× margin;
     HLL++ merge is elementwise register MAX, so the estimate is
     deterministic for a given dataset regardless of partitioning —
     if the sketch path regresses, the boolean flips and the driver
-    hash-mismatches). Exact-register twin with full oracle replay:
-    ``sketch_hll_registers_exact`` (D176). Scale: both aggregates are
-    algebraic (partial+final, bounded memory) in ONE pass — the exact
-    count-distinct here is the certification harness, not the
-    production path; at 100 TB only the sketch side runs."""
+    hash-mismatches). rsd 0.02 rather than 0.01 is a PLAN-SIZE choice,
+    not an accuracy concession: rsd 0.01 means 2¹⁴ registers whose
+    partial-agg state codegen materializes as thousands of plan
+    columns — measured 7.1 s at sf0.1 vs ~1 s at rsd 0.02 for the
+    same TRUE certificate. Exact-register twin with full oracle
+    replay: ``sketch_hll_registers_exact`` (D176). Scale: both
+    aggregates are algebraic (partial+final, bounded memory) in ONE
+    pass — the exact count-distinct here is the certification harness,
+    not the production path; at 100 TB only the sketch side runs."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("hll"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("hll"),
         )
         .select(
             "l_returnflag",
