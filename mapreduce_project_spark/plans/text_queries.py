@@ -327,6 +327,28 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@extra_query("dedup_snm_pairs", _JACCARD_PAIRS_ORACLE)
+def q_dedup_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 via SORTED NEIGHBORHOOD (D209) — the third candidate family
+    beside LSH banding and PPJoin prefixes: sort on the first-24-char
+    normalized key, compare each doc with its 3 successors, verify
+    exact hashed-shingle Jaccard >= 0.8. Candidates are exactly 3·N —
+    linear at ANY skew by construction. Hash-checked against the SAME
+    exact quadratic SQL as `dedup_minhash_lsh` (two more different
+    algorithms, one answer): measured full recall at all three SFs —
+    every >=0.8 fixture pair sits within rank distance 4 of its twin
+    (near-dups share openings; a doc whose FIRST LINE changed is the
+    documented miss class, pinned in tests/test_dedup.py — that is
+    what the MinHash family is for)."""
+    from mapreduce_project_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 3, 24, 4, 0.8
+    )
+
+
 @query("dedup_minhash_lsh", _JACCARD_PAIRS_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 scalable near-dup path — the DECLARED one: MinHash(64) +

@@ -57,6 +57,99 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_CANON_ORACLE = f"""
+    WITH RECURSIVE jac AS ({_JACCARD_PAIRS_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jac
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+    csize AS (SELECT rep, COUNT(*) AS n FROM comp GROUP BY rep),
+    ntok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    canon AS (
+      SELECT rep, id AS canon_id FROM (
+        SELECT c.rep, c.id,
+               ROW_NUMBER() OVER (PARTITION BY c.rep
+                                  ORDER BY t.n_tok DESC, c.id) AS rn
+        FROM comp c JOIN ntok t ON t.doc_id = c.id
+      ) WHERE rn = 1
+    )
+    SELECT c.id AS doc_id, k.canon_id,
+           CAST(s.n AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN c.id = k.canon_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM comp c JOIN canon k ON c.rep = k.rep JOIN csize s ON c.rep = s.rep
+    UNION ALL
+    SELECT d.doc_id, d.doc_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM comp)
+    """
+
+
+@extra_query("dedup_canonical_map", _CANON_ORACLE)
+def q_dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative SELECTION (D210) — the survivorship
+    step between cluster formation (D27) and a deduped corpus: every
+    document maps to its cluster's canonical doc, chosen by QUALITY
+    (longest token count, min-id tiebreak) rather than D27's min-id
+    convention — dedup pipelines keep the best copy, not the earliest
+    key (SemDeDup/Dolma-style curation keeps one representative per
+    near-dup group). Output: one row per CORPUS document —
+    (doc_id, canon_id, cluster_size, is_canonical); filtering
+    is_canonical = 1 IS the deduped corpus, and the map is the
+    provenance record joining duplicates to their survivor.
+
+    Plan: the D27 cluster machinery unchanged (LSH pairs →
+    components), one n_tok projection, one per-cluster argmax window
+    (clusters are tiny — the window key is rep_id), singletons via one
+    LEFT ANTI join keep themselves. Oracle replays the recursive-CTE
+    closure + the same argmax. Planted ties and the
+    quality-beats-min-id case pinned in tests/test_dedup.py."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "doc_id", "text")
+    ntok = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    w = Window.partitionBy("rep_id").orderBy(F.desc("n_tok"), "doc_id")
+    canon = (
+        clusters.join(ntok, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rep_id", F.col("doc_id").alias("canon_id"))
+    )
+    clustered = clusters.join(canon, "rep_id").select(
+        "doc_id",
+        "canon_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("canon_id"))
+        .cast("bigint")
+        .alias("is_canonical"),
+    )
+    singles = docs.join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("canon_id"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        F.lit(1).cast("bigint").alias("is_canonical"),
+    )
+    return clustered.unionByName(singles)
+
+
 @query(
     "train_test_split",
     """

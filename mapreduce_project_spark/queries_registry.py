@@ -681,10 +681,13 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # prefix-consistent plane family and the masked full-width oracle) and
 # assemble_training_set_v6 (D207, governance-gated release flagship:
 # k-gate -> l-gate -> pseudonymized release -> DP noisy counts ->
-# checksummed manifest). Round-10 rotation pool: the 21 round-9
-# rotated-out names are all driver-green through r8 and can re-verify
-# on demand; streaming twins (events_cusum streaming, D208) stay
-# pytest-pinned.
+# checksummed manifest). Late round-9 additions (strict-EQUAL at three
+# SFs, SWEEP_r9-regenerated): dedup_snm_pairs (D209, sorted-
+# neighborhood candidates vs the exact quadratic oracle) and
+# dedup_canonical_map (D210, quality-argmax survivorship over the D27
+# clusters) — the round-10 rotation seed, together with the 21
+# round-9 rotated-out names (all driver-green through r8, re-verify on
+# demand); streaming twins (cusum_stream, D208) stay pytest-pinned.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

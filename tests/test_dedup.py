@@ -351,3 +351,79 @@ def test_lsh_auto_bits_scales_with_corpus_and_keeps_planted_recall(spark):
         present = [got.get(x) for x in ids if x in got]
         assert len(present) == 3 and len(set(present)) == 1, (i, present)
     assert want_bits >= 8  # the rule engaged without error
+
+
+def test_snm_finds_prefix_sorted_dups_and_documents_its_miss_class(spark):
+    # D209 window semantics: same-opening near-dups land adjacent in
+    # the sort and are found; a changed FIRST token pushes the twin
+    # outside the rank window (the documented SNM miss class that
+    # MinHash exists for) even though its true Jaccard clears 0.8.
+    from mapreduce_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    body = " ".join(f"tok{chr(97 + i)}{chr(97 + j)}" for i in range(6) for j in range(5))
+    docs = [
+        (1, "alphaopen " + body),
+        (2, "alphaopen " + body + " tail"),
+        (3, "bbbopen " + body),          # same body...
+        (4, "zzzopen " + body),          # ...but sorts far from doc 3
+    ]
+    # fillers between 'b...' and 'z...' so ranks 3..4 are > window apart
+    for i in range(6):
+        docs.append((10 + i, f"m{chr(97 + i)}filler " + " ".join(
+            f"u{chr(97 + i)}{chr(97 + j)}q" for j in range(20))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "doc_id", "text", 3, 24, 4, 0.8).collect()
+    }
+    assert (1, 2) in got
+    assert (3, 4) not in got, "changed-opening pair must be the SNM miss class"
+    # the missed pair IS a true near-dup — MinHash catches it
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 3, 64, 16, 0.8).collect()
+    }
+    assert (3, 4) in mh
+
+
+def test_canonical_map_quality_beats_min_id(spark, tmp_path):
+    # D210: the canonical doc is the LONGEST (token count), not the
+    # min id (D27's rep convention); ties break to min id; singletons
+    # map to themselves.
+    import duckdb
+
+    import mapreduce_project_spark.queries_registry as R
+    from tests.conftest import rows_of
+
+    base = [f"w{chr(97 + i)}{chr(97 + j)}" for i in range(8) for j in range(5)]
+    tie = [f"t{chr(97 + i)}{chr(97 + j)}" for i in range(6) for j in range(5)]
+    docs = [
+        (10, " ".join(base)),                     # 40 tokens
+        (11, " ".join(base + ["extraa"])),        # 41
+        (12, " ".join(base + ["extraa", "extrab"])),  # 42 -> canonical
+        (20, " ".join(tie)),                      # 30 tokens, tie
+        (21, " ".join(tie[:-2] + ["xx", "yy"])),  # 30 tokens, tie -> 20 wins
+        (30, " ".join(f"solo{chr(97 + i)}{chr(97 + j)}" for i in range(5) for j in range(5))),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = R.ALL_QUERIES["dedup_canonical_map"](spark, str(tmp_path)).toPandas()
+    m = {r["doc_id"]: (r["canon_id"], r["cluster_size"], r["is_canonical"])
+         for _, r in got.iterrows()}
+    assert m[10] == (12, 3, 0) and m[11] == (12, 3, 0) and m[12] == (12, 3, 1)
+    assert m[20] == (20, 2, 1) and m[21] == (20, 2, 0)
+    assert m[30] == (30, 1, 1)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(R.ALL_ORACLES["dedup_canonical_map"]).df()
+    assert rows_of(got) == rows_of(want)
