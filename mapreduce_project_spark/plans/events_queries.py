@@ -2059,3 +2059,224 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z_score"), "sen_slope_micro",
         )
     )
+
+
+def _markov_oracle(k_iters: int = 12) -> str:
+    """DuckDB twin of `events_markov_attribution`: identical
+    sessionization (the D199 window), identical transition extraction,
+    and the absorption solve UNROLLED as ``k_iters`` CTE iterations of
+    the same truncating fixed-point recurrence the Spark side runs in
+    driver Python — v_{k+1}(s) = (Σ_t p_micro(s,t)·v_k(t)) // 10⁶ with
+    v(CONV) ≡ 10⁹, v(NULL) ≡ 0, transitions into the removed channel
+    zeroed. Integer end-to-end, so every cell hash-matches."""
+    # AS MATERIALIZED on every iteration is load-bearing (the MMR/D165
+    # lesson): inlined, v12's reference chain re-expands the whole
+    # upstream pipeline per step — measured 90 s at sf0.1 vs ~2 s
+    # materialized.
+    vs = ["""v0 AS MATERIALIZED (
+      SELECT r.r, st.s, CAST(0 AS BIGINT) AS v
+      FROM removals r CROSS JOIN states st)"""]
+    for i in range(k_iters):
+        vs.append(f"""v{i + 1} AS MATERIALIZED (
+      SELECT rm.r, tr.s,
+             CAST(SUM(CASE WHEN tr.t = rm.r THEN 0
+                           WHEN tr.t = 'CONV' THEN tr.p * 1000000000
+                           WHEN tr.t = 'NULL' THEN 0
+                           ELSE tr.p * COALESCE(v.v, 0) END) // 1000000
+                  AS BIGINT) AS v
+      FROM removals rm CROSS JOIN trans tr
+      LEFT JOIN v{i} v ON v.r = rm.r AND v.s = tr.t
+      GROUP BY rm.r, tr.s)""")
+    v_chain = ",\n    ".join(vs)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    pos AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS pos
+      FROM sess
+    ),
+    fp AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'purchase' THEN pos END) AS fpos
+      FROM pos GROUP BY user_id, sid
+    ),
+    kept AS (
+      SELECT p.user_id, p.sid, p.event_type, p.pos, f.fpos
+      FROM pos p JOIN fp f USING (user_id, sid)
+      WHERE f.fpos IS NULL OR p.pos < f.fpos
+    ),
+    kt AS (
+      SELECT *, lead(event_type) OVER (PARTITION BY user_id, sid
+                                       ORDER BY pos) AS nxt,
+             MIN(pos) OVER (PARTITION BY user_id, sid) AS minpos
+      FROM kept
+    ),
+    trans_raw AS (
+      SELECT event_type AS s,
+             COALESCE(nxt, CASE WHEN fpos IS NOT NULL THEN 'CONV'
+                                ELSE 'NULL' END) AS t
+      FROM kt
+      UNION ALL
+      SELECT 'START', event_type FROM kt WHERE pos = minpos
+      UNION ALL
+      SELECT 'START', 'CONV' FROM fp WHERE fpos = 1
+    ),
+    c AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM trans_raw GROUP BY s, t),
+    ctot AS (SELECT s, SUM(c) AS n FROM c GROUP BY s),
+    trans AS MATERIALIZED (
+      SELECT c.s, c.t, CAST(c.c * 1000000 // ctot.n AS BIGINT) AS p
+      FROM c JOIN ctot USING (s)),
+    ch AS MATERIALIZED (SELECT DISTINCT s FROM trans WHERE s <> 'START'),
+    removals AS MATERIALIZED (
+      SELECT '__none__' AS r UNION ALL SELECT s FROM ch),
+    states AS MATERIALIZED (SELECT DISTINCT s FROM trans),
+    {v_chain}
+    SELECT ch.s AS channel,
+           b.v AS p_base_fp,
+           rv.v AS p_removed_fp,
+           CAST(CASE WHEN b.v > 0 THEN (b.v - rv.v) * 1000000 // b.v
+                     ELSE 0 END AS BIGINT) AS removal_micro
+    FROM ch
+    JOIN v{k_iters} b ON b.r = '__none__' AND b.s = 'START'
+    JOIN v{k_iters} rv ON rv.r = ch.s AND rv.s = 'START'
+    ORDER BY channel
+    """
+
+
+@extra_query("events_markov_attribution", _markov_oracle(12))
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov REMOVAL-EFFECT attribution (D211, Anderl et al. 2014) —
+    the data-driven counterpart of D181's heuristic U-shaped credits:
+    model journeys as a first-order chain START → channels →
+    {CONV, NULL} (30-min sessions, the D199 window; a session's first
+    'purchase' absorbs into CONV, later events discarded; sessions
+    without one absorb into NULL), then credit each channel by how
+    much total conversion probability disappears when that channel's
+    node is removed (transitions into it redirected to NULL — the
+    standard removal-effect construction).
+
+    Exactness across three runtimes: absorption probabilities are the
+    truncating fixed-point recurrence v_{k+1}(s) = (Σ_t
+    p_micro(s,t)·v_k(t)) // 10⁶ (v(CONV) ≡ 10⁹), run k = 12
+    iterations — Python // ≡ DuckDB // on non-negative BIGINTs, and
+    removal is monotone (every term is ≤ its baseline term, so the
+    removal effect can never go negative under truncation). Scale
+    split: sessionization + transition counting is the corpus-scale
+    Spark work (two keyed windows + one partial agg — the D199
+    shape); the chain itself is |channels|² ≤ ~100 integer cells, so
+    the 12-iteration solve runs on COLLECTED counts in driver Python
+    (the BPE-winner/GD-weights metadata-scale license) and the oracle
+    replays it as 12 unrolled relational CTE iterations. Planted
+    two-path fixture pins the removal ranking in
+    tests/test_timeseries_and_quality.py."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = sess.select(
+        "user_id", "sid", "event_type",
+        F.row_number().over(ws).alias("pos"),
+    )
+    fp = pos.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).alias("fpos")
+    )
+    kept = pos.join(fp, ["user_id", "sid"]).filter(
+        F.col("fpos").isNull() | (F.col("pos") < F.col("fpos"))
+    )
+    wk = Window.partitionBy("user_id", "sid").orderBy("pos")
+    kt = kept.select(
+        "user_id", "sid", "event_type", "pos", "fpos",
+        F.lead("event_type").over(wk).alias("nxt"),
+        F.min("pos").over(Window.partitionBy("user_id", "sid")).alias("minpos"),
+    )
+    t1 = kt.select(
+        F.col("event_type").alias("s"),
+        F.coalesce(
+            F.col("nxt"),
+            F.when(F.col("fpos").isNotNull(), F.lit("CONV")).otherwise(
+                F.lit("NULL")
+            ),
+        ).alias("t"),
+    )
+    t2 = kt.filter(F.col("pos") == F.col("minpos")).select(
+        F.lit("START").alias("s"), F.col("event_type").alias("t")
+    )
+    t3 = fp.filter(F.col("fpos") == 1).select(
+        F.lit("START").alias("s"), F.lit("CONV").alias("t")
+    )
+    counts = (
+        t1.unionByName(t2).unionByName(t3)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()  # |states|² <= ~100 integer cells — metadata scale
+    )
+    ctot: dict[str, int] = {}
+    for r in counts:
+        ctot[r["s"]] = ctot.get(r["s"], 0) + r["c"]
+    p = {(r["s"], r["t"]): r["c"] * 1000000 // ctot[r["s"]] for r in counts}
+    states = sorted(ctot)
+    channels = sorted(s for s in states if s != "START")
+
+    def absorb(removed: str | None) -> int:
+        v = {s: 0 for s in states}
+        for _ in range(12):
+            nv = {}
+            for s in states:
+                acc = 0
+                for (src, dst), pm in p.items():
+                    if src != s or dst == removed or dst == "NULL":
+                        continue
+                    acc += pm * (1000000000 if dst == "CONV" else v.get(dst, 0))
+                nv[s] = acc // 1000000
+            v = nv
+        return v.get("START", 0)
+
+    base = absorb(None)
+    rows = []
+    for ch in channels:
+        rem = absorb(ch)
+        rows.append(
+            (
+                ch,
+                base,
+                rem,
+                (base - rem) * 1000000 // base if base > 0 else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_fp long, p_removed_fp long, removal_micro long",
+    ).orderBy("channel")

@@ -2873,3 +2873,153 @@ def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("evenness_micro"),
     )
+
+
+_WINNOW_ORACLE = """
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s
+      FROM documents
+    ),
+    kg AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS j,
+             CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 15)
+                  AS BIGINT) AS h,
+             CAST(len(s) - 7 AS BIGINT) AS np
+      FROM norm, LATERAL unnest(generate_series(1, len(s) - 7)) AS g(i)
+      WHERE len(s) >= 8
+    ),
+    grid AS MATERIALIZED (
+      SELECT doc_id, j, h, CAST(i AS BIGINT) AS i
+      FROM (SELECT *, GREATEST(1, np - 5) AS nw FROM kg),
+           LATERAL unnest(generate_series(GREATEST(1, j - 5), LEAST(j, nw)))
+             AS w(i)
+    ),
+    winners AS MATERIALIZED (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, i, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, i
+                                  ORDER BY h ASC, j DESC) AS rn
+        FROM grid
+      ) WHERE rn = 1
+    ),
+    fps AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM winners),
+    dfh AS MATERIALIZED (SELECT h, COUNT(*) AS dfc FROM fps GROUP BY h),
+    rare AS MATERIALIZED (
+      SELECT f.doc_id, f.h FROM fps f JOIN dfh USING (h) WHERE dfh.dfc <= 16),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+              FROM fps GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(MIN(sa.nfp) AS BIGINT) AS fp_a,
+           CAST(MIN(sb.nfp) AS BIGINT) AS fp_b
+    FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+       AND COUNT(*) * 5 >= LEAST(MIN(sa.nfp), MIN(sb.nfp))
+    """
+
+
+@extra_query("text_winnow_pairs", _WINNOW_ORACLE)
+def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (D212, Schleimer-Wilkerson-Aiken
+    SIGMOD'03 — the MOSS algorithm): per document, hash every 8-char
+    normalized k-gram and keep the rightmost-minimum hash of each
+    6-window; documents sharing >= 3 DISCRIMINATIVE fingerprints
+    amounting to >= 20% of the smaller side's fingerprint set are
+    reported with their shared/total counts. Two hazard gates make
+    the pairing corpus-safe (measured: without them the fixture
+    emits 2.9M pairs at sf0.1 — common word SEQUENCES make hot
+    fingerprints): stop-fingerprints with df > 16 are dropped before
+    pairing (no pair evidence, df² candidate mass — the AllPairs
+    hazard class), and the relative 20% floor keeps incidental
+    locality out; 265 pairs at sf0.1, ≈ the true near-dup set plus
+    genuine local overlaps. The guarantee the other
+    dedup families don't give: any shared substring of length
+    >= w + k − 1 = 13 normalized chars yields at least one SHARED
+    fingerprint regardless of WHERE it sits in either document —
+    position-robust local similarity (plagiarism / quote / boilerplate
+    detection), where shingle-Jaccard (global) dilutes a short shared
+    run and exact-substring needs full runs aligned.
+
+    Cross-engine determinism: the hash is the md5 hex-bridge 60-bit
+    integer (the proven conv/CAST pairing), so both engines select the
+    IDENTICAL positions — selection order is (hash ASC, position DESC)
+    as one explicit row_number, never an engine's arg_min tie whim.
+    Scale shape: k-gram explode is map-side; window membership is a
+    bounded 6× explode; the per-(doc, window) argmin is a keyed
+    row_number (parallel); the corpus then shrinks to fingerprint
+    density 2/(w+1) ≈ 29% before the only corpus-wide join, which is
+    fingerprint-keyed (an inverted index, bounded by per-hash df like
+    every posting join in the C2 family). Planted cross-position
+    shared-paragraph fixture pinned in tests/test_dedup.py."""
+    from pyspark.sql import Window
+
+    K, W = 8, 6
+    docs = t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("s")
+    )
+    kg = (
+        norm.filter(F.length("s") >= K)
+        .select("doc_id", "s", F.expr(f"length(s) - {K - 1}").alias("np"))
+        .select("doc_id", "np", "s", F.explode(F.expr("sequence(1, np)")).alias("j"))
+        .select(
+            "doc_id",
+            "np",
+            "j",
+            F.expr(
+                f"cast(conv(substr(md5(cast(substr(s, j, {K}) AS binary)),"
+                " 1, 15), 16, 10) AS bigint)"
+            ).alias("h"),
+        )
+    )
+    grid = kg.withColumn("nw", F.expr(f"greatest(1L, np - {W - 1})")).select(
+        "doc_id",
+        "j",
+        "h",
+        F.explode(
+            F.expr(f"sequence(greatest(1L, j - {W - 1}), least(j, nw))")
+        ).alias("i"),
+    )
+    winners = (
+        grid.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "i").orderBy(
+                    F.col("h").asc(), F.col("j").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    fps = winners.select("doc_id", "h").distinct().cache()
+    dfh = fps.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    rare = fps.join(dfh.filter(F.col("dfc") <= 16).select("h"), "h")
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nfp")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("fp_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("fp_b")),
+            "id_b",
+        )
+        .filter(F.col("n_shared") * 5 >= F.least("fp_a", "fp_b"))
+        .select("id_a", "id_b", "n_shared", "fp_a", "fp_b")
+    )

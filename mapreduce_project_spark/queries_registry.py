@@ -685,7 +685,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # SFs, SWEEP_r9-regenerated): dedup_snm_pairs (D209, sorted-
 # neighborhood candidates vs the exact quadratic oracle) and
 # dedup_canonical_map (D210, quality-argmax survivorship over the D27
-# clusters) — the round-10 rotation seed, together with the 21
+# clusters), events_markov_attribution (D211, removal-effect
+# attribution via the truncating absorption recurrence), and
+# text_winnow_pairs (D212, MOSS winnowing fingerprints with the df-16
+# stop-fingerprint gate) — the round-10 rotation seed, together with the 21
 # round-9 rotated-out names (all driver-green through r8, re-verify on
 # demand); streaming twins (cusum_stream, D208) stay pytest-pinned.
 #

@@ -427,3 +427,44 @@ def test_canonical_map_quality_beats_min_id(spark, tmp_path):
     )
     want = con.sql(R.ALL_ORACLES["dedup_canonical_map"]).df()
     assert rows_of(got) == rows_of(want)
+
+
+def test_winnowing_finds_shared_paragraph_across_positions(spark, tmp_path):
+    # D212's guarantee: a shared run >= w+k-1 normalized chars yields
+    # shared fingerprints NO MATTER where it sits in each document.
+    # Plant one ~90-char paragraph near the START of doc 1 and near
+    # the END of doc 2, inside otherwise-unrelated text; doc 3 is
+    # unrelated noise.
+    import duckdb
+
+    import mapreduce_project_spark.queries_registry as R
+    from tests.conftest import rows_of
+
+    para = ("the shared boilerplate paragraph that travels between "
+            "documents verbatim and must be fingerprinted")
+    def filler(seed, n):
+        return " ".join(
+            f"f{chr(97 + (seed + i) % 26)}{chr(97 + (seed + 3 * i) % 26)}x{chr(97 + i % 26)}"
+            for i in range(n)
+        )
+    docs = [
+        (1, para + " " + filler(0, 30)),
+        (2, filler(7, 30) + " " + para),
+        (3, filler(13, 40)),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = R.ALL_QUERIES["text_winnow_pairs"](spark, str(tmp_path)).toPandas()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for _, r in got.iterrows()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(R.ALL_ORACLES["text_winnow_pairs"]).df()
+    assert rows_of(got) == rows_of(want)

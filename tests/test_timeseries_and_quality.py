@@ -326,3 +326,49 @@ def test_l_diversity_flags_homogeneous_cell(spark, tmp_path):
     assert r["min_l"] == 1
     assert r["n_cells_below_l3"] == 2
     assert r["n_rows_below_l3"] == 5
+
+
+def test_markov_attribution_planted_two_paths(spark, tmp_path):
+    # D211: 6 email->purchase sessions, 6 display-only dead ends,
+    # 2 display->purchase. Removing email must erase ~3/4 of the
+    # conversion mass, display ~1/4 — the removal ranking is the
+    # operator's contract, and the oracle must agree cell-for-cell.
+    import duckdb
+
+    from tests.conftest import rows_of
+
+    rows, eid = [], 0
+    def session(uid, day, types):
+        nonlocal eid
+        for i, et in enumerate(types):
+            rows.append((eid, uid, f"2024-02-{day:02d} 10:{i:02d}:00", et))
+            eid += 1
+    for u in range(6):
+        session(100 + u, 1 + u % 3, ["email", "purchase"])
+    for u in range(6):
+        session(200 + u, 1 + u % 3, ["display"])
+    for u in range(2):
+        session(300 + u, 1 + u, ["display", "purchase"])
+    import pyspark.sql.functions as F
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    got = R.ALL_QUERIES["events_markov_attribution"](spark, str(tmp_path)).toPandas()
+    m = {r["channel"]: r for _, r in got.iterrows()}
+    assert set(m) == {"display", "email"}
+    # true base conversion: 8 of 14 sessions
+    assert abs(m["email"]["p_base_fp"] - 571_428_000) <= 2_000
+    assert m["email"]["removal_micro"] > m["display"]["removal_micro"]
+    assert abs(m["email"]["removal_micro"] - 750_000) <= 10
+    assert abs(m["display"]["removal_micro"] - 250_000) <= 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.sql(R.ALL_ORACLES["events_markov_attribution"]).df()
+    assert rows_of(got) == rows_of(want)
