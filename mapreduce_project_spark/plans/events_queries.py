@@ -2280,3 +2280,200 @@ def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "channel string, p_base_fp long, p_removed_fp long, removal_micro long",
     ).orderBy("channel")
+
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS ed,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    dw AS (SELECT ed, n, ed % 7 AS dow FROM daily),
+    prof AS (
+      SELECT dow, CAST(SUM(n) * 1000000 // COUNT(*) AS BIGINT) AS dow_mean_micro
+      FROM dw GROUP BY dow
+    )
+    SELECT strftime(DATE '1970-01-01' + INTERVAL (d.ed) DAY, '%Y-%m-%d') AS day,
+           CAST(d.dow AS BIGINT) AS dow, d.n, p.dow_mean_micro,
+           CAST(d.n * 1000000 - p.dow_mean_micro AS BIGINT) AS resid_micro,
+           CAST(CASE WHEN abs(d.n * 1000000 - p.dow_mean_micro) * 2
+                          > p.dow_mean_micro
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM dw d JOIN prof p USING (dow)
+    """
+
+
+@extra_query("events_seasonal_baseline", _SEASONAL_ORACLE)
+def q_events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive DECOMPOSITION of the daily event series (D214) —
+    the weekday-profile baseline every ops dashboard subtracts before
+    calling something an anomaly (a quiet Sunday is not an incident;
+    CUSUM D195 and MAD D134 both fire on raw level shifts that are
+    just seasonality): day-of-week as the engine-free ``epoch_day %
+    7`` (the engines' dayofweek() conventions differ — Spark 1=Sunday,
+    DuckDB 0=Sunday — so neither is used), per-dow mean in truncating
+    micro-units, per-day residual, and a ±50%-of-baseline anomaly
+    flag. One partial-agg to ~#days rows, one 7-row broadcast profile
+    join; integer end-to-end. Hash-matched at three SFs; planted
+    weekday-pattern fixture pinned in
+    tests/test_timeseries_and_quality.py."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_date(F.date_trunc("day", "ts").cast("date"))
+            .cast("bigint")
+            .alias("ed")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dw = daily.select("ed", "n", (F.col("ed") % 7).alias("dow"))
+    prof = dw.groupBy("dow").agg(
+        F.expr("sum(n) * 1000000 div count(1)")
+        .cast("bigint")
+        .alias("dow_mean_micro")
+    )
+    resid = F.col("n") * F.lit(1000000) - F.col("dow_mean_micro")
+    return dw.join(F.broadcast(prof), "dow").select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.col("dow").cast("bigint").alias("dow"),
+        "n",
+        "dow_mean_micro",
+        resid.cast("bigint").alias("resid_micro"),
+        (F.abs(resid) * 2 > F.col("dow_mean_micro"))
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )
+
+
+_SEQPAIR_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ),
+    pos AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS pos
+      FROM sess
+    ),
+    spans AS (
+      SELECT user_id, sid, event_type,
+             MIN(pos) AS minp, MAX(pos) AS maxp
+      FROM pos GROUP BY user_id, sid, event_type
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS ns
+            FROM spans),
+    peritem AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sess
+                FROM spans GROUP BY event_type),
+    ab AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type <> b.event_type AND a.minp < b.maxp
+      GROUP BY 1, 2
+    )
+    SELECT ab.antecedent, ab.consequent, ab.n_ab,
+           pa.n_sess AS n_a, pb.n_sess AS n_b,
+           CAST(ab.n_ab * 1000000 // t.ns AS BIGINT) AS support_micro,
+           CAST(ab.n_ab * 1000000 // pa.n_sess AS BIGINT) AS conf_micro
+    FROM ab
+    JOIN peritem pa ON pa.event_type = ab.antecedent
+    JOIN peritem pb ON pb.event_type = ab.consequent
+    CROSS JOIN tot t
+    """
+
+
+@extra_query("events_sequential_pairs", _SEQPAIR_ORACLE)
+def q_events_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED sequential patterns with gaps (D215, the length-2
+    PrefixSpan/SPADE cell) — the third co-occurrence geometry: D88
+    counts ADJACENT transitions, D104 counts unordered same-session
+    presence; this counts "a occurs anywhere BEFORE b" per session
+    ("a then eventually b" — funnel mining without D45's fixed
+    template). Support decision is span-based: a session supports
+    (a → b) iff min_pos(a) < max_pos(b) — exactly "some occurrence of
+    a precedes some occurrence of b" — so the corpus collapses to ONE
+    (session, type) span row (min/max positions) before the pairing
+    join, which is bounded by the per-session type alphabet, never
+    event-quadratic. Exact integer support/confidence in truncating
+    micro-units. Hash-matched at three SFs; planted
+    order-vs-presence fixture pinned in
+    tests/test_timeseries_and_quality.py."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = sess.select(
+        "user_id", "sid", "event_type", F.row_number().over(ws).alias("pos")
+    )
+    spans = pos.groupBy("user_id", "sid", "event_type").agg(
+        F.min("pos").alias("minp"), F.max("pos").alias("maxp")
+    )
+    tot = spans.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    peritem = spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sess")
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    ab = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.minp") < F.col("b.maxp")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    pa = peritem.select(
+        F.col("event_type").alias("antecedent"), F.col("n_sess").alias("n_a")
+    )
+    pb = peritem.select(
+        F.col("event_type").alias("consequent"), F.col("n_sess").alias("n_b")
+    )
+    return (
+        ab.join(F.broadcast(pa), "antecedent")
+        .join(F.broadcast(pb), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent", "consequent", "n_ab", "n_a", "n_b",
+            F.expr("n_ab * 1000000 div ns").cast("bigint").alias("support_micro"),
+            F.expr("n_ab * 1000000 div n_a").cast("bigint").alias("conf_micro"),
+        )
+    )

@@ -3023,3 +3023,64 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") * 5 >= F.least("fp_a", "fp_b"))
         .select("id_a", "id_b", "n_shared", "fp_a", "fp_b")
     )
+
+
+_PROX_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents),
+           LATERAL unnest(generate_series(1, len(toks))) AS g(i)
+      WHERE toks[CAST(i AS INT)] IN ('hash', 'join')
+    )
+    SELECT a.doc_id,
+           CAST(MIN(abs(a.pos - b.pos)) AS BIGINT) AS best_dist,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM tk a JOIN tk b
+      ON a.doc_id = b.doc_id AND a.tok = 'hash' AND b.tok = 'join'
+     AND abs(a.pos - b.pos) <= 3
+    GROUP BY a.doc_id
+    """
+
+
+@extra_query("search_proximity", _PROX_ORACLE)
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY search (D213) — the retrieval primitive between
+    boolean AND (co-occurrence anywhere) and D179's exact phrase
+    (adjacent, ordered): documents where 'hash' and 'join' occur
+    within 3 token positions in either order, with the closest
+    distance and the qualifying occurrence-pair count (the NEAR/k
+    operator of classic IR engines; rankers feed on best_dist).
+    Plan: one positional explode pruned to the query terms AT THE
+    SCAN (the IN-list reaches the explode filter, so postings for two
+    terms — not the corpus — ride the join), then a doc-keyed
+    self-join bounded by per-doc term frequency. Position arithmetic
+    is offset-free (|pa − pb| cancels the engines' 0- vs 1-based
+    explode conventions). Hash-matched at three SFs; planted
+    order/window edges pinned in tests/test_retrieval_and_denoise.py."""
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+        )
+        .filter(F.col("tok").isin("hash", "join"))
+    )
+    a = tk.filter(F.col("tok") == "hash").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tk.filter(F.col("tok") == "join").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb")))
+            .cast("bigint")
+            .alias("best_dist"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        )
+    )

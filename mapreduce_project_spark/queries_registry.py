@@ -688,7 +688,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # clusters), events_markov_attribution (D211, removal-effect
 # attribution via the truncating absorption recurrence), and
 # text_winnow_pairs (D212, MOSS winnowing fingerprints with the df-16
-# stop-fingerprint gate) — the round-10 rotation seed, together with the 21
+# stop-fingerprint gate), search_proximity (D213, NEAR/k), 
+# events_seasonal_baseline (D214, dow-profile decomposition), and
+# events_sequential_pairs (D215, gapped length-2 sequential patterns)
+# — the round-10 rotation seed, together with the 21
 # round-9 rotated-out names (all driver-green through r8, re-verify on
 # demand); streaming twins (cusum_stream, D208) stay pytest-pinned.
 #

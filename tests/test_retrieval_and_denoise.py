@@ -260,3 +260,25 @@ def test_token_entropy_planted_corners(spark, tmp_path):
     assert m["n_tokens"] == 5 and m["n_types"] == 1
     assert m["entropy_micro"] == lnm(5) - (5 * lnm(5)) // 5
     assert m["evenness_micro"] == 0
+
+
+def test_proximity_window_and_order_edges(spark, tmp_path):
+    # D213: both orders count, the window is <= 3, and docs missing a
+    # term emit nothing.
+    import mapreduce_project_spark.queries_registry as R
+
+    docs = [
+        (1, "hash join filler filler"),              # dist 1
+        (2, "hash aa bb cc join"),                   # dist 4 -> excluded
+        (3, "join zz hash"),                         # dist 2, reversed
+        (4, "hash only here"),                       # missing 'join'
+        (5, "hash a join b hash"),                   # two pairs: 2 and 2? (0,2)=2,(4,2)=2
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["best_dist"], r["n_matches"])
+        for r in R.ALL_QUERIES["search_proximity"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 1), 3: (2, 1), 5: (2, 2)}

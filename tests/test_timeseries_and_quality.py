@@ -372,3 +372,59 @@ def test_markov_attribution_planted_two_paths(spark, tmp_path):
     )
     want = con.sql(R.ALL_ORACLES["events_markov_attribution"]).df()
     assert rows_of(got) == rows_of(want)
+
+
+def test_seasonal_baseline_flags_only_the_spike(spark, tmp_path):
+    # D214: a flat weekday profile absorbs the pattern; only the one
+    # planted spike day deviates > 50% from its own dow baseline.
+    rows, eid = [], 0
+    # 3 weeks; dow pattern via epoch-day % 7; day 0 = 1970-01-01 aligned
+    import datetime
+    base = datetime.date(2024, 3, 4)
+    for w in range(3):
+        for d in range(7):
+            day = base + datetime.timedelta(days=w * 7 + d)
+            n = 10 if d == 2 else 2
+            if w == 1 and d == 2:
+                n = 30  # the spike
+            for i in range(n):
+                rows.append((eid, 1 + i, f"{day} 0{i % 10}:00:00", "view"))
+                eid += 1
+    import pyspark.sql.functions as F
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = R.ALL_QUERIES["events_seasonal_baseline"](spark, str(tmp_path)).toPandas()
+    anomalies = got[got["is_anomaly"] == 1]
+    spike_day = str(base + datetime.timedelta(days=9))
+    assert list(anomalies["day"]) == [spike_day]
+    # the spike dow's baseline is the contaminated mean (10+30+10)/3
+    assert anomalies.iloc[0]["dow_mean_micro"] == (10 + 30 + 10) * 1_000_000 // 3
+
+
+def test_sequential_pairs_order_vs_presence(spark, tmp_path):
+    # D215: [b, a, b] supports BOTH a->b and b->a (span semantics);
+    # a session with only 'a' counts toward n_a but no pair.
+    rows = [
+        (0, 1, "2024-05-01 10:00:00", "click"),
+        (1, 1, "2024-05-01 10:01:00", "view"),
+        (2, 1, "2024-05-01 10:02:00", "click"),   # session [b,a,b]
+        (3, 2, "2024-05-01 10:00:00", "view"),    # session [a]
+        (4, 3, "2024-05-01 10:00:00", "view"),
+        (5, 3, "2024-05-01 10:01:00", "click"),   # session [a,b]
+    ]
+    import pyspark.sql.functions as F
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["antecedent"], r["consequent"]): (r["n_ab"], r["n_a"], r["support_micro"])
+        for r in R.ALL_QUERIES["events_sequential_pairs"](spark, str(tmp_path)).collect()
+    }
+    # 3 sessions total; view precedes click in u1 (span) and u3
+    assert got[("view", "click")] == (2, 3, 2 * 1_000_000 // 3)
+    assert got[("click", "view")] == (1, 2, 1 * 1_000_000 // 3)
