@@ -2477,3 +2477,149 @@ def q_events_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_ab * 1000000 div n_a").cast("bigint").alias("conf_micro"),
         )
     )
+
+
+_CUPED_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+               AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+               AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT user_id, x, y,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM per_user
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM armed
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+             (CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+      FROM pooled
+    ),
+    per_arm AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sx_a, CAST(SUM(y) AS BIGINT) AS sy_a
+      FROM armed GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.sx_a AS x_sum_cents, a.sy_a AS y_sum_cents,
+           CAST(a.sy_a AS DOUBLE) / a.n_users AS mean_y,
+           CAST(a.sy_a AS DOUBLE) / a.n_users
+             - t.th * (CAST(a.sx_a AS DOUBLE) / a.n_users
+                       - CAST(t.sx AS DOUBLE) / t.n) AS mean_y_adj,
+           t.th AS theta, t.r2 AS var_reduction
+    FROM per_arm a CROSS JOIN theta t
+    ORDER BY a.arm
+    """
+
+
+@extra_query("abtest_cuped_adjust", _CUPED_ORACLE)
+def q_abtest_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (D217, Deng et al., WSDM 2013) — the
+    modern experimentation technique beyond D135's z-test and D186's
+    Welch t: regress the experiment-period metric on each user's OWN
+    pre-period covariate (θ = cov(x,y)/var(x) over the pooled
+    population) and report the θ-adjusted arm means — the adjustment
+    removes the between-user variance the covariate explains (r² of
+    the regression = the variance-reduction fraction, also reported),
+    shrinking confidence intervals without touching the treatment
+    effect. Period split at 2024-01-16 (the fixture month's midpoint);
+    arms by the D135 md5 hash split.
+
+    Exactness: per-user cents are BIGINT sums; all five pooled moments
+    are EXACT integer sums (the D107 order-independent discipline —
+    n·Sxy − Sx·Sy stays inside 64 bits at fixture scale, documented);
+    θ, r² and the adjusted means are single pinned IEEE expressions
+    over those integers, identical operand order in both engines. One
+    user-keyed partial agg + a 2-row arm rollup + broadcast scalars.
+    Hash-matched at three SFs; planted correlated-covariate fixture
+    pins θ and the variance-reduction direction in
+    tests/test_timeseries_and_quality.py."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), cents)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), cents)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    armed = per_user.withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+            ).isin(*"01234567"),
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    pooled = armed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        F.expr(
+            "cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double)"
+        ).alias("th"),
+        F.expr(
+            "(cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double))"
+            " / (cast(n * sxx - sx * sx AS double) * cast(n * syy - sy * sy AS double))"
+        ).alias("r2"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sx_a"),
+        F.sum("y").cast("bigint").alias("sy_a"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            "n_users",
+            F.col("sx_a").alias("x_sum_cents"),
+            F.col("sy_a").alias("y_sum_cents"),
+            (F.col("sy_a").cast("double") / F.col("n_users")).alias("mean_y"),
+            (
+                F.col("sy_a").cast("double") / F.col("n_users")
+                - F.col("th")
+                * (
+                    F.col("sx_a").cast("double") / F.col("n_users")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            ).alias("mean_y_adj"),
+            F.col("th").alias("theta"),
+            F.col("r2").alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

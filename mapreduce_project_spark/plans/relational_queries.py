@@ -1801,3 +1801,100 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rows_below_l3"),
     )
+
+
+_ITEMCF_ORACLE = """
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    bsz AS (SELECT u, COUNT(*) AS bs FROM ui GROUP BY u),
+    capped AS (SELECT ui.u, ui.i FROM ui JOIN bsz USING (u) WHERE bsz.bs <= 100),
+    ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY i),
+    ab AS (
+      SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM capped a JOIN capped b ON a.u = b.u AND a.i <> b.i
+      GROUP BY a.i, b.i
+      HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT ab.ia AS part, ab.ib AS neighbor, ab.n_ab,
+             na.n AS n_a, nb.n AS n_b,
+             CAST((ab.n_ab * 1000000 // na.n) * ab.n_ab // nb.n AS BIGINT)
+               AS sim2_micro
+      FROM ab JOIN ni na ON na.i = ab.ia JOIN ni nb ON nb.i = ab.ib
+    )
+    SELECT part, neighbor, n_ab, n_a, n_b, sim2_micro, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+                                   ORDER BY sim2_micro DESC, neighbor) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
+@extra_query("itemcf_topk", _ITEMCF_ORACLE)
+def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item COLLABORATIVE FILTERING (D216, the Amazon-classic
+    co-purchase kNN; Linden et al., IEEE IC 2003): per part, the top-5
+    most-similar parts by cosine² over binary customer-purchase
+    vectors — sim²(a,b) = n_ab² / (n_a·n_b), computed as the pinned
+    truncating two-step ((n_ab·10⁶ div n_a)·n_ab div n_b) so every
+    cell is an exact BIGINT in both engines (squaring avoids sqrt; the
+    ranking is identical since x ↦ x² is monotone on non-negatives,
+    and the two-step div order also bounds intermediates ≤ 10⁶·n_ab at
+    ANY corpus size where the naive n_ab²·10⁶ overflows 64 bits).
+
+    Scale discipline: baskets are CUSTOMER-keyed distinct (customer,
+    part) rows; pair generation is the within-basket self-join, so
+    candidate mass is Σ basket² — bounded here by the ≤100-part WHALE
+    CAP (the production guard: one institutional buyer with 10⁶ parts
+    would otherwise contribute 10¹² pairs; capped customers simply
+    drop out of the similarity evidence, the standard CF treatment of
+    degenerate users). Per-item top-5 is a keyed window over the pair
+    aggregate. Hash-matched at three SFs; planted co-purchase geometry
+    pinned in tests/test_advanced.py."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    bsz = ui.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
+    capped = ui.join(bsz.filter(F.col("bs") <= 100).select("u"), "u").cache()
+    ni = capped.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    ab = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)  # single co-purchases are pair noise
+    )
+    na = ni.select(F.col("i").alias("ia"), F.col("n").alias("n_a"))
+    nb = ni.select(F.col("i").alias("ib"), F.col("n").alias("n_b"))
+    scored = (
+        ab.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .select(
+            F.col("ia").alias("part"),
+            F.col("ib").alias("neighbor"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * 1000000 div n_a) * n_ab div n_b")
+            .cast("bigint")
+            .alias("sim2_micro"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("sim2_micro"), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("part", "neighbor", "n_ab", "n_a", "n_b", "sim2_micro", "rk")
+    )

@@ -595,3 +595,40 @@ def test_rfm_segmentation_planted_quintiles(spark, tmp_path):
         # recency anchored at day 10 (customer 10's last order)
         assert cell["min_recency_days"] == 10 - k_hi
         assert cell["max_recency_days"] == 10 - k_lo
+
+
+def test_itemcf_planted_copurchase_geometry(spark, tmp_path):
+    # D216: A and B co-purchased by 2 of A's 3 buyers -> B is A's top
+    # neighbor; a single co-purchase (A,C) is pruned as pair noise.
+    import mapreduce_project_spark.queries_registry as R
+    import pyspark.sql.functions as F  # noqa: F401
+
+    # customers: 1:{A,B}, 2:{A,B}, 3:{A,C}, 4:{C,D}, 5:{C,D}
+    baskets = {1: [100, 200], 2: [100, 200], 3: [100, 300],
+               4: [300, 400], 5: [300, 400]}
+    orders, lines, ok = [], [], 0
+    for cust, parts in baskets.items():
+        ok += 1
+        orders.append((ok, cust))
+        for p in parts:
+            lines.append((ok, p))
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(lines, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = R.ALL_QUERIES["itemcf_topk"](spark, str(tmp_path)).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part"], []).append(r)
+    # A(100): only B(200) survives min-support (A-C seen once)
+    a_rows = by_part[100]
+    assert [r["neighbor"] for r in a_rows] == [200]
+    r = a_rows[0]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 3, 2)
+    # sim2 = (2*1e6 // 3) * 2 // 2 = 666666
+    assert r["sim2_micro"] == 666_666 and r["rk"] == 1
+    # C(300): only D(400) survives; C-A pruned
+    assert [r["neighbor"] for r in by_part[300]] == [400]

@@ -428,3 +428,30 @@ def test_sequential_pairs_order_vs_presence(spark, tmp_path):
     # 3 sessions total; view precedes click in u1 (span) and u3
     assert got[("view", "click")] == (2, 3, 2 * 1_000_000 // 3)
     assert got[("click", "view")] == (1, 2, 1 * 1_000_000 // 3)
+
+
+def test_cuped_planted_correlated_covariate(spark, tmp_path):
+    # D217: y ~= 2x per user -> theta near 2, variance reduction near 1,
+    # and the adjustment pulls covariate-imbalanced arm means together.
+    rows, eid = [], 0
+    for u in range(1, 17):
+        x_cents = u * 1000          # pre-period spend
+        y_cents = 2 * x_cents + (u % 3) * 7  # strongly correlated
+        rows.append((eid, u, "2024-01-05 10:00:00", "view", x_cents / 100.0)); eid += 1
+        rows.append((eid, u, "2024-01-20 10:00:00", "view", y_cents / 100.0)); eid += 1
+    import pyspark.sql.functions as F
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = R.ALL_QUERIES["abtest_cuped_adjust"](spark, str(tmp_path)).toPandas()
+    assert sorted(got["arm"]) == ["A", "B"]
+    th = got.iloc[0]["theta"]
+    assert abs(th - 2.0) < 0.01
+    assert got.iloc[0]["var_reduction"] > 0.99
+    a = got[got["arm"] == "A"].iloc[0]
+    b = got[got["arm"] == "B"].iloc[0]
+    raw_gap = abs(a["mean_y"] - b["mean_y"])
+    adj_gap = abs(a["mean_y_adj"] - b["mean_y_adj"])
+    assert adj_gap < raw_gap * 0.2  # the covariate explained the gap
