@@ -136,6 +136,22 @@ SF1_QUERIES = [
     "similarity_mmr_rerank",
     "multimodal_phash_dedup",
     "multimodal_audio_logmel",
+    # round-9 additions (D206-D217), decade-measured from birth.
+    # dedup_embedding_clusters_lsh_auto is the headline: its COUNT-
+    # derived width (8 bits at sf0.1 -> 12 bits at sf≈1) is exactly
+    # what should flatten the fixed-width twin's documented candidate
+    # growth — the two rows measure the lever side by side.
+    "dedup_embedding_clusters_lsh_auto",
+    "assemble_training_set_v6",
+    "dedup_snm_pairs",
+    "dedup_canonical_map",
+    "text_winnow_pairs",
+    "events_markov_attribution",
+    "events_sequential_pairs",
+    "events_seasonal_baseline",
+    "search_proximity",
+    "itemcf_topk",
+    "abtest_cuped_adjust",
 ]
 SF1_REPS = 2
 
