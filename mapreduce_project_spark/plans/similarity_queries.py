@@ -1404,3 +1404,120 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rank bigint, vec_id bigint, rel_fp bigint, mmr_fp10 bigint"
     )
+
+
+def _pca_power_oracle(iters: int = 8) -> str:
+    """DuckDB twin of `embedding_top_pc`: the identical integer
+    pipeline — milli-quantized components, exact centered scatter
+    S = n·Σqqᵀ − mmᵀ in BIGINT, and `iters` power-iteration steps
+    u = S·v (order-independent integer SUM), v = u·1000 // max|u|
+    (truncate-toward-zero, DuckDB // ≡ the driver's _tdiv) — unrolled
+    as MATERIALIZED CTEs."""
+    vs = ["""v0 AS MATERIALIZED (
+      SELECT CAST(i AS BIGINT) AS i, CAST(1000 AS BIGINT) AS v
+      FROM (SELECT unnest(generate_series(1, 64)) AS i))"""]
+    for k in range(iters):
+        vs.append(f"""u{k + 1} AS MATERIALIZED (
+      SELECT s.i, CAST(SUM(s.s * v.v) AS BIGINT) AS u
+      FROM scat s JOIN v{k} v ON v.i = s.j GROUP BY s.i),
+    mx{k + 1} AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u{k + 1}),
+    v{k + 1} AS MATERIALIZED (
+      SELECT u.i, CAST(u.u * 1000 // mx.m AS BIGINT) AS v
+      FROM u{k + 1} u CROSS JOIN mx{k + 1} mx)""")
+    chain = ",\n    ".join(vs)
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS r, CAST(i AS BIGINT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS g(i)
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS n FROM q),
+    m AS MATERIALIZED (SELECT i, CAST(SUM(q) AS BIGINT) AS m FROM q GROUP BY i),
+    cross_ AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS c
+      FROM q a JOIN q b ON a.r = b.r GROUP BY a.i, b.i
+    ),
+    scat AS MATERIALIZED (
+      SELECT c.i, c.j, CAST(n.n * c.c - ma.m * mb.m AS BIGINT) AS s
+      FROM cross_ c
+      JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
+      CROSS JOIN n
+    ),
+    {chain}
+    SELECT i AS dim, v AS loading_milli FROM v{iters} ORDER BY dim
+    """
+
+
+@extra_query("embedding_top_pc", _pca_power_oracle(8))
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PRINCIPAL COMPONENT of the embedding corpus (D219) — the
+    train-free spectral sibling of JL projection (D194, random) and
+    k-means (D32, cluster structure): exact centered scatter
+    S = n·Σqqᵀ − mmᵀ over milli-quantized components (every cell an
+    exact BIGINT — the D107 moment discipline applied to a matrix),
+    then 8 deterministic power-iteration steps with infinity-norm
+    fixed-point renormalization (v = S·v·1000 // max|S·v|, truncating
+    — both the integer matvec SUM and the division are
+    order-independent, so the whole iteration replays bit-for-bit as
+    unrolled SQL). Output: the 64 loadings in milli fixed point
+    (∞-norm-scaled; direction and ratios are what PCA consumers use —
+    whitening would need the eigenvalue, the documented next step).
+
+    Scale split: the corpus-sized work is Σqqᵀ and Σq — ONE partial
+    agg over a 64²-pair explode (map-side combinable, 8.2M rows at
+    sf0.1; at 100 TB this is the textbook distributed Gram pattern,
+    or mapInPandas int64 GEMM per partition when 64² explode rows
+    dominate the scan); the 64×64 iteration runs on COLLECTED scatter
+    cells (metadata license, like the Markov chain). Quantization at
+    1e3 bounds every intermediate: |S| ≤ 2n²q²max ≈ 4·10¹², matvec
+    ≤ 64·|S|·10³ ≈ 2.6·10¹⁷ < 2⁶³. Hash-matched at three SFs;
+    planted dominant-axis fixture pinned in tests/test_similarity.py."""
+    docs = t(spark, sf_dir, "embeddings")
+    q = docs.select(
+        F.col("vec_id").alias("r"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"
+            )
+        ).alias("i0", "q"),
+    ).select("r", (F.col("i0") + 1).alias("i"), "q")
+    n_rows = docs.count()  # one metadata-scale COUNT
+    m = q.groupBy("i").agg(F.sum("q").cast("bigint").alias("m"))
+    a, b = q.alias("a"), q.alias("b")
+    cross = (
+        a.join(b, F.col("a.r") == F.col("b.r"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("bigint").alias("c"))
+    )
+    ma = m.select(F.col("i"), F.col("m").alias("m_i"))
+    mb = m.select(F.col("i").alias("j"), F.col("m").alias("m_j"))
+    scat_rows = (
+        cross.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i", "j",
+            (F.lit(n_rows) * F.col("c") - F.col("m_i") * F.col("m_j"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .collect()  # 64x64 integer cells — metadata scale
+    )
+    S = {(r["i"], r["j"]): r["s"] for r in scat_rows}
+
+    def _tdiv(v: int, d: int) -> int:
+        return abs(v) // d * (1 if v >= 0 else -1)
+
+    v = {i: 1000 for i in range(1, 65)}
+    for _ in range(8):
+        u = {
+            i: sum(S.get((i, j), 0) * v[j] for j in range(1, 65))
+            for i in range(1, 65)
+        }
+        mx = max(abs(x) for x in u.values())
+        v = {i: _tdiv(u[i] * 1000, mx) for i in range(1, 65)}
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        sorted((i, v[i]) for i in v), "dim long, loading_milli long"
+    ).orderBy("dim")

@@ -3084,3 +3084,121 @@ def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         )
     )
+
+
+_RAKE_STOPS = "('a','the','and','of','to','in','is','on','for','with')"
+
+_RAKE_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+            FROM documents),
+           LATERAL unnest(generate_series(1, len(toks))) AS g(i)
+    ),
+    ns AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tk WHERE tok NOT IN {_RAKE_STOPS}
+    ),
+    phr AS MATERIALIZED (
+      SELECT doc_id, grp,
+             array_to_string(array_agg(tok ORDER BY pos), ' ') AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM ns GROUP BY doc_id, grp
+      HAVING COUNT(*) <= 4
+    ),
+    members AS MATERIALIZED (
+      SELECT p.doc_id, p.grp, p.phrase, p.plen, n.tok
+      FROM phr p JOIN ns n ON n.doc_id = p.doc_id AND n.grp = p.grp
+    ),
+    wstat AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM members GROUP BY tok
+    ),
+    wscore AS (
+      SELECT tok, CAST(deg * 1000000 // freq AS BIGINT) AS ws FROM wstat
+    ),
+    pscore AS (
+      SELECT m.phrase, m.doc_id, m.grp,
+             CAST(SUM(w.ws) AS BIGINT) AS score_micro
+      FROM members m JOIN wscore w ON w.tok = m.tok
+      GROUP BY m.phrase, m.doc_id, m.grp
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(score_micro) AS BIGINT) AS score_micro
+    FROM pscore
+    GROUP BY phrase
+    ORDER BY score_micro DESC, phrase
+    LIMIT 20
+    """
+
+
+@extra_query("text_rake_keyphrases", _RAKE_ORACLE)
+def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (D218, Rose et al. 2010 — Rapid
+    Automatic Keyword Extraction): candidate phrases are maximal runs
+    of non-stopword tokens (gaps-and-islands on the stopword split,
+    capped at 4 tokens), each word scores deg/freq over the candidate
+    corpus (deg = Σ phrase length over its occurrences — words living
+    in longer phrases score higher), and a phrase scores the sum of
+    its members' scores; top-20 corpus keyphrases by score. The
+    corpus-keyword telemetry next to TF-IDF (D12, per-doc) and PMI
+    collocations (D184, pairs only — RAKE ranks variable-length
+    phrases).
+
+    Exactness: word scores are truncating micro-units (deg·10⁶ div
+    freq); a phrase's score is an order-independent integer SUM of
+    member scores, identical per occurrence — so MIN(score) per phrase
+    is exact in both engines, and the top-20 cut orders by integers.
+    Plan: tokenize+islands are one window over (doc, pos); word stats
+    one partial agg; phrase scores re-join the broadcast word table;
+    top-20 is TakeOrdered. Planted stopword-split fixture pinned in
+    tests/test_skew_and_tokens.py."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.functions import tokens
+
+    stops = ["a", "the", "and", "of", "to", "in", "is", "on", "for", "with"]
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    ns = tk.filter(~F.col("tok").isin(stops)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phr = (
+        ns.groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= 4)
+    )
+    members = phr.join(ns.select("doc_id", "grp", "tok"), ["doc_id", "grp"])
+    wstat = members.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = wstat.select(
+        "tok", F.expr("deg * 1000000 div freq").cast("bigint").alias("ws")
+    )
+    pscore = (
+        members.join(F.broadcast(wscore), "tok")
+        .groupBy("phrase", "doc_id", "grp")
+        .agg(F.sum("ws").cast("bigint").alias("score_micro"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("score_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(20)
+    )

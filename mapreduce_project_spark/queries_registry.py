@@ -692,7 +692,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # events_seasonal_baseline (D214, dow-profile decomposition), and
 # events_sequential_pairs (D215, gapped length-2 sequential patterns),
 # itemcf_topk (D216, co-purchase cosine kNN with whale cap + min
-# support), and abtest_cuped_adjust (D217, CUPED variance reduction)
+# support), abtest_cuped_adjust (D217, CUPED variance reduction),
+# text_rake_keyphrases (D218, RAKE corpus keywording), and
+# embedding_top_pc (D219, exact-scatter power-iteration top PC)
 # — the round-10 rotation seed, together with the 21
 # round-9 rotated-out names (all driver-green through r8, re-verify on
 # demand); streaming twins (cusum_stream, D208) stay pytest-pinned.

@@ -614,3 +614,36 @@ def test_knn_join_gemm_bit_identical_to_fold(spark):
         for r in knn_join_gemm(emb, "vec_id", "embedding", 3, "label").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_top_pc_planted_dominant_axis(spark, tmp_path):
+    # D219: points spread along (e1 + e2)/sqrt(2) with tiny noise on
+    # the remaining dims -> the power iteration must align with that
+    # axis: dims 1 and 2 carry near-equal same-sign loadings at the
+    # infinity-norm ceiling, everything else stays near zero.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(40):
+        t = (k - 20) * 0.05
+        v = np.zeros(64)
+        v[0] = t
+        v[1] = t
+        v[2:] = rng.normal(scale=0.002, size=62)
+        rows.append((k, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    import mapreduce_project_spark.queries_registry as R
+
+    got = {
+        r["dim"]: r["loading_milli"]
+        for r in R.ALL_QUERIES["embedding_top_pc"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 64
+    l1, l2 = got[1], got[2]
+    assert abs(l1) >= 900 and abs(l2) >= 900
+    assert (l1 > 0) == (l2 > 0)
+    assert max(abs(got[d]) for d in range(3, 65)) <= 100

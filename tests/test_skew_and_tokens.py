@@ -493,3 +493,33 @@ def test_containment_prefix_immune_to_hot_shingle(spark):
     }
     assert got == want
     assert sum(1 for a, b in want if b >= 1000) >= 5  # planted pairs found
+
+
+def test_rake_stopword_split_and_scoring(spark, tmp_path):
+    # D218: phrases split on stopwords; a word living in longer
+    # phrases scores higher (deg/freq); phrase score = sum of member
+    # scores. Two docs repeating "fast hash join" make it the top
+    # keyphrase over the singleton runs.
+    import mapreduce_project_spark.queries_registry as R
+
+    docs = [
+        (1, "fast hash join on the sorted table"),
+        (2, "fast hash join in a big table"),
+        (3, "sorted scan of the table"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = R.ALL_QUERIES["text_rake_keyphrases"](spark, str(tmp_path)).collect()
+    by_phrase = {r["phrase"]: r for r in rows}
+    assert "fast hash join" in by_phrase
+    top = rows[0]
+    assert top["phrase"] == "fast hash join" and top["n_occurrences"] == 2
+    # deg/freq: fast 3/1? no — fast appears twice, both in 3-phrases:
+    # deg(fast)=6, freq=2 -> 3.0; same for hash/join -> score 9.0
+    assert top["score_micro"] == 9_000_000
+    # stopwords never appear inside a phrase
+    assert all(
+        not set(r["phrase"].split()) & {"on", "the", "in", "a", "of"}
+        for r in rows
+    )
