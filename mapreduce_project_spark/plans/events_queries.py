@@ -2497,22 +2497,34 @@ _CUPED_ORACLE = """
                   THEN 'A' ELSE 'B' END AS arm
       FROM per_user
     ),
-    pooled AS (
+    firstpass AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
       FROM armed
+    ),
+    centers AS (
+      SELECT n, sx, sy, CAST(sx // n AS BIGINT) AS cx,
+             CAST(sy // n AS BIGINT) AS cy
+      FROM firstpass
+    ),
+    pooled AS (
+      SELECT c.n, c.sx, c.sy,
+             CAST(c.sx - c.n * c.cx AS BIGINT) AS sxc,
+             CAST(c.sy - c.n * c.cy AS BIGINT) AS syc,
+             CAST(SUM((a.x - c.cx) * (a.x - c.cx)) AS BIGINT) AS sxx,
+             CAST(SUM((a.x - c.cx) * (a.y - c.cy)) AS BIGINT) AS sxy,
+             CAST(SUM((a.y - c.cy) * (a.y - c.cy)) AS BIGINT) AS syy
+      FROM armed a CROSS JOIN centers c
+      GROUP BY c.n, c.sx, c.sy, c.cx, c.cy
     ),
     theta AS (
       SELECT n, sx, sy,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
-             (CAST(n * sxy - sx * sy AS DOUBLE)
-               * CAST(n * sxy - sx * sy AS DOUBLE))
-               / (CAST(n * sxx - sx * sx AS DOUBLE)
-                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+             CAST(n * sxy - sxc * syc AS DOUBLE)
+               / CAST(n * sxx - sxc * sxc AS DOUBLE) AS th,
+             (CAST(n * sxy - sxc * syc AS DOUBLE)
+               * CAST(n * sxy - sxc * syc AS DOUBLE))
+               / (CAST(n * sxx - sxc * sxc AS DOUBLE)
+                  * CAST(n * syy - syc * syc AS DOUBLE)) AS r2
       FROM pooled
     ),
     per_arm AS (
@@ -2544,12 +2556,18 @@ def q_abtest_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect. Period split at 2024-01-16 (the fixture month's midpoint);
     arms by the D135 md5 hash split.
 
-    Exactness: per-user cents are BIGINT sums; all five pooled moments
-    are EXACT integer sums (the D107 order-independent discipline —
-    n·Sxy − Sx·Sy stays inside 64 bits at fixture scale, documented);
-    θ, r² and the adjusted means are single pinned IEEE expressions
-    over those integers, identical operand order in both engines. One
-    user-keyed partial agg + a 2-row arm rollup + broadcast scalars.
+    Exactness: per-user cents are BIGINT sums; the second moments are
+    computed on CENTERED values x−⌊Sx/n⌋, y−⌊Sy/n⌋ (round-10 ADVICE
+    hardening — the covariance combinations n·Sxy − Sx·Sy are
+    shift-invariant as exact integer identities, so θ/r² are unchanged
+    while the intermediates shrink from Σx² magnitude to Σ(x−x̄)²
+    spread, keeping 64-bit arithmetic honest at production scale; a
+    raise_error guard asserts the remaining headroom where ANSI-off
+    Spark would otherwise silently wrap). θ, r² and the adjusted means
+    are single pinned IEEE expressions over those integers, identical
+    operand order in both engines. Two user-keyed partial aggs (mean
+    pass + centered moment pass) + a 2-row arm rollup + broadcast
+    scalars.
     Hash-matched at three SFs; planted correlated-covariate fixture
     pins θ and the variance-reduction direction in
     tests/test_timeseries_and_quality.py."""
@@ -2578,23 +2596,53 @@ def q_abtest_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("A"),
         ).otherwise(F.lit("B")),
     )
-    pooled = armed.agg(
+    centers = armed.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("sx div n").cast("bigint").alias("cx"),
+        F.expr("sy div n").cast("bigint").alias("cy"),
+    )
+    pooled = (
+        armed.crossJoin(F.broadcast(centers))
+        .groupBy("n", "sx", "sy", "cx", "cy")
+        .agg(
+            F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+            .cast("bigint")
+            .alias("sxx"),
+            F.sum((F.col("x") - F.col("cx")) * (F.col("y") - F.col("cy")))
+            .cast("bigint")
+            .alias("sxy"),
+            F.sum((F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")))
+            .cast("bigint")
+            .alias("syy"),
+        )
+        .select(
+            "n", "sx", "sy", "sxx", "sxy", "syy",
+            (F.col("sx") - F.col("n") * F.col("cx")).cast("bigint").alias("sxc"),
+            (F.col("sy") - F.col("n") * F.col("cy")).cast("bigint").alias("syc"),
+        )
+    )
+    # Headroom guard (round-10 ADVICE): with ANSI off Spark WRAPS on
+    # int64 overflow where DuckDB raises — assert the centered moments
+    # leave room for the n·m combination instead of silently wrapping.
+    _guard = (
+        "greatest(sxx, syy, abs(sxy)) < (4611686018427387904L div n)"  # 2^62
     )
     theta = pooled.select(
         "n",
         "sx",
         F.expr(
-            "cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double)"
+            f"if({_guard}, "
+            "cast(n * sxy - sxc * syc AS double) / cast(n * sxx - sxc * sxc AS double),"
+            " raise_error('abtest_cuped_adjust: centered pooled moments exceed"
+            " 64-bit headroom — widen to DECIMAL(38,0) before trusting theta'))"
         ).alias("th"),
         F.expr(
-            "(cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double))"
-            " / (cast(n * sxx - sx * sx AS double) * cast(n * syy - sy * sy AS double))"
+            "(cast(n * sxy - sxc * syc AS double) * cast(n * sxy - sxc * syc AS double))"
+            " / (cast(n * sxx - sxc * sxc AS double) * cast(n * syy - syc * syc AS double))"
         ).alias("r2"),
     )
     per_arm = armed.groupBy("arm").agg(

@@ -1227,7 +1227,10 @@ _JL_ORACLE = f"""
              CAST(round((0.0{"".join(f" + v[{j + 1}] * v[{j + 1}]" for j in range(64))}) * 1000000000000.0) AS BIGINT) AS norm2_orig_q
       FROM e
     )
-    SELECT vec_id, proj, norm2_orig_q,
+    SELECT vec_id,
+           array_to_string(list_transform(proj, x -> CAST(x AS VARCHAR)), ',')
+             AS proj_csv,
+           norm2_orig_q,
            CAST(list_aggregate(list_transform(proj, x -> x * x), 'sum')
                 AS BIGINT) AS norm2_proj_q,
            CAST(list_aggregate(list_transform(proj, x -> x * x), 'sum')
@@ -1250,7 +1253,14 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, so even the distortion ratio (E[‖Pv‖²] = k·‖v‖² for ±1
     entries ⇒ distortion_milli ≈ 1000) is integer-exact. One
     zero-shuffle projection over the scan; at 100 TB this is a map
-    stage whose output is 4x narrower than its input."""
+    stage whose output is 4x narrower than its input.
+
+    Rendering: the 16 projected components are emitted as ONE
+    comma-joined string (``proj_csv``) — the `inverted_index`
+    convention (`mps/jobs/inverted_index.py`): the driver's
+    canonicalizer sorts cell VALUES and cannot hash a raw array
+    column (the round-9 red row); the string form is what the DuckDB
+    oracle compares."""
     emb = t(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -1267,7 +1277,11 @@ def q_embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(transform(proj, x -> x * x), cast(0 as bigint), (acc, x) -> acc + x)"
     )
     return p.select(
-        "vec_id", "proj", "norm2_orig_q",
+        "vec_id",
+        F.expr("array_join(transform(proj, x -> cast(x as string)), ',')").alias(
+            "proj_csv"
+        ),
+        "norm2_orig_q",
         npq.cast("bigint").alias("norm2_proj_q"),
         F.expr(
             "aggregate(transform(proj, x -> x * x), cast(0 as bigint),"
@@ -1431,6 +1445,7 @@ def _pca_power_oracle(iters: int = 8) -> str:
              CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000 + 0.5)
                   AS BIGINT) AS q
       FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS g(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
     n AS (SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS n FROM q),
     m AS MATERIALIZED (SELECT i, CAST(SUM(q) AS BIGINT) AS m FROM q GROUP BY i),
@@ -1472,8 +1487,19 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (metadata license, like the Markov chain). Quantization at
     1e3 bounds every intermediate: |S| ≤ 2n²q²max ≈ 4·10¹², matvec
     ≤ 64·|S|·10³ ≈ 2.6·10¹⁷ < 2⁶³. Hash-matched at three SFs;
-    planted dominant-axis fixture pinned in tests/test_similarity.py."""
-    docs = t(spark, sf_dir, "embeddings")
+    planted dominant-axis fixture pinned in tests/test_similarity.py.
+
+    Hygiene (round-10 ADVICE): both engines count n over the SAME
+    population — rows with a non-null, exactly-64-component embedding
+    (a NULL/short row used to inflate Spark's docs.count() while the
+    oracle's COUNT(DISTINCT vec_id) over the exploded table skipped
+    it); and the documented 64·|S|·10³ < 2⁶³ matvec bound is ASSERTED
+    on the collected scatter (it grows ~n², breaching int64 around
+    n≈2·10⁴ — DuckDB would raise there, the Python iteration must too
+    rather than continue on a silently-unverifiable premise)."""
+    docs = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     q = docs.select(
         F.col("vec_id").alias("r"),
         F.posexplode(
@@ -1505,6 +1531,14 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # 64x64 integer cells — metadata scale
     )
     S = {(r["i"], r["j"]): r["s"] for r in scat_rows}
+    max_abs_s = max((abs(s) for s in S.values()), default=0)
+    if max_abs_s * 64 * 1000 >= 2**63:
+        raise ValueError(
+            f"embedding_top_pc: max|S|={max_abs_s} breaks the documented "
+            "64*|S|*10^3 < 2^63 matvec bound (n^2 growth; ~n>2e4) — the "
+            "unrolled BIGINT oracle can no longer replay this corpus; "
+            "rescale the quantization step before trusting the iteration"
+        )
 
     def _tdiv(v: int, d: int) -> int:
         return abs(v) // d * (1 if v >= 0 else -1)

@@ -538,7 +538,7 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
     # --- Round 9: burn down the 18-query never-driver-checked backlog
     # (VERDICT r8 task 1 — the r8 round was interrupted before the
     # rotation could move). Keep the four sentinels + the 12 bench-panel
-    # members (13 distinct names); rotate out 21 driver-r8-green slots
+    # members (13 distinct names); rotate out 22 driver-r8-green slots
     # (the r1-era re-verification block, six r6-deferral twins, five r7
     # additions — all hash-green in CORRECTNESS_r08.json on current
     # code) in favor of: the 18 oracle-equipped queries that have never
@@ -598,6 +598,40 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             # round-9 additions
             "dedup_embedding_clusters_lsh_auto",  # D206 auto-bits lever
             "assemble_training_set_v6",           # D207 flagship gen 6
+        ),
+    ),
+    # --- Round 10: burn the 11-query never-driver-checked backlog
+    # (VERDICT r9 task 2 — everything late-round-9 built: D209–D219).
+    # Keep the four sentinels + the 12 bench-panel members and
+    # embedding_jl_projection (D194 — its round-9 driver row went red
+    # on the array-column rendering; the fixed proj_csv form needs a
+    # first hash-green row). Rotate out 11 driver-r9-green slots.
+    (
+        (
+            "trend_mann_kendall",             # driver r9 green
+            "benford_first_digit_audit",      # driver r9 green
+            "l_diversity_audit",              # driver r9 green
+            "similarity_mmr_rerank",          # driver r9 green
+            "session_path_mining",            # driver r9 green
+            "rfm_segmentation",               # driver r9 green
+            "skyline_orders",                 # driver r9 green
+            "mutual_knn_pairs",               # driver r9 green
+            "sketch_cms_registers_exact",     # driver r9 green
+            "abtest_value_welch",             # driver r9 green (CUPED in)
+            "bm25_search",                    # driver r9 green
+        ),
+        (
+            "dedup_snm_pairs",                # D209 first slot
+            "dedup_canonical_map",            # D210 first slot
+            "events_markov_attribution",      # D211 first slot
+            "text_winnow_pairs",              # D212 first slot
+            "search_proximity",               # D213 first slot
+            "events_seasonal_baseline",       # D214 first slot
+            "events_sequential_pairs",        # D215 first slot
+            "itemcf_topk",                    # D216 first slot
+            "abtest_cuped_adjust",            # D217 first slot
+            "text_rake_keyphrases",           # D218 first slot
+            "embedding_top_pc",               # D219 first slot
         ),
     ),
 )

@@ -43,7 +43,24 @@ def main() -> int:
         t0 = time.time()
         rec: dict = {}
         try:
-            got = fn(spark, SF_DIR).toPandas()
+            sdf = fn(spark, SF_DIR)
+            # DRIVER-CANON LINT (round-9 red-row class): the driver's
+            # canonicalizer sorts cell VALUES via pandas and crashes on
+            # unhashable array/map/struct cells — our local rows_of
+            # stringifies them, so without this check the sim passes
+            # where the driver dies. Nested top-level columns are a
+            # hard failure here; render them as comma-joined strings
+            # (the inverted_index convention).
+            nested = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                raise TypeError(
+                    f"driver-canon lint: nested top-level columns {nested}"
+                )
+            got = sdf.toPandas()
             if name in oracles:
                 want = con.sql(oracles[name]).df()
                 rec["rows_match"] = len(got) == len(want)

@@ -152,6 +152,10 @@ SF1_QUERIES = [
     "search_proximity",
     "itemcf_topk",
     "abtest_cuped_adjust",
+    # round-10 completions (VERDICT r9 task 3): the two late-round-9
+    # operators that postdated the last decade run.
+    "text_rake_keyphrases",
+    "embedding_top_pc",
 ]
 SF1_REPS = 2
 

@@ -552,7 +552,7 @@ def test_jl_projection_distortion_concentrates(spark):
     assert all(200 <= d <= 3000 for d in ds), (min(ds), max(ds))
     mean = sum(ds) / len(ds)
     assert abs(mean - 1000) < 150, mean
-    assert all(len(r["proj"]) == 16 for r in rows)
+    assert all(len(r["proj_csv"].split(",")) == 16 for r in rows)
 
 
 def test_mmr_rerank_planted_diversity(spark, tmp_path):
