@@ -1867,15 +1867,34 @@ def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = ui.join(bsz.filter(F.col("bs") <= 100).select("u"), "u").cache()
     ni = capped.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
-    ab = (
+    # n_ab is symmetric: generate each unordered pair ONCE (i < i'),
+    # aggregate, then mirror — halves the within-basket join output and
+    # the pair shuffle vs the original i != i' form (round-10 retune;
+    # outputs hash-equal by construction).
+    half = (
         a.join(
             b,
-            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")),
         )
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)  # single co-purchases are pair noise
     )
+    # mirror in the SAME pass (explode of both orientations) — a union
+    # of two selects over `half` would re-run the whole pair pipeline
+    # twice (Spark does not CSE a DataFrame feeding two consumers)
+    ab = half.select(
+        F.explode(
+            F.array(
+                F.struct("ia", "ib", "n_ab"),
+                F.struct(
+                    F.col("ib").alias("ia"),
+                    F.col("ia").alias("ib"),
+                    F.col("n_ab"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.ia", "p.ib", "p.n_ab")
     na = ni.select(F.col("i").alias("ia"), F.col("n").alias("n_a"))
     nb = ni.select(F.col("i").alias("ib"), F.col("n").alias("n_b"))
     scored = (

@@ -2945,17 +2945,21 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: the hash is the md5 hex-bridge 60-bit
     integer (the proven conv/CAST pairing), so both engines select the
-    IDENTICAL positions — selection order is (hash ASC, position DESC)
-    as one explicit row_number, never an engine's arg_min tie whim.
+    IDENTICAL positions — selection order is (hash ASC, position DESC),
+    expressed as ONE partial-aggregable MIN over the struct (h, −j)
+    (lexicographic struct-min ≡ the row_number tie-break; the round-10
+    rewrite of the original per-window row_number: min-by-struct
+    combines MAP-SIDE, so the 6× window explode collapses inside each
+    scan partition before the only wide shuffle carries one row per
+    (doc, window) — the weighted-median cells-first move; measured
+    6.9 s → see SCALING.md, outputs hash-equal at three SFs).
     Scale shape: k-gram explode is map-side; window membership is a
-    bounded 6× explode; the per-(doc, window) argmin is a keyed
-    row_number (parallel); the corpus then shrinks to fingerprint
+    bounded 6× explode; the per-(doc, window) argmin is the partial
+    agg above; the corpus then shrinks to fingerprint
     density 2/(w+1) ≈ 29% before the only corpus-wide join, which is
     fingerprint-keyed (an inverted index, bounded by per-hash df like
     every posting join in the C2 family). Planted cross-position
     shared-paragraph fixture pinned in tests/test_dedup.py."""
-    from pyspark.sql import Window
-
     K, W = 8, 6
     docs = t(spark, sf_dir, "documents")
     norm = docs.select(
@@ -2983,18 +2987,10 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sequence(greatest(1L, j - {W - 1}), least(j, nw))")
         ).alias("i"),
     )
-    winners = (
-        grid.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id", "i").orderBy(
-                    F.col("h").asc(), F.col("j").desc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
+    winners = grid.groupBy("doc_id", "i").agg(
+        F.min(F.struct(F.col("h"), (-F.col("j")).alias("nj"))).alias("m")
     )
-    fps = winners.select("doc_id", "h").distinct().cache()
+    fps = winners.select("doc_id", F.col("m.h").alias("h")).distinct().cache()
     dfh = fps.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
     rare = fps.join(dfh.filter(F.col("dfc") <= 16).select("h"), "h")
     sizes = fps.groupBy("doc_id").agg(
