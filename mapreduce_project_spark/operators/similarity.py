@@ -514,6 +514,51 @@ def rademacher_signs_pc(
     return out
 
 
+def lsh_codes_exact(
+    df: DataFrame, id_col: str, vec_col: str, signs: list[list[list[int]]]
+) -> DataFrame:
+    """(id, table, code) — per-table sign-LSH bucket codes for an
+    explicit ±1 plane family, computed by the PROVEN bit-exact numpy
+    kernel (each plane dot is ``np.cumsum(v * ±1)[-1]`` — the
+    identical operation sequence to the DuckDB oracle's unrolled
+    ``0.0 ± v1 ± v2 …`` chain, so a sign can never disagree between
+    engines even at |dot| ~ ulp; same kernel as
+    `dedup.embedding_dedup_clusters_lsh`, factored for reuse by the
+    width-ladder audit). Map-side projection, zero shuffle; the plane
+    matrix ships once as a closure constant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_bits = len(signs), len(signs[0])
+    pmat = np.array(
+        [plane for table in signs for plane in table], dtype=np.float64
+    )  # (n_tables*n_bits, dim)
+    bitw = np.array(
+        [1 << b for _ in range(n_tables) for b in range(n_bits)], dtype=np.int64
+    )
+    CHUNK = 256
+
+    def _codes(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        out = np.empty((len(m), n_tables), dtype=np.int32)
+        for c0 in range(0, len(m), CHUNK):
+            mm = m[c0 : c0 + CHUNK]
+            signed = mm[:, None, :] * pmat[None, :, :]
+            dots = np.cumsum(signed, axis=2)[:, :, -1]
+            bits = (dots > 0) * bitw
+            out[c0 : c0 + len(mm)] = (
+                bits.reshape(len(mm), n_tables, n_bits).sum(axis=2).astype(np.int32)
+            )
+        return pd.Series(list(out))
+
+    _codes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    codes_udf = pandas_udf(_codes, "array<int>")
+    return df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).select("id", F.posexplode(codes_udf(F.col("v"))).alias("table", "code"))
+
+
 def duck_code_exprs_for_signs(signs: list[list[list[int]]]) -> list[str]:
     """DuckDB-side per-table bucket-code expressions for an explicit
     ±1 plane family (same unrolled signed-addition chain as

@@ -2671,3 +2671,267 @@ def q_abtest_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_BOT_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    base AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS span_s,
+             CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+             CAST(COALESCE(SUM(gap_us // 1000000), 0) AS BIGINT) AS sum_gap_s
+      FROM ordered GROUP BY user_id
+    ),
+    mean AS (
+      SELECT user_id, n_events, n_types, span_s, n_gaps,
+             CASE WHEN n_gaps = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(sum_gap_s // n_gaps AS BIGINT) END AS mean_gap_s
+      FROM base
+    ),
+    var AS (
+      SELECT o.user_id,
+             CAST(SUM((o.gap_us // 1000000 - m.mean_gap_s)
+                      * (o.gap_us // 1000000 - m.mean_gap_s)) AS BIGINT) AS var_sum
+      FROM ordered o JOIN mean m ON m.user_id = o.user_id
+      WHERE o.gap_us IS NOT NULL
+      GROUP BY o.user_id
+    ),
+    topshare AS (
+      SELECT user_id,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id
+    )
+    SELECT m.user_id, m.n_events, m.n_types, m.span_s, m.n_gaps,
+           m.mean_gap_s,
+           CAST(COALESCE(v.var_sum, 0) //
+                CASE WHEN m.n_gaps = 0 THEN 1 ELSE m.n_gaps END AS BIGINT)
+             AS gap_var_mean,
+           CASE WHEN m.mean_gap_s = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(COALESCE(v.var_sum, 0) //
+                     CASE WHEN m.n_gaps = 0 THEN 1 ELSE m.n_gaps END AS DOUBLE)
+                     * 1000000.0
+                     / (CAST(m.mean_gap_s AS DOUBLE) * CAST(m.mean_gap_s AS DOUBLE))
+           END AS cv2_ppm,
+           CAST(t.top_cnt * 1000000 // m.n_events AS BIGINT) AS top_type_share_ppm,
+           CAST(CASE WHEN (m.mean_gap_s > 0
+                           AND CAST(COALESCE(v.var_sum, 0) //
+                               CASE WHEN m.n_gaps = 0 THEN 1 ELSE m.n_gaps END AS DOUBLE)
+                               * 1000000.0
+                               / (CAST(m.mean_gap_s AS DOUBLE) * CAST(m.mean_gap_s AS DOUBLE))
+                               < 700000.0)
+                     OR t.top_cnt * 1000000 // m.n_events > 900000
+                THEN 1 ELSE 0 END AS BIGINT) AS is_bot_suspect
+    FROM mean m
+    LEFT JOIN var v ON v.user_id = m.user_id
+    JOIN topshare t ON t.user_id = m.user_id
+    """
+
+
+@extra_query("events_bot_scores", _BOT_ORACLE)
+def q_events_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AUTOMATION/BOT telemetry (D223) — the abuse screen a
+    behavioral-data pipeline runs before events become training signal
+    (a scripted client poisons session/funnel/attribution statistics
+    the way boilerplate poisons text corpora): per user, the
+    inter-event gap regularity (squared coefficient of variation of
+    gap seconds, in ppm — human arrivals are bursty with CV² ≈ 10⁶+;
+    schedulers sit near 0), the dominant-event-type concentration, and
+    a suspect flag (too-regular OR >90% one event type).
+
+    Exactness: gaps in whole seconds (truncating µs→s), the variance
+    pass centers on the TRUNCATING per-user mean (exact shift, same
+    int64-headroom discipline as the CUPED fix — devs are bounded by
+    the observation span, so dev² sums stay ≪ 2⁶³ for any plausible
+    per-user history), and CV² is ONE multiply + ONE divide on
+    int64-exact doubles (< 2⁵³, so IEEE-identical across engines).
+    Plan: two user-keyed partial-agg shuffles (gap moments, type
+    counts) + one lag window — no corpus-wide key anywhere, so the
+    whole audit is embarrassingly parallel in users. Non-vacuous on
+    the fixtures (planted regular-beacon fixture + a flag-liveness
+    probe pinned in tests/test_round10_ops.py, so a datagen change
+    that empties the flag column fails with a diagnosis)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    base = ordered.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.expr("(max(us) - min(us)) div 1000000").cast("bigint").alias("span_s"),
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.expr("sum(gap_us div 1000000)"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_gap_s"),
+    )
+    mean = base.withColumn(
+        "mean_gap_s",
+        F.when(F.col("n_gaps") == 0, F.lit(0))
+        .otherwise(F.expr("sum_gap_s div n_gaps"))
+        .cast("bigint"),
+    )
+    var = (
+        ordered.filter(F.col("gap_us").isNotNull())
+        .join(mean.select("user_id", "mean_gap_s"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "sum((gap_us div 1000000 - mean_gap_s)"
+                " * (gap_us div 1000000 - mean_gap_s))"
+            )
+            .cast("bigint")
+            .alias("var_sum")
+        )
+    )
+    topshare = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.max("cnt").cast("bigint").alias("top_cnt"))
+    )
+    gvm = F.expr(
+        "coalesce(var_sum, 0) div (case when n_gaps = 0 then 1 else n_gaps end)"
+    ).cast("bigint")
+    joined = (
+        mean.join(var, "user_id", "left")
+        .join(topshare, "user_id")
+        .withColumn("gap_var_mean", gvm)
+    )
+    cv2 = F.when(F.col("mean_gap_s") == 0, F.lit(0.0)).otherwise(
+        F.col("gap_var_mean").cast("double")
+        * F.lit(1000000.0)
+        / (F.col("mean_gap_s").cast("double") * F.col("mean_gap_s").cast("double"))
+    )
+    top_ppm = F.expr("top_cnt * 1000000 div n_events").cast("bigint")
+    return joined.select(
+        "user_id", "n_events", "n_types", "span_s", "n_gaps", "mean_gap_s",
+        "gap_var_mean",
+        cv2.alias("cv2_ppm"),
+        top_ppm.alias("top_type_share_ppm"),
+        (
+            ((F.col("mean_gap_s") > 0) & (cv2 < 700000.0))
+            | (top_ppm > 900000)
+        )
+        .cast("bigint")
+        .alias("is_bot_suspect"),
+    )
+
+
+_ACF_LAGS = (1, 2, 3, 24, 168)
+
+_ACF_ORACLE = f"""
+    WITH hourly AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    grid AS (
+      SELECT g.h, COALESCE(hourly.n, 0) AS n
+      FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) g
+      LEFT JOIN hourly ON hourly.h = g.h
+    ),
+    mstat AS (SELECT CAST(SUM(n) // COUNT(*) AS BIGINT) AS m,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours FROM grid),
+    dev AS (SELECT h, n - (SELECT m FROM mstat) AS d FROM grid),
+    den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+    lags AS (SELECT unnest(ARRAY{list(_ACF_LAGS)}) AS lag),
+    num AS (
+      SELECT l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.h = a.h + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(n.lag AS BIGINT) AS lag, n.n_pairs, n.num, d.den,
+           m.n_hours, m.m AS hourly_mean,
+           CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS acf
+    FROM num n CROSS JOIN den d CROSS JOIN mstat m
+    """
+
+
+@extra_query("events_hourly_acf", _ACF_ORACLE)
+def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the HOURLY event-count series (D224) at the
+    seasonality lags {1, 2, 3, 24, 168} — the statistic that DECIDES
+    whether the seasonal-naive baseline (D214) is the right model
+    before anyone subtracts it: a 24-hour (and 168-hour) ACF spike is
+    daily (weekly) seasonality; a flat ACF says the CUSUM/MAD
+    detectors (D195/D134) can run on raw levels. Zero-filled over the
+    full [first, last] hour grid (missing hours ARE data — skipping
+    them would splice non-adjacent hours into adjacent pairs and
+    silently corrupt every lag product).
+
+    Exactness: the series centers on the TRUNCATING grid mean and all
+    moment sums are int64 (hourly counts are bounded by ingest rate —
+    devs ≤ ~10⁶/hour keep dev² sums < 2⁶³ through ~10⁶ grid hours; the
+    docstring bound is asserted nowhere because the fixture sits 6
+    orders below it); acf is ONE division of int64-exact doubles
+    (|num|, den < 2⁵³), bit-identical across engines. Plan: one
+    hour-keyed partial agg collapses the corpus to ≤ #hours integer
+    rows — a bounded, metadata-scale series at ANY corpus size (a
+    century is < 10⁶ hours) — then grid/devs/lag joins all run on that
+    bounded table."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    mstat = grid.agg(
+        F.expr("sum(n) div count(1)").cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    dev = grid.crossJoin(F.broadcast(mstat)).select(
+        "h", (F.col("n") - F.col("m")).alias("d"), "m", "n_hours"
+    )
+    den = dev.agg(F.expr("sum(d * d)").cast("bigint").alias("den"))
+    lags = spark.createDataFrame(
+        [(lag,) for lag in _ACF_LAGS], "lag bigint"
+    )
+    a = dev.select(F.col("h").alias("ha"), F.col("d").alias("da"))
+    b = dev.select(F.col("h").alias("hb"), F.col("d").alias("db"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.expr("sum(da * db)").cast("bigint").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(mstat))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            "num",
+            "den",
+            "n_hours",
+            F.col("m").alias("hourly_mean"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+        )
+    )

@@ -1555,3 +1555,173 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted((i, v[i]) for i in v), "dim long, loading_milli long"
     ).orderBy("dim")
+
+
+def _width_ladder_oracle(
+    threshold: float, n_tables: int, widths: tuple[int, ...], dim: int
+) -> str:
+    """DuckDB twin of the LSH width-ladder audit: embeds the full-width
+    prefix-consistent codes statically (same `rademacher_signs_pc`
+    family the Spark side computes), masks to each ladder width, and
+    pays the exact quadratic truth set once."""
+    from mapreduce_project_spark.operators.similarity import (
+        duck_code_exprs_for_signs,
+        rademacher_signs_pc,
+    )
+
+    wmax = max(widths)
+    duck_codes = duck_code_exprs_for_signs(
+        rademacher_signs_pc(n_tables, wmax, dim)
+    )
+    codes_arr = "[" + ", ".join(duck_codes) + "]"
+    cand_ctes, rows = [], []
+    for w in widths:
+        msk = (1 << w) - 1
+        or_pred = " OR ".join(
+            f"(a.cs[{i + 1}] & {msk}) = (b.cs[{i + 1}] & {msk})"
+            for i in range(n_tables)
+        )
+        cand_ctes.append(
+            f"""cand{w} AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE ({or_pred})
+    )"""
+        )
+        rows.append(
+            f"""
+    SELECT CAST({w} AS BIGINT) AS width,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{w}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+             JOIN cand{w} k ON k.ia = t.ia AND k.ib = t.ib) AS n_caught,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((SELECT COUNT(*) FROM truth t
+                            JOIN cand{w} k ON k.ia = t.ia AND k.ib = t.ib)
+                          * 1000000 // (SELECT COUNT(*) FROM truth) AS BIGINT)
+           END AS recall_ppm,
+           CAST((SELECT COUNT(*) FROM cand{w}) * 1000000
+                // (SELECT (n * (n - 1)) // 2 FROM npairs) AS BIGINT) AS cand_ppm"""
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS MATERIALIZED (SELECT vec_id, v, {codes_arr} AS cs FROM e),
+    npairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    truth AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.v', 'b.v')} >= {threshold}
+    ),
+    {','.join(cand_ctes)}
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@extra_query("lsh_width_ladder", _width_ladder_oracle(0.3, 16, (8, 12, 16), 64))
+def q_lsh_width_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost CURVE for the sign-LSH width ladder (D221) — the
+    audit that makes the D206 auto-width rule itself a measured,
+    oracle-checked artifact instead of a modeled claim: for bit widths
+    {8, 12, 16} of the SAME 16-table prefix-consistent plane family,
+    the exact candidate-pair count, the exact recall against the
+    ground-truth pair set (every pair with fold-cosine ≥ 0.3 — the
+    fixture's qualifying threshold, deliberately the documented
+    cannot-prune near-orthogonal regime, so the ladder EXHIBITS the
+    recall collapse the SCALE.md physics section derives), and the
+    candidate fraction of all N(N−1)/2 pairs. Widths are prefix-
+    consistent (`rademacher_signs_pc`), so width w's codes are width
+    16's codes masked to w low bits — ONE code computation serves the
+    whole ladder, and the DuckDB twin replays the identical bits by
+    masking its static full-width codes.
+
+    Exactness: the truth set uses the proven fold-cosine pairing
+    (bit-identical ≥-compare on both engines); every other number is
+    an integer count or a truncating ppm. Plan: codes are one
+    Arrow-batched map-side kernel; the ladder needs ONE bucket
+    self-join (at the COARSEST width — finer-width candidacy is
+    decided per matched row by masking the already-joined codes, since
+    low-w′ equality implies low-w equality for w < w′); the truth set
+    pays one exact blocked GEMM + fold verify (`cosine_pairs_gemm`).
+    Scale: the truth set is the audit's quadratic cost — at 100 TB
+    this query runs on a uniform SAMPLE (the curve is a per-pair
+    probability statement, so sampled recall is unbiased); the
+    candidate counts stay exact at any N because they ride the
+    bucketed join."""
+    from mapreduce_project_spark.operators.similarity import (
+        cosine_pairs_gemm,
+        lsh_codes_exact,
+        rademacher_signs_pc,
+    )
+
+    n_tables, widths, threshold = 16, (8, 12, 16), 0.3
+    emb = t(spark, sf_dir, "embeddings")
+    signs = rademacher_signs_pc(n_tables, max(widths), 64)
+    coded = lsh_codes_exact(emb, "vec_id", "embedding", signs).select(
+        "id",
+        "table",
+        F.expr(f"code & {(1 << widths[0]) - 1}").alias("c_lo"),
+        "code",
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    m12 = (1 << widths[1]) - 1
+    matched = a.join(
+        b,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.c_lo") == F.col("b.c_lo"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("ia"),
+        F.col("b.id").alias("ib"),
+        ((F.col("a.code").bitwiseAND(m12)) == (F.col("b.code").bitwiseAND(m12)))
+        .alias("e12"),
+        (F.col("a.code") == F.col("b.code")).alias("e16"),
+    )
+    flags = matched.groupBy("ia", "ib").agg(
+        F.max("e12").alias("e12"), F.max("e16").alias("e16")
+    )
+    truth = cosine_pairs_gemm(
+        emb.withColumn("blk", F.lit(0)),
+        "vec_id",
+        "embedding",
+        threshold,
+        "blk",
+    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+    caught = truth.join(
+        flags.withColumn("c8", F.lit(True)), ["ia", "ib"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("c8"), 1).otherwise(0)).cast("bigint").alias("k8"),
+        F.sum(F.when(F.col("e12"), 1).otherwise(0)).cast("bigint").alias("k12"),
+        F.sum(F.when(F.col("e16"), 1).otherwise(0)).cast("bigint").alias("k16"),
+    )
+    cands = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c8"),
+        F.sum(F.when(F.col("e12"), 1).otherwise(0)).cast("bigint").alias("c12"),
+        F.sum(F.when(F.col("e16"), 1).otherwise(0)).cast("bigint").alias("c16"),
+    )
+    npairs = emb.agg(
+        F.expr("(count(1) * (count(1) - 1)) div 2").cast("bigint").alias("np")
+    )
+    one = cands.crossJoin(caught).crossJoin(npairs)
+    ladder = one.select(
+        F.explode(
+            F.expr(
+                "array(struct(cast(8 as bigint) as width, c8 as nc, k8 as nk),"
+                " struct(cast(12 as bigint) as width, c12 as nc, k12 as nk),"
+                " struct(cast(16 as bigint) as width, c16 as nc, k16 as nk))"
+            )
+        ).alias("s"),
+        "n_true",
+        "np",
+    )
+    return ladder.select(
+        F.col("s.width").alias("width"),
+        F.col("s.nc").alias("n_candidates"),
+        "n_true",
+        F.col("s.nk").alias("n_caught"),
+        F.when(F.col("n_true") == 0, F.lit(0))
+        .otherwise(F.expr("s.nk * 1000000 div n_true"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.expr("s.nc * 1000000 div np").cast("bigint").alias("cand_ppm"),
+    )

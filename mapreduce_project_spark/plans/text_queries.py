@@ -3198,3 +3198,304 @@ def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(20)
     )
+
+
+_SOURCE_DRIFT_ORACLE = f"""
+    WITH tok AS (
+      SELECT source, doc_id % 2 = 0 AS is_a,
+             unnest({_TOKS}) AS tk
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, tk AS token,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM tok GROUP BY source, tk
+    ),
+    totals AS (
+      SELECT source,
+             CAST(SUM(cnt_a) AS BIGINT) AS toks_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS toks_b
+      FROM counts GROUP BY source
+    ),
+    dstat AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS docs_b
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT c.source, c.token, c.cnt_a, c.cnt_b,
+             CASE WHEN t.toks_a = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(c.cnt_a * 1000000 // t.toks_a AS BIGINT) END AS share_a_ppm,
+             CASE WHEN t.toks_b = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(c.cnt_b * 1000000 // t.toks_b AS BIGINT) END AS share_b_ppm,
+             t.toks_a, t.toks_b
+      FROM counts c JOIN totals t ON t.source = c.source
+    ),
+    ranked AS (
+      SELECT *, abs(share_a_ppm - share_b_ppm) AS drift_ppm,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY abs(share_a_ppm - share_b_ppm) DESC, token) AS rnk
+      FROM shares
+    )
+    SELECT r.source, CAST(r.rnk AS BIGINT) AS rnk, r.token,
+           r.cnt_a, r.cnt_b, r.share_a_ppm, r.share_b_ppm,
+           CAST(r.drift_ppm AS BIGINT) AS drift_ppm,
+           d.docs_a, d.docs_b, r.toks_a, r.toks_b
+    FROM ranked r JOIN dstat d ON d.source = r.source
+    WHERE r.rnk <= 5
+    """
+
+
+@extra_query("source_quality_drift", _SOURCE_DRIFT_ORACLE)
+def q_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality-drift monitor (D220) — the production
+    curation dashboard composed from the corpus-wide KL decomposition
+    (D153) and the baseline-vs-snapshot shape of D214: for every
+    source, the top-5 tokens whose per-million share moved most
+    between the two ingest snapshots (doc_id parity plays the crawl
+    days, as in D153), alongside the source's doc and token volumes
+    per side. This is the "which source changed, and what changed
+    inside it" report a 100 TB pipeline runs between crawls before
+    re-weighting its mixture (D89/D169 consume exactly these per-
+    source signals).
+
+    Exactness: shares are truncating per-million integers
+    (cnt·10⁶ div total — scale-invariant, so the numbers are
+    comparable at ANY corpus size and never overflow: shares ≤ 10⁶
+    regardless of token mass, unlike raw cross-products cnt_a·toks_b
+    which exceed int64 near ~10¹² tokens); drift is an integer |Δ|;
+    the top-5 cut breaks ties on the token string. Plan: one
+    (source, token)-keyed partial-agg shuffle of integer counts, a
+    ~#sources-row totals table broadcast back, one bounded window per
+    source. Zero floats end to end."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.functions import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(tokens("text")).alias("tk"),
+    )
+    counts = tok.groupBy("source", F.col("tk").alias("token")).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("cnt_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("bigint").alias("cnt_b"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt_a").cast("bigint").alias("toks_a"),
+        F.sum("cnt_b").cast("bigint").alias("toks_b"),
+    )
+    dstat = docs.groupBy("source").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("docs_b"),
+    )
+    share_a = F.when(F.col("toks_a") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("cnt_a * 1000000 div toks_a").cast("bigint")
+    )
+    share_b = F.when(F.col("toks_b") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("cnt_b * 1000000 div toks_b").cast("bigint")
+    )
+    shares = counts.join(F.broadcast(totals), "source").select(
+        "source", "token", "cnt_a", "cnt_b",
+        share_a.alias("share_a_ppm"), share_b.alias("share_b_ppm"),
+        "toks_a", "toks_b",
+    )
+    drift = F.abs(F.col("share_a_ppm") - F.col("share_b_ppm"))
+    w = Window.partitionBy("source").orderBy(
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).desc(), "token"
+    )
+    return (
+        shares.withColumn("drift_ppm", drift.cast("bigint"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .join(F.broadcast(dstat), "source")
+        .select(
+            "source", "rnk", "token", "cnt_a", "cnt_b",
+            "share_a_ppm", "share_b_ppm", "drift_ppm",
+            "docs_a", "docs_b", "toks_a", "toks_b",
+        )
+    )
+
+
+def _lrs_oracle(ladder: tuple[int, ...]) -> str:
+    """DuckDB twin of the repeated-k-gram ladder: one UNION ALL arm
+    per ladder width, list-slice k-grams, the same (count DESC, gram
+    ASC) championship per doc at its maximal repeating width."""
+    arms = []
+    for k in ladder:
+        arms.append(f"""
+      SELECT doc_id, {k} AS k,
+             array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+      FROM toked, UNNEST(generate_series(1, len(toks) - {k - 1})) AS u(i)
+      WHERE len(toks) >= {k}""")
+    grams = " UNION ALL ".join(arms)
+    return f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS ({grams}),
+    rep AS (
+      SELECT doc_id, k, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, k, gram HAVING COUNT(*) >= 2
+    ),
+    best AS (
+      SELECT doc_id, k, gram, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY k DESC, c DESC, gram) AS rn
+      FROM rep
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(b.k, 0) AS BIGINT) AS max_rep_k,
+           COALESCE(b.gram, '') AS rep_gram,
+           CAST(COALESCE(b.c, 0) AS BIGINT) AS rep_count
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """
+
+
+@extra_query("text_longest_repeat", _lrs_oracle((2, 3, 5)))
+def q_text_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-repeated-substring TELEMETRY per document (D222) — the
+    suffix-automaton-free ladder approximation: for widths k ∈
+    {2, 3, 5} tokens, find each document's repeated k-grams (≥ 2
+    intra-doc occurrences) and report the LARGEST repeating width,
+    its champion gram (most occurrences, ties to the lexicographically
+    smallest), and that count. Self-repetition at growing spans is the
+    degenerate-generation / boilerplate signal the Gopher gates (D43)
+    threshold on fixed widths — the ladder form reports HOW LONG the
+    repetition runs, which is what separates a looping template from
+    a merely chatty doc. A doc with no repeated bigram reports
+    (0, '', 0).
+
+    Exactness: pure integer counts and string ranking — no floats.
+    Plan: the k-gram explode is map-side (one arm per ladder width,
+    ~3·tokens rows), the (doc, k, gram) count is one partial-agg
+    shuffle keyed by the doc — NOT a global gram key, so hot grams
+    cannot skew (every group is intra-document); the championship is
+    one bounded per-doc window; docs with no repeats re-enter via a
+    broadcast-right join against the doc list. Scale: rows ∝ corpus
+    tokens × ladder size, shuffle keys are (doc, gram) pairs — fully
+    parallel at any corpus size."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.functions import token_ngrams, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    arms = None
+    for k in (2, 3, 5):
+        arm = toked.select(
+            "doc_id",
+            F.lit(k).alias("k"),
+            F.explode(token_ngrams(F.col("toks"), k)).alias("gram"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    rep = (
+        arms.groupBy("doc_id", "k", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("k"), F.desc("c"), "gram"
+    )
+    best = rep.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("max_rep_k"),
+            F.coalesce(F.col("gram"), F.lit("")).alias("rep_gram"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("rep_count"),
+        )
+    )
+
+
+_GT_SPECTRUM_ORACLE = f"""
+    WITH toked AS (SELECT {_TOKS} AS toks FROM documents),
+    tok AS (
+      SELECT array_to_string(toks[i:i+1], ' ') AS tk
+      FROM toked, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    freq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk),
+    scal AS (SELECT CAST(SUM(c) AS BIGINT) AS n_mass,
+                    CAST(COUNT(*) AS BIGINT) AS v_size FROM freq),
+    spectrum AS (
+      SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+      FROM freq GROUP BY c
+    )
+    SELECT s.r, s.n_r,
+           CAST(s.r * s.n_r * 1000000 // sc.n_mass AS BIGINT) AS mass_ppm,
+           CAST((s.r + 1) * COALESCE(nx.n_r, 0) * 1000000 // s.n_r AS BIGINT)
+             AS gt_smoothed_micro,
+           sc.n_mass, sc.v_size
+    FROM spectrum s
+    LEFT JOIN spectrum nx ON nx.r = s.r + 1
+    CROSS JOIN scal sc
+    WHERE s.r <= 10
+    """
+
+
+@extra_query("vocab_gt_spectrum", _GT_SPECTRUM_ORACLE)
+def q_vocab_gt_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies SPECTRUM (D225) over
+    token-BIGRAM types — for each observed count r ≤ 10: how many
+    bigram types occur exactly r times (n_r), the per-million share
+    of corpus mass they carry, and the Good-Turing smoothed count
+    r* = (r+1)·n_{r+1}/n_r in truncating micro-units (the Katz-backoff
+    discounting table, computed over the type space where GT actually
+    operates — the fixtures' unigram vocabulary is closed, so every
+    unigram count exceeds the spectrum and the interesting singleton/
+    doubleton mass lives in n-grams). Row r=1's mass_ppm IS the
+    Good-Turing estimate of unseen-type probability mass (n₁/N) — the
+    number that tells a tokenizer-sizing or corpus-coverage decision
+    how much of the distribution it has NOT seen yet; the classic
+    companion to the Zipf coverage curve (D138) and OOV audit (D137).
+
+    Exactness: integer counts, truncating ppm/micro divisions, and the
+    r+1 neighbor resolved by an explicit self-join on r (a lead()
+    window would silently pair r with the next OBSERVED r, not r+1,
+    whenever a spectrum rung is empty). Plan: bigram count partial-agg,
+    then a second tiny partial-agg over per-type counts; the spectrum
+    table is ~max-count rows, so the self-join and scalars are
+    metadata-scale."""
+    from mapreduce_project_spark.functions import token_ngrams, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(token_ngrams(tokens("text"), 2)).alias("tk")
+        )
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scal = freq.agg(
+        F.sum("c").cast("bigint").alias("n_mass"),
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+    )
+    spectrum = freq.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    nx = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    return (
+        spectrum.filter(F.col("r") <= 10)
+        .join(F.broadcast(nx), "r", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "r",
+            "n_r",
+            F.expr("r * n_r * 1000000 div n_mass").cast("bigint").alias("mass_ppm"),
+            F.expr("(r + 1) * coalesce(n_next, 0) * 1000000 div n_r")
+            .cast("bigint")
+            .alias("gt_smoothed_micro"),
+            "n_mass",
+            "v_size",
+        )
+    )
