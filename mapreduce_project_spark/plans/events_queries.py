@@ -2935,3 +2935,313 @@ def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
         )
     )
+
+
+# DuckDB twin of the concurrency sweep: identical 30-min gaps-and-
+# islands sessionization, identical µs day clipping, identical
+# (+1 at start / −1 at end, starts-first) prefix-sum ordering.
+_CONCURRENCY_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                  OR lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sess, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM numbered GROUP BY 1, 2
+    ),
+    slices AS (
+      SELECT CAST(d AS BIGINT) AS day,
+             greatest(s_us, d * 86400000000) AS a_us,
+             least(e_us, (d + 1) * 86400000000 - 1) AS b_us
+      FROM sessions,
+           unnest(generate_series(s_us // 86400000000,
+                                  e_us // 86400000000)) AS g(d)
+    ),
+    deltas AS (
+      SELECT day, a_us AS us, 1 AS delta FROM slices
+      UNION ALL
+      SELECT day, b_us AS us, -1 AS delta FROM slices
+    ),
+    swept AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM deltas
+    )
+    SELECT strftime(make_timestamp(s.day * 86400000000), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_session_slices,
+           CAST(p.peak AS BIGINT) AS peak_concurrent
+    FROM slices s
+    JOIN (SELECT day, MAX(running) AS peak FROM swept GROUP BY day) p
+      USING (day)
+    GROUP BY s.day, p.peak
+    """
+
+
+@extra_query("events_concurrency_profile", _CONCURRENCY_ORACLE)
+def q_events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency profile (D229) — the capacity-planning statistic
+    behind connection pools, rate limits and autoscaling targets: per
+    day, how many 30-minute-gap sessions (the C6 sessionization,
+    identical gaps-and-islands) were EVER active simultaneously. The
+    classic interval sweep: +1 at session start, −1 at session end,
+    prefix-sum, max. Sessions crossing midnight are clipped into
+    per-day slices (a capacity question is asked per day), so the
+    sweep state never crosses a partition boundary.
+
+    Exactness: all arithmetic is integer µs; at equal timestamps
+    starts order before ends (delta DESC — touching sessions COUNT as
+    concurrent, the conservative capacity answer), and permuting equal
+    (us, delta) rows cannot change any prefix maximum, so the sweep is
+    deterministic on both engines. Plan: one user-keyed window
+    (sessionize), one partial-agg (session bounds), a bounded
+    day-explode (span of a 30-min-gap session is days only when a user
+    never pauses 30 min — still bounded by span), then ONE day-
+    partitioned ordered prefix sum — a range-partitioned sort per day,
+    never a global single-task window. Output is ≤ #days rows."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        us.alias("us"),
+        (
+            (us - F.lag(us).over(w) >= 1800000000)
+            | F.lag(us).over(w).isNull()
+        )
+        .cast("bigint")
+        .alias("new_s"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = marked.withColumn("sess", F.sum("new_s").over(wsum))
+    sessions = numbered.groupBy("user_id", "sess").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    slices = sessions.select(
+        F.explode(
+            F.sequence(
+                F.expr("s_us div 86400000000"), F.expr("e_us div 86400000000")
+            )
+        ).alias("day"),
+        "s_us",
+        "e_us",
+    ).select(
+        "day",
+        F.expr("greatest(s_us, day * 86400000000)").alias("a_us"),
+        F.expr("least(e_us, (day + 1) * 86400000000 - 1)").alias("b_us"),
+    )
+    deltas = slices.select(
+        "day", F.col("a_us").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        slices.select("day", F.col("b_us").alias("us"), F.lit(-1).alias("delta"))
+    )
+    wd = Window.partitionBy("day").orderBy(
+        F.col("us"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peaks = (
+        deltas.withColumn("running", F.sum("delta").over(wd))
+        .groupBy("day")
+        .agg(F.max("running").cast("bigint").alias("peak_concurrent"))
+    )
+    counts = slices.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_session_slices")
+    )
+    return counts.join(peaks, "day").select(
+        F.date_format(
+            F.timestamp_micros(F.expr("day * 86400000000")), "yyyy-MM-dd"
+        ).alias("day"),
+        "n_session_slices",
+        "peak_concurrent",
+    )
+
+
+# Cumulative Poisson(1) thresholds in millionths (floor), pinned as
+# integer constants so both engines draw the IDENTICAL deterministic
+# bootstrap weights: P(X<=k) for k=0..8.
+_POIS1_CUM = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989, 999998)
+_BOOT_B = 200
+
+_BOOT_W_SQL = " + ".join(
+    f"CASE WHEN u >= {c} THEN 1 ELSE 0 END" for c in _POIS1_CUM
+)
+_BOOT_W_SPARK = " + ".join(f"cast(u >= {c} as int)" for c in _POIS1_CUM)
+
+_BOOT_ORACLE = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT user_id, y,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM per_user
+    ),
+    obs AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS ya,
+             CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS yb
+      FROM armed
+    ),
+    drawn AS (
+      SELECT b, arm, y,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                     || CAST(b AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000000 AS u
+      FROM armed, unnest(generate_series(0, {_BOOT_B - 1})) AS g(b)
+    ),
+    weighted AS (SELECT b, arm, y, {_BOOT_W_SQL} AS w FROM drawn),
+    resampled AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN arm = 'A' THEN w ELSE 0 END) AS BIGINT) AS wa,
+             CAST(SUM(CASE WHEN arm = 'B' THEN w ELSE 0 END) AS BIGINT) AS wb,
+             CAST(SUM(CASE WHEN arm = 'A' THEN w * y ELSE 0 END) AS BIGINT) AS wya,
+             CAST(SUM(CASE WHEN arm = 'B' THEN w * y ELSE 0 END) AS BIGINT) AS wyb
+      FROM weighted GROUP BY b
+    ),
+    diffs AS (
+      SELECT b,
+             CAST(wyb AS DOUBLE) / greatest(1, wb)
+               - CAST(wya AS DOUBLE) / greatest(1, wa) AS diff,
+             row_number() OVER (
+               ORDER BY CAST(wyb AS DOUBLE) / greatest(1, wb)
+                          - CAST(wya AS DOUBLE) / greatest(1, wa), b) AS rn
+      FROM resampled
+    )
+    SELECT o.n_a AS n_users_a, o.n_b AS n_users_b,
+           CAST(o.yb AS DOUBLE) / greatest(1, o.n_b)
+             - CAST(o.ya AS DOUBLE) / greatest(1, o.n_a) AS diff_cents,
+           lo.diff AS ci_lo_cents, hi.diff AS ci_hi_cents,
+           CAST({_BOOT_B} AS BIGINT) AS n_resamples,
+           CAST(CASE WHEN lo.diff <= 0 AND hi.diff >= 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS ci_covers_zero
+    FROM obs o
+    CROSS JOIN (SELECT diff FROM diffs WHERE rn = 5) lo
+    CROSS JOIN (SELECT diff FROM diffs WHERE rn = 196) hi
+    """
+
+
+@extra_query("abtest_bootstrap_ci", _BOOT_ORACLE)
+def q_abtest_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the A/B mean difference
+    (D230) — the nonparametric member of the experimentation family
+    (z-test D135, Welch t D186, CUPED D217): the Poisson bootstrap
+    (the STREAMING-friendly resampling scheme — each user draws an
+    independent Poisson(1) multiplicity per resample, so no resample
+    ever needs the full population in one place, which is why it is
+    the standard bootstrap at fleet scale), B=200 resamples, and the
+    95% percentile interval of the resampled mean differences.
+
+    Determinism: the Poisson draws are md5-hash inverse-CDF lookups —
+    u = md5(user:b) mod 1e6 against PINNED cumulative thresholds
+    (millionth-precision floor of P(X≤k), k≤8) — so both engines
+    draw byte-identical weights; the per-resample means are IEEE
+    divisions of int64-exact sums; interval endpoints are EXACT order
+    statistics (ranks ⌈αB/2⌉ = 5 and B+1−5 = 196, diff-then-b tie
+    order pinned). Plan: one user-keyed partial agg, a ×B map-side
+    explode (no shuffle growth — the explode feeds straight into a
+    (b, arm)-keyed partial agg of B·2 rows), and the order statistics
+    run on the B-row table (metadata-scale, documented single-task
+    license). Arm split and cents quantization identical to D135/D217."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(cents).cast("bigint").alias("y")
+    )
+    armed = per_user.withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+            ).isin(*"01234567"),
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    obs = armed.agg(
+        F.sum((F.col("arm") == "A").cast("bigint")).cast("bigint").alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("bigint")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("ya"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("yb"),
+    )
+    drawn = armed.select(
+        "arm",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("user_id"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "cast(conv(substr(md5(cast(concat(cast(user_id as string), ':',"
+            " cast(b as string)) AS binary)), 1, 8), 16, 10) AS bigint)"
+            " % 1000000"
+        ),
+    )
+    weighted = drawn.withColumn("w", F.expr(_BOOT_W_SPARK))
+    resampled = weighted.groupBy("b").agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("wa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("wb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("w") * F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("wya"),
+        F.sum(F.when(F.col("arm") == "B", F.col("w") * F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("wyb"),
+    )
+    diff = F.expr(
+        "cast(wyb as double) / greatest(1, wb)"
+        " - cast(wya as double) / greatest(1, wa)"
+    )
+    # B=200 rows: metadata-scale, single-task window licensed.
+    diffs = resampled.select("b", diff.alias("diff")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("diff", "b"))
+    )
+    lo = diffs.filter(F.col("rn") == 5).select(F.col("diff").alias("ci_lo_cents"))
+    hi = diffs.filter(F.col("rn") == _BOOT_B - 4).select(
+        F.col("diff").alias("ci_hi_cents")
+    )
+    return (
+        obs.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n_a").alias("n_users_a"),
+            F.col("n_b").alias("n_users_b"),
+            F.expr(
+                "cast(yb as double) / greatest(1, n_b)"
+                " - cast(ya as double) / greatest(1, n_a)"
+            ).alias("diff_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+            F.lit(_BOOT_B).cast("bigint").alias("n_resamples"),
+            ((F.col("ci_lo_cents") <= 0) & (F.col("ci_hi_cents") >= 0))
+            .cast("bigint")
+            .alias("ci_covers_zero"),
+        )
+    )

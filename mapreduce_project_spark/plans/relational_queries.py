@@ -1917,3 +1917,107 @@ def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("part", "neighbor", "n_ab", "n_a", "n_b", "sim2_micro", "rk")
     )
+
+
+# The schema's FK edges: (edge label, child table, child key col,
+# parent table, parent key col). partsupp is absent from the fixture
+# set, so lineitem's part/supplier references are validated directly.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_FK_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{label}' AS fk_edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+             WHERE {ckey} IS NULL) AS null_fk_rows,
+           CAST(COUNT(*) AS BIGINT) AS distinct_fk_keys,
+           CAST(COALESCE(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS orphan_keys,
+           CAST(COALESCE(SUM(CASE WHEN p.{pkey} IS NULL THEN cnt ELSE 0 END), 0)
+                AS BIGINT) AS orphan_rows,
+           CAST(COALESCE(SUM(CASE WHEN p.{pkey} IS NULL THEN cnt ELSE 0 END), 0)
+                * 1000000
+                // greatest(1, (SELECT COUNT(*) FROM {child}))
+                AS BIGINT) AS orphan_ppm
+    FROM (SELECT {ckey} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM {child} WHERE {ckey} IS NOT NULL GROUP BY 1) c
+    LEFT JOIN {parent} p ON p.{pkey} = c.k
+    """
+    for label, child, ckey, parent, pkey in _FK_EDGES
+)
+
+
+@extra_query("fk_integrity_audit", _FK_ORACLE)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (D227) across every FK edge of the
+    schema — the ingest gate a warehouse runs before trusting joins:
+    per edge, child cardinality, NULL foreign keys, distinct key count,
+    and orphan keys/rows (child keys with no parent) plus the orphan
+    rate in ppm. A broken upstream export shows up here as a nonzero
+    orphan row BEFORE it silently drops revenue from every inner join
+    downstream (the D93 data-quality audit checks value ranges; this
+    checks the join graph itself).
+
+    Exactness: pure integer counts and one truncating ppm division.
+    Plan per edge: the child aggregates to DISTINCT FK keys first (one
+    partial-agg shuffle collapses any child to ≤ |parent-domain| keys),
+    then a LEFT join against the parent key column detects orphans —
+    counts ride along, so no second pass over the child. Parent sides
+    prune to their key column at scan. The seven per-edge one-row
+    results union into a fixed 7-row report — metadata-scale output at
+    any corpus size."""
+    frames = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pkey).alias("__pk"))
+        totals = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+            F.sum(F.col(ckey).isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("null_fk_rows"),
+        )
+        keyed = (
+            c.filter(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .join(p, F.col("k") == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("distinct_fk_keys"),
+                F.coalesce(
+                    F.sum(F.col("__pk").isNull().cast("bigint")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__pk").isNull(), F.col("cnt")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("orphan_rows"),
+            )
+        )
+        frames.append(
+            totals.crossJoin(keyed).select(
+                F.lit(label).alias("fk_edge"),
+                "child_rows",
+                "null_fk_rows",
+                "distinct_fk_keys",
+                "orphan_keys",
+                "orphan_rows",
+                F.expr("orphan_rows * 1000000 div greatest(1, child_rows)")
+                .cast("bigint")
+                .alias("orphan_ppm"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -3499,3 +3499,292 @@ def q_vocab_gt_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_size",
         )
     )
+
+
+# DuckDB twin of the TF-IDF weighted-cosine pair join: identical shingle
+# vocabulary, identical integer idf ratio (n_docs // df, the D12
+# log-free IDF convention), identical df cap, and the final cosine as
+# the same pinned IEEE expression over int64-exact sums.
+_TFIDF_COS_ORACLE = """
+    WITH tk AS (SELECT doc_id, {toks} AS tks FROM documents),
+    sh AS (
+      SELECT doc_id, tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] AS term
+      FROM tk, unnest(generate_series(1, len(tks) - 2)) AS u(i)
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM sh GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf * ((SELECT n FROM nd) // d.df) AS BIGINT) AS w, d.df
+      FROM tf t JOIN dfreq d USING (term)
+      WHERE d.df <= greatest(2, (SELECT n FROM nd) // 50)
+    ),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nsq FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS shared_terms
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE a.df >= 2
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.shared_terms, d.dot,
+           na.nsq AS norm_a_sq, nb.nsq AS norm_b_sq,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= 0.6
+    """.format(toks=_TOKS)
+
+
+@extra_query("text_tfidf_cosine_pairs", _TFIDF_COS_ORACLE)
+def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED set-similarity join (D226): TF-IDF cosine over trigram
+    shingles — the weighted sibling of the unweighted Jaccard PPJoin
+    (D109) and containment join (D185): a shared boilerplate shingle
+    counts for little (low idf weight) while a shared rare shingle
+    dominates, so the score ranks near-duplication by INFORMATIVE
+    overlap, which is how production near-dup verification actually
+    scores candidate pairs (raw Jaccard saturates on template-heavy
+    corpora). Unigram terms are useless on this corpus — the fixture
+    vocabulary is CLOSED (31 types, every df ≈ n_docs), which is
+    exactly the degenerate regime idf weighting exists for; trigram
+    shingles reopen the type space (the D225 observation).
+
+    Exactness: idf is the log-free integer ratio n_docs div df (the
+    D12 convention made truncating-integer), weights and both norm²/dot
+    sums are exact BIGINTs, and cosine is ONE pinned IEEE expression
+    (two correctly-rounded sqrts, one multiply, one divide) over
+    int64-exact doubles — bit-identical across engines (the D107
+    discipline). Scale: pair generation is an inverted-index join on
+    shingles with df ≤ max(2, n_docs div 50) — the df cap bounds
+    posting fan-out to cap·Σdf (linear in corpus tokens with a constant
+    cap factor), the standard stop-shingle guard that keeps weighted
+    AllPairs off the df² cliff (df-1 shingles are skipped in the join —
+    they cannot co-occur — but still harden norms). Everything is two
+    partial-agg shuffles + one shingle-keyed join; no all-pairs
+    anywhere. Non-vacuous at all three SFs (28/25/140 pairs ≥ 0.6)."""
+    from mapreduce_project_spark.functions import token_ngrams, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(token_ngrams(tokens("text"), 3)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.greatest(F.lit(2), F.expr("n div 50")))
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.expr("tf * (n div df)").cast("bigint").alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.expr("sum(w * w)").cast("bigint").alias("nsq"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.filter(F.col("df") >= 2)
+        .join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.expr("sum(a.w * b.w)").cast("bigint").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("shared_terms"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nsq").alias("norm_a_sq"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nsq").alias("norm_b_sq"))
+    # Headroom guard (the CUPED discipline): the pinned IEEE cosine is
+    # bit-exact only while dot/norms are exact as doubles (< 2^53).
+    cos = F.expr(
+        "if(greatest(dot, norm_a_sq, norm_b_sq) < 9007199254740992L, "
+        "cast(dot as double) / (sqrt(cast(norm_a_sq as double))"
+        " * sqrt(cast(norm_b_sq as double))), "
+        "raise_error('text_tfidf_cosine_pairs: sums exceed exact-double"
+        " range — rescale idf before trusting cosine'))"
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.6)
+        .select(
+            "doc_a", "doc_b", "shared_terms", "dot",
+            "norm_a_sq", "norm_b_sq", "cosine",
+        )
+    )
+
+
+# DuckDB twin of the ROUGE-2 pass: identical prefix-sort adjacency
+# (row_number over the same 24-char normalized key), identical bigram
+# multisets, identical truncating ppm arithmetic.
+_ROUGE_ORACLE = """
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY substring(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 24),
+                        doc_id) AS rk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+      FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+    ),
+    bg AS (
+      SELECT doc_id, tks[i] || ' ' || tks[i+1] AS gram,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, {toks} AS tks FROM documents),
+           unnest(generate_series(1, len(tks) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM bg GROUP BY 1),
+    ov AS (
+      SELECT p.ref_id, p.cand_id,
+             -- least() skips NULLs in BOTH engines, so an unmatched
+             -- gram must be excluded explicitly or it counts as ca
+             CAST(COALESCE(SUM(CASE WHEN ra.c IS NOT NULL AND rb.c IS NOT NULL
+                                    THEN least(ra.c, rb.c) END), 0)
+                  AS BIGINT) AS overlap
+      FROM pairs p
+      LEFT JOIN bg ra ON ra.doc_id = p.ref_id
+      LEFT JOIN bg rb ON rb.doc_id = p.cand_id AND rb.gram = ra.gram
+      GROUP BY 1, 2
+    )
+    SELECT o.ref_id, o.cand_id,
+           COALESCE(ta.n, 0) AS n_ref_bigrams,
+           COALESCE(tb.n, 0) AS n_cand_bigrams,
+           o.overlap,
+           CAST(o.overlap * 1000000 // greatest(1, COALESCE(ta.n, 0)) AS BIGINT)
+             AS rouge2_recall_ppm,
+           CAST(o.overlap * 1000000 // greatest(1, COALESCE(tb.n, 0)) AS BIGINT)
+             AS rouge2_precision_ppm,
+           CAST(CASE WHEN o.overlap = 0 THEN 0
+                ELSE 2 * (o.overlap * 1000000 // greatest(1, COALESCE(ta.n, 0)))
+                       * (o.overlap * 1000000 // greatest(1, COALESCE(tb.n, 0)))
+                     // ((o.overlap * 1000000 // greatest(1, COALESCE(ta.n, 0)))
+                         + (o.overlap * 1000000 // greatest(1, COALESCE(tb.n, 0))))
+                END AS BIGINT) AS rouge2_f1_ppm
+    FROM ov o
+    LEFT JOIN tot ta ON ta.doc_id = o.ref_id
+    LEFT JOIN tot tb ON tb.doc_id = o.cand_id
+    """.format(toks=_TOKS)
+
+
+@extra_query("text_rouge_adjacent", _ROUGE_ORACLE)
+def q_text_rouge_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap scoring (D228) — the summarization/overlap
+    metric (Lin 2004) computed as a CORPUS operator: every document
+    scored against its successor in the SNM prefix-sort order (D209's
+    blocking key with window 2 and no similarity gate), reporting
+    bigram-multiset overlap, recall, precision and F₁ in truncating
+    ppm. This is the eval-side sibling of the dedup families: the same
+    adjacency that feeds SNM candidate verification here yields a
+    LABELED similarity score per neighbor pair — the score a curation
+    pipeline uses to grade near-dup aggressiveness or to audit
+    reference/candidate summary overlap at corpus scale.
+
+    Exactness: bigram counts are exact multiset counts, overlap is
+    Σ min(c_ref, c_cand) (a BIGINT), and recall/precision/F₁ are
+    truncating integer ppm (F₁ = 2PR div (P+R) on already-truncated
+    P, R — pinned order, both engines identical). Zero-overlap
+    neighbors stay in the report as 0-rows (LEFT joins; the absence of
+    overlap is the signal). Plan: the global sort is D209's
+    range-partitioned `global_rank` (never a single-task window),
+    pairing is one rank equi-join, and the overlap join is keyed on
+    (cand_id, gram) — per-pair work bounded by document length, so the
+    whole pass is (N−1) bounded-size joins, linear in the corpus."""
+    from mapreduce_project_spark.functions import token_ngrams, tokens
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    docs = t(spark, sf_dir, "documents")
+    norm = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""), 1, 24
+        ).alias("skey"),
+    )
+    ranked = global_rank(norm, ["skey", "id"], "rk").select("id", "rk")
+    pairs = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            F.col("b.rk") == F.col("a.rk") + 1,
+        )
+        .select(F.col("a.id").alias("ref_id"), F.col("b.id").alias("cand_id"))
+    )
+    bg = (
+        docs.select(
+            "doc_id", F.explode(token_ngrams(tokens("text"), 2)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = bg.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    ra = bg.select(
+        F.col("doc_id").alias("ref_id"), "gram", F.col("c").alias("ca")
+    )
+    rb = bg.select(
+        F.col("doc_id").alias("cand_id"), "gram", F.col("c").alias("cb")
+    )
+    ov = (
+        pairs.join(ra, "ref_id", "left")
+        .join(rb, ["cand_id", "gram"], "left")
+        .groupBy("ref_id", "cand_id")
+        .agg(
+            # least() skips NULLs in both engines — restrict to grams
+            # present on BOTH sides or unmatched grams count as ca
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+                        F.least("ca", "cb"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    ta = tot.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("na"))
+    tb = tot.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("nb"))
+    rec = "overlap * 1000000 div greatest(1, coalesce(na, 0))"
+    prec = "overlap * 1000000 div greatest(1, coalesce(nb, 0))"
+    return (
+        ov.join(ta, "ref_id", "left")
+        .join(tb, "cand_id", "left")
+        .select(
+            "ref_id",
+            "cand_id",
+            F.coalesce("na", F.lit(0)).cast("bigint").alias("n_ref_bigrams"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_cand_bigrams"),
+            "overlap",
+            F.expr(rec).cast("bigint").alias("rouge2_recall_ppm"),
+            F.expr(prec).cast("bigint").alias("rouge2_precision_ppm"),
+            F.expr(
+                f"case when overlap = 0 then 0 else "
+                f"2 * ({rec}) * ({prec}) div (({rec}) + ({prec})) end"
+            )
+            .cast("bigint")
+            .alias("rouge2_f1_ppm"),
+        )
+    )

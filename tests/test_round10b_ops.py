@@ -1,0 +1,208 @@
+"""Planted-fixture tests for the round-10 continuation operators
+(D226-D230): each test constructs the specific condition the operator's
+docstring claims to handle and pins the expected output, so a
+regression fails with a diagnosis instead of an opaque oracle hash
+mismatch."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+import mapreduce_project_spark.queries_registry as R
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+
+# ---------------------------------------------------------------- D226
+
+
+def test_tfidf_cosine_keeps_raredup_pair_and_prunes_boilerplate(spark, tmp_path):
+    # docs 1/2 share their RARE trigrams (df=2, kept, high idf); docs
+    # 3..6 share ONLY a boilerplate phrase whose trigrams hit df=4 >
+    # cap=max(2, 6//50)=2 and are pruned, so the boilerplate quartet
+    # produces NO candidate pair at all — the df-cap is the whole
+    # point of the operator.
+    rare = (
+        "quantum ferrite osmosis lattice harmonic zephyr cobalt "
+        "marrow glacier"
+    )
+    boiler = "click here to subscribe now"
+    rows = [
+        (1, rare + " alpha", "en", "s", 1),
+        (2, rare + " gamma", "en", "s", 1),
+        (3, boiler + " one", "en", "s", 1),
+        (4, boiler + " two", "en", "s", 1),
+        (5, boiler + " three", "en", "s", 1),
+        (6, boiler + " four", "en", "s", 1),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["text_tfidf_cosine_pairs"](spark, str(tmp_path)).toPandas()
+    assert set(zip(got.doc_a, got.doc_b)) == {(1, 2)}
+    row = got.iloc[0]
+    # 7 shared trigrams of the 9-token rare stem (the one unique
+    # trailing trigram per doc carries the max-idf weight, so a short
+    # stem would fall below the 0.6 gate — that is the operator
+    # weighting rare divergence MORE than rare agreement, by design)
+    assert row.shared_terms == 7
+    assert row.cosine > 0.6
+
+
+# ---------------------------------------------------------------- D227
+
+
+def test_fk_audit_counts_planted_orphans_and_nulls(spark, tmp_path):
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    w("region", "r_regionkey bigint", [(0,)])
+    w("nation", "n_nationkey bigint, n_regionkey bigint", [(0, 0)])
+    w("customer", "c_custkey bigint, c_nationkey bigint", [(10, 0), (11, 0)])
+    w("supplier", "s_suppkey bigint, s_nationkey bigint", [(20, 0)])
+    w("part", "p_partkey bigint", [(30,)])
+    # one NULL o_custkey and one orphan o_custkey=99
+    w(
+        "orders",
+        "o_orderkey bigint, o_custkey bigint",
+        [(100, 10), (101, None), (102, 99)],
+    )
+    # l_orderkey=999 is an orphan key appearing TWICE (1 key, 2 rows)
+    w(
+        "lineitem",
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint",
+        [(100, 30, 20), (999, 30, 20), (999, 30, 20)],
+    )
+    got = (
+        R.ALL_QUERIES["fk_integrity_audit"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("fk_edge")
+    )
+    li = got.loc["lineitem.l_orderkey->orders"]
+    assert li.child_rows == 3 and li.orphan_keys == 1 and li.orphan_rows == 2
+    assert li.orphan_ppm == 2 * 1000000 // 3
+    oc = got.loc["orders.o_custkey->customer"]
+    assert oc.null_fk_rows == 1 and oc.orphan_keys == 1 and oc.orphan_rows == 1
+    clean = got.loc["customer.c_nationkey->nation"]
+    assert clean.orphan_rows == 0 and clean.orphan_ppm == 0
+    assert len(got) == 7
+
+
+# ---------------------------------------------------------------- D228
+
+
+def test_rouge_adjacent_pins_half_overlap_and_zero_rows(spark, tmp_path):
+    # sort keys: "abcde..." < "abcxy..." < "zzz..." so the pair order
+    # is fixed; ref/cand share exactly 2 of 4 bigrams -> P=R=F1=50%.
+    rows = [
+        (1, "aa bb cc dd ee", "en", "s", 1),
+        (2, "aa bb cc xx yy", "en", "s", 1),
+        (3, "zz zz zz zz", "en", "s", 1),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["text_rouge_adjacent"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["ref_id", "cand_id"])
+    )
+    top = got.loc[(1, 2)]
+    assert top.overlap == 2 and top.n_ref_bigrams == 4 and top.n_cand_bigrams == 4
+    assert top.rouge2_recall_ppm == 500000
+    assert top.rouge2_precision_ppm == 500000
+    assert top.rouge2_f1_ppm == 500000
+    # disjoint neighbors stay in the report as explicit zero rows
+    zero = got.loc[(2, 3)]
+    assert zero.overlap == 0 and zero.rouge2_f1_ppm == 0
+    assert len(got) == 2
+
+
+# ---------------------------------------------------------------- D229
+
+
+def test_concurrency_profile_peak_and_midnight_split(spark, tmp_path):
+    rows = [
+        # u1: one session 00:00-00:10; u2 single event inside it -> peak 2
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 00:10:00", 1, "view", 0.0),
+        (3, "2024-01-01 00:05:00", 2, "view", 0.0),
+        # u3: isolated later -> doesn't raise the peak
+        (4, "2024-01-01 02:00:00", 3, "view", 0.0),
+        # u4: session crossing midnight (15-min gap < 30) -> sliced
+        # into both days
+        (5, "2024-01-02 23:50:00", 4, "view", 0.0),
+        (6, "2024-01-03 00:05:00", 4, "view", 0.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_concurrency_profile"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("day")
+    )
+    d1 = got.loc["2024-01-01"]
+    assert d1.peak_concurrent == 2 and d1.n_session_slices == 3
+    # the midnight session contributes one slice to EACH day
+    assert got.loc["2024-01-02"].n_session_slices == 1
+    assert got.loc["2024-01-03"].n_session_slices == 1
+    assert got.loc["2024-01-02"].peak_concurrent == 1
+
+
+# ---------------------------------------------------------------- D230
+
+
+def _arm(uid: int) -> str:
+    return "A" if hashlib.md5(str(uid).encode()).hexdigest()[0] in "01234567" else "B"
+
+
+def test_bootstrap_ci_separates_a_clear_effect(spark, tmp_path):
+    # 40 users per arm (selected by the real md5 split), arm B's
+    # per-user total is 100 cents higher -> the 95% CI must sit
+    # strictly above zero and bracket the observed diff.
+    a_users = [u for u in range(1, 500) if _arm(u) == "A"][:40]
+    b_users = [u for u in range(1, 500) if _arm(u) == "B"][:40]
+    rows = []
+    eid = 0
+    for u in a_users:
+        rows.append((eid, "2024-01-05 00:00:00", u, "purchase", 1.00))
+        eid += 1
+    for u in b_users:
+        rows.append((eid, "2024-01-05 00:00:00", u, "purchase", 2.00))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["abtest_bootstrap_ci"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row.n_users_a == 40 and row.n_users_b == 40
+    assert abs(row.diff_cents - 100.0) < 1e-9
+    assert row.ci_lo_cents > 0 and row.ci_covers_zero == 0
+    assert row.ci_lo_cents <= row.diff_cents <= row.ci_hi_cents
+    assert row.n_resamples == 200
+
+
+def test_bootstrap_ci_covers_zero_under_the_null(spark, tmp_path):
+    # identical arms -> observed diff 0, CI must cover it.
+    users = list(range(1, 120))
+    rows = [
+        (i, "2024-01-05 00:00:00", u, "purchase", 1.00)
+        for i, u in enumerate(users)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["abtest_bootstrap_ci"](spark, str(tmp_path)).toPandas()
+    row = got.iloc[0]
+    assert row.diff_cents == 0.0
+    assert row.ci_covers_zero == 1
+    assert row.ci_lo_cents <= 0.0 <= row.ci_hi_cents
