@@ -832,3 +832,116 @@ def q_winsorize_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((q < F.col("lo")) | (q > F.col("hi"))).alias("clipped"),
         )
     )
+
+
+# DuckDB twin of the assortativity moments: identical edge SQL
+# (January-1995 co-supply, the D114/D49 graph), identical symmetrized
+# moment sums, identical pinned Pearson-over-edges expression.
+_ASSORT_ORACLE = """
+    WITH o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    ),
+    e0 AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      JOIN o ON x.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(da.d) AS BIGINT) AS sx,
+             CAST(SUM(da.d * da.d) AS BIGINT) AS sxx,
+             CAST(SUM(da.d * db.d) AS BIGINT) AS sxy
+      FROM edges e
+      JOIN deg da ON da.id = e.a
+      JOIN deg db ON db.id = e.b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           n // 2 AS n_edges, sx, sxx, sxy,
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS assortativity
+    FROM m
+    """
+
+
+@extra_query("graph_degree_assortativity", _ASSORT_ORACLE)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (D233, Newman 2002) of the January-1995
+    co-supply graph — the one-number structural fingerprint the graph
+    family was missing (components D114 say how many pieces, triangles
+    D50 how clustered, PageRank D49 who matters; assortativity says
+    whether hubs attach to hubs (r > 0, social-network shape) or to
+    leaves (r < 0, internet/supply-chain shape)) — the statistic that
+    tells a partitioner whether degree-based salting will face
+    hub-hub edge concentration.
+
+    Exactness: Pearson over the SYMMETRIZED edge list (each edge
+    contributes both directions, the standard estimator), so Sy = Sx
+    and Syy = Sxx and r collapses to (n·Sxy − Sx²)/(n·Sxx − Sx²) —
+    four exact BIGINT moment sums and ONE pinned IEEE division (the
+    D107 discipline; int64→double casts round identically in both
+    engines), zero-denominator (regular graph) pinned to 0. Plan: one
+    distinct-edge self-join (bounded by per-order line counts), one
+    node-keyed degree partial agg, two broadcast-friendly degree
+    probes, one scalar agg — output is ONE row at any scale."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    e0 = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("dda"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("ddb"))
+    m = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dda").cast("bigint").alias("sx"),
+            F.expr("sum(dda * dda)").cast("bigint").alias("sxx"),
+            F.expr("sum(dda * ddb)").cast("bigint").alias("sxy"),
+        )
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    # Headroom guard (CUPED discipline): n·Sxy and Sx² must stay
+    # inside int64 before the pinned IEEE division can be trusted.
+    r = F.expr(
+        "case when n * sxx - sx * sx = 0 then cast(0.0 as double) "
+        "when greatest(sxx, sxy) >= (4611686018427387904L div n) "
+        "  then raise_error('graph_degree_assortativity: moment sums exceed"
+        " 64-bit headroom — widen to DECIMAL(38,0)') "
+        "else cast(n * sxy - sx * sx as double)"
+        " / cast(n * sxx - sx * sx as double) end"
+    )
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        "sx",
+        "sxx",
+        "sxy",
+        r.alias("assortativity"),
+    )

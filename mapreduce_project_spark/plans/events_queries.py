@@ -3245,3 +3245,221 @@ def q_abtest_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ci_covers_zero"),
         )
     )
+
+
+# DuckDB twin of the Holt fit: identical zero-filled day grid and the
+# recursion replayed as a recursive CTE. The /4.0-then-floor form is
+# deliberate: 4 is a power of two, so the double division is EXACT for
+# |x| < 2^53 and floor() gives both engines the identical FLOOR
+# division (integer div/// disagree between engines on negatives,
+# and the trend term goes negative on any declining series).
+_HOLT_ORACLE = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    grid AS (
+      SELECT t.event_type, g.d,
+             row_number() OVER (PARTITION BY t.event_type ORDER BY g.d) AS rn,
+             COALESCE(dy.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                                (SELECT d1 FROM bounds))) AS d) g
+      LEFT JOIN daily dy ON dy.event_type = t.event_type AND dy.d = g.d
+    ),
+    fit AS (
+      SELECT event_type, rn, d, y,
+             y AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS resid
+      FROM grid WHERE rn = 1
+      UNION ALL
+      SELECT g.event_type, g.rn, g.d, g.y,
+             CAST(floor((g.y + 3 * (f.l + f.b)) / 4.0) AS BIGINT),
+             CAST(floor((CAST(floor((g.y + 3 * (f.l + f.b)) / 4.0) AS BIGINT)
+                         - f.l + 3 * f.b) / 4.0) AS BIGINT),
+             g.y - (f.l + f.b)
+      FROM fit f JOIN grid g
+        ON g.event_type = f.event_type AND g.rn = f.rn + 1
+    )
+    SELECT event_type,
+           strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+           y AS y_cents, l AS level_cents, b AS trend_cents,
+           resid AS resid_cents,
+           l + b AS forecast_next_cents
+    FROM fit
+    """
+
+
+@extra_query("events_holt_forecast", _HOLT_ORACLE)
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend double exponential smoothing (D232) — the
+    trend-aware member of the forecasting family (EWMA D112 tracks
+    level only; seasonal-naive D214 assumes a pure cycle; ACF D224
+    DECIDES which model applies): per event type over the zero-filled
+    daily cents series, the classic recursion with α = β = 1/4 —
+    l_t = ⌊(y_t + 3(l+b))/4⌋, b_t = ⌊(l_t − l_{t−1} + 3b)/4⌋ — plus
+    the one-step residual y_t − (l+b) (the forecast-error stream an
+    anomaly monitor consumes) and the next-day forecast l+b.
+
+    Exactness: the recursion divides by 4 via floor(x/4.0) — a power
+    of two, so the double division is exact below 2⁵³ and FLOOR gives
+    both engines identical semantics where integer div (toward zero)
+    and // (toward −∞) would diverge on the negative trend values any
+    declining series produces. The oracle replays the recursion as a
+    recursive CTE (the D112 discipline). Plan: corpus-scale work is
+    ONE (type, day)-keyed partial agg; the recursion runs per type
+    over the ≤#days grid (a century < 40k rows/key) inside one
+    applyInPandas with Python ints — sequential because each output
+    depends on the previous OUTPUT, the one shape no window frame
+    expresses."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.sum(cents).cast("bigint").alias("y"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        ls, bs, rs = [], [], []
+        l = b = 0
+        for i, y in enumerate(ys):
+            if i == 0:
+                l, b, r = y, 0, 0
+            else:
+                lp, bp = l, b
+                r = y - (lp + bp)
+                l = (y + 3 * (lp + bp)) // 4
+                b = (l - lp + 3 * bp) // 4
+            ls.append(l)
+            bs.append(b)
+            rs.append(r)
+        pdf["l"], pdf["b"], pdf["resid"] = ls, bs, rs
+        return pdf
+
+    fit = grid.groupBy("event_type").applyInPandas(
+        holt, "event_type string, d long, y long, l long, b long, resid long"
+    )
+    return fit.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.expr("d * 86400000000")), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("y").alias("y_cents"),
+        F.col("l").alias("level_cents"),
+        F.col("b").alias("trend_cents"),
+        F.col("resid").alias("resid_cents"),
+        (F.col("l") + F.col("b")).cast("bigint").alias("forecast_next_cents"),
+    )
+
+
+# DuckDB twin of the hazard table: identical per-user entry/conversion
+# /censor days, identical k-grid at-risk suffix counts, identical
+# truncating ppm hazard.
+_HAZARD_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(epoch_us(date_trunc('day', ts)) // 86400000000) AS entry_d,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(date_trunc('day', ts)) // 86400000000
+                 END) AS conv_d
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT MAX(epoch_us(date_trunc('day', ts)) // 86400000000) AS end_d
+      FROM events
+    ),
+    spans AS (
+      SELECT user_id,
+             conv_d - entry_d AS conv_k,
+             COALESCE(conv_d - entry_d,
+                      (SELECT end_d FROM horizon) - entry_d) AS risk_end
+      FROM per_user
+    ),
+    grid AS (SELECT unnest(generate_series(0, 29)) AS k)
+    SELECT CAST(g.k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN s.risk_end >= g.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_risk,
+           CAST(SUM(CASE WHEN s.conv_k = g.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(CASE WHEN s.conv_k = g.k THEN 1 ELSE 0 END) * 1000000
+                // greatest(1, SUM(CASE WHEN s.risk_end >= g.k THEN 1 ELSE 0 END))
+                AS BIGINT) AS hazard_ppm
+    FROM grid g CROSS JOIN spans s
+    GROUP BY g.k
+    """
+
+
+@extra_query("events_retention_hazard", _HAZARD_ORACLE)
+def q_events_retention_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time conversion hazard table (D234) — survival analysis
+    without the float product: for each day k since a user's first
+    event, how many users were still AT RISK (not yet converted, not
+    yet censored by the observation horizon) and how many converted
+    exactly on day k; hazard(k) = converted/at-risk in truncating ppm.
+    This is the Kaplan-Meier sufficient-statistics table — the
+    survival curve is Π(1 − h(k)), derivable downstream, but the
+    hazard table itself is all-integer and therefore hash-exact where
+    the cumulative product would be order-dependent float. Censoring
+    is handled the way the estimator requires: a user observed for
+    only c days leaves the risk set at k > c instead of polluting the
+    denominator (the D48 retention matrix counts raw cohort returns;
+    this is the censoring-correct version).
+
+    Plan: ONE user-keyed partial agg (entry day, first-purchase day)
+    collapses the corpus to one row per user; the 30-row k-grid then
+    cross-joins that per-user table with the at-risk/converted
+    predicates folded into ONE partial agg — no explode, no window.
+    At 100 TB the per-user table is the only corpus-scale shuffle.
+    Non-vacuous at all SFs (30 rows always; purchase events are ~20%
+    of the fixture mix)."""
+    ev = t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("entry_d"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("conv_d"),
+    )
+    horizon = ev.agg(F.max(day).alias("end_d"))
+    spans = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("conv_d") - F.col("entry_d")).alias("conv_k"),
+        F.coalesce(
+            F.col("conv_d") - F.col("entry_d"),
+            F.col("end_d") - F.col("entry_d"),
+        ).alias("risk_end"),
+    )
+    grid = spark.range(30).select(F.col("id").cast("bigint").alias("k"))
+    return (
+        spans.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("risk_end") >= F.col("k")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_at_risk"),
+            F.sum((F.col("conv_k") == F.col("k")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+        .select(
+            "k",
+            "n_at_risk",
+            "n_converted",
+            F.expr("n_converted * 1000000 div greatest(1, n_at_risk)")
+            .cast("bigint")
+            .alias("hazard_ppm"),
+        )
+    )

@@ -1725,3 +1725,120 @@ def q_lsh_width_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ppm"),
         F.expr("s.nc * 1000000 div np").cast("bigint").alias("cand_ppm"),
     )
+
+
+# DuckDB twin of the SQ2 codebook: identical milli quantization (the
+# D219 float32->DOUBLE widening discipline), identical 4x-scaled exact
+# quartiles, identical shifted-floor reconstruction means.
+_SQ2_ORACLE = """
+    WITH q AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    th AS (
+      SELECT dim,
+             CAST(4 * quantile_cont(v, 0.25) AS BIGINT) AS q25_4x,
+             CAST(4 * quantile_cont(v, 0.50) AS BIGINT) AS q50_4x,
+             CAST(4 * quantile_cont(v, 0.75) AS BIGINT) AS q75_4x
+      FROM q GROUP BY dim
+    ),
+    coded AS (
+      SELECT q.dim, th.q25_4x, th.q50_4x, th.q75_4x, q.v,
+             CAST(CASE WHEN 4 * q.v >= th.q25_4x THEN 1 ELSE 0 END
+                  + CASE WHEN 4 * q.v >= th.q50_4x THEN 1 ELSE 0 END
+                  + CASE WHEN 4 * q.v >= th.q75_4x THEN 1 ELSE 0 END
+                  AS BIGINT) AS code
+      FROM q JOIN th USING (dim)
+    ),
+    agg AS (
+      SELECT dim, code, q25_4x, q50_4x, q75_4x,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM coded GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT dim, code, n_vecs, q25_4x, q50_4x, q75_4x,
+           CAST((sv + n_vecs * 100000) // n_vecs - 100000 AS BIGINT)
+             AS recon_milli,
+           CAST(svv
+                - 2 * ((sv + n_vecs * 100000) // n_vecs - 100000) * sv
+                + n_vecs * ((sv + n_vecs * 100000) // n_vecs - 100000)
+                  * ((sv + n_vecs * 100000) // n_vecs - 100000)
+                AS BIGINT) AS sse_milli2
+    FROM agg
+    """
+
+
+@extra_query("embedding_sq2_codebook", _SQ2_ORACLE)
+def q_embedding_sq2_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension QUARTILE scalar quantization (D235) — the
+    data-adaptive 2-bit rung of the quantization ladder (int8 linear
+    D82 assumes a symmetric range, PQ D115 learns subspace centroids,
+    SQ8 D161 serves 1 B/dim; this learns each dimension's OWN quartile
+    edges, the distribution-aware 2-bit code that equals 0.25 B/dim in
+    serving): per (dim, code 0..3) — population, the reconstruction
+    centroid, and the EXACT within-bin squared error, i.e. the
+    codebook AND its distortion report in one pass (the number that
+    says whether 2 bits suffice per dimension before committing a
+    reindex).
+
+    Exactness: milli quantization with the D219 float32→DOUBLE
+    widening; quartiles interpolate at quarter-integer fractions so
+    4·Q is an exact BIGINT in both engines; code assignment is three
+    integer comparisons on 4v; the bin centroid uses the
+    SHIFT-THEN-DIVIDE floor trick ((Σv + n·10⁵) div n − 10⁵ — Spark
+    div truncates toward zero, DuckDB // floors, and they agree only
+    on non-negative operands, so the shift pins floor semantics on
+    the negative sums real embeddings produce); SSE comes from the
+    moment identity Σv² − 2c·Σv + n·c², all BIGINT, no second pass
+    over the data. Plan: one 64× map-side explode, one exact grouped
+    quantile (64 groups), one broadcast threshold join, ONE
+    (dim, code) partial agg — 256 output rows at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    q = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"
+            )
+        ).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("bigint").alias("dim"), "v")
+    th = q.groupBy("dim").agg(
+        F.expr("cast(4 * percentile(v, 0.25) as bigint)").alias("q25_4x"),
+        F.expr("cast(4 * percentile(v, 0.50) as bigint)").alias("q50_4x"),
+        F.expr("cast(4 * percentile(v, 0.75) as bigint)").alias("q75_4x"),
+    )
+    coded = q.join(F.broadcast(th), "dim").select(
+        "dim",
+        "q25_4x",
+        "q50_4x",
+        "q75_4x",
+        "v",
+        F.expr(
+            "cast(cast(4 * v >= q25_4x as int) + cast(4 * v >= q50_4x as int)"
+            " + cast(4 * v >= q75_4x as int) as bigint)"
+        ).alias("code"),
+    )
+    agg = coded.groupBy("dim", "code", "q25_4x", "q50_4x", "q75_4x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.expr("sum(v * v)").cast("bigint").alias("svv"),
+    )
+    recon = "((sv + n_vecs * 100000) div n_vecs - 100000)"
+    return agg.select(
+        "dim",
+        "code",
+        "n_vecs",
+        "q25_4x",
+        "q50_4x",
+        "q75_4x",
+        F.expr(recon).cast("bigint").alias("recon_milli"),
+        F.expr(f"svv - 2 * {recon} * sv + n_vecs * {recon} * {recon}")
+        .cast("bigint")
+        .alias("sse_milli2"),
+    )

@@ -3788,3 +3788,147 @@ def q_text_rouge_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rouge2_f1_ppm"),
         )
     )
+
+
+# DuckDB twin of the stylometry pass: identical top-20 function-word
+# table, identical doubled-median / quadrupled-MAD integer scaling,
+# identical truncating delta arithmetic.
+_BURROWS_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, source, unnest({toks}) AS w
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, w ASC LIMIT 20)
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok JOIN vocab USING (w) GROUP BY 1, 2
+    ),
+    rates AS (
+      SELECT d.doc_id, d.source, v.w,
+             CAST(COALESCE(t.tf, 0) * 1000000
+                  // greatest(1, d.n_tok) AS BIGINT) AS r
+      FROM doclen d
+      CROSS JOIN vocab v
+      LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.w = v.w
+    ),
+    center AS (
+      SELECT w, CAST(2 * quantile_cont(r, 0.5) AS BIGINT) AS med2
+      FROM rates GROUP BY 1
+    ),
+    devs AS (
+      SELECT r.doc_id, r.source, r.w,
+             abs(2 * r.r - c.med2) AS dev2
+      FROM rates r JOIN center c USING (w)
+    ),
+    scale AS (
+      SELECT w, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+      FROM devs GROUP BY 1
+    )
+    SELECT d.source, d.w AS word,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           c.med2 AS med2_ppm, s.mad4 AS mad4_ppm,
+           CAST(SUM(d.dev2) AS BIGINT) AS sum_dev2,
+           CAST(SUM(d.dev2) * 2000 //
+                (greatest(1, s.mad4) * COUNT(*)) AS BIGINT) AS delta_milli
+    FROM devs d
+    JOIN center c USING (w)
+    JOIN scale s USING (w)
+    GROUP BY d.source, d.w, c.med2, s.mad4
+    """.format(toks=_TOKS)
+
+
+@extra_query("stylometry_burrows_delta", _BURROWS_ORACLE)
+def q_stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows's Delta stylometry (D231, MAD-scaled — Argamon's robust
+    variant) — authorship/style attribution as a corpus operator: for
+    the 20 most frequent corpus words (the FUNCTION-word band where
+    style lives; ties broken word-ASC), each document's usage rate in
+    ppm of its own length, centered on the corpus MEDIAN rate and
+    scaled by the MAD, then averaged per source as mean |z| in milli
+    units. A source whose delta is large across many function words
+    writes measurably unlike the corpus — the stylistic-outlier screen
+    that flags machine-generated or off-domain sources before they
+    enter a training mix (the style-space sibling of the D153 KL
+    token-drift monitor).
+
+    Exactness: NO floats anywhere — the interpolated median of
+    integers is a half-integer, so the DOUBLED median (med2 = 2·Q50)
+    and QUADRUPLED MAD (mad4 = 2·median of doubled deviations) are
+    exact BIGINTs in both engines; per-doc deviations dev2 =
+    |2r − med2| are integers; delta = 2000·Σdev2 div (mad4·n) is one
+    pinned truncating division (mean |z| in milli with z =
+    2·dev2/mad4). Missing words count as explicit rate-0 rows (the
+    doc×vocab grid — absence of a function word IS a style signal).
+    Plan: token explode + two partial aggs, a 20-row broadcast vocab,
+    the grid join (20 rows per doc, linear), two exact grouped medians
+    (metadata-scale groups: 20 words), one (source, word) partial agg.
+    Output 20 sources × 20 words."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("w")
+    )
+    doclen = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(20)
+        .select("w")
+    )
+    tf = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    rates = (
+        doclen.crossJoin(F.broadcast(vocab))
+        .join(tf, ["doc_id", "w"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.expr("coalesce(tf, 0) * 1000000 div greatest(1, n_tok)")
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    center = rates.groupBy("w").agg(
+        F.expr("cast(2 * percentile(r, 0.5) as bigint)").alias("med2")
+    )
+    devs = rates.join(F.broadcast(center), "w").select(
+        "doc_id", "source", "w", F.expr("abs(2 * r - med2)").alias("dev2"), "med2"
+    )
+    scale = devs.groupBy("w").agg(
+        F.expr("cast(2 * percentile(dev2, 0.5) as bigint)").alias("mad4")
+    )
+    return (
+        devs.join(F.broadcast(scale), "w")
+        .groupBy("source", F.col("w").alias("word"), "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dev2").cast("bigint").alias("sum_dev2"),
+        )
+        .select(
+            "source",
+            "word",
+            "n_docs",
+            F.col("med2").alias("med2_ppm"),
+            F.col("mad4").alias("mad4_ppm"),
+            "sum_dev2",
+            F.expr("sum_dev2 * 2000 div (greatest(1, mad4) * n_docs)")
+            .cast("bigint")
+            .alias("delta_milli"),
+        )
+    )

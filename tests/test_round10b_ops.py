@@ -206,3 +206,146 @@ def test_bootstrap_ci_covers_zero_under_the_null(spark, tmp_path):
     assert row.diff_cents == 0.0
     assert row.ci_covers_zero == 1
     assert row.ci_lo_cents <= 0.0 <= row.ci_hi_cents
+
+
+# ---------------------------------------------------------------- D231
+
+
+def test_burrows_delta_flags_the_stylistic_outlier_source(spark, tmp_path):
+    # "balanced" docs use a normal function-word mix; "botty" docs are
+    # one word repeated — its rate z-deviation must dominate, and the
+    # doc x vocab grid must produce rows for words botty never uses.
+    rows = []
+    did = 0
+    for _ in range(6):
+        rows.append((did, "the cat sat on the mat", "en", "balanced", 22))
+        did += 1
+    for _ in range(4):
+        rows.append((did, "the the the the the the", "en", "botty", 23))
+        did += 1
+    _write_docs(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["stylometry_burrows_delta"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["source", "word"])
+    )
+    assert got.loc[("botty", "the")].delta_milli > got.loc[("balanced", "the")].delta_milli
+    assert got.loc[("balanced", "the")].delta_milli == 0
+    # zero-rate grid: botty never says "cat" but still gets a row with
+    # a nonzero deviation from the corpus median rate
+    assert got.loc[("botty", "cat")].n_docs == 4
+    assert got.loc[("botty", "cat")].delta_milli > 0
+
+
+# ---------------------------------------------------------------- D232
+
+
+def test_holt_declining_series_pins_floor_semantics(spark, tmp_path):
+    # 300, 200, 100 cents daily: the trend term goes NEGATIVE, where
+    # floor(x/4.0) (pinned) and integer-div-toward-zero diverge:
+    # b_2 = floor(-25/4) = -7 (truncation would say -6).
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 3.00),
+        (2, "2024-01-02 00:00:00", 1, "view", 2.00),
+        (3, "2024-01-03 00:00:00", 1, "view", 1.00),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_holt_forecast"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("day")
+    )
+    assert got.loc["2024-01-01"].level_cents == 300
+    assert got.loc["2024-01-01"].trend_cents == 0
+    d2 = got.loc["2024-01-02"]
+    assert d2.level_cents == 275 and d2.trend_cents == -7
+    assert d2.resid_cents == -100
+    d3 = got.loc["2024-01-03"]
+    assert d3.level_cents == 226 and d3.trend_cents == -18
+    assert d3.resid_cents == -168
+    assert d3.forecast_next_cents == 226 - 18
+
+
+# ---------------------------------------------------------------- D233
+
+
+def test_assortativity_star_graph_is_exactly_minus_one(spark, tmp_path):
+    # hub supplier 1 co-supplies with leaves 2..5 (one 2-line order per
+    # pair, all in Jan-1995): a star's degree assortativity is -1.
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+
+    spark.createDataFrame(
+        [(k, "1995-01-15 00:00:00") for k in (1, 2, 3, 4)],
+        "o_orderkey bigint, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    li = []
+    for k, leaf in zip((1, 2, 3, 4), (2, 3, 4, 5)):
+        li.append((k, 1))
+        li.append((k, leaf))
+    w("lineitem", "l_orderkey bigint, l_suppkey bigint", li)
+    got = R.ALL_QUERIES["graph_degree_assortativity"](spark, str(tmp_path)).toPandas()
+    row = got.iloc[0]
+    assert row.n_nodes == 5 and row.n_edges == 4
+    assert row.assortativity == -1.0
+
+
+# ---------------------------------------------------------------- D234
+
+
+def test_retention_hazard_censoring_and_conversion(spark, tmp_path):
+    # u1 converts on day 2; u2 never converts (at risk to the day-5
+    # horizon); u3 enters AT the horizon (censored at 0, so it leaves
+    # the risk set after k=0). at_risk must shrink by censoring, not
+    # just conversion.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0),
+        (2, "2024-01-03 00:00:00", 1, "purchase", 5.0),
+        (3, "2024-01-01 00:00:00", 2, "view", 0.0),
+        (4, "2024-01-06 00:00:00", 3, "view", 0.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_retention_hazard"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("k")
+    )
+    assert got.loc[0].n_at_risk == 3 and got.loc[0].n_converted == 0
+    assert got.loc[1].n_at_risk == 2
+    k2 = got.loc[2]
+    assert k2.n_at_risk == 2 and k2.n_converted == 1
+    assert k2.hazard_ppm == 500000
+    assert got.loc[3].n_at_risk == 1 and got.loc[5].n_at_risk == 1
+    assert got.loc[6].n_at_risk == 0 and got.loc[6].hazard_ppm == 0
+    assert len(got) == 30
+
+
+# ---------------------------------------------------------------- D235
+
+
+def test_sq2_codebook_floor_reconstruction_on_negative_bin(spark, tmp_path):
+    # dim 1 carries {-9,-8,1,2,3,4,5,6} milli: bin 0 holds {-9,-8},
+    # whose mean -8.5 must FLOOR to -9 (toward-zero truncation would
+    # say -8 — the shift-then-divide trick is what this pins), with
+    # SSE (0^2 + 1^2) = 1.
+    vals = [-0.009, -0.008, 0.001, 0.002, 0.003, 0.004, 0.005, 0.006]
+    rows = []
+    for i, v in enumerate(vals):
+        emb = [0.0] * 64
+        emb[0] = v
+        rows.append((i, emb, "x"))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = R.ALL_QUERIES["embedding_sq2_codebook"](spark, str(tmp_path)).toPandas()
+    d1 = got[got.dim == 1].set_index("code")
+    assert d1.loc[0].n_vecs == 2
+    assert d1.loc[0].recon_milli == -9
+    assert d1.loc[0].sse_milli2 == 1
+    # an all-constant dimension collapses into the single >= -all code
+    d2 = got[got.dim == 2]
+    assert len(d2) == 1 and d2.iloc[0].code == 3 and d2.iloc[0].sse_milli2 == 0
