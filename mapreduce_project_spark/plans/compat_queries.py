@@ -721,3 +721,122 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
     )
     return exact.unionByName(near)
+
+
+@extra_query(
+    "multimodal_audio_resample",
+    """
+    WITH t AS (
+      SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS o
+      FROM documents
+    ),
+    s AS (SELECT doc_id, o, len(o) AS n FROM t),
+    sm AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, (n + (n % 2)) // 2),
+                            i -> o[2*i - 1] + 256 * COALESCE(o[2*i], 0)) AS sam
+      FROM s
+    ),
+    dec AS (
+      SELECT doc_id, len(sam) AS n_in,
+             list_transform(generate_series(1, len(sam) // 4),
+                            j -> (sam[4*j - 3] + sam[4*j - 2]
+                                  + sam[4*j - 1] + sam[4*j]) // 4) AS d
+      FROM sm
+    )
+    SELECT doc_id,
+           CAST(n_in AS BIGINT) AS n_in_samples,
+           CAST(len(d) AS BIGINT) AS n_out_samples,
+           CAST(COALESCE(list_aggregate(d, 'sum'), 0) AS BIGINT) AS out_sum,
+           CAST(COALESCE(list_aggregate(list_transform(
+                  generate_series(1, len(d)),
+                  j -> d[j] * ((j - 1) % 97 + 1)), 'sum'), 0) AS BIGINT)
+             AS out_wsum,
+           CAST(COALESCE(list_aggregate(d, 'max'), 0) AS BIGINT) AS peak_out
+    FROM dec
+    """,
+)
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sample-rate conversion (D236) — the 4:1 integer boxcar
+    decimator (8 kHz → 2 kHz), the preprocessing step every speech
+    corpus runs before feature extraction (log-mel D193 consumes the
+    DECIMATED stream at production rates): each document's text bytes
+    become a REAL RIFF/WAVE payload (identical construction to
+    `multimodal_wav_roundtrip` — LIST chunk planted before fmt, odd
+    texts zero-padded), the REAL decoder walks the chunks, and each
+    4-sample block collapses to its truncating integer mean. Reported
+    per doc: in/out sample counts, the output sum, an ORDER-SENSITIVE
+    weighted checksum (Σ d_j·((j−1) mod 97 + 1) — a permuted or
+    off-by-one-framed output changes it where a plain sum might not),
+    and the output peak.
+
+    Exactness: ASCII payload bytes keep every sample in [0, 32768), so
+    the truncating block mean (// 4) is floor on both engines and all
+    sums are small exact BIGINTs; the oracle recomputes the decimation
+    straight from the characters (byte ≡ codepoint), so wrong chunk
+    walking, framing, or tail handling (the incomplete trailing block
+    is DROPPED — resamplers emit full blocks only) breaks the hash.
+    Plan: narrow mapInPandas encode → decode → decimate; payloads
+    never shuffle (the C5 discipline); output is one row per doc."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mapreduce_project_spark.operators.multimodal import decode_media
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                b = str(txt).encode("utf-8")
+                if len(b) % 2:
+                    b += b"\x00"
+                fmt = (
+                    b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+                    + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                )
+                lst = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+                data = b"data" + len(b).to_bytes(4, "little") + b
+                body = b"WAVE" + lst + fmt + data
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    def decimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n_in, n_out, sums, wsums, peaks = [], [], [], [], []
+            for d in pdf["data"]:
+                s = np.frombuffer(bytes(d), dtype="<i2").astype(np.int64)
+                k = len(s) // 4
+                dec = s[: 4 * k].reshape(-1, 4).sum(axis=1) // 4
+                w = (np.arange(k, dtype=np.int64) % 97) + 1
+                n_in.append(len(s))
+                n_out.append(k)
+                sums.append(int(dec.sum(dtype=np.int64)) if k else 0)
+                wsums.append(int((dec * w).sum(dtype=np.int64)) if k else 0)
+                peaks.append(int(dec.max()) if k else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_in_samples": n_in,
+                    "n_out_samples": n_out,
+                    "out_sum": sums,
+                    "out_wsum": wsums,
+                    "peak_out": peaks,
+                }
+            )
+
+    enc = docs.mapInPandas(encode, "doc_id long, payload binary")
+    dec = decode_media(enc, "doc_id", "payload")
+    return dec.mapInPandas(
+        decimate,
+        "doc_id long, n_in_samples long, n_out_samples long, "
+        "out_sum long, out_wsum long, peak_out long",
+    )

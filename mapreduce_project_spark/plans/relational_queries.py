@@ -2021,3 +2021,129 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# DuckDB twin of the t-closeness audit: identical QI cells and balance
+# bands as the l-diversity audit (D205), identical cumulative-ppm EMD.
+_TCLOSE_ORACLE = """
+    WITH rows_b AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    bands AS (SELECT DISTINCT band FROM rows_b),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bands),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rows_b),
+    gband AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM rows_b GROUP BY 1
+    ),
+    cells AS (
+      SELECT seg, nat, CAST(COUNT(*) AS BIGINT) AS n FROM rows_b GROUP BY 1, 2
+    ),
+    cband AS (
+      SELECT seg, nat, band, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rows_b GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT cells.seg, cells.nat, cells.n, bands.band,
+             COALESCE(cband.c, 0) AS c, gband.g
+      FROM cells CROSS JOIN bands
+      LEFT JOIN cband ON cband.seg = cells.seg AND cband.nat = cells.nat
+                     AND cband.band = bands.band
+      JOIN gband ON gband.band = bands.band
+    ),
+    cum AS (
+      SELECT seg, nat, n, band,
+             SUM(c) OVER (PARTITION BY seg, nat ORDER BY band
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(g) OVER (PARTITION BY seg, nat ORDER BY band
+                          ROWS UNBOUNDED PRECEDING) AS cg
+      FROM grid
+    )
+    SELECT seg AS c_mktsegment, nat AS c_nationkey, n AS n_rows,
+           CAST(SUM(abs(cc * 1000000 // n
+                        - cg * 1000000 // (SELECT n_total FROM total)))
+                // ((SELECT m FROM m) - 1) AS BIGINT) AS t_emd_ppm,
+           CAST(CASE WHEN SUM(abs(cc * 1000000 // n
+                        - cg * 1000000 // (SELECT n_total FROM total)))
+                // ((SELECT m FROM m) - 1) > 200000
+                THEN 1 ELSE 0 END AS BIGINT) AS above_t02
+    FROM cum
+    GROUP BY seg, nat, n
+    """
+
+
+@extra_query("t_closeness_audit", _TCLOSE_ORACLE)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (D237, Li et al., ICDE'07) — the third leg of
+    the release-governance triad: k-anonymity (D131) bounds cell size,
+    l-diversity (D205) bounds value homogeneity, and t-closeness bounds
+    how far a cell's SENSITIVE-VALUE DISTRIBUTION may drift from the
+    corpus distribution (a cell can be k-anonymous AND l-diverse yet
+    still leak — e.g. 90% of its members in the top balance band when
+    the corpus has 10%; the skew IS the disclosure). Same QI cells
+    (segment, nation) and balance bands as D205; distance = the Earth
+    Mover's Distance on the ORDERED band domain — Σ|cumQ − cumP| over
+    bands div (m−1), the classic ordered-attribute EMD.
+
+    Exactness: cumulative counts are exact integers, cumulative shares
+    are truncating ppm, the EMD is one truncating division — zero
+    floats. Plan: three partial aggs (global bands, cells, cell×band),
+    a cells × bands grid (m ≈ a dozen bands, so the grid is ~m× the
+    cell table — metadata-scale), one bounded per-cell window for the
+    two cumsums, one final partial agg. Output: one row per QI cell
+    with its t in ppm and the t > 0.2 release flag."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    bands = c.select("band").distinct()
+    m = bands.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    gband = c.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    cells = c.groupBy("seg", "nat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cband = c.groupBy("seg", "nat", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc0")
+    )
+    grid = (
+        cells.crossJoin(F.broadcast(bands))
+        .join(cband, ["seg", "nat", "band"], "left")
+        .join(F.broadcast(gband), "band")
+        .select(
+            "seg",
+            "nat",
+            "n",
+            "band",
+            F.coalesce("cc0", F.lit(0)).alias("c"),
+            "g",
+        )
+    )
+    w = Window.partitionBy("seg", "nat").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "seg",
+        "nat",
+        "n",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("g").over(w).alias("cg"),
+    )
+    emd = "sum(abs(cc * 1000000 div n - cg * 1000000 div n_total)) div (m - 1)"
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(m))
+        .groupBy("seg", "nat", "n", "n_total", "m")
+        .agg(F.expr(emd).cast("bigint").alias("t_emd_ppm"))
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("nat").alias("c_nationkey"),
+            F.col("n").alias("n_rows"),
+            "t_emd_ppm",
+            (F.col("t_emd_ppm") > 200000).cast("bigint").alias("above_t02"),
+        )
+    )

@@ -829,3 +829,66 @@ def cusum_stream(daily: DataFrame, mean_fp: int, slack_fp: int) -> DataFrame:
     return daily.groupBy("series").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def holt_stream(daily: DataFrame) -> DataFrame:
+    """Streaming Holt linear-trend smoothing — the stateful twin of the
+    batch `events_holt_forecast` (D232): the carried state is the
+    (level, trend) pair, so the double recursion
+
+        l_i = (y_i + 3·(l_{i-1} + b_{i-1})) fdiv 4
+        b_i = (l_i − l_{i-1} + 3·b_{i-1}) fdiv 4
+
+    (fdiv = FLOOR division, the batch twin's floor(x/4.0) — Python's
+    ``//``) continues seamlessly across micro-batch boundaries; no
+    window frame expresses it (the D112/D195 previous-OUTPUT recursion
+    class). Input: one row per COMPLETED day per series
+    (``series`` string, ``d`` epoch-day BIGINT, ``y`` BIGINT cents) —
+    the upstream day-closing tumbling aggregation owns the zero-filled
+    grid, exactly as the batch query builds it. Same in-order-arrival
+    contract as `ewma_stream`/`cusum_stream`. Emits one
+    (series, d, y, l, b, resid) row per day; all state is BIGINT, so
+    stream ≡ batch bit-exactly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "series string, d long, y long, l long, b long, resid long"
+    state_schema = "l long, b long, started long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("d")
+        if state.exists:
+            l, b, started = (int(v) for v in state.get)
+        else:
+            l = b = started = 0
+        ls, bs, rs = [], [], []
+        for y in rows["y"]:
+            y = int(y)
+            if not started:
+                l, b, r, started = y, 0, 0, 1
+            else:
+                lp, bp = l, b
+                r = y - (lp + bp)
+                l = (y + 3 * (lp + bp)) // 4
+                b = (l - lp + 3 * bp) // 4
+            ls.append(l)
+            bs.append(b)
+            rs.append(r)
+        state.update((l, b, started))
+        yield pd.DataFrame(
+            {
+                "series": [key[0]] * len(rows),
+                "d": rows["d"].to_numpy(),
+                "y": rows["y"].to_numpy(),
+                "l": ls,
+                "b": bs,
+                "resid": rs,
+            }
+        )
+
+    return daily.groupBy("series").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1176,3 +1176,54 @@ def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
     # day in batches 2-3 carries non-zero state from an earlier batch
     later = {t for t in got if t[0] > c1}
     assert any(t[2] > 0 or t[3] > 0 for t in later)
+
+
+def test_streaming_holt_matches_replay_across_batches(spark, tmp_path):
+    # the carried (level, trend) pair must continue the Holt recursion
+    # across micro-batch boundaries — including the FLOOR division on
+    # negative trends (a declining series straddles the batch split).
+    from mapreduce_project_spark.streaming.events import holt_stream
+
+    series = [("s", d, y) for d, y in enumerate([300, 200, 100, 400, 50, 500])]
+    src = tmp_path / "holtsrc"
+    src.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            series[2 * i : 2 * i + 2], "series string, d long, y long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("series string, d long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        holt_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "holtckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["series"], r["d"], r["y"], r["l"], r["b"], r["resid"])
+        for r in spark.table("holt_s").collect()
+    }
+    # pure-Python replay of the pinned recursion (the semantics the
+    # batch query hash-matches against DuckDB)
+    want = set()
+    l = b = None
+    for _, d, y in series:
+        if l is None:
+            l, b, r = y, 0, 0
+        else:
+            lp, bp = l, b
+            r = y - (lp + bp)
+            l = (y + 3 * (lp + bp)) // 4
+            b = (l - lp + 3 * bp) // 4
+        want.add(("s", d, y, l, b, r))
+    assert got == want and got
+    # the declining step lands a NEGATIVE floor-divided trend
+    assert any(r[4] < 0 for r in got)
