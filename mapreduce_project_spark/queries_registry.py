@@ -733,6 +733,19 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # round-9 rotated-out names (all driver-green through r8, re-verify on
 # demand); streaming twins (cusum_stream, D208) stay pytest-pinned.
 #
+# Round-11 rotation seed (round-10 additions, every one oracle-green
+# at sf0.001/0.01/0.1 and in SWEEP_r10, never yet a driver slot):
+# source_quality_drift (D220), lsh_width_ladder (D221),
+# text_longest_repeat (D222), events_bot_scores (D223),
+# events_hourly_acf (D224), vocab_gt_spectrum (D225),
+# text_tfidf_cosine_pairs (D226), fk_integrity_audit (D227),
+# text_rouge_adjacent (D228), events_concurrency_profile (D229),
+# abtest_bootstrap_ci (D230), stylometry_burrows_delta (D231),
+# events_holt_forecast (D232), graph_degree_assortativity (D233),
+# events_retention_hazard (D234), embedding_sq2_codebook (D235),
+# multimodal_audio_resample (D236), t_closeness_audit (D237);
+# streaming twin holt_stream (D238) stays pytest-pinned + soaked.
+#
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
 # decoder proof), dedup_exact_substrings (D158, Lee-et-al exact-

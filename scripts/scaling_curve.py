@@ -156,6 +156,25 @@ SF1_QUERIES = [
     # operators that postdated the last decade run.
     "text_rake_keyphrases",
     "embedding_top_pc",
+    # round-10 additions (D220-D237), decade-measured from birth.
+    "source_quality_drift",
+    "lsh_width_ladder",
+    "text_longest_repeat",
+    "events_bot_scores",
+    "events_hourly_acf",
+    "vocab_gt_spectrum",
+    "text_tfidf_cosine_pairs",
+    "fk_integrity_audit",
+    "text_rouge_adjacent",
+    "events_concurrency_profile",
+    "abtest_bootstrap_ci",
+    "stylometry_burrows_delta",
+    "events_holt_forecast",
+    "graph_degree_assortativity",
+    "events_retention_hazard",
+    "embedding_sq2_codebook",
+    "multimodal_audio_resample",
+    "t_closeness_audit",
 ]
 SF1_REPS = 2
 

@@ -369,6 +369,81 @@ def main() -> int:
     report["streams"]["cusum"] = meta
     ok &= cu_match and meta["restarted"]
 
+    # ---------- 2d. streaming Holt (level+trend recursion, D238) ----------
+    from mapreduce_project_spark.streaming.events import holt_stream
+
+    tdaily = (
+        ev.groupBy(
+            F.col("event_type").alias("series"),
+            F.unix_date(F.col("ts").cast("date")).cast("bigint").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .orderBy("series", "d")
+        .collect()
+    )
+    ho_src = os.path.join(work, "hosrc")
+    os.makedirs(ho_src)
+    ho_batches = min(N_BATCHES, len(tdaily))
+    # split by DAY so every series advances in-order across batches
+    days_sorted = sorted({r["d"] for r in tdaily})
+    day_of_batch = {
+        d: min(i // max(1, len(days_sorted) // ho_batches), ho_batches - 1)
+        for i, d in enumerate(days_sorted)
+    }
+    for i in range(ho_batches):
+        chunk = [r for r in tdaily if day_of_batch[r["d"]] == i]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            [(r["series"], r["d"], r["y"]) for r in chunk],
+            "series string, d long, y long",
+        ).coalesce(1).write.parquet(os.path.join(ho_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(ho_src, f"b{i:02d}.parquet"), i)
+    ho_out, ho_ck = os.path.join(work, "ho_out"), os.path.join(work, "ho_ck")
+
+    def make_ho():
+        stream = (
+            spark.readStream.schema("series string, d long, y long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ho_src + "/*/")
+        )
+        return (
+            holt_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", ho_out)
+            .option("checkpointLocation", ho_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_ho, "holt_stream")
+    got_ho = {
+        (r["series"], r["d"], r["y"], r["l"], r["b"], r["resid"])
+        for r in spark.read.parquet(ho_out).collect()
+    }
+    want_ho = set()
+    state: dict = {}
+    for r in tdaily:
+        s, d, y = r["series"], int(r["d"]), int(r["y"])
+        if s not in state:
+            l, b, resid = y, 0, 0
+        else:
+            lp, bp = state[s]
+            resid = y - (lp + bp)
+            l = (y + 3 * (lp + bp)) // 4
+            b = (l - lp + 3 * bp) // 4
+        state[s] = (l, b)
+        want_ho.add((s, d, y, l, b, resid))
+    ho_match = got_ho == want_ho and bool(got_ho)
+    meta.update({"rows": len(got_ho), "match_vs_batch": ho_match})
+    report["streams"]["holt"] = meta
+    ok &= ho_match and meta["restarted"]
+
     # ---------- 3. growing-corpus crawl dedup ----------
     from mapreduce_project_spark.operators.dedup import minhash_index_build
     from mapreduce_project_spark.streaming.events import (
