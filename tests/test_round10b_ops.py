@@ -349,3 +349,73 @@ def test_sq2_codebook_floor_reconstruction_on_negative_bin(spark, tmp_path):
     # an all-constant dimension collapses into the single >= -all code
     d2 = got[got.dim == 2]
     assert len(d2) == 1 and d2.iloc[0].code == 3 and d2.iloc[0].sse_milli2 == 0
+
+
+# ---------------------------------------------------------------- D236
+
+
+def test_audio_resample_pins_block_mean_framing_and_tail_drop(spark, tmp_path):
+    # "abcdefgh" -> int16LE samples (25185, 25699, 26213, 26727) ->
+    # one 4-sample block, boxcar mean 25956. "abcdefghi" gains a
+    # zero-padded 5th sample, which the full-block rule must DROP.
+    rows = [
+        (1, "abcdefgh", "en", "s", 8),
+        (2, "abcdefghi", "en", "s", 9),
+        (3, "ab", "en", "s", 2),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["multimodal_audio_resample"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    d1 = got.loc[1]
+    assert d1.n_in_samples == 4 and d1.n_out_samples == 1
+    assert d1.out_sum == 25956 and d1.out_wsum == 25956 and d1.peak_out == 25956
+    d2 = got.loc[2]
+    assert d2.n_in_samples == 5 and d2.n_out_samples == 1
+    assert d2.out_sum == 25956  # identical first block; padded tail dropped
+    d3 = got.loc[3]
+    assert d3.n_in_samples == 1 and d3.n_out_samples == 0
+    assert d3.out_sum == 0 and d3.peak_out == 0
+
+
+# ---------------------------------------------------------------- D237
+
+
+def test_t_closeness_flags_the_skewed_cell(spark, tmp_path):
+    # two cells share the corpus band mix (t small); one cell holds a
+    # single band (t large, above the 0.2 release threshold).
+    rows = []
+    cid = 0
+
+    def add(seg, nat, bal, n):
+        nonlocal cid
+        for _ in range(n):
+            rows.append((cid, seg, nat, bal))
+            cid += 1
+
+    add("A", 0, 500.0, 9)   # band 0
+    add("A", 0, 1500.0, 3)  # band 1
+    add("B", 1, 500.0, 6)
+    add("B", 1, 1500.0, 2)
+    add("C", 2, 1500.0, 8)  # band 1 ONLY — the skewed cell
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_mktsegment string, c_nationkey bigint, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = (
+        R.ALL_QUERIES["t_closeness_audit"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["c_mktsegment", "c_nationkey"])
+    )
+    # global: 15/28 band0, 13/28 band1; cum P at band0 = 535714 ppm
+    skew = got.loc[("C", 2)]
+    # cell C: cum Q at band0 = 0 -> t = |0 - 535714| = 535714 ppm
+    assert skew.t_emd_ppm == 535714 and skew.above_t02 == 1
+    a = got.loc[("A", 0)]
+    # cell A: cum Q at band0 = 750000 -> t = |750000 - 535714|
+    assert a.t_emd_ppm == 750000 - 535714
+    assert a.above_t02 == 1  # 214286 > 200000: still above the gate
+    b = got.loc[("B", 1)]
+    assert b.t_emd_ppm == 750000 - 535714
+    assert len(got) == 3
