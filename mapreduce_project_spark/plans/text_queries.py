@@ -3927,7 +3927,16 @@ def q_stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("med2").alias("med2_ppm"),
             F.col("mad4").alias("mad4_ppm"),
             "sum_dev2",
-            F.expr("sum_dev2 * 2000 div (greatest(1, mad4) * n_docs)")
+            # Headroom guard (CUPED discipline): sum_dev2 <= 2e6 * n_docs,
+            # so the * 2000 combination wraps silently (ANSI off) once a
+            # source holds ~2.3e9 docs — raise instead of wrapping.
+            F.expr(
+                "if(sum_dev2 < (4611686018427387904L div 2000), "  # 2^62/2000
+                "sum_dev2 * 2000 div (greatest(1, mad4) * n_docs), "
+                "raise_error('stylometry_burrows_delta: dev2 sum exceeds"
+                " 64-bit headroom for the milli scaling — widen to"
+                " DECIMAL(38,0) or drop to micro units'))"
+            )
             .cast("bigint")
             .alias("delta_milli"),
         )
