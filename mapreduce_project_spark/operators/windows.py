@@ -234,3 +234,61 @@ def global_rank(
             yield pdf
 
     return rp.mapInPandas(number, out_schema).drop("_pid")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """EXACT inclusive running sum of ``value_col`` over a global total
+    order — the prefix-sum sibling of `global_rank`, avoiding the same
+    single-task ``Window.orderBy`` trap: range-partition on the order
+    columns, per-partition local cumsum in one Arrow pass, and add the
+    exclusive prefix of PER-PARTITION TOTALS (a metadata-scale driver
+    collect — one BIGINT per partition). ``value_col`` must be integral
+    (BIGINT-safe); ``order_cols`` must be a unique total order.
+
+    Output: input columns + ``out_col`` (BIGINT). Reference semantics:
+    SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)."""
+    import pandas as pd
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    rp = rp.cache()
+    sums = {
+        r["_pid"]: int(r["s"])
+        for r in rp.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rp.schema.fields
+    ) + f", {out_col} long"
+
+    def accumulate(batches):
+        run = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            vals = pdf[value_col].astype("int64")
+            cs = vals.cumsum() + run
+            run = int(cs.iloc[-1])
+            pdf = pdf.copy()
+            pdf[out_col] = cs
+            yield pdf
+
+    return rp.mapInPandas(accumulate, out_schema).drop("_pid")

@@ -2147,3 +2147,215 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_emd_ppm") > 200000).cast("bigint").alias("above_t02"),
         )
     )
+
+
+# DuckDB twin of the Lorenz/Gini pass: identical per-user cents,
+# identical (x, user) rank order, identical integer Gini and decile
+# cumulative shares.
+_GINI_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, x,
+             row_number() OVER (ORDER BY x, user_id) AS rk
+      FROM per_user
+    ),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(rk * x) AS BIGINT) AS srx
+      FROM ranked
+    ),
+    dec AS (
+      SELECT CAST((rk - 1) * 10 // (SELECT n FROM scal) + 1 AS BIGINT)
+               AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS x_sum_cents
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_users, x_sum_cents,
+             SUM(x_sum_cents) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING) AS cum_x
+      FROM dec
+    )
+    SELECT c.decile, c.n_users, c.x_sum_cents,
+           CAST(c.cum_x * 1000000 // greatest(1, s.sx) AS BIGINT)
+             AS cum_share_ppm,
+           CAST(CAST(2 * s.srx - (s.n + 1) * s.sx AS HUGEINT) * 1000000
+                // greatest(1, s.n * s.sx) AS BIGINT) AS gini_ppm
+    FROM cum c CROSS JOIN scal s
+    """
+
+
+@extra_query("events_lorenz_gini", _GINI_ORACLE)
+def q_events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile (D239): the Lorenz decile table
+    and exact Gini coefficient of per-user event value — the whale
+    analysis behind monetization dashboards AND the skew statistic a
+    partitioner wants before keying a shuffle by user (Gini ≈ 0 ⇒
+    uniform keys; high Gini ⇒ the same heavy-hitter mass the D65 skew
+    diagnostic samples, here as one closed-form number).
+
+    Exactness: the classic rank formula G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx)
+    / (n·Σx) over the ASCENDING (x, user_id)-ordered ranks — every
+    term an exact BIGINT, the final value one truncating ppm division;
+    decile cumulative shares are truncating ppm over the same sums.
+    Overflow honesty: Σi·x is bounded by n²·x̄, which exceeds int64
+    near ~10⁹ users × $10⁵ lifetime — the docstring's documented
+    widen-to-DECIMAL(38,0) point; fixture magnitudes sit ~10⁴× below
+    it. Plan: one user-keyed partial agg, one range-partitioned global
+    rank (the D129/D209 machinery, never a single-task window), one
+    scalar agg + a 10-row decile agg. Output: 10 rows."""
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(F.sum(cents).cast("bigint").alias("x"))
+    ranked = global_rank(per_user, ["x", "user_id"], "rk")
+    scal = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.expr("sum(rk * x)").cast("bigint").alias("srx"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(scal))
+        .groupBy(F.expr("(rk - 1) * 10 div n + 1").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("x_sum_cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # 10-row table: metadata-scale single-task window licensed.
+    cum = dec.withColumn(
+        "cum_x",
+        F.sum("x_sum_cents").over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return cum.crossJoin(F.broadcast(scal)).select(
+        "decile",
+        "n_users",
+        "x_sum_cents",
+        F.expr("cum_x * 1000000 div greatest(1, sx)")
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+        # srx ~ n*sx can reach ~5e14 at sf~1, so the x1e6 numerator
+        # must widen to DECIMAL(38,0) (HUGEINT on the oracle side)
+        F.expr(
+            "cast(2 * srx - (n + 1) * sx as decimal(38,0)) * 1000000"
+            " div greatest(1, n * sx)"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+
+
+# DuckDB twin of the ABC classification: identical revenue cents,
+# identical (rev DESC, suppkey) rank, identical inclusive-cumulative
+# class cut-offs.
+_ABC_ORACLE = """
+    WITH rev AS (
+      SELECT l_suppkey AS supp,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT supp, r,
+             row_number() OVER (ORDER BY r DESC, supp) AS rk
+      FROM rev
+    ),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS tr FROM rev),
+    cum AS (
+      SELECT supp, r, rk,
+             SUM(r) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cr
+      FROM ranked
+    ),
+    classed AS (
+      -- exact rational cut-offs: cr/tr <= 0.80 <=> cr*5 <= 4*tr and
+      -- cr/tr <= 0.95 <=> cr*20 <= 19*tr — no x1e6 blowup on the
+      -- cumulative cents (which alone can reach ~1e13 at sf~1)
+      SELECT supp, r, rk,
+             CASE WHEN cr * 5 <= 4 * (SELECT tr FROM tot) THEN 'A'
+                  WHEN cr * 20 <= 19 * (SELECT tr FROM tot) THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(r) AS BIGINT) AS rev_cents,
+           CAST(CAST(SUM(r) AS HUGEINT) * 1000000 // (SELECT tr FROM tot)
+                AS BIGINT) AS rev_share_ppm,
+           CAST(MIN(rk) AS BIGINT) AS first_rank,
+           CAST(MAX(rk) AS BIGINT) AS last_rank
+    FROM classed GROUP BY abc
+    """
+
+
+@extra_query("abc_classification_suppliers", _ABC_ORACLE)
+def q_abc_classification_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (D240) — the inventory-management
+    classic (Pareto's 80/15/5 cut on cumulative revenue): suppliers
+    ranked by revenue DESC, classed A while the INCLUSIVE cumulative
+    share stays ≤ 80%, B to 95%, C after — the segmentation that
+    decides which dimension members deserve exact treatment and which
+    can be sketched/sampled (the supplier-side sibling of RFM D198,
+    which segments customers by behavior rather than mass).
+
+    Exactness: revenue per row is floor(ext·(1−disc)·100 + 0.5) —
+    each step IEEE-exact and identical cross-engine (the verified
+    fixed-point money convention) — summed as BIGINT; the cumulative
+    share is truncating ppm; rank order (rev DESC, suppkey) is total.
+    Plan: one supplier-keyed partial agg, one range-partitioned global
+    rank, one running sum OVER the rank order (range-partitioned
+    prefix sum), a 3-row class agg. Output: 3 rows at any scale."""
+    from mapreduce_project_spark.operators.windows import (
+        global_prefix_sum,
+        global_rank,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    rev = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.sum(cents).cast("bigint").alias("r")
+    )
+    ranked = global_rank(
+        rev.select("supp", "r", (-F.col("r")).alias("neg_r")),
+        ["neg_r", "supp"],
+        "rk",
+    ).select("supp", "r", "rk")
+    tot = rev.agg(F.sum("r").cast("bigint").alias("tr"))
+    cum = global_prefix_sum(ranked, ["rk"], "r", "cr")
+    # exact rational cut-offs (cr*5 <= 4*tr / cr*20 <= 19*tr): the
+    # x1e6 form wrapped int64 at sf~1 where cumulative cents pass 1e13
+    classed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc",
+        F.expr(
+            "case when cr * 5 <= 4 * tr then 'A' "
+            "when cr * 20 <= 19 * tr then 'B' else 'C' end"
+        ),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("r").cast("bigint").alias("rev_cents"),
+            F.expr(
+                "cast(sum(r) as decimal(38,0)) * 1000000 div first(tr)"
+            )
+            .cast("bigint")
+            .alias("rev_share_ppm"),
+            F.min("rk").cast("bigint").alias("first_rank"),
+            F.max("rk").cast("bigint").alias("last_rank"),
+        )
+    )

@@ -3564,13 +3564,19 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two correctly-rounded sqrts, one multiply, one divide) over
     int64-exact doubles — bit-identical across engines (the D107
     discipline). Scale: pair generation is an inverted-index join on
-    shingles with df ≤ max(2, n_docs div 50) — the df cap bounds
-    posting fan-out to cap·Σdf (linear in corpus tokens with a constant
-    cap factor), the standard stop-shingle guard that keeps weighted
-    AllPairs off the df² cliff (df-1 shingles are skipped in the join —
-    they cannot co-occur — but still harden norms). Everything is two
-    partial-agg shuffles + one shingle-keyed join; no all-pairs
-    anywhere. Non-vacuous at all three SFs (28/25/140 pairs ≥ 0.6)."""
+    shingles with df ≤ max(2, n_docs div 50) stop-shingle pruning and
+    8-byte hashed join keys (measured 176 s → 113 s at sf≈1 — string
+    shingles through a Σdf² join is shuffle width, not row count).
+    MEASURED candidate physics (sf0.1→sf≈1 decade, 18.8×): the join's
+    fan is Σdf², and on the CLOSED-vocabulary fixture (27k trigram
+    types over 30M tokens) df grows ∝ n, so candidates are quadratic
+    by fixture construction — 79M candidate pairs collapse to 20.8k
+    outputs at sf≈1. On an open shingle space (real text), df is
+    bounded by the duplication-family size and the same plan is linear
+    in corpus tokens; when a corpus's shingle vocabulary closes
+    (template-heavy), the documented scale path is MinHash/sign-LSH
+    candidacy (C2/D206) with this operator's exact integer dot as the
+    verify stage. Non-vacuous at all three SFs (28/25/140 pairs)."""
     from mapreduce_project_spark.functions import token_ngrams, tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -3595,12 +3601,25 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = w.groupBy("doc_id").agg(F.expr("sum(w * w)").cast("bigint").alias("nsq"))
-    a, b = w.alias("a"), w.alias("b")
+    # Shuffle-width discipline (the D109 AllPairs lesson, "hashed
+    # shingles end-to-end"): the pair join's fan is Sigma df^2 rows —
+    # 79M at sf~1 on this closed-vocab fixture — and carrying ~20-byte
+    # shingle STRINGS through that join+groupBy is what hurts, not the
+    # row count. Join and aggregate on the 8-byte xxhash64 of the
+    # shingle instead; weights are computed per (doc, term) BEFORE
+    # hashing, so the grouped dot is identical (a 2^-64 collision would
+    # perturb one dot — the same accepted-risk class as the hashed
+    # shingle sets inside the MinHash/SNM verifies, which stay
+    # hash-matched against exact string-keyed oracles at every SF).
+    wh = w.select(
+        "doc_id", "df", "w", F.xxhash64("term").alias("h")
+    )
+    a, b = wh.alias("a"), wh.alias("b")
     dots = (
         a.filter(F.col("df") >= 2)
         .join(
             b,
-            (F.col("a.term") == F.col("b.term"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

@@ -157,8 +157,14 @@ SF1_QUERIES = [
     "text_rake_keyphrases",
     "embedding_top_pc",
     # round-10 additions (D220-D237), decade-measured from birth.
+    # lsh_width_ladder is deliberately ABSENT: its sf≈1 point would
+    # measure the exact all-pairs TRUTH SET (20k² fold-cosine checks —
+    # observed >25 min in a single reduction task), which the audit
+    # computes BY DESIGN to grade recall and which its docstring
+    # already mandates sampling at production scale; the serving-path
+    # member of that family in the decade is dedup_embedding_clusters_
+    # lsh_auto (D206).
     "source_quality_drift",
-    "lsh_width_ladder",
     "text_longest_repeat",
     "events_bot_scores",
     "events_hourly_acf",
@@ -175,11 +181,49 @@ SF1_QUERIES = [
     "embedding_sq2_codebook",
     "multimodal_audio_resample",
     "t_closeness_audit",
+    "events_lorenz_gini",
+    "abc_classification_suppliers",
 ]
 SF1_REPS = 2
 
 # Appended verbatim after the table on every regeneration.
 FOOTNOTES = """
+## Round-10 notes: the decade reaches D220-D240
+
+- **`itemcf_topk` re-timed after the generate-once/mirror-once pair
+  rewrite (round-10 task): 46.0 s → 26.4 s at sf≈1, 6.74× →
+  3.31×/decade.** The remaining growth is co-purchase pair mass on a
+  fixture whose baskets grow with SF — the documented physics; the
+  ≤100-part whale cap and min-support-2 stay as the production guards.
+- **`text_tfidf_cosine_pairs` was this round's genuine catch** (first
+  decade measurement ran 25.5×): two levers landed. (1) Hashed join
+  keys — carrying ~20-byte shingle strings through the Σdf² join +
+  pair groupBy was shuffle WIDTH, not row count (176 s → 113 s; the
+  D109 "hashed shingles end-to-end" lesson re-learned on the weighted
+  join). (2) A Bayardo/AllPairs prefix filter was built and measured
+  — it pruned candidates only 2.4× here (79M → 32M) while adding two
+  shuffles, because on this CLOSED-vocabulary fixture (27k trigram
+  types over 30M tokens) weight mass is spread nearly uniformly, so
+  the suffix bound crosses τ late; it was REVERTED in favor of the
+  documented physics: candidates are Σdf² = 79M pairs collapsing to
+  20.8k outputs, quadratic BY FIXTURE CONSTRUCTION since df ∝ n when
+  the vocabulary is closed. On an open shingle space df is bounded by
+  the dup-family size (linear); when a real corpus's shingle space
+  closes, the scale path is MinHash/sign-LSH candidacy (C2/D206) with
+  this operator's exact integer dot as the verify stage — both already
+  in the engine.
+- **`lsh_width_ladder` is deliberately absent from the sf≈1 list**:
+  its ground-truth stage is an exact all-pairs fold-cosine check BY
+  DESIGN (that is what grades the ladder's recall), observed >25 min
+  in one reduction task at 20k vectors; the docstring already mandates
+  sampling the truth set at production scale, and the serving-path
+  family member in the decade is dedup_embedding_clusters_lsh_auto.
+- Every other round-10 ratio is sublinear (≤ 7.3× per 10×): the
+  concurrency sweep (6.1×) pays the within-day sort on 10× sessions
+  over the same 30 fixture days; RAKE (7.3×) grows with distinct
+  phrase mass on marker-perturbed copies; bot scores (5.0×) and the
+  bootstrap (4.2×) are user-keyed partial aggs riding 10× users.
+
 ## Round-7 continuation notes: the decade reaches D185-D205
 
 - **`mutual_knn_pairs` was the continuation's genuine catch**: the
@@ -363,11 +407,34 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
+    # Resume cache: a multi-hour timing run must survive an interrupt
+    # (round-10 lesson: one pathological sf1 query stalled the whole
+    # regeneration). Every measurement lands in .scaling_cache.json
+    # immediately and is skipped on re-run; DELETE the file to force a
+    # fresh full timing pass.
+    import json
+
+    cache_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scaling_cache.json",
+    )
     results: dict[str, dict[str, float]] = {}
+    if os.path.exists(cache_path):
+        results = json.load(open(cache_path, encoding="utf-8"))
+        n_cached = sum(len(v) for v in results.values())
+        print(f"resume: {n_cached} cached measurements from {cache_path}")
+
+    def save_cache() -> None:
+        with open(cache_path, "w", encoding="utf-8") as fh:
+            json.dump(results, fh, indent=1)
+
     for name in QUERIES:
-        results[name] = {}
+        results.setdefault(name, {})
         for sf in SFS:
+            if sf in results[name]:
+                continue
             results[name][sf] = timed(name, f"/root/testdata/sf{sf}", REPS)
+            save_cache()
             print(f"{name} sf{sf}: {results[name][sf]:.2f}s", flush=True)
 
     have_sf1 = os.path.isdir(SF1_DIR)
@@ -376,8 +443,12 @@ def main() -> None:
             results.setdefault(name, {})
             if "0.1" not in results[name]:
                 results[name]["0.1"] = timed(name, "/root/testdata/sf0.1", REPS)
-            results[name]["1"] = timed(name, SF1_DIR, SF1_REPS)
-            print(f"{name} sf1: {results[name]['1']:.2f}s", flush=True)
+                save_cache()
+                print(f"{name} sf0.1: {results[name]['0.1']:.2f}s", flush=True)
+            if "1" not in results[name]:
+                results[name]["1"] = timed(name, SF1_DIR, SF1_REPS)
+                save_cache()
+                print(f"{name} sf1: {results[name]['1']:.2f}s", flush=True)
     else:
         print("no .sf1 fixtures (scripts/make_sf1.py) — skipping the sf1 decade")
 

@@ -419,3 +419,55 @@ def test_t_closeness_flags_the_skewed_cell(spark, tmp_path):
     b = got.loc[("B", 1)]
     assert b.t_emd_ppm == 750000 - 535714
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------- D239
+
+
+def test_lorenz_gini_pins_uniform_and_whale_extremes(spark, tmp_path):
+    # all-equal spend -> Gini 0; then one whale holding all value ->
+    # the rank formula gives exactly (2n - (n+1))/n = 0.9 at n=10.
+    rows = [
+        (i, "2024-01-05 00:00:00", u, "purchase", 1.00)
+        for i, u in enumerate(range(1, 11))
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_lorenz_gini"](spark, str(tmp_path)).toPandas()
+    assert (got.gini_ppm == 0).all()
+    assert got[got.decile == 10].iloc[0].cum_share_ppm == 1000000
+
+    rows = [
+        (i, "2024-01-05 00:00:00", u, "purchase", 0.00)
+        for i, u in enumerate(range(1, 10))
+    ] + [(99, "2024-01-05 00:00:00", 10, "purchase", 100.00)]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_lorenz_gini"](spark, str(tmp_path)).toPandas()
+    assert (got.gini_ppm == 900000).all()
+    lo = got[got.decile < 10]
+    assert (lo.cum_share_ppm == 0).all()
+    assert got[got.decile == 10].iloc[0].cum_share_ppm == 1000000
+
+
+# ---------------------------------------------------------------- D240
+
+
+def test_abc_classification_pins_inclusive_cut_offs(spark, tmp_path):
+    # revenues 79/16/5 -> inclusive cumulative shares 79% / 95% / 100%:
+    # the 95% row must still be B (inclusive <=), the last one C.
+    spark.createDataFrame(
+        [
+            (1, 1, 79.0, 0.0),
+            (2, 2, 16.0, 0.0),
+            (3, 3, 5.0, 0.0),
+        ],
+        "l_orderkey bigint, l_suppkey bigint, l_extendedprice double, l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = (
+        R.ALL_QUERIES["abc_classification_suppliers"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("abc")
+    )
+    assert got.loc["A"].n_suppliers == 1 and got.loc["A"].rev_share_ppm == 790000
+    assert got.loc["B"].n_suppliers == 1 and got.loc["B"].rev_share_ppm == 160000
+    assert got.loc["C"].n_suppliers == 1 and got.loc["C"].rev_share_ppm == 50000
+    assert got.loc["A"].first_rank == 1 and got.loc["C"].last_rank == 3
