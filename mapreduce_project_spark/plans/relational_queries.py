@@ -2183,8 +2183,8 @@ _GINI_ORACLE = """
       FROM dec
     )
     SELECT c.decile, c.n_users, c.x_sum_cents,
-           CAST(c.cum_x * 1000000 // greatest(1, s.sx) AS BIGINT)
-             AS cum_share_ppm,
+           CAST(CAST(c.cum_x AS HUGEINT) * 1000000 // greatest(1, s.sx)
+                AS BIGINT) AS cum_share_ppm,
            CAST(CAST(2 * s.srx - (s.n + 1) * s.sx AS HUGEINT) * 1000000
                 // greatest(1, s.n * s.sx) AS BIGINT) AS gini_ppm
     FROM cum c CROSS JOIN scal s
@@ -2244,7 +2244,9 @@ def q_events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_users",
         "x_sum_cents",
-        F.expr("cum_x * 1000000 div greatest(1, sx)")
+        # cum_x <= sx ~ total corpus cents: the x1e6 form wraps int64
+        # near ~9e12 total cents, so widen (same fix as gini_ppm)
+        F.expr("cast(cum_x as decimal(38,0)) * 1000000 div greatest(1, sx)")
         .cast("bigint")
         .alias("cum_share_ppm"),
         # srx ~ n*sx can reach ~5e14 at sf~1, so the x1e6 numerator
