@@ -2361,3 +2361,90 @@ def q_abc_classification_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("rk").cast("bigint").alias("last_rank"),
         )
     )
+
+
+# DuckDB twin of the Spearman pass: identical cents quantization,
+# identical (value, part) tie-broken ranks, identical HUGEINT-widened
+# closed-form rho.
+_SPEARMAN_ORACLE = """
+    WITH demand AS (
+      SELECT l_partkey AS pk, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    base AS (
+      SELECT p.p_partkey AS pk,
+             CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS x,
+             COALESCE(d.qty, 0) AS y
+      FROM part p LEFT JOIN demand d ON d.pk = p.p_partkey
+    ),
+    rx AS (SELECT pk, row_number() OVER (ORDER BY x, pk) AS r FROM base),
+    ry AS (SELECT pk, row_number() OVER (ORDER BY y, pk) AS r FROM base),
+    dd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rx.r - ry.r) * (rx.r - ry.r)) AS BIGINT) AS sum_d2
+      FROM rx JOIN ry USING (pk)
+    )
+    SELECT n, sum_d2,
+           CAST(1000000 - CAST(6 AS HUGEINT) * sum_d2 * 1000000
+                // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT) AS rho_ppm
+    FROM dd
+    """
+
+
+@extra_query("corr_spearman_price_demand", _SPEARMAN_ORACLE)
+def q_corr_spearman_price_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (D241) between part price and total
+    ordered quantity — the robust sibling of the exact-moment Pearson
+    (D107): rank-based, so heavy tails and monotone transforms cannot
+    fake or hide an association — the drift detector of choice for
+    skewed columns (price/demand/latency), and the classic screen for
+    "does price actually move demand in this corpus".
+
+    Exactness: ALL-INTEGER — cents quantization (the verified money
+    convention), two tie-broken total orders ((value, part_key) —
+    the pinned unique-tie-break Spearman variant; fractional average
+    ranks would reintroduce floats), Σd² an exact BIGINT, and the
+    closed form ρ = 1 − 6Σd²/(n(n²−1)) as ONE truncating ppm division
+    widened to DECIMAL(38,0)/HUGEINT (6Σd² ~ n³ wraps int64 near
+    n ≈ 10⁶ rows). Demand-less parts enter at qty 0 (their absence
+    from lineitem IS data). Plan: one part-keyed partial agg, TWO
+    range-partitioned global ranks (`operators/windows.py:global_rank`
+    — never a single-task window), one key join, one scalar agg.
+    Output: ONE row at any scale."""
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+    )
+    demand = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    base = part.join(demand, "pk", "left").select(
+        "pk", "x", F.coalesce("qty", F.lit(0)).alias("y")
+    )
+    rx = global_rank(base.select("pk", "x"), ["x", "pk"], "r").select(
+        "pk", F.col("r").alias("rx")
+    )
+    ry = global_rank(base.select("pk", "y"), ["y", "pk"], "r").select(
+        "pk", F.col("r").alias("ry")
+    )
+    dd = (
+        rx.join(ry, "pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("sum((rx - ry) * (rx - ry))").cast("bigint").alias("sum_d2"),
+        )
+    )
+    return dd.select(
+        "n",
+        "sum_d2",
+        F.expr(
+            "cast(1000000 - cast(6 as decimal(38,0)) * sum_d2 * 1000000"
+            " div (cast(n as decimal(38,0)) * (n * n - 1)) as bigint)"
+        ).alias("rho_ppm"),
+    )

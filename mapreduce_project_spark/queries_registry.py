@@ -743,7 +743,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # abtest_bootstrap_ci (D230), stylometry_burrows_delta (D231),
 # events_holt_forecast (D232), graph_degree_assortativity (D233),
 # events_retention_hazard (D234), embedding_sq2_codebook (D235),
-# multimodal_audio_resample (D236), t_closeness_audit (D237);
+# multimodal_audio_resample (D236), t_closeness_audit (D237),
+# events_lorenz_gini (D239), abc_classification_suppliers (D240),
+# corr_spearman_price_demand (D241);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

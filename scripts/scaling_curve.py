@@ -183,6 +183,7 @@ SF1_QUERIES = [
     "t_closeness_audit",
     "events_lorenz_gini",
     "abc_classification_suppliers",
+    "corr_spearman_price_demand",
 ]
 SF1_REPS = 2
 

@@ -7,6 +7,11 @@ a RANGE-frame truncation bug invisible at sf0.01).
 Usage: python scripts/sweep_sf01.py [start_idx] [end_idx]
 Set SWEEP_JSON_OUT=<path> to also write the per-query results as JSON
 (the committed round artifact, e.g. SWEEP_r4.json).
+Set SWEEP_JSON_MERGE=1 to load an existing SWEEP_JSON_OUT first and
+run ONLY the oracle-equipped queries it does not cover yet — the
+incremental path for late-round additions (a single new operator no
+longer forces the full ~35-min regeneration; the merged artifact still
+satisfies scripts/check_artifacts.py).
 """
 
 from __future__ import annotations
@@ -44,6 +49,18 @@ def main() -> int:
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else len(names)
     bad = 0
     results: dict[str, dict] = {}
+    out_path_pre = os.environ.get("SWEEP_JSON_OUT")
+    if os.environ.get("SWEEP_JSON_MERGE") and out_path_pre and os.path.exists(
+        out_path_pre
+    ):
+        prior = json.load(open(out_path_pre, encoding="utf-8"))
+        results = prior.get("results", {})
+        # drop rows for queries no longer in the registry, keep greens
+        results = {k: v for k, v in results.items() if k in oracles}
+        bad = sum(1 for v in results.values() if not v["ok"] or v["vacuous"])
+        names = [n for n in names if n not in results]
+        lo, hi = 0, len(names)
+        print(f"merge: {len(results)} prior rows kept, {len(names)} to run")
     for name in names[lo:hi]:
         t0 = time.time()
         err = None
@@ -90,7 +107,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": SF_DIR,
-                    "n_queries": len(names[lo:hi]),
+                    "n_queries": len(results),
                     "bad_or_vacuous": bad,
                     "results": results,
                 },

@@ -471,3 +471,33 @@ def test_abc_classification_pins_inclusive_cut_offs(spark, tmp_path):
     assert got.loc["B"].n_suppliers == 1 and got.loc["B"].rev_share_ppm == 160000
     assert got.loc["C"].n_suppliers == 1 and got.loc["C"].rev_share_ppm == 50000
     assert got.loc["A"].first_rank == 1 and got.loc["C"].last_rank == 3
+
+
+# ---------------------------------------------------------------- D241
+
+
+def _write_parts_demand(spark, tmp_path, demand_by_price):
+    parts = [(k, f"part{k}", "b", "t", 1, float(k)) for k in range(1, 6)]
+    spark.createDataFrame(
+        parts,
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    li = [
+        (i, k, float(demand_by_price(k)))
+        for i, k in enumerate(range(1, 6))
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_spearman_pins_perfect_monotone_and_inverse(spark, tmp_path):
+    # demand rises with price -> identical ranks -> rho = +1 exactly
+    _write_parts_demand(spark, tmp_path, lambda k: 10 * k)
+    got = R.ALL_QUERIES["corr_spearman_price_demand"](spark, str(tmp_path)).toPandas()
+    assert got.iloc[0].sum_d2 == 0 and got.iloc[0].rho_ppm == 1000000
+    # demand falls with price -> reversed ranks -> rho = -1 exactly
+    _write_parts_demand(spark, tmp_path, lambda k: 10 * (6 - k))
+    got = R.ALL_QUERIES["corr_spearman_price_demand"](spark, str(tmp_path)).toPandas()
+    assert got.iloc[0].sum_d2 == 40 and got.iloc[0].rho_ppm == -1000000
