@@ -3463,3 +3463,142 @@ def q_events_retention_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hazard_ppm"),
         )
     )
+
+
+# DuckDB twin of the behavioral-release flagship: identical bot gates,
+# identical bands, identical k-anonymity suppression, identical
+# pseudonymization.
+_BEHAVE_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+             CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+                  AS BIGINT) AS span_s,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM (
+        SELECT user_id, event_type, ts, value,
+               COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+        FROM events
+      ) GROUP BY user_id
+    ),
+    screened AS (
+      SELECT *,
+             CASE WHEN top_cnt * 1000000 // n_events > 900000
+                       AND n_events >= 10 THEN 1
+                  WHEN n_events * 86400 > 200 * greatest(1, span_s)
+                       AND n_events >= 10 THEN 1
+                  ELSE 0 END AS is_bot
+      FROM per_user
+    ),
+    banded AS (
+      SELECT user_id, n_events, n_purchases, value_cents,
+             CASE WHEN n_events < 3 THEN 0 WHEN n_events < 10 THEN 1
+                  WHEN n_events < 30 THEN 2 ELSE 3 END AS activity_band,
+             least(CAST(value_cents // 10000 AS BIGINT), 10) AS value_band
+      FROM screened WHERE is_bot = 0
+    ),
+    cells AS (
+      SELECT activity_band, value_band, CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT substr(md5('rel10:' || CAST(b.user_id AS VARCHAR)), 1, 16)
+             AS pseudo_uid,
+           b.activity_band, b.value_band, c.cell_n,
+           b.n_purchases,
+           CAST(b.value_cents // 100 AS BIGINT) AS value_dollars
+    FROM banded b
+    JOIN cells c USING (activity_band, value_band)
+    WHERE c.cell_n >= 5
+    """
+
+
+@extra_query("assemble_behavioral_dataset", _BEHAVE_ORACLE)
+def q_assemble_behavioral_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-data RELEASE flagship (D242) — the events-side
+    sibling of the text flagships v1–v6 (D207 gates documents; this
+    gates PEOPLE): per-user features screened, banded, k-anonymity-
+    suppressed and pseudonymized, i.e. the exact pipeline that turns
+    raw clickstream into a shareable modeling table. Stages: (1) BOT
+    SCREEN — drop users whose dominant event type exceeds 90% or whose
+    average rate exceeds 200 events/day (both D223 criteria in their
+    integer forms, applied only at n ≥ 10 so thin histories are not
+    auto-flagged); (2) BANDING — activity (4 bands) and capped value
+    deciles replace raw counts (the generalization step); (3)
+    K-ANONYMITY — cells of (activity_band, value_band) under 5 users
+    are suppressed entirely (D131's gate applied, not just audited);
+    (4) PSEUDONYMIZATION — salted md5 ids (D141's convention) and
+    dollar-quantized value. Every released row still carries its cell
+    size, so a downstream consumer can verify the k-gate held.
+
+    Exactness: pure integer counts, truncating ppm/band divisions, the
+    rate gate as an exact integer cross-multiplication (n·86400 >
+    200·span — no division at all). Plan: one user-keyed window +
+    partial agg (features), one metadata-scale cell agg broadcast
+    back, pure map-side release projection — the whole flagship is
+    TWO shuffles. Non-vacuous at all three SFs."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cnt_w = Window.partitionBy("user_id", "event_type")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.count(F.lit(1)).over(cnt_w).alias("cnt"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+        F.expr("(max(us) - min(us)) div 1000000").cast("bigint").alias("span_s"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    screened = per_user.withColumn(
+        "is_bot",
+        F.expr(
+            "case when top_cnt * 1000000 div n_events > 900000"
+            " and n_events >= 10 then 1 "
+            "when n_events * 86400 > 200 * greatest(1, span_s)"
+            " and n_events >= 10 then 1 else 0 end"
+        ),
+    )
+    banded = screened.filter(F.col("is_bot") == 0).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        "value_cents",
+        F.expr(
+            "case when n_events < 3 then 0 when n_events < 10 then 1"
+            " when n_events < 30 then 2 else 3 end"
+        )
+        .cast("bigint")
+        .alias("activity_band"),
+        F.expr("least(value_cents div 10000, 10)")
+        .cast("bigint")
+        .alias("value_band"),
+    )
+    cells = banded.groupBy("activity_band", "value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n")
+    )
+    return (
+        banded.join(F.broadcast(cells), ["activity_band", "value_band"])
+        .filter(F.col("cell_n") >= 5)
+        .select(
+            F.expr(
+                "substr(md5(cast(concat('rel10:', cast(user_id as string))"
+                " as binary)), 1, 16)"
+            ).alias("pseudo_uid"),
+            "activity_band",
+            "value_band",
+            "cell_n",
+            "n_purchases",
+            F.expr("value_cents div 100").cast("bigint").alias("value_dollars"),
+        )
+    )

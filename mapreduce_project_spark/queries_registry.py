@@ -745,7 +745,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # events_retention_hazard (D234), embedding_sq2_codebook (D235),
 # multimodal_audio_resample (D236), t_closeness_audit (D237),
 # events_lorenz_gini (D239), abc_classification_suppliers (D240),
-# corr_spearman_price_demand (D241);
+# corr_spearman_price_demand (D241), assemble_behavioral_dataset
+# (D242, the events-side release flagship);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

@@ -184,6 +184,7 @@ SF1_QUERIES = [
     "events_lorenz_gini",
     "abc_classification_suppliers",
     "corr_spearman_price_demand",
+    "assemble_behavioral_dataset",
 ]
 SF1_REPS = 2
 

@@ -501,3 +501,42 @@ def test_spearman_pins_perfect_monotone_and_inverse(spark, tmp_path):
     _write_parts_demand(spark, tmp_path, lambda k: 10 * (6 - k))
     got = R.ALL_QUERIES["corr_spearman_price_demand"](spark, str(tmp_path)).toPandas()
     assert got.iloc[0].sum_d2 == 40 and got.iloc[0].rho_ppm == -1000000
+
+
+# ---------------------------------------------------------------- D242
+
+
+def test_behavioral_release_gates_bots_and_small_cells(spark, tmp_path):
+    import hashlib as _h
+
+    rows = []
+    eid = 0
+    # six normal users: 3 mixed events, $1 each -> same (band, cell)
+    for u in range(1, 7):
+        for j, et in enumerate(("view", "click", "purchase")):
+            rows.append((eid, f"2024-01-0{j + 1} 10:00:00", u, et, 1.00))
+            eid += 1
+    # dominant-type bot: 20 clicks spread over 20 days (rate is fine,
+    # concentration is not)
+    for j in range(20):
+        rows.append((eid, f"2024-01-{j + 1:02d} 09:00:00", 100, "click", 1.00))
+        eid += 1
+    # rate bot: 15 mixed events inside one minute (concentration is
+    # fine, 86400*15/60s >> 200/day is not)
+    for j in range(15):
+        et = "view" if j % 2 else "click"
+        rows.append((eid, f"2024-01-05 10:00:{j:02d}", 101, et, 1.00))
+        eid += 1
+    # value outlier: lands alone in cell (1, 10) -> k-gate suppresses
+    for j in range(3):
+        rows.append((eid, f"2024-01-0{j + 1} 11:00:00", 102, "purchase", 500.00))
+        eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["assemble_behavioral_dataset"](spark, str(tmp_path)).toPandas()
+    # exactly the six normal users survive, in one 6-strong cell
+    assert len(got) == 6
+    assert (got.cell_n == 6).all()
+    assert (got.activity_band == 1).all() and (got.value_band == 0).all()
+    assert (got.n_purchases == 1).all() and (got.value_dollars == 3).all()
+    expect = {_h.md5(f"rel10:{u}".encode()).hexdigest()[:16] for u in range(1, 7)}
+    assert set(got.pseudo_uid) == expect
