@@ -2448,3 +2448,346 @@ def q_corr_spearman_price_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(n as decimal(38,0)) * (n * n - 1)) as bigint)"
         ).alias("rho_ppm"),
     )
+
+
+# DuckDB twin of the chi-square contingency pass: identical 25-cell
+# (segment, priority) table, identical HUGEINT-widened per-cell
+# truncating micro contributions, identical Cramer's V' (phi2/min-1).
+_CHI2_ORACLE = """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS row_tot,
+                  CAST(COUNT(*) AS BIGINT) AS n_pri FROM cells GROUP BY 1),
+    ct AS (SELECT priority, CAST(SUM(o) AS BIGINT) AS col_tot,
+                  CAST(COUNT(*) AS BIGINT) AS n_seg FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT segment) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT priority) AS BIGINT) AS c
+            FROM cells),
+    grid AS (
+      -- the FULL r x c grid: an unobserved (segment, priority) cell
+      -- has O = 0 but still contributes E to the statistic — dropping
+      -- it understates chi2 (planted diagonal fixture pins this)
+      SELECT rt.segment, ct.priority, rt.row_tot, ct.col_tot,
+             COALESCE(cells.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.segment = rt.segment
+                     AND cells.priority = ct.priority
+    ),
+    contrib AS (
+      SELECT grid.segment, grid.priority, grid.o,
+             grid.row_tot, grid.col_tot, tot.n, tot.r, tot.c,
+             CAST(CAST(grid.row_tot AS HUGEINT) * grid.col_tot * 1000
+                  // tot.n AS BIGINT) AS exp_milli,
+             CAST((CAST(grid.o AS HUGEINT) * tot.n
+                   - CAST(grid.row_tot AS HUGEINT) * grid.col_tot)
+                  * (CAST(grid.o AS HUGEINT) * tot.n
+                     - CAST(grid.row_tot AS HUGEINT) * grid.col_tot)
+                  * 1000000
+                  // (CAST(tot.n AS HUGEINT) * grid.row_tot * grid.col_tot)
+                  AS BIGINT) AS cell_chi2_micro
+      FROM grid CROSS JOIN tot
+    ),
+    total AS (
+      SELECT CAST(SUM(cell_chi2_micro) AS BIGINT) AS chi2_micro FROM contrib
+    )
+    SELECT segment, priority, o, row_tot, col_tot, exp_milli,
+           cell_chi2_micro, n,
+           (r - 1) * (c - 1) AS dof,
+           total.chi2_micro,
+           CAST(total.chi2_micro
+                // (n * CASE WHEN r < c THEN r - 1 ELSE c - 1 END)
+                AS BIGINT) AS cramers_v2_ppm
+    FROM contrib CROSS JOIN total
+    """
+
+
+@extra_query("contingency_chi_square", _CHI2_ORACLE)
+def q_contingency_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence + Cramer's V (D243) over the
+    (market segment x order priority) contingency table — the
+    r x c-categorical member of the experimentation/audit family
+    (two-proportion z D135 and Welch t D186 compare TWO arms on one
+    metric; this asks whether two whole categorical columns are
+    associated at all — the screen that catches a biased traffic
+    split, a segment-skewed priority queue, or a leaky stratification
+    before any downstream per-arm readout is trusted). Reference
+    parity: composed from the same grouped-aggregation surface as the
+    reference's reducers (reference worker.py reduce loop); the
+    statistic itself is standard Pearson 1900.
+
+    Exactness: per-cell contribution ((O*N - R*C)^2 * 1e6) div
+    (N*R*C) is computed entirely in DECIMAL(38,0)/HUGEINT (O*N ~ N^2
+    wraps int64 near N = 3e9 rows; the squared numerator ~ N^4 stays
+    inside 38 digits up to N ~ 1e9 — the raise_error guard pins that
+    documented widening point), each cell truncates independently so
+    the global sum is order-free, and Cramer's V^2 = chi2/(N*min(r-1,
+    c-1)) is ONE more truncating integer division (ppm). Expected
+    counts ship as exact milli (R*C*1000 div N). Plan: one
+    orders-customer equi-join (both sides corpus-scale — a plain
+    shuffle join AQE can re-plan) collapses into ONE (segment,
+    priority) partial agg; every total/expected/contribution join
+    runs on the <=25-row cell table (metadata license). 25 rows at
+    any scale."""
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rt = cells.groupBy("segment").agg(F.sum("o").cast("bigint").alias("row_tot"))
+    ct = cells.groupBy("priority").agg(F.sum("o").cast("bigint").alias("col_tot"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("segment").cast("bigint").alias("r"),
+        F.countDistinct("priority").cast("bigint").alias("c"),
+    )
+    # the FULL r x c grid: an unobserved cell has O = 0 but still
+    # contributes E to the statistic — dropping it understates chi2
+    # (planted diagonal fixture pins this)
+    grid = (
+        rt.crossJoin(ct)
+        .join(cells, ["segment", "priority"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)).cast("bigint"))
+    )
+    contrib = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "exp_milli",
+            F.expr(
+                "cast(cast(row_tot as decimal(38,0)) * col_tot * 1000 div n"
+                " as bigint)"
+            ),
+        )
+        .withColumn(
+            "cell_chi2_micro",
+            F.expr(
+                "case when n > 1000000000 then"
+                " raise_error('contingency_chi_square: N^4 exceeds"
+                " DECIMAL(38,0) headroom — shard the table or rescale') "
+                "else cast("
+                " (cast(o as decimal(38,0)) * n"
+                "  - cast(row_tot as decimal(38,0)) * col_tot)"
+                " * (cast(o as decimal(38,0)) * n"
+                "    - cast(row_tot as decimal(38,0)) * col_tot)"
+                " * 1000000"
+                " div (cast(n as decimal(38,0)) * row_tot * col_tot)"
+                " as bigint) end"
+            ),
+        )
+    )
+    total = contrib.agg(
+        F.sum("cell_chi2_micro").cast("bigint").alias("chi2_micro")
+    )
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "segment",
+        "priority",
+        "o",
+        "row_tot",
+        "col_tot",
+        "exp_milli",
+        "cell_chi2_micro",
+        "n",
+        F.expr("(r - 1) * (c - 1)").cast("bigint").alias("dof"),
+        "chi2_micro",
+        F.expr(
+            "chi2_micro div (n * case when r < c then r - 1 else c - 1 end)"
+        )
+        .cast("bigint")
+        .alias("cramers_v2_ppm"),
+    )
+
+
+# DuckDB twin of the PSI pass: identical cents quantization, identical
+# rank-extracted reference decile edges, identical +1/+10 Laplace
+# smoothing and micro-ln (round(ln(int)*1e6), the pinned PMI/entropy
+# convention) and the sign-safe truncating micro product.
+_PSI_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'a' ELSE 'b' END
+               AS side
+      FROM orders
+    ),
+    ref AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rk
+      FROM base WHERE side = 'a'
+    ),
+    nref AS (SELECT CAST(COUNT(*) AS BIGINT) AS na0 FROM ref),
+    edges AS (
+      SELECT k.k, r.cents AS e
+      FROM range(1, 10) AS k(k)
+      JOIN nref ON TRUE
+      JOIN ref r ON r.rk = (k.k * nref.na0 + 9) // 10
+    ),
+    earr AS (SELECT list_sort(list(e)) AS ea FROM edges),
+    binned AS (
+      SELECT side,
+             1 + len(list_filter(earr.ea, x -> x < cents)) AS bin
+      FROM base CROSS JOIN earr
+    ),
+    cnt AS (
+      SELECT side, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT b.bin,
+             COALESCE(ca.c, 0) + 1 AS ca1,
+             COALESCE(cb.c, 0) + 1 AS cb1,
+             COALESCE(ca.c, 0) AS ca,
+             COALESCE(cb.c, 0) AS cb
+      FROM range(1, 11) AS b(bin)
+      LEFT JOIN cnt ca ON ca.bin = b.bin AND ca.side = 'a'
+      LEFT JOIN cnt cb ON cb.bin = b.bin AND cb.side = 'b'
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) + 10 AS BIGINT) AS na10,
+             CAST(SUM(cb) + 10 AS BIGINT) AS nb10
+      FROM grid
+    ),
+    term AS (
+      SELECT bin, ca, cb,
+             CAST(ca1 * 1000000 // na10 AS BIGINT) AS pa_ppm,
+             CAST(cb1 * 1000000 // nb10 AS BIGINT) AS pb_ppm,
+             CAST(round(ln(CAST(ca1 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(na10 AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(cb1 AS DOUBLE)) * 1000000) AS BIGINT)
+             + CAST(round(ln(CAST(nb10 AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ln_ratio_micro
+      FROM grid CROSS JOIN tot
+    ),
+    contrib AS (
+      SELECT bin, ca, cb, pa_ppm, pb_ppm, ln_ratio_micro,
+             CASE WHEN (pa_ppm - pb_ppm) * ln_ratio_micro >= 0
+                  THEN ((pa_ppm - pb_ppm) * ln_ratio_micro) // 1000000
+                  ELSE -((-(pa_ppm - pb_ppm) * ln_ratio_micro) // 1000000)
+             END AS psi_bin_micro
+      FROM term
+    )
+    SELECT c.bin, c.ca, c.cb, c.pa_ppm, c.pb_ppm, c.ln_ratio_micro,
+           c.psi_bin_micro,
+           (SELECT na10 - 10 FROM tot) AS n_ref,
+           (SELECT nb10 - 10 FROM tot) AS n_cur,
+           (SELECT CAST(SUM(psi_bin_micro) AS BIGINT) FROM contrib)
+             AS psi_micro
+    FROM contrib c
+    """
+
+
+@extra_query("psi_value_drift", _PSI_ORACLE)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (D244) of the order-value
+    distribution between a reference window (orders before 1996) and
+    the current window — the model-monitoring classic that tells a
+    scoring pipeline whether the feature distribution it was
+    calibrated on still holds (PSI < 0.1 stable, > 0.25 re-train), and
+    the DISTRIBUTION-shape sibling of the per-token KL drift monitor
+    (D153) and the seasonal baseline (D214): decile bins are learned
+    from the REFERENCE side only (rank-extracted edges — the D61
+    equi-depth convention), then BOTH sides are scored against that
+    frozen binning, which is exactly how PSI is deployed (the bins are
+    part of the model artifact).
+
+    Exactness: cents quantization; edges are the reference values at
+    ranks ceil(k*Na/10) via the range-partitioned global rank (never a
+    single-task window); bin assignment is a 9-element broadcast
+    array probe (1 + #edges < cents — ties pinned by strict <); +1
+    per-bin / +10 total Laplace smoothing keeps empty bins finite and
+    IDENTICAL on both engines; shares in truncating ppm; ln(pa/pb)
+    decomposes into FOUR micro-lns of integers (the pinned
+    PMI/entropy convention — round(ln(int)*1e6) is bit-stable across
+    libm) so the per-bin product is one BIGINT multiply and ONE
+    sign-safe truncating micro division (Spark div truncates toward
+    zero, DuckDB // floors — they agree only on non-negative operands,
+    so the negative branch mirrors -((-x) div 1e6) explicitly). Plan:
+    corpus-scale work is one filter + one global rank over the
+    reference side and ONE (side, bin) partial agg over everything;
+    the 10-row grid and totals are metadata-scale. 10 rows at any
+    scale."""
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+        F.when(F.col("o_orderdate") < F.lit("1996-01-01"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+    )
+    ref = base.filter(F.col("side") == "a").select("cents", "o_orderkey")
+    ranked = global_rank(ref, ["cents", "o_orderkey"], "rk")
+    na0 = ref.agg(F.count(F.lit(1)).cast("bigint").alias("na0"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    edges = (
+        ranked.crossJoin(F.broadcast(na0))
+        .join(
+            F.broadcast(ks),
+            F.col("rk") == F.expr("(k * na0 + 9) div 10"),
+        )
+        .select("k", F.col("cents").alias("e"))
+    )
+    earr = edges.agg(F.sort_array(F.collect_list("e")).alias("ea"))
+    binned = base.crossJoin(F.broadcast(earr)).select(
+        "side",
+        (F.lit(1) + F.expr("size(filter(ea, x -> x < cents))"))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    cnt = binned.groupBy("side", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bins = spark.range(1, 11).select(F.col("id").alias("bin"))
+    ca = cnt.filter(F.col("side") == "a").select("bin", F.col("c").alias("ca"))
+    cb = cnt.filter(F.col("side") == "b").select("bin", F.col("c").alias("cb"))
+    grid = (
+        bins.join(ca, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+    )
+    tot = grid.agg(
+        (F.sum("ca") + 10).cast("bigint").alias("na10"),
+        (F.sum("cb") + 10).cast("bigint").alias("nb10"),
+    )
+    lnu = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("bigint")  # noqa: E731
+    term = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn("ca1", F.expr("ca + 1"))
+        .withColumn("cb1", F.expr("cb + 1"))
+        .select(
+            "bin", "ca", "cb", "na10", "nb10",
+            F.expr("ca1 * 1000000 div na10").cast("bigint").alias("pa_ppm"),
+            F.expr("cb1 * 1000000 div nb10").cast("bigint").alias("pb_ppm"),
+            (
+                lnu(F.col("ca1")) - lnu(F.col("na10"))
+                - lnu(F.col("cb1")) + lnu(F.col("nb10"))
+            ).alias("ln_ratio_micro"),
+        )
+    )
+    contrib = term.withColumn(
+        "psi_bin_micro",
+        F.expr(
+            "case when (pa_ppm - pb_ppm) * ln_ratio_micro >= 0"
+            " then ((pa_ppm - pb_ppm) * ln_ratio_micro) div 1000000"
+            " else -((-(pa_ppm - pb_ppm) * ln_ratio_micro) div 1000000) end"
+        ).cast("bigint"),
+    )
+    total = contrib.agg(F.sum("psi_bin_micro").cast("bigint").alias("psi_micro"))
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "bin", "ca", "cb", "pa_ppm", "pb_ppm", "ln_ratio_micro",
+        "psi_bin_micro",
+        (F.col("na10") - 10).alias("n_ref"),
+        (F.col("nb10") - 10).alias("n_cur"),
+        "psi_micro",
+    )

@@ -746,7 +746,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # multimodal_audio_resample (D236), t_closeness_audit (D237),
 # events_lorenz_gini (D239), abc_classification_suppliers (D240),
 # corr_spearman_price_demand (D241), assemble_behavioral_dataset
-# (D242, the events-side release flagship);
+# (D242, the events-side release flagship),
+# contingency_chi_square (D243, r×c chi-square + Cramér's V over the
+# full grid including O=0 cells), psi_value_drift (D244, reference-
+# binned Population Stability Index with micro-ln terms);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

@@ -1,0 +1,136 @@
+"""Planted-fixture tests for the round-10 third-wave operators
+(D243+): each test constructs the specific condition the operator's
+docstring claims to handle and pins the expected output, so a
+regression fails with a diagnosis instead of an opaque oracle hash
+mismatch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import mapreduce_project_spark.queries_registry as R
+
+
+def _write(spark, tmp_path, name, schema, rows):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / f"{name}.parquet")
+    )
+
+
+# ---------------------------------------------------------------- D243
+
+
+def test_chi_square_perfect_dependence_pins_v2_at_one(spark, tmp_path):
+    # 2x2 diagonal: segment A orders ONLY urgent, segment B ONLY low.
+    # Closed form: chi2 = N  =>  chi2_micro = N*1e6 and V^2 = 1
+    # (v2_ppm = 1e6) exactly — the association ceiling.
+    _write(
+        spark, tmp_path, "customer",
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+        [(1, "a", 0, 0.0, "SEG_A"), (2, "b", 0, 0.0, "SEG_A"),
+         (3, "c", 0, 0.0, "SEG_B"), (4, "d", 0, 0.0, "SEG_B")],
+    )
+    orders = []
+    for i, ck in enumerate([1, 2, 1, 2]):
+        orders.append((100 + i, ck, "O", 1.0, "1995-01-01", "1-URGENT"))
+    for i, ck in enumerate([3, 4, 3, 4]):
+        orders.append((200 + i, ck, "O", 1.0, "1995-01-01", "5-LOW"))
+    _write(
+        spark, tmp_path, "orders",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+        orders,
+    )
+    got = (
+        R.ALL_QUERIES["contingency_chi_square"](spark, str(tmp_path))
+        .orderBy("segment", "priority")
+        .toPandas()
+    )
+    # the FULL 2x2 grid ships, including the two O=0 off-diagonal
+    # cells (each contributes E = 2 to chi2 — dropping them is the
+    # classic understatement bug this fixture plants)
+    assert len(got) == 4
+    assert int(got.chi2_micro.iloc[0]) == 8 * 1000000
+    assert int(got.cramers_v2_ppm.iloc[0]) == 1000000
+    assert int(got.dof.iloc[0]) == 1
+    diag = got[(got.segment == "SEG_A") & (got.priority == "1-URGENT")]
+    assert int(diag.o.iloc[0]) == 4
+    # expected count under independence = 4*4/8 = 2  => 2000 milli
+    assert int(diag.exp_milli.iloc[0]) == 2000
+
+
+def test_chi_square_exact_independence_is_zero(spark, tmp_path):
+    # Balanced 2x2 with identical priority mix in both segments:
+    # every O equals E exactly, so chi2_micro = 0 and V^2 = 0.
+    _write(
+        spark, tmp_path, "customer",
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+        [(1, "a", 0, 0.0, "SEG_A"), (2, "b", 0, 0.0, "SEG_B")],
+    )
+    orders = []
+    k = 0
+    for ck in (1, 2):
+        for pri in ("1-URGENT", "5-LOW"):
+            for _ in range(3):
+                orders.append((k, ck, "O", 1.0, "1995-01-01", pri))
+                k += 1
+    _write(
+        spark, tmp_path, "orders",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+        orders,
+    )
+    got = R.ALL_QUERIES["contingency_chi_square"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 4
+    assert set(got.chi2_micro) == {0}
+    assert set(got.cramers_v2_ppm) == {0}
+
+
+# ---------------------------------------------------------------- D244
+
+
+def _psi_orders(spark, tmp_path, ref_prices, cur_prices):
+    rows = []
+    k = 0
+    for p in ref_prices:
+        rows.append((k, 1, "O", float(p), "1995-06-01", "1-URGENT"))
+        k += 1
+    for p in cur_prices:
+        rows.append((k, 1, "O", float(p), "1997-06-01", "1-URGENT"))
+        k += 1
+    _write(
+        spark, tmp_path, "orders",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+        rows,
+    )
+
+
+def test_psi_identical_mix_is_zero(spark, tmp_path):
+    # Current side replays the reference distribution exactly (2x the
+    # mass, same shape): every bin has pa_ppm == pb_ppm, so every
+    # sign-safe product is 0 and psi_micro == 0.
+    ref = list(range(100, 400, 10))  # 30 distinct values
+    _psi_orders(spark, tmp_path, ref, ref * 2)
+    got = R.ALL_QUERIES["psi_value_drift"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 10
+    assert set(got.psi_micro) == {0}
+    assert set(got.psi_bin_micro) == {0}
+
+
+def test_psi_shifted_mass_alerts(spark, tmp_path):
+    # Current mass sits entirely ABOVE the reference's top decile edge:
+    # bins 1-9 empty on the current side, bin 10 holds everything.
+    # PSI must blow far past the classic 0.25 re-train alert.
+    ref = list(range(100, 400, 10))
+    cur = [10000 + i for i in range(30)]
+    _psi_orders(spark, tmp_path, ref, cur)
+    got = R.ALL_QUERIES["psi_value_drift"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 10
+    assert int(got.psi_micro.iloc[0]) > 250000
+    top = got[got.bin == 10]
+    assert int(top.cb.iloc[0]) == 30
+    # the drained bins contribute positively too (sign-safe product)
+    assert (got.psi_bin_micro >= 0).all()
