@@ -945,3 +945,117 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxy",
         r.alias("assortativity"),
     )
+
+
+# DuckDB twin of the label-propagation rounds: identical January-1995
+# co-supply edges (the D233/D114/D49 graph), identical 4 synchronous
+# rounds with the (count DESC, label ASC) argmax pinned via QUALIFY
+# row_number, identical final community-size join.
+_LPA_ROUND = """
+    l{i} AS (
+      SELECT e.a AS id, l.lbl
+      FROM edges e JOIN l{h} l ON l.id = e.b
+      GROUP BY e.a, l.lbl
+      QUALIFY row_number() OVER (
+        PARTITION BY e.a ORDER BY COUNT(*) DESC, l.lbl ASC) = 1
+    )"""
+
+_LPA_ORACLE = (
+    """
+    WITH o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    ),
+    e0 AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      JOIN o ON x.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM edges),
+    """
+    + ",\n    ".join(_LPA_ROUND.format(i=i, h=i - 1) for i in range(1, 5))
+    + """,
+    sizes AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+              FROM l4 GROUP BY 1)
+    SELECT l4.id AS supplier, l4.lbl AS community, sizes.community_size
+    FROM l4 JOIN sizes ON sizes.lbl = l4.lbl
+    """
+)
+
+
+@extra_query("graph_label_propagation", _LPA_ORACLE)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (D245,
+    Raghavan 2007) over the January-1995 co-supply graph — the
+    community-structure member completing the graph family
+    (components D114 find CONNECTIVITY islands, assortativity D233
+    scores hub attachment, PageRank D49 ranks; LPA finds the densely
+    intra-connected clusters INSIDE one component — which is what a
+    partitioner actually wants for edge-cut-minimizing layout, and
+    what a dedup pipeline wants when near-dup pairs form soft
+    neighborhoods rather than hard components).
+
+    Determinism (vanilla LPA is notoriously order-dependent —
+    unusable as a hash-checked operator): FOUR fully SYNCHRONOUS
+    rounds (every node updates from the PREVIOUS round's labels
+    simultaneously — no in-round drift), argmax pinned as (count
+    DESC, label ASC) via per-node row_number (a window PARTITIONED BY
+    node, bounded by the node's distinct neighbor labels — never a
+    global window), labels initialised to the node id. Bounded
+    rounds, not convergence: like PageRank D49, the round count is
+    the contract — oracle-replayable as unrolled CTEs, and at 100 TB
+    four node-keyed join+argmax rounds are four bounded shuffle
+    stages with O(V) state, no convergence-test collect. Per round:
+    one edge-label equi-join (fan-out = edge count) + one (node,
+    label) partial agg + one node-partitioned top-1 window. Output is
+    one row per participating supplier with its community and the
+    community size (one more metadata-side partial agg)."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    e0 = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(4):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("id"), "lbl")
+        cnt = nbr.groupBy("id", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("supplier"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )

@@ -749,7 +749,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D242, the events-side release flagship),
 # contingency_chi_square (D243, r×c chi-square + Cramér's V over the
 # full grid including O=0 cells), psi_value_drift (D244, reference-
-# binned Population Stability Index with micro-ln terms);
+# binned Population Stability Index with micro-ln terms),
+# graph_label_propagation (D245, 4-round synchronous LPA with the
+# pinned (count DESC, label ASC) argmax);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

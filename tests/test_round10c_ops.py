@@ -134,3 +134,40 @@ def test_psi_shifted_mass_alerts(spark, tmp_path):
     assert int(top.cb.iloc[0]) == 30
     # the drained bins contribute positively too (sign-safe product)
     assert (got.psi_bin_micro >= 0).all()
+
+
+# ---------------------------------------------------------------- D245
+
+
+def test_label_propagation_separates_bridged_cliques(spark, tmp_path):
+    # Two K4 cliques (suppliers 1-4 and 10-13, each clique = one
+    # shared order) joined by ONE bridge order {4, 10}: four sync
+    # rounds must converge each clique to its min supplier id and the
+    # single bridge edge must NOT merge them (simulated closed form:
+    # communities {1,2,3,4}->1 and {10,11,12,13}->10, both size 4).
+    _write(
+        spark, tmp_path, "orders",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+        [(1, 1, "O", 1.0, "1995-01-10", "1-URGENT"),
+         (2, 1, "O", 1.0, "1995-01-11", "1-URGENT"),
+         (3, 1, "O", 1.0, "1995-01-12", "1-URGENT")],
+    )
+    li = []
+    ln = 1
+    for sk in (1, 2, 3, 4):
+        li.append((1, 1, sk, ln)); ln += 1
+    for sk in (10, 11, 12, 13):
+        li.append((2, 1, sk, ln)); ln += 1
+    for sk in (4, 10):
+        li.append((3, 1, sk, ln)); ln += 1
+    _write(
+        spark, tmp_path, "lineitem",
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int",
+        li,
+    )
+    got = R.ALL_QUERIES["graph_label_propagation"](spark, str(tmp_path)).toPandas()
+    lbl = dict(zip(got.supplier, got.community))
+    assert lbl == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+    assert set(got.community_size) == {4}
