@@ -3960,3 +3960,169 @@ def q_stylometry_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_milli"),
         )
     )
+
+
+# DuckDB twin of the mutual-information pass: identical observed-cell
+# table (0*ln0 = 0, so unobserved cells genuinely contribute nothing —
+# no grid needed, unlike chi-square D243), identical micro-ln terms
+# and sign-safe truncating micro products, identical marginal
+# entropies and the NMI ratio.
+_MI_ORACLE = """
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+    ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    term AS (
+      SELECT cells.source, cells.lang, cells.o, rt.row_tot, ct.col_tot, tot.n,
+             CAST(cells.o * 1000000 // tot.n AS BIGINT) AS p_ppm,
+             CAST(round(ln(CAST(cells.o AS DOUBLE)) * 1000000) AS BIGINT)
+             + CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(rt.row_tot AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(ct.col_tot AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ln_term_micro
+      FROM cells
+      JOIN rt ON rt.source = cells.source
+      JOIN ct ON ct.lang = cells.lang
+      CROSS JOIN tot
+    ),
+    contrib AS (
+      SELECT *,
+             CASE WHEN p_ppm * ln_term_micro >= 0
+                  THEN (p_ppm * ln_term_micro) // 1000000
+                  ELSE -((-p_ppm * ln_term_micro) // 1000000)
+             END AS mi_cell_micro
+      FROM term
+    ),
+    hx AS (
+      SELECT CAST(SUM((row_tot * 1000000 // tot.n)
+                      * (CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT)
+                         - CAST(round(ln(CAST(row_tot AS DOUBLE)) * 1000000) AS BIGINT))
+                      // 1000000) AS BIGINT) AS h_micro
+      FROM rt CROSS JOIN tot
+    ),
+    hy AS (
+      SELECT CAST(SUM((col_tot * 1000000 // tot.n)
+                      * (CAST(round(ln(CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT)
+                         - CAST(round(ln(CAST(col_tot AS DOUBLE)) * 1000000) AS BIGINT))
+                      // 1000000) AS BIGINT) AS h_micro
+      FROM ct CROSS JOIN tot
+    ),
+    mi AS (SELECT CAST(SUM(mi_cell_micro) AS BIGINT) AS mi_micro FROM contrib)
+    SELECT c.source, c.lang, c.o, c.row_tot, c.col_tot, c.p_ppm,
+           c.ln_term_micro, c.mi_cell_micro,
+           mi.mi_micro,
+           hx.h_micro AS h_source_micro,
+           hy.h_micro AS h_lang_micro,
+           CASE WHEN least(hx.h_micro, hy.h_micro) <= 0 THEN 0
+                ELSE CASE WHEN mi.mi_micro >= 0
+                     THEN mi.mi_micro * 1000000 // least(hx.h_micro, hy.h_micro)
+                     ELSE -((-mi.mi_micro * 1000000)
+                            // least(hx.h_micro, hy.h_micro)) END
+           END AS nmi_ppm
+    FROM contrib c CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+    """
+
+
+@extra_query("mutual_information_source_lang", _MI_ORACLE)
+def q_mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + normalized MI (D246) between document
+    SOURCE and LANGUAGE — the information-theoretic association
+    screen beside the frequentist chi-square (D243): MI answers "how
+    many nats does knowing the source tell you about the language"
+    (the statistic a mixture designer reads before stratifying a
+    multilingual corpus by source — high NMI means source and
+    language are redundant strata; near-zero means both are needed),
+    and its per-cell decomposition ranks WHICH (source, lang) cells
+    carry the association (the D153 KL-decomposition discipline
+    applied to two categorical columns).
+
+    Exactness: only OBSERVED cells enter (0*ln0 = 0 — no grid needed,
+    unlike chi-square where empty cells contribute E); ln(p_xy/(p_x
+    p_y)) decomposes into FOUR micro-lns of integer counts (the
+    pinned PMI/entropy convention), p in truncating ppm, each cell
+    ONE sign-safe truncating micro product (negative branch mirrors
+    -((-x) div 1e6)); marginal entropies H(X), H(Y) in micro-nats
+    from the same convention (their terms are non-negative by
+    construction so they sum order-free) and NMI = MI/min(H) as one
+    final sign-safe ppm division. Plan: ONE (source, lang) partial
+    agg collapses the corpus; marginals, entropies, and the NMI
+    scalar all live on the <=|X|*|Y| cell table (metadata license).
+    One row per observed cell at any scale."""
+    docs = t(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("row_tot"))
+    ct = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("col_tot"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    lnu = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("bigint")  # noqa: E731
+    term = (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "o", "row_tot", "col_tot", "n",
+            F.expr("o * 1000000 div n").cast("bigint").alias("p_ppm"),
+            (
+                lnu(F.col("o")) + lnu(F.col("n"))
+                - lnu(F.col("row_tot")) - lnu(F.col("col_tot"))
+            ).alias("ln_term_micro"),
+        )
+    )
+    contrib = term.withColumn(
+        "mi_cell_micro",
+        F.expr(
+            "case when p_ppm * ln_term_micro >= 0"
+            " then (p_ppm * ln_term_micro) div 1000000"
+            " else -((-p_ppm * ln_term_micro) div 1000000) end"
+        ).cast("bigint"),
+    )
+    hx = (
+        rt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "cast(sum((row_tot * 1000000 div n)"
+                " * (cast(round(ln(cast(n as double)) * 1000000, 0) as bigint)"
+                "    - cast(round(ln(cast(row_tot as double)) * 1000000, 0)"
+                "      as bigint))"
+                " div 1000000) as bigint)"
+            ).alias("h_source_micro")
+        )
+    )
+    hy = (
+        ct.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "cast(sum((col_tot * 1000000 div n)"
+                " * (cast(round(ln(cast(n as double)) * 1000000, 0) as bigint)"
+                "    - cast(round(ln(cast(col_tot as double)) * 1000000, 0)"
+                "      as bigint))"
+                " div 1000000) as bigint)"
+            ).alias("h_lang_micro")
+        )
+    )
+    mi = contrib.agg(F.sum("mi_cell_micro").cast("bigint").alias("mi_micro"))
+    return (
+        contrib.drop("n")
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "source", "lang", "o", "row_tot", "col_tot", "p_ppm",
+            "ln_term_micro", "mi_cell_micro", "mi_micro",
+            "h_source_micro", "h_lang_micro",
+            F.expr(
+                "case when least(h_source_micro, h_lang_micro) <= 0 then 0"
+                " else case when mi_micro >= 0"
+                " then mi_micro * 1000000"
+                "      div least(h_source_micro, h_lang_micro)"
+                " else -((-mi_micro * 1000000)"
+                "        div least(h_source_micro, h_lang_micro)) end end"
+            )
+            .cast("bigint")
+            .alias("nmi_ppm"),
+        )
+    )

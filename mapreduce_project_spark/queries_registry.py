@@ -751,7 +751,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # full grid including O=0 cells), psi_value_drift (D244, reference-
 # binned Population Stability Index with micro-ln terms),
 # graph_label_propagation (D245, 4-round synchronous LPA with the
-# pinned (count DESC, label ASC) argmax);
+# pinned (count DESC, label ASC) argmax), mutual_information_source_
+# lang (D246, MI + NMI in micro-nats over observed cells);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

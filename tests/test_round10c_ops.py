@@ -171,3 +171,55 @@ def test_label_propagation_separates_bridged_cliques(spark, tmp_path):
     lbl = dict(zip(got.supplier, got.community))
     assert lbl == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
     assert set(got.community_size) == {4}
+
+
+# ---------------------------------------------------------------- D246
+
+
+def test_mutual_information_diagonal_pins_nmi_one(spark, tmp_path):
+    # Perfect dependence: 4 sources, each monolingual, equal mass.
+    # MI = H(source) = H(lang) = ln 4, so nmi_ppm lands on exactly
+    # 1e6 (numerator and denominator are the SAME truncated sum).
+    rows = []
+    k = 0
+    for i, (src, lg) in enumerate(
+        [("s0", "en"), ("s1", "de"), ("s2", "fr"), ("s3", "zh")]
+    ):
+        for _ in range(5):
+            rows.append((k, "w", lg, src, 1))
+            k += 1
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = R.ALL_QUERIES["mutual_information_source_lang"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(got) == 4  # only the diagonal cells are observed
+    assert int(got.nmi_ppm.iloc[0]) == 1000000
+    assert int(got.mi_micro.iloc[0]) == int(got.h_source_micro.iloc[0])
+
+
+def test_mutual_information_independent_is_zero(spark, tmp_path):
+    # Uniform 2x2 grid: every ln term is exactly 0 micro, so MI and
+    # NMI are 0 while both marginal entropies stay positive.
+    rows = []
+    k = 0
+    for src in ("s0", "s1"):
+        for lg in ("en", "de"):
+            for _ in range(3):
+                rows.append((k, "w", lg, src, 1))
+                k += 1
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = R.ALL_QUERIES["mutual_information_source_lang"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(got) == 4
+    assert set(got.mi_micro) == {0}
+    assert set(got.nmi_ppm) == {0}
+    assert int(got.h_source_micro.iloc[0]) > 0
