@@ -4126,3 +4126,115 @@ def q_mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("nmi_ppm"),
         )
     )
+
+
+# DuckDB twin of the readability pass: identical [a-z]+ tokenizer,
+# identical vowel-group syllable proxy with the per-word max(1,.)
+# floor, identical greatest(1, sentence runs) and the truncating
+# milli formula terms.
+_READABILITY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    syl AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))
+                  AS BIGINT) AS n_syllables
+      FROM toks GROUP BY doc_id
+    ),
+    sent AS (
+      SELECT doc_id,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sentences
+      FROM documents
+    )
+    SELECT s.doc_id, s.n_words, sent.n_sentences, s.n_syllables,
+           206835 - (1015 * s.n_words) // sent.n_sentences
+                  - (84600 * s.n_syllables) // s.n_words AS fre_milli,
+           (390 * s.n_words) // sent.n_sentences
+             + (11800 * s.n_syllables) // s.n_words - 15590 AS fkgl_milli,
+           CASE
+             WHEN 206835 - (1015 * s.n_words) // sent.n_sentences
+                         - (84600 * s.n_syllables) // s.n_words >= 90000
+               THEN 'very_easy'
+             WHEN 206835 - (1015 * s.n_words) // sent.n_sentences
+                         - (84600 * s.n_syllables) // s.n_words >= 60000
+               THEN 'standard'
+             WHEN 206835 - (1015 * s.n_words) // sent.n_sentences
+                         - (84600 * s.n_syllables) // s.n_words >= 30000
+               THEN 'difficult'
+             ELSE 'very_confusing'
+           END AS band
+    FROM syl s JOIN sent ON sent.doc_id = s.doc_id
+    """
+
+
+@extra_query("text_readability_scores", _READABILITY_ORACLE)
+def q_text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade level (D247) per
+    document — the classic readability gate in the text-quality stack
+    (Gopher D43 screens repetition, CCNet D173 perplexity-buckets,
+    stylometry D231 screens style outliers; readability screens for
+    AUDIENCE level — the filter a curriculum-ordered training mix or
+    a child-safety corpus slice actually keys on). Syllables use the
+    standard regex proxy: vowel-group runs [aeiouy]+ per word with a
+    max(1, .) floor (a vowel-less token like "zh" still costs one
+    syllable — planted fixture pins the floor); sentences are [.!?]+
+    runs with a greatest(1, .) floor so unpunctuated fragments score
+    as one sentence.
+
+    Exactness: the textbook coefficients become integer milli terms —
+    FRE_milli = 206835 - (1015*W) div S - (84600*Syl) div W and
+    FKGL_milli = (390*W) div S + (11800*Syl) div W - 15590 — every
+    divided product non-negative, so truncating div agrees across
+    engines, and the subtraction happens on already-truncated terms
+    (pinned order). Tokenizer is the reference word-count pattern
+    [a-z]+ (word_count.py:38). Plan: one map-side token explode into
+    ONE doc-keyed partial agg (+ a narrow per-doc sentence scan) —
+    zero joins wider than doc_id, embarrassingly parallel; band
+    thresholds (90/60/30) are the published Flesch bands in milli.
+    One row per document."""
+    from mapreduce_project_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    syl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.expr(
+            "sum(greatest(1, size(regexp_extract_all(w, '([aeiouy]+)', 1))))"
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    sent = docs.select(
+        "doc_id",
+        F.expr("greatest(1, size(regexp_extract_all(text, '([.!?]+)', 1)))")
+        .cast("bigint")
+        .alias("n_sentences"),
+    )
+    fre = (
+        F.lit(206835)
+        - F.expr("(1015 * n_words) div n_sentences")
+        - F.expr("(84600 * n_syllables) div n_words")
+    ).cast("bigint")
+    return (
+        syl.join(sent, "doc_id")
+        .withColumn("fre_milli", fre)
+        .select(
+            "doc_id", "n_words", "n_sentences", "n_syllables", "fre_milli",
+            (
+                F.expr("(390 * n_words) div n_sentences")
+                + F.expr("(11800 * n_syllables) div n_words")
+                - F.lit(15590)
+            )
+            .cast("bigint")
+            .alias("fkgl_milli"),
+            F.when(F.col("fre_milli") >= 90000, "very_easy")
+            .when(F.col("fre_milli") >= 60000, "standard")
+            .when(F.col("fre_milli") >= 30000, "difficult")
+            .otherwise("very_confusing")
+            .alias("band"),
+        )
+    )

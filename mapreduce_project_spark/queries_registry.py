@@ -752,7 +752,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # binned Population Stability Index with micro-ln terms),
 # graph_label_propagation (D245, 4-round synchronous LPA with the
 # pinned (count DESC, label ASC) argmax), mutual_information_source_
-# lang (D246, MI + NMI in micro-nats over observed cells);
+# lang (D246, MI + NMI in micro-nats over observed cells),
+# text_readability_scores (D247, integer-milli Flesch/FKGL with the
+# vowel-group syllable proxy);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

@@ -223,3 +223,44 @@ def test_mutual_information_independent_is_zero(spark, tmp_path):
     assert set(got.mi_micro) == {0}
     assert set(got.nmi_ppm) == {0}
     assert int(got.h_source_micro.iloc[0]) > 0
+
+
+# ---------------------------------------------------------------- D247
+
+
+def test_readability_pins_formula_floors_and_bands(spark, tmp_path):
+    # doc 1: "the cat sat. it ran!" -> W=5, S=2, Syl=5 (all
+    #   single-vowel-group words): FRE = 206835 - 1015*5//2 - 84600
+    #   = 206835 - 2537 - 84600 = 119698 (very_easy);
+    #   FKGL = 390*5//2 + 11800*5//5 - 15590 = 975 + 11800 - 15590
+    #   = -2815 (negative grade is the published behavior for baby text)
+    # doc 2: vowel-less token "zzz" -> syllable floor max(1,.) fires:
+    #   W=1, S=1 (no punctuation -> floor), Syl=1
+    # doc 3: polysyllabic run pushes FRE under 30000 (very_confusing):
+    #   "unbelievable organization international" W=3 S=1
+    #   syl: u-n-b-e-l-ie-v-a-b-l-e: groups u,e,ie,a,e =5; o,a,i,a,io=5
+    #   wait—count via regex: organization -> o,a,i,a,io = 5;
+    #   international -> i,e,a,io,a = 5; total 15
+    #   FRE = 206835 - 1015*3 - 84600*15//3 = 206835-3045-423000 < 0
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        [(1, "the cat sat. it ran!", "en", "s", 1),
+         (2, "zzz", "en", "s", 1),
+         (3, "unbelievable organization international", "en", "s", 1)],
+    )
+    got = (
+        R.ALL_QUERIES["text_readability_scores"](spark, str(tmp_path))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    d1 = got.iloc[0]
+    assert (int(d1.n_words), int(d1.n_sentences), int(d1.n_syllables)) == (5, 2, 5)
+    assert int(d1.fre_milli) == 119698
+    assert int(d1.fkgl_milli) == -2815
+    assert d1.band == "very_easy"
+    d2 = got.iloc[1]
+    assert (int(d2.n_words), int(d2.n_sentences), int(d2.n_syllables)) == (1, 1, 1)
+    d3 = got.iloc[2]
+    assert int(d3.fre_milli) < 0
+    assert d3.band == "very_confusing"
