@@ -1842,3 +1842,162 @@ def q_embedding_sq2_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sse_milli2"),
     )
+
+
+# DuckDB twin of the hygiene audit: identical class ladder (null ->
+# wrong_dim -> nonfinite -> zero -> valid), identical milli norm
+# quantization with float32->DOUBLE widening, identical 4x-scaled
+# corpus quartiles and the x8 integer Tukey fence.
+_HYGIENE_ORACLE = """
+    WITH classed AS (
+      SELECT label, vec_id,
+             CASE
+               WHEN embedding IS NULL THEN 'null'
+               WHEN len(embedding) <> 64 THEN 'wrong_dim'
+               WHEN len(list_filter(embedding,
+                        x -> isnan(CAST(x AS DOUBLE))
+                             OR isinf(CAST(x AS DOUBLE)))) > 0
+                 THEN 'nonfinite'
+               ELSE 'ok'
+             END AS cls0,
+             CASE
+               WHEN embedding IS NULL OR len(embedding) <> 64
+                    OR len(list_filter(embedding,
+                           x -> isnan(CAST(x AS DOUBLE))
+                                OR isinf(CAST(x AS DOUBLE)))) > 0
+                 THEN NULL
+               ELSE (
+                 SELECT CAST(SUM(q * q) AS BIGINT) FROM (
+                   SELECT CAST(floor(CAST(u AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                     AS q
+                   FROM unnest(embedding) AS t(u)))
+             END AS norm2q
+      FROM embeddings
+    ),
+    final AS (
+      SELECT label, vec_id,
+             CASE WHEN cls0 <> 'ok' THEN cls0
+                  WHEN norm2q = 0 THEN 'zero' ELSE 'valid' END AS cls,
+             norm2q
+      FROM classed
+    ),
+    fence AS (
+      SELECT CAST(4 * quantile_cont(norm2q, 0.25) AS BIGINT) AS q1_4,
+             CAST(4 * quantile_cont(norm2q, 0.75) AS BIGINT) AS q3_4
+      FROM final WHERE cls = 'valid'
+    )
+    SELECT f.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE cls = 'null') AS BIGINT) AS n_null,
+           CAST(COUNT(*) FILTER (WHERE cls = 'wrong_dim') AS BIGINT)
+             AS n_wrong_dim,
+           CAST(COUNT(*) FILTER (WHERE cls = 'nonfinite') AS BIGINT)
+             AS n_nonfinite,
+           CAST(COUNT(*) FILTER (WHERE cls = 'zero') AS BIGINT) AS n_zero,
+           CAST(COUNT(*) FILTER (WHERE cls = 'valid') AS BIGINT) AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE cls = 'valid'
+                AND 8 * norm2q < 2 * fence.q1_4 - 3 * (fence.q3_4 - fence.q1_4))
+                AS BIGINT) AS n_low_outlier,
+           CAST(COUNT(*) FILTER (WHERE cls = 'valid'
+                AND 8 * norm2q > 2 * fence.q3_4 + 3 * (fence.q3_4 - fence.q1_4))
+                AS BIGINT) AS n_high_outlier,
+           fence.q1_4, fence.q3_4
+    FROM final f CROSS JOIN fence
+    GROUP BY f.label, fence.q1_4, fence.q3_4
+    """
+
+
+@extra_query("embedding_hygiene_audit", _HYGIENE_ORACLE)
+def q_embedding_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene audit (D248) — the vector-side ingest
+    gate beside the relational data-quality audit (D93) and the FK
+    audit (D227): before an embedding column feeds ANN (C3), dedup
+    (D31/D165/D206) or quantization (D82/D115/D235), count per label
+    the vectors that would silently poison those consumers — NULL
+    column, wrong dimensionality, non-finite components (NaN/Inf kill
+    GEMM kernels and cosine), exact-zero norm (cosine undefined), and
+    norm outliers under the Tukey 1.5-IQR fence (un-normalized rows in
+    a supposedly normalized corpus — the classic double-scaling bug).
+
+    Exactness: the class ladder is pinned (null -> wrong_dim ->
+    nonfinite -> zero -> valid, first match wins); norms are milli-
+    quantized BIGINTs with the D219 float32->DOUBLE widening; fences
+    come from EXACT corpus quartiles over VALID vectors only
+    (quarter-integer 4x scaling, the D235 convention) and the fence
+    comparison is multiplied out to x8 integers (8*norm2q < 2*q1_4 -
+    3*(q3_4 - q1_4)) so no fractional arithmetic exists on either
+    engine. Plan: one narrow map over the scan (flags + norm are
+    per-row expressions — zero shuffle), one exact corpus quantile
+    (scalar), ONE label-keyed partial agg; the embedding payload
+    itself never shuffles. One row per label at any scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    nonfinite = (
+        "exists(embedding, x -> isnan(cast(x as double))"
+        " or cast(x as double) = cast('Infinity' as double)"
+        " or cast(x as double) = cast('-Infinity' as double))"
+    )
+    classed = emb.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "case when embedding is null then 'null'"
+            f" when size(embedding) <> 64 then 'wrong_dim'"
+            f" when {nonfinite} then 'nonfinite'"
+            " else 'ok' end"
+        ).alias("cls0"),
+        F.expr(
+            "case when embedding is null or size(embedding) <> 64"
+            f" or {nonfinite} then null"
+            " else aggregate(transform(embedding,"
+            "   x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint)),"
+            "   cast(0 as bigint), (acc, q) -> acc + q * q) end"
+        ).alias("norm2q"),
+    )
+    final = classed.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "case when cls0 <> 'ok' then cls0"
+            " when norm2q = 0 then 'zero' else 'valid' end"
+        ).alias("cls"),
+        "norm2q",
+    )
+    fence = final.filter(F.col("cls") == "valid").agg(
+        F.expr("cast(4 * percentile(norm2q, 0.25) as bigint)").alias("q1_4"),
+        F.expr("cast(4 * percentile(norm2q, 0.75) as bigint)").alias("q3_4"),
+    )
+    low = "cls = 'valid' and 8 * norm2q < 2 * q1_4 - 3 * (q3_4 - q1_4)"
+    high = "cls = 'valid' and 8 * norm2q > 2 * q3_4 + 3 * (q3_4 - q1_4)"
+    return (
+        final.crossJoin(F.broadcast(fence))
+        .groupBy("label", "q1_4", "q3_4")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr("sum(case when cls = 'null' then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_null"),
+            F.expr("sum(case when cls = 'wrong_dim' then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_wrong_dim"),
+            F.expr("sum(case when cls = 'nonfinite' then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_nonfinite"),
+            F.expr("sum(case when cls = 'zero' then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_zero"),
+            F.expr("sum(case when cls = 'valid' then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_valid"),
+            F.expr(f"sum(case when {low} then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_low_outlier"),
+            F.expr(f"sum(case when {high} then 1 else 0 end)")
+            .cast("bigint")
+            .alias("n_high_outlier"),
+        )
+        .select(
+            "label", "n_vecs", "n_null", "n_wrong_dim", "n_nonfinite",
+            "n_zero", "n_valid", "n_low_outlier", "n_high_outlier",
+            "q1_4", "q3_4",
+        )
+    )

@@ -754,7 +754,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # pinned (count DESC, label ASC) argmax), mutual_information_source_
 # lang (D246, MI + NMI in micro-nats over observed cells),
 # text_readability_scores (D247, integer-milli Flesch/FKGL with the
-# vowel-group syllable proxy);
+# vowel-group syllable proxy), embedding_hygiene_audit (D248, the
+# vector ingest gate: null/dim/NaN/zero/norm-outlier counters per
+# label with the x8 integer Tukey fence);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

@@ -264,3 +264,39 @@ def test_readability_pins_formula_floors_and_bands(spark, tmp_path):
     d3 = got.iloc[2]
     assert int(d3.fre_milli) < 0
     assert d3.band == "very_confusing"
+
+
+# ---------------------------------------------------------------- D248
+
+
+def test_embedding_hygiene_flags_every_poison_class(spark, tmp_path):
+    # One label, every poison class planted exactly once: NULL column,
+    # wrong dim (3), NaN component, +Inf component, exact-zero vector,
+    # one low-norm and one high-norm outlier among 12 identical valid
+    # vectors (degenerate IQR=0 fence -> any deviating norm flags).
+    valid = [0.1] * 64
+    rows = [(i, valid, 7) for i in range(12)]
+    rows += [
+        (100, None, 7),
+        (101, [0.1, 0.2, 0.3], 7),
+        (102, [float("nan")] + [0.1] * 63, 7),
+        (103, [float("inf")] + [0.1] * 63, 7),
+        (104, [0.0] * 64, 7),
+        (105, [0.01] * 64, 7),   # norm2q 6400  << 640000
+        (106, [0.2] * 64, 7),    # norm2q 2560000 >> 640000
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = R.ALL_QUERIES["embedding_hygiene_audit"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r.n_vecs) == 19
+    assert int(r.n_null) == 1
+    assert int(r.n_wrong_dim) == 1
+    assert int(r.n_nonfinite) == 2
+    assert int(r.n_zero) == 1
+    assert int(r.n_valid) == 14
+    assert int(r.n_low_outlier) == 1
+    assert int(r.n_high_outlier) == 1
+    assert int(r.q1_4) == 4 * 640000 and int(r.q3_4) == 4 * 640000
