@@ -3602,3 +3602,161 @@ def q_assemble_behavioral_dataset(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr("value_cents div 100").cast("bigint").alias("value_dollars"),
         )
     )
+
+
+# DuckDB twin of the Shapley pass: identical 4-bit exposure masks,
+# identical subset-containment coalition values v(S), identical
+# s!(n-1-s)! integer weights (x24) and the truncating micro render.
+_SHAPLEY_ORACLE = """
+    WITH peru AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS mask,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    mcnt AS (
+      SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv
+      FROM peru GROUP BY mask
+    ),
+    v AS (
+      SELECT s.s, CAST(COALESCE(SUM(m.conv), 0) AS BIGINT) AS v
+      FROM range(0, 16) AS s(s)
+      LEFT JOIN mcnt m ON (m.mask & s.s) = m.mask
+      GROUP BY s.s
+    ),
+    phi AS (
+      SELECT i.i AS ch,
+             CAST(SUM(
+               CASE bit_count(s.s)
+                 WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+               * (vi.v - vs.v)) AS BIGINT) AS phi_x24
+      FROM range(0, 4) AS i(i)
+      JOIN range(0, 16) AS s(s) ON (s.s & (1 << i.i)) = 0
+      JOIN v vs ON vs.s = s.s
+      JOIN v vi ON vi.s = (s.s | (1 << i.i))
+      GROUP BY i.i
+    ),
+    tot AS (
+      SELECT CAST(SUM(phi_x24) AS BIGINT) AS sum_phi FROM phi
+    ),
+    scalars AS (
+      SELECT (SELECT v FROM v WHERE s = 15) AS v_full,
+             (SELECT v FROM v WHERE s = 0) AS v_empty,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM peru) AS n_users,
+             (SELECT CAST(SUM(conv) AS BIGINT) FROM peru) AS n_converted
+    )
+    SELECT ['click', 'error', 'signup', 'view'][phi.ch + 1] AS channel,
+           phi.phi_x24,
+           phi.phi_x24 * 1000000 // 24 AS phi_micro,
+           CASE WHEN tot.sum_phi = 0 THEN 0
+                ELSE phi.phi_x24 * 1000000 // tot.sum_phi END
+             AS phi_share_ppm,
+           scalars.v_full, scalars.v_empty, scalars.n_users,
+           scalars.n_converted
+    FROM phi CROSS JOIN tot CROSS JOIN scalars
+    """
+
+
+@extra_query("events_shapley_attribution", _SHAPLEY_ORACLE)
+def q_events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (D249) — the
+    game-theoretic member completing the attribution family
+    (position-based D181 is a fixed heuristic, Markov removal-effect
+    D211 is path-model-based; Shapley is the axiomatically fair split
+    marketing science actually argues for, and with a SMALL fixed
+    channel universe it is exactly computable — no sampling): the
+    coalition game is v(S) = conversions among users whose whole
+    exposure set fits inside S (a user needing an absent channel is
+    unreachable), phi_i = sum over S not containing i of
+    s!(n-1-s)!/n! * (v(S+i) - v(S)).
+
+    Exactness: n = 4 channels (click/error/signup/view; purchase is
+    the conversion), so the factorial weights x24 are the integers
+    {6,2,2,6} by |S| and phi_x24 is an exact BIGINT; v is MONOTONE
+    (mask-containment), so every marginal is >= 0 and the micro/ppm
+    renders are plain truncating divisions; efficiency (sum phi =
+    v(full) - v(empty), with v(empty) = organic conversions Shapley
+    correctly refuses to attribute) is pinned by the planted fixture.
+    Plan: ONE user-keyed partial agg collapses the corpus to <= 16
+    exposure-mask rows; the 16-subset coalition table, the 32-row
+    (channel, subset) join and the weights all live on metadata-scale
+    tables — the classic sufficient-statistics shape (the D230
+    bootstrap discipline): corpus work is one shuffle, game theory is
+    free. 4 rows at any scale."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type")
+    peru = ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(max(case when event_type = 'click' then 1 else 0 end)"
+            " + 2 * max(case when event_type = 'error' then 1 else 0 end)"
+            " + 4 * max(case when event_type = 'signup' then 1 else 0 end)"
+            " + 8 * max(case when event_type = 'view' then 1 else 0 end)"
+            " as bigint)"
+        ).alias("mask"),
+        F.expr(
+            "cast(max(case when event_type = 'purchase' then 1 else 0 end)"
+            " as bigint)"
+        ).alias("conv"),
+    )
+    mcnt = peru.groupBy("mask").agg(F.sum("conv").cast("bigint").alias("conv"))
+    subsets = spark.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mcnt), F.expr("(mask & s) = mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    chans = spark.range(0, 4).select(F.col("id").alias("ch"))
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v_si"))
+    phi = (
+        chans.join(F.broadcast(vs), F.expr("(s0 & shiftleft(1, ch)) = 0"))
+        .join(
+            F.broadcast(vi),
+            F.expr("s1 = (s0 | shiftleft(1, ch))"),
+        )
+        .groupBy("ch")
+        .agg(
+            F.expr(
+                "cast(sum(case bit_count(s0)"
+                " when 0 then 6 when 1 then 2 when 2 then 2 else 6 end"
+                " * (v_si - v_s)) as bigint)"
+            ).alias("phi_x24")
+        )
+    )
+    tot = phi.agg(F.sum("phi_x24").cast("bigint").alias("sum_phi"))
+    scalars = (
+        v.filter(F.col("s") == 15)
+        .select(F.col("v").alias("v_full"))
+        .crossJoin(v.filter(F.col("s") == 0).select(F.col("v").alias("v_empty")))
+        .crossJoin(
+            peru.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.sum("conv").cast("bigint").alias("n_converted"),
+            )
+        )
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.expr(
+                "element_at(array('click', 'error', 'signup', 'view'), "
+                "cast(ch as int) + 1)"
+            ).alias("channel"),
+            "phi_x24",
+            F.expr("phi_x24 * 1000000 div 24").cast("bigint").alias("phi_micro"),
+            F.expr(
+                "case when sum_phi = 0 then 0"
+                " else phi_x24 * 1000000 div sum_phi end"
+            )
+            .cast("bigint")
+            .alias("phi_share_ppm"),
+            "v_full", "v_empty", "n_users", "n_converted",
+        )
+    )

@@ -756,7 +756,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # text_readability_scores (D247, integer-milli Flesch/FKGL with the
 # vowel-group syllable proxy), embedding_hygiene_audit (D248, the
 # vector ingest gate: null/dim/NaN/zero/norm-outlier counters per
-# label with the x8 integer Tukey fence);
+# label with the x8 integer Tukey fence), events_shapley_attribution
+# (D249, exact 4-channel Shapley with x24 integer weights and the
+# pinned efficiency axiom);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

@@ -17,6 +17,16 @@ def _write(spark, tmp_path, name, schema, rows):
     )
 
 
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+
 # ---------------------------------------------------------------- D243
 
 
@@ -300,3 +310,35 @@ def test_embedding_hygiene_flags_every_poison_class(spark, tmp_path):
     assert int(r.n_low_outlier) == 1
     assert int(r.n_high_outlier) == 1
     assert int(r.q1_4) == 4 * 640000 and int(r.q3_4) == 4 * 640000
+
+
+# ---------------------------------------------------------------- D249
+
+
+def test_shapley_attribution_closed_form_and_efficiency(spark, tmp_path):
+    # Hand-computed game: converting users u1 (view), u2 (view+click),
+    # u4 (organic, no channel), u5 (signup); u3 (click, no purchase).
+    # Closed form (x24): click=12, error=0, signup=24, view=36;
+    # efficiency: sum = 72 = 24*(v_full - v_empty) = 24*(4-1).
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 10:01:00", 1, "purchase", 1.0),
+        (3, "2024-01-01 10:00:00", 2, "view", 1.0),
+        (4, "2024-01-01 10:01:00", 2, "click", 1.0),
+        (5, "2024-01-01 10:02:00", 2, "purchase", 1.0),
+        (6, "2024-01-01 10:00:00", 3, "click", 1.0),
+        (7, "2024-01-01 10:00:00", 4, "purchase", 1.0),
+        (8, "2024-01-01 10:00:00", 5, "signup", 1.0),
+        (9, "2024-01-01 10:01:00", 5, "purchase", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_shapley_attribution"](
+        spark, str(tmp_path)
+    ).toPandas()
+    phi = dict(zip(got.channel, got.phi_x24))
+    assert phi == {"click": 12, "error": 0, "signup": 24, "view": 36}
+    assert int(got.v_full.iloc[0]) == 4 and int(got.v_empty.iloc[0]) == 1
+    # efficiency axiom: attributed mass = v(full) - v(empty), organic
+    # conversions are refused attribution
+    assert int(got.phi_x24.sum()) == 24 * 3
+    assert dict(zip(got.channel, got.phi_micro))["view"] == 1500000
