@@ -3760,3 +3760,156 @@ def q_events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_full", "v_empty", "n_users", "n_converted",
         )
     )
+
+
+# DuckDB twin of the Holt-Winters fit: identical zero-filled daily
+# grid (the D232 construction), identical first-7-day init (l0 =
+# truncating mean, seasonals = deviations, b0 = 0), identical
+# floor(x/4.0) power-of-two recursion carrying the last-7 seasonals
+# as a LIST through the recursive CTE.
+_HW_LT = (
+    "CAST(floor((g.y - f.slist[1] + 3 * (f.l + f.b)) / 4.0) AS BIGINT)"
+)
+_HW_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    grid AS (
+      SELECT t.event_type, g.d,
+             row_number() OVER (PARTITION BY t.event_type ORDER BY g.d) AS rn,
+             COALESCE(dy.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                                (SELECT d1 FROM bounds))) AS d) g
+      LEFT JOIN daily dy ON dy.event_type = t.event_type AND dy.d = g.d
+    ),
+    init AS (
+      SELECT event_type,
+             CAST(SUM(y) // 7 AS BIGINT) AS l0,
+             list(y ORDER BY rn) AS y7
+      FROM grid WHERE rn <= 7 GROUP BY event_type
+    ),
+    fit AS (
+      SELECT g.event_type, g.rn, g.d, g.y,
+             i.l0 AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS resid,
+             list_transform(i.y7, v -> CAST(v - i.l0 AS BIGINT)) AS slist
+      FROM grid g JOIN init i ON i.event_type = g.event_type
+      WHERE g.rn = 7
+      UNION ALL
+      SELECT g.event_type, g.rn, g.d, g.y,
+             {_HW_LT},
+             CAST(floor(({_HW_LT} - f.l + 3 * f.b) / 4.0) AS BIGINT),
+             CAST(floor((g.y - {_HW_LT} + 3 * f.slist[1]) / 4.0) AS BIGINT),
+             g.y - (f.l + f.b + f.slist[1]),
+             list_append(f.slist[2:],
+               CAST(floor((g.y - {_HW_LT} + 3 * f.slist[1]) / 4.0) AS BIGINT))
+      FROM fit f JOIN grid g
+        ON g.event_type = f.event_type AND g.rn = f.rn + 1
+    )
+    SELECT event_type,
+           strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+           y AS y_cents, l AS level_cents, b AS trend_cents,
+           s AS seasonal_cents, resid AS resid_cents,
+           l + b + slist[1] AS forecast_next_cents
+    FROM fit WHERE rn >= 8
+    """
+
+
+@extra_query("events_holt_winters", _HW_ORACLE)
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE SEASONAL smoothing (D250, m = 7 days) —
+    the model the forecasting family was converging on (EWMA D112:
+    level; Holt D232: level+trend; seasonal-naive D214: cycle only;
+    ACF D224 says WHEN a weekly cycle exists; Holt-Winters fits level
+    + trend + the 7-day seasonal profile SIMULTANEOUSLY — the
+    capacity-planning forecast for any weekly-periodic event stream):
+    per event type over the zero-filled daily cents grid, with
+    alpha = beta = gamma = 1/4 —
+      l_t = floor((y_t - s_{{t-7}} + 3(l+b))/4),
+      b_t = floor((l_t - l_{{t-1}} + 3b)/4),
+      s_t = floor((y_t - l_t + 3 s_{{t-7}})/4),
+    the one-step residual y_t - (l + b + s_{{t-7}}) and the next-day
+    forecast l_t + b_t + s_{{t-6}}.
+
+    Exactness: every division is by the power of two 4 via
+    floor(x/4.0) — exact below 2^53 and FLOOR-identical across
+    engines on the negative seasonals/trends any real series produces
+    (the D232 discipline); init is pinned (l0 = truncating mean of
+    the first 7 days — non-negative so // is floor, b0 = 0, seasonals
+    = first-week deviations), and the oracle carries the rolling
+    last-7 seasonals as a LIST through a recursive CTE, so the whole
+    fit is replayable in SQL. Plan: corpus-scale work is ONE (type,
+    day)-keyed partial agg; the recursion runs per type over the
+    <=#days grid inside one applyInPandas with Python ints (each
+    output depends on the previous OUTPUT and the output 7 steps back
+    — the doubly-stateful shape no window frame expresses). Rows:
+    (#days - 7) per type."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.sum(cents).cast("bigint").alias("y"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        if len(ys) < 8:
+            return pdf.iloc[0:0].assign(
+                l=0, b=0, s=0, resid=0, fc=0
+            )[["event_type", "d", "y", "l", "b", "s", "resid", "fc"]]
+        l = sum(ys[:7]) // 7
+        b = 0
+        slist = [y - l for y in ys[:7]]
+        rows = []
+        for i in range(7, len(ys)):
+            y = ys[i]
+            s_old = slist[0]
+            resid = y - (l + b + s_old)
+            l_new = (y - s_old + 3 * (l + b)) // 4
+            b_new = (l_new - l + 3 * b) // 4
+            s_new = (y - l_new + 3 * s_old) // 4
+            slist = slist[1:] + [s_new]
+            l, b = l_new, b_new
+            rows.append(
+                (
+                    pdf["event_type"].iloc[0], int(pdf["d"].iloc[i]), y,
+                    l, b, s_new, resid, l + b + slist[0],
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "d", "y", "l", "b", "s", "resid", "fc"]
+        )
+
+    fit = grid.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, d long, y long, l long, b long, s long,"
+        " resid long, fc long",
+    )
+    return fit.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.expr("d * 86400000000")), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("y").alias("y_cents"),
+        F.col("l").alias("level_cents"),
+        F.col("b").alias("trend_cents"),
+        F.col("s").alias("seasonal_cents"),
+        F.col("resid").alias("resid_cents"),
+        F.col("fc").alias("forecast_next_cents"),
+    )

@@ -758,7 +758,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # vector ingest gate: null/dim/NaN/zero/norm-outlier counters per
 # label with the x8 integer Tukey fence), events_shapley_attribution
 # (D249, exact 4-channel Shapley with x24 integer weights and the
-# pinned efficiency axiom);
+# pinned efficiency axiom), events_holt_winters (D250, additive
+# seasonal m=7 with the floor(x/4.0) recursion and the seasonal-list
+# recursive-CTE oracle);
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

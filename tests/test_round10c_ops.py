@@ -342,3 +342,43 @@ def test_shapley_attribution_closed_form_and_efficiency(spark, tmp_path):
     # conversions are refused attribution
     assert int(got.phi_x24.sum()) == 24 * 3
     assert dict(zip(got.channel, got.phi_micro))["view"] == 1500000
+
+
+# ---------------------------------------------------------------- D250
+
+
+def test_holt_winters_periodic_series_has_zero_residuals(spark, tmp_path):
+    # Exactly period-7 series (pattern repeats 5 weeks, zero trend):
+    # closed form — init l0 = floor(mean(week1)) and s_j = y_j - l0
+    # makes every forecast l+b+s_old == y, so ALL residuals are 0,
+    # the level stays at l0 = floor(10300 cents / 7) = 1471 and the
+    # one-step forecast
+    # always equals the NEXT day's actual. A wrong seasonal-list
+    # rotation or an off-by-one in the t-7 lookup breaks this
+    # instantly while the cross-engine hash could stay twin-wrong.
+    pattern = [100, 3, 0, 0, 0, 0, 0]
+    rows = []
+    k = 0
+    for d in range(35):
+        v = pattern[d % 7]
+        rows.append((k, f"2024-01-{d+1:02d} 12:00:00" if d < 31
+                     else f"2024-02-{d-30:02d} 12:00:00",
+                     1, "view", float(v)))
+        k += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_holt_winters"](spark, str(tmp_path))
+        .orderBy("day")
+        .toPandas()
+    )
+    assert len(got) == 28  # 35 days - 7 init
+    assert set(got.resid_cents) == {0}
+    assert set(got.level_cents) == {1471}
+    assert set(got.trend_cents) == {0}
+    # forecast_next equals the next actual for every row but the last
+    ys = list(got.y_cents)
+    fc = list(got.forecast_next_cents)
+    assert fc[:-1] == ys[1:]
+    # seasonal profile repeats exactly with period 7
+    s = list(got.seasonal_cents)
+    assert s[:7] == s[7:14] == s[14:21]
