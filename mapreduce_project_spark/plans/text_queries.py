@@ -4238,3 +4238,126 @@ def q_text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band"),
         )
     )
+
+
+# round(ln(1e6) * 1e6) — the ppm->nats bridge constant, baked
+# identically on both engines (the _LN04_MICRO convention).
+_LN1E6_MICRO = 13815511
+
+# DuckDB twin of the Kneser-Ney pass: identical bigram stream,
+# identical x4 discount arithmetic (D = 3/4), identical truncating ppm
+# terms in pinned order and the greatest(1, .) probability floor.
+_KN_ORACLE = f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
+      FROM toked, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    cvw AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+    cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv,
+                  CAST(COUNT(*) AS BIGINT) AS n1f FROM cvw GROUP BY 1),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1b FROM cvw GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cvw),
+    scored AS (
+      SELECT b.doc_id,
+             greatest(1,
+               (4 * cvw.c - 3) * 1000000 // (4 * cv.cv)
+               + (3 * cv.n1f * (cw.n1b * 1000000 // tt.t)) // (4 * cv.cv)
+             ) AS p_ppm
+      FROM big b
+      JOIN cvw ON cvw.v = b.v AND cvw.w = b.w
+      JOIN cv ON cv.v = b.v
+      JOIN cw ON cw.w = b.w
+      CROSS JOIN tt
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM({_LN1E6_MICRO}
+                - CAST(round(ln(CAST(p_ppm AS DOUBLE)) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_nll_micro,
+           CAST(SUM({_LN1E6_MICRO}
+                - CAST(round(ln(CAST(p_ppm AS DOUBLE)) * 1000000) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM scored GROUP BY doc_id
+    """
+
+
+@extra_query("text_kn_bigram_score", _KN_ORACLE)
+def q_text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (D252) — the
+    properly-smoothed member of the LM-quality family (Stupid Backoff
+    D197 is the web-scale shortcut with no discounting; Good-Turing
+    D225 estimates the unseen mass but scores nothing; KN is the
+    smoothing that actually wins LM evaluations, and its CONTINUATION
+    probability — "in how many contexts does this word complete a
+    bigram" — is the piece the others lack, punishing burst-frequent
+    boilerplate tokens that appear in few contexts): train on the
+    corpus's own bigrams, score every document's bigram stream, emit
+    per-doc total and average negative log-likelihood in micro-nats
+    (the perplexity-proxy ranking a curation gate thresholds on).
+
+    Exactness: D = 3/4 makes the discounted numerator the INTEGER
+    4c(vw) - 3 (the x4 trick — no fractional discount exists);
+    P_KN = (4c(vw)-3)*1e6 div (4c(v)) + (3*N1+(v.)*Pcont_ppm) div
+    (4c(v)) with Pcont_ppm = N1+(.w)*1e6 div T, every division
+    truncating on non-negative operands in PINNED order, and a
+    greatest(1, .) floor so the micro-ln (round(ln(int)*1e6), the
+    pinned convention; ln(1e6)*1e6 baked as 13815511) never sees 0 —
+    the floor fires exactly when c(v) > 250k makes a singleton's ppm
+    round to zero, the documented truncation point. Plan: one bigram
+    explode -> ONE (v,w) partial agg trains the model; scoring joins
+    the occurrence stream against the vocabulary-scale count tables
+    (plain shuffle equi-joins, linear in corpus tokens) and collapses
+    with ONE doc-keyed partial agg. One row per >=2-token document."""
+    from mapreduce_project_spark.functions.textfns import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = toked.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i - 1] as v, toks[i] as w)))"
+        ).alias("b"),
+    ).select("doc_id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    cvw = big.groupBy("v", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("c").cast("bigint").alias("cv"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    tt = cvw.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    scored = (
+        big.join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.expr(
+                "greatest(1,"
+                " (4 * c - 3) * 1000000 div (4 * cv)"
+                " + (3 * n1f * (n1b * 1000000 div t)) div (4 * cv))"
+            ).alias("p_ppm"),
+        )
+    )
+    nll = (
+        F.lit(_LN1E6_MICRO)
+        - F.round(F.log(F.col("p_ppm").cast("double")) * 1000000, 0).cast(
+            "bigint"
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(nll).cast("bigint").alias("sum_nll_micro"),
+        F.expr(
+            f"cast(sum({_LN1E6_MICRO}"
+            " - cast(round(ln(cast(p_ppm as double)) * 1000000, 0) as bigint))"
+            " div count(*) as bigint)"
+        ).alias("avg_nll_micro"),
+    )

@@ -760,7 +760,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D249, exact 4-channel Shapley with x24 integer weights and the
 # pinned efficiency axiom), events_holt_winters (D250, additive
 # seasonal m=7 with the floor(x/4.0) recursion and the seasonal-list
-# recursive-CTE oracle);
+# recursive-CTE oracle), text_kn_bigram_score (D252, interpolated
+# Kneser-Ney with the x4 integer discount and continuation-count
+# interpolation); streaming twin holt_winters_stream (D251,
+# the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/

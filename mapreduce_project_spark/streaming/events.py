@@ -892,3 +892,77 @@ def holt_stream(daily: DataFrame) -> DataFrame:
     return daily.groupBy("series").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def holt_winters_stream(daily: DataFrame) -> DataFrame:
+    """Streaming Holt-Winters additive seasonal smoothing — the
+    stateful twin of the batch `events_holt_winters` (D250): the
+    carried state is (level, trend, the 7-day warm-up buffer, the
+    rolling last-7 seasonal list), so BOTH recursions — the
+    previous-output dependence AND the output-7-steps-back seasonal
+    dependence — continue seamlessly across micro-batch boundaries
+    (the doubly-stateful extension of `holt_stream`'s (l, b) pair; a
+    kill/restart must reconstruct the seasonal ring buffer exactly or
+    every subsequent seasonal is wrong, which is what the
+    checkpoint-restart test pins).
+
+    Warm-up contract mirrors the batch init: the first 7 completed
+    days per series are BUFFERED (no emission), then l0 = truncating
+    mean of the buffer, b0 = 0, seasonals = buffer deviations, and
+    emission starts on day 8 — so stream output ≡ batch rows rn >= 8
+    bit-exactly. Input: one row per COMPLETED day per series
+    (``series`` string, ``d`` epoch-day BIGINT, ``y`` BIGINT cents)
+    from the upstream day-closing tumbling aggregation; same
+    in-order-arrival contract as `ewma_stream`/`holt_stream`. All
+    state is BIGINT (floor // division, the batch floor(x/4.0)
+    twin)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "series string, d long, y long, l long, b long, s long,"
+        " resid long, fc long"
+    )
+    state_schema = "l long, b long, buf array<bigint>, slist array<bigint>"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("d")
+        if state.exists:
+            l, b, buf, slist = state.get
+            l, b = int(l), int(b)
+            buf = [int(v) for v in (buf or [])]
+            slist = [int(v) for v in (slist or [])]
+        else:
+            l = b = 0
+            buf, slist = [], []
+        out = []
+        for d, y in zip(rows["d"], rows["y"]):
+            d, y = int(d), int(y)
+            if len(slist) < 7:
+                buf.append(y)
+                if len(buf) == 7:
+                    l = sum(buf) // 7
+                    b = 0
+                    slist = [v - l for v in buf]
+                continue
+            s_old = slist[0]
+            resid = y - (l + b + s_old)
+            l_new = (y - s_old + 3 * (l + b)) // 4
+            b_new = (l_new - l + 3 * b) // 4
+            s_new = (y - l_new + 3 * s_old) // 4
+            slist = slist[1:] + [s_new]
+            l, b = l_new, b_new
+            out.append((key[0], d, y, l, b, s_new, resid, l + b + slist[0]))
+        state.update((l, b, buf, slist))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["series", "d", "y", "l", "b", "s", "resid", "fc"],
+            )
+
+    return daily.groupBy("series").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -444,6 +444,70 @@ def main() -> int:
     report["streams"]["holt"] = meta
     ok &= ho_match and meta["restarted"]
 
+    # ---------- 2e. streaming Holt-Winters (seasonal ring buffer, D251) ----------
+    from mapreduce_project_spark.streaming.events import holt_winters_stream
+
+    hw_src = os.path.join(work, "hwsrc")
+    os.makedirs(hw_src)
+    for i in range(ho_batches):
+        chunk = [r for r in tdaily if day_of_batch[r["d"]] == i]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            [(r["series"], r["d"], r["y"]) for r in chunk],
+            "series string, d long, y long",
+        ).coalesce(1).write.parquet(os.path.join(hw_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(hw_src, f"b{i:02d}.parquet"), i)
+    hw_out, hw_ck = os.path.join(work, "hw_out"), os.path.join(work, "hw_ck")
+
+    def make_hw():
+        stream = (
+            spark.readStream.schema("series string, d long, y long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(hw_src + "/*/")
+        )
+        return (
+            holt_winters_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", hw_out)
+            .option("checkpointLocation", hw_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_hw, "holt_winters_stream")
+    got_hw = {
+        (r["series"], r["d"], r["y"], r["l"], r["b"], r["s"], r["resid"], r["fc"])
+        for r in spark.read.parquet(hw_out).collect()
+    }
+    want_hw = set()
+    hw_state: dict = {}
+    for r in tdaily:
+        s, d, y = r["series"], int(r["d"]), int(r["y"])
+        buf, slist, l, b = hw_state.get(s, ([], [], 0, 0))
+        if len(slist) < 7:
+            buf = buf + [y]
+            if len(buf) == 7:
+                l = sum(buf) // 7
+                b = 0
+                slist = [v - l for v in buf]
+            hw_state[s] = (buf, slist, l, b)
+            continue
+        s_old = slist[0]
+        resid = y - (l + b + s_old)
+        l_new = (y - s_old + 3 * (l + b)) // 4
+        b_new = (l_new - l + 3 * b) // 4
+        s_new = (y - l_new + 3 * s_old) // 4
+        slist = slist[1:] + [s_new]
+        l, b = l_new, b_new
+        hw_state[s] = (buf, slist, l, b)
+        want_hw.add((s, d, y, l, b, s_new, resid, l + b + slist[0]))
+    hw_match = got_hw == want_hw and bool(got_hw)
+    meta.update({"rows": len(got_hw), "match_vs_batch": hw_match})
+    report["streams"]["holt_winters"] = meta
+    ok &= hw_match and meta["restarted"]
+
     # ---------- 3. growing-corpus crawl dedup ----------
     from mapreduce_project_spark.operators.dedup import minhash_index_build
     from mapreduce_project_spark.streaming.events import (

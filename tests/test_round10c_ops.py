@@ -382,3 +382,46 @@ def test_holt_winters_periodic_series_has_zero_residuals(spark, tmp_path):
     # seasonal profile repeats exactly with period 7
     s = list(got.seasonal_cents)
     assert s[:7] == s[7:14] == s[14:21]
+
+
+# ---------------------------------------------------------------- D252
+
+
+def test_kn_score_rewards_many_context_completions(spark, tmp_path):
+    # The Kneser-Ney signature: two singleton bigrams (a,york) and
+    # (a,dog) share c(vw)=1 and the same context total c(a)=2, so the
+    # discounted term is identical — but "dog" completes bigrams in 5
+    # distinct contexts while "york" only ever follows "new" (plus our
+    # probe), so the CONTINUATION term makes p(a,dog) > p(a,york) and
+    # the dog doc scores a strictly lower NLL. A backoff that used raw
+    # unigram frequency instead of continuation counts (both words
+    # appear 5-6 times) would tie them — exactly what this pins.
+    import math
+
+    rows = [(1, "a york", "en", "s", 1), (2, "a dog", "en", "s", 1)]
+    for i, ctx in enumerate(["ua", "ub", "uc", "ud"]):
+        rows.append((10 + i, "new york", "en", "s", 1))
+        rows.append((20 + i, f"{ctx} dog", "en", "s", 1))
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = (
+        R.ALL_QUERIES["text_kn_bigram_score"](spark, str(tmp_path))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    nll = dict(zip(got.doc_id, got.avg_nll_micro))
+    assert nll[2] < nll[1]
+    # closed-form ppm probabilities (T=7 distinct bigrams, c(a)=2,
+    # n1f(a)=2, n1b(york)=2, n1b(dog)=5)
+    p_york = (4 * 1 - 3) * 10**6 // 8 + (3 * 2 * (2 * 10**6 // 7)) // 8
+    p_dog = (4 * 1 - 3) * 10**6 // 8 + (3 * 2 * (5 * 10**6 // 7)) // 8
+    assert p_york == 339285 and p_dog == 660713
+
+    def nll_of(p):
+        return 13815511 - round(math.log(p) * 1000000)
+
+    assert int(nll[1]) == nll_of(p_york)
+    assert int(nll[2]) == nll_of(p_dog)

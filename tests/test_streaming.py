@@ -1227,3 +1227,59 @@ def test_streaming_holt_matches_replay_across_batches(spark, tmp_path):
     assert got == want and got
     # the declining step lands a NEGATIVE floor-divided trend
     assert any(r[4] < 0 for r in got)
+
+
+def test_streaming_holt_winters_matches_replay_across_batches(spark, tmp_path):
+    # the doubly-stateful twin: the seasonal RING BUFFER and the
+    # (level, trend) pair must both survive micro-batch boundaries —
+    # the batch split lands INSIDE the 7-day warm-up AND right after
+    # it, so a state bug in either the buffer or the slist rotation
+    # diverges from the pure-Python replay immediately.
+    from mapreduce_project_spark.streaming.events import holt_winters_stream
+
+    ys = [700, 10, 20, 30, 40, 50, 60, 800, 15, 25, 900, 5]
+    series = [("s", d, y) for d, y in enumerate(ys)]
+    src = tmp_path / "hwsrc"
+    src.mkdir()
+    for i in range(4):
+        spark.createDataFrame(
+            series[3 * i : 3 * i + 3], "series string, d long, y long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("series string, d long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        holt_winters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hw_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hwckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["series"], r["d"], r["y"], r["l"], r["b"], r["s"], r["resid"], r["fc"])
+        for r in spark.table("hw_s").collect()
+    }
+    # pure-Python replay of the batch D250 semantics (rows >= day 8)
+    want = set()
+    l = sum(ys[:7]) // 7
+    b = 0
+    slist = [y - l for y in ys[:7]]
+    for d in range(7, len(ys)):
+        y = ys[d]
+        s_old = slist[0]
+        resid = y - (l + b + s_old)
+        l_new = (y - s_old + 3 * (l + b)) // 4
+        b_new = (l_new - l + 3 * b) // 4
+        s_new = (y - l_new + 3 * s_old) // 4
+        slist = slist[1:] + [s_new]
+        l, b = l_new, b_new
+        want.add(("s", d, y, l, b, s_new, resid, l + b + slist[0]))
+    assert got == want and got
+    # a negative floor-divided seasonal/trend is exercised
+    assert any(r[4] < 0 or r[5] < 0 for r in got)
