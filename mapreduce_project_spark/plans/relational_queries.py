@@ -2791,3 +2791,98 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nb10") - 10).alias("n_cur"),
         "psi_micro",
     )
+
+
+# DuckDB twin of the brand-HHI pass: identical (customer, brand)
+# counts, identical truncating ppm Herfindahl and the (count DESC,
+# brand ASC) row_number champion.
+_HHI_ORACLE = """
+    WITH cb AS (
+      SELECT o.o_custkey AS custkey, p.p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT custkey, brand AS top_brand, c AS top_c
+      FROM cb
+      QUALIFY row_number() OVER (
+        PARTITION BY custkey ORDER BY c DESC, brand ASC) = 1
+    )
+    SELECT cb.custkey,
+           CAST(SUM(cb.c) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(cb.c * cb.c) * 1000000 // (SUM(cb.c) * SUM(cb.c))
+                AS BIGINT) AS hhi_ppm,
+           ANY_VALUE(t.top_brand) AS top_brand,
+           CAST(ANY_VALUE(t.top_c) * 1000000 // SUM(cb.c) AS BIGINT)
+             AS top_share_ppm
+    FROM cb JOIN top t ON t.custkey = cb.custkey
+    GROUP BY cb.custkey
+    """
+
+
+@extra_query("customer_brand_hhi", _HHI_ORACLE)
+def q_customer_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer brand-concentration Herfindahl index (D253) — the
+    loyalty/concentration statistic completing the segmentation family
+    (RFM D198 scores recency/frequency/monetary, ABC D240 classes the
+    SUPPLIER mass, Lorenz/Gini D239 profiles revenue skew; HHI answers
+    "is this customer brand-loyal or a basket diversifier" — the
+    antitrust-economics index repurposed the way recommender and
+    assortment teams actually use it, and per-key Σshare² is also
+    EXACTLY the collision-probability statistic a partitioner reads as
+    key-skew risk): per customer, item count, distinct brands,
+    HHI = Σ c_i²·10⁶ div n² in truncating ppm (10⁶ = single-brand
+    monopoly, 10⁶/k = uniform over k brands), and the champion brand
+    pinned by (count DESC, brand ASC) row_number.
+
+    Exactness: all-integer — Σc² and n² are exact BIGINTs (wrap needs
+    a single customer with > 3·10⁹ line items; headroom documented),
+    one truncating ppm division per customer, champion tie-break
+    total-ordered. Plan: two corpus-scale equi-joins (lineitem→orders
+    on orderkey, lineitem→part on partkey — both plain shuffle joins
+    AQE re-plans; part side broadcasts when it fits) → ONE
+    (customer, brand) partial agg → one customer-partitioned top-1
+    window (bounded by brands-per-customer) + ONE customer partial
+    agg. One row per purchasing customer."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("c").desc(), F.col("brand").asc()
+    )
+    top = (
+        cb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("custkey", F.col("brand").alias("top_brand"),
+                F.col("c").alias("top_c"))
+    )
+    return (
+        cb.groupBy("custkey")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_items"),
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+            F.expr("cast(sum(c * c) * 1000000 div (sum(c) * sum(c)) as bigint)")
+            .alias("hhi_ppm"),
+        )
+        .join(top, "custkey")
+        .select(
+            "custkey", "n_items", "n_brands", "hhi_ppm", "top_brand",
+            F.expr("cast(top_c * 1000000 div n_items as bigint)")
+            .alias("top_share_ppm"),
+        )
+    )

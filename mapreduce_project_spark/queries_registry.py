@@ -762,7 +762,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # seasonal m=7 with the floor(x/4.0) recursion and the seasonal-list
 # recursive-CTE oracle), text_kn_bigram_score (D252, interpolated
 # Kneser-Ney with the x4 integer discount and continuation-count
-# interpolation); streaming twin holt_winters_stream (D251,
+# interpolation), customer_brand_hhi (D253, per-customer Herfindahl
+# concentration with the pinned champion tie-break);
+# streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #

@@ -425,3 +425,40 @@ def test_kn_score_rewards_many_context_completions(spark, tmp_path):
 
     assert int(nll[1]) == nll_of(p_york)
     assert int(nll[2]) == nll_of(p_dog)
+
+
+# ---------------------------------------------------------------- D253
+
+
+def test_brand_hhi_pins_monopoly_uniform_and_tiebreak(spark, tmp_path):
+    # cust 1: 4 items, one brand  -> HHI = 1e6 (monopoly)
+    # cust 2: 4 items over 4 brands -> HHI = 250000 (uniform), and the
+    #   4-way count tie must pick the lexicographically FIRST brand
+    # cust 3: 3 items split 2/1   -> HHI = (4+1)*1e6 // 9 = 555555
+    _write(spark, tmp_path, "part",
+           "p_partkey bigint, p_name string, p_brand string",
+           [(1, "x", "BrandA"), (2, "x", "BrandB"),
+            (3, "x", "BrandC"), (4, "x", "BrandD")])
+    _write(spark, tmp_path, "orders",
+           "o_orderkey bigint, o_custkey bigint",
+           [(10, 1), (20, 2), (30, 3)])
+    li = []
+    ln = 1
+    for pk in (1, 1, 1, 1):
+        li.append((10, pk, 1, ln)); ln += 1
+    for pk in (1, 2, 3, 4):
+        li.append((20, pk, 1, ln)); ln += 1
+    for pk in (2, 2, 3):
+        li.append((30, pk, 1, ln)); ln += 1
+    _write(spark, tmp_path, "lineitem",
+           "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+           "l_linenumber int", li)
+    got = (
+        R.ALL_QUERIES["customer_brand_hhi"](spark, str(tmp_path))
+        .orderBy("custkey")
+        .toPandas()
+    )
+    assert list(got.hhi_ppm) == [1000000, 250000, 555555]
+    assert list(got.top_brand) == ["BrandA", "BrandA", "BrandB"]
+    assert list(got.top_share_ppm) == [1000000, 250000, 666666]
+    assert list(got.n_brands) == [1, 4, 2]
