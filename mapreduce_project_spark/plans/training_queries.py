@@ -1745,3 +1745,142 @@ def q_assemble_training_set_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
             shard.alias("shard"),
         )
     )
+
+
+# DuckDB twin of the v7 curriculum release: replays the D252 KN and
+# D247 readability sub-oracles verbatim as nested CTE subqueries over
+# the identical digest-dedup -> NLL-p90-gate -> FKGL-stage chain.
+def _v7_oracle() -> str:
+    from mapreduce_project_spark.plans.text_queries import (
+        _KN_ORACLE,
+        _READABILITY_ORACLE,
+    )
+
+    return f"""
+    WITH kn AS ({_KN_ORACLE}),
+    rd AS ({_READABILITY_ORACLE}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    surv AS (
+      SELECT d.doc_id, d.source, kn.avg_nll_micro, rd.n_words, rd.fkgl_milli
+      FROM documents d
+      JOIN keep ON keep.doc_id = d.doc_id
+      JOIN kn ON kn.doc_id = d.doc_id
+      JOIN rd ON rd.doc_id = d.doc_id
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM surv),
+    ranked AS (
+      SELECT doc_id, avg_nll_micro,
+             row_number() OVER (ORDER BY avg_nll_micro, doc_id) AS rk
+      FROM surv
+    ),
+    edge AS (
+      SELECT r.avg_nll_micro AS edge_nll
+      FROM ranked r CROSS JOIN ns
+      WHERE r.rk = (9 * ns.n + 9) // 10
+    ),
+    kept AS (
+      SELECT s.*,
+             CASE WHEN s.fkgl_milli < 5000 THEN 1
+                  WHEN s.fkgl_milli < 9000 THEN 2 ELSE 3 END AS stage
+      FROM surv s CROSS JOIN edge
+      WHERE s.avg_nll_micro <= edge.edge_nll
+    )
+    SELECT k.stage, k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_words) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(k.fkgl_milli) >= 0
+                THEN CAST(SUM(k.fkgl_milli) // COUNT(*) AS BIGINT)
+                ELSE -CAST((-SUM(k.fkgl_milli)) // COUNT(*) AS BIGINT)
+           END AS avg_fkgl_milli,
+           CAST(MAX(k.avg_nll_micro) AS BIGINT) AS max_nll_micro,
+           (SELECT edge_nll FROM edge) AS edge_nll_micro,
+           bit_xor(CAST('0x' || substr(md5('v7:' || CAST(k.doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT)) AS release_checksum
+    FROM kept k
+    GROUP BY k.stage, k.source
+    """
+
+
+@extra_query("assemble_training_set_v7", _v7_oracle())
+def q_assemble_training_set_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition, generation 7 — the CURRICULUM-ordered
+    quality release built from this round's gates (v5 certifies
+    hygiene, v6 releasability; v7 certifies LEARNABILITY ORDER — the
+    curriculum-learning release a staged pre-training run consumes):
+    exact digest dedup (md5 text, first-occurrence-wins MIN doc_id)
+    → Kneser-Ney perplexity gate (D252's avg NLL; docs above the
+    corpus p90 edge — rank-extracted like D244's PSI bins, ceil(0.9N)
+    via (9N+9) div 10 — are dropped as LM-outlier noise) → Flesch-
+    Kincaid curriculum staging (D247's fkgl_milli: stage 1 < grade 5,
+    stage 2 < grade 9, stage 3 rest — easy-to-hard ordering) → a
+    (stage, source) manifest with doc/token budgets, the truncating
+    sign-safe mean grade, the gate evidence (p90 edge + per-cell max
+    NLL ≤ edge by construction), and a D139-style order-independent
+    XOR checksum (pepper 'v7:') pinning the exact released doc SET
+    without emitting it.
+
+    Composition discipline: the Spark side literally calls the D252
+    and D247 registered queries and joins their outputs (operators
+    compose as DataFrames — the point of the declarative surface);
+    the oracle nests those operators' full sub-oracles as CTE
+    subqueries, so flagship parity transitively re-verifies both.
+    Scale: the sub-operators are linear (their own SURVEY rows); the
+    gate adds one global rank over survivors and ONE (stage, source)
+    partial agg; the manifest is metadata-scale. Docs with < 2 tokens
+    have no bigram stream and are excluded by the KN join — the same
+    <=1-token exclusion every LM-scoring member applies."""
+    from mapreduce_project_spark.operators.windows import global_rank
+    from mapreduce_project_spark.plans.text_queries import (
+        q_text_kn_bigram_score,
+        q_text_readability_scores,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    keep = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kn = q_text_kn_bigram_score(spark, sf_dir).select("doc_id", "avg_nll_micro")
+    rd = q_text_readability_scores(spark, sf_dir).select(
+        "doc_id", "n_words", "fkgl_milli"
+    )
+    surv = (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id")
+        .join(kn, "doc_id")
+        .join(rd, "doc_id")
+    )
+    ns = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_rank(
+        surv.select("doc_id", "avg_nll_micro"), ["avg_nll_micro", "doc_id"], "rk"
+    )
+    edge = (
+        ranked.crossJoin(F.broadcast(ns))
+        .filter(F.expr("rk = (9 * n + 9) div 10"))
+        .select(F.col("avg_nll_micro").alias("edge_nll"))
+    )
+    kept = (
+        surv.crossJoin(F.broadcast(edge))
+        .filter(F.col("avg_nll_micro") <= F.col("edge_nll"))
+        .withColumn(
+            "stage",
+            F.expr(
+                "case when fkgl_milli < 5000 then 1"
+                " when fkgl_milli < 9000 then 2 else 3 end"
+            ).cast("bigint"),
+        )
+    )
+    return kept.groupBy("stage", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "case when sum(fkgl_milli) >= 0"
+            " then cast(sum(fkgl_milli) div count(*) as bigint)"
+            " else -cast((-sum(fkgl_milli)) div count(*) as bigint) end"
+        ).alias("avg_fkgl_milli"),
+        F.max("avg_nll_micro").cast("bigint").alias("max_nll_micro"),
+        F.first("edge_nll").cast("bigint").alias("edge_nll_micro"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(cast(concat('v7:',"
+            " cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint))"
+        ).alias("release_checksum"),
+    )

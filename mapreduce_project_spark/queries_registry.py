@@ -763,7 +763,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # recursive-CTE oracle), text_kn_bigram_score (D252, interpolated
 # Kneser-Ney with the x4 integer discount and continuation-count
 # interpolation), customer_brand_hhi (D253, per-customer Herfindahl
-# concentration with the pinned champion tie-break);
+# concentration with the pinned champion tie-break),
+# assemble_training_set_v7 (D254, the curriculum flagship: dedup ->
+# KN p90 gate -> FKGL staging, composing the registered D252/D247
+# queries as DataFrames);
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.

@@ -462,3 +462,36 @@ def test_brand_hhi_pins_monopoly_uniform_and_tiebreak(spark, tmp_path):
     assert list(got.top_brand) == ["BrandA", "BrandA", "BrandB"]
     assert list(got.top_share_ppm) == [1000000, 250000, 666666]
     assert list(got.n_brands) == [1, 4, 2]
+
+
+# ---------------------------------------------------------------- D254
+
+
+def test_v7_flagship_gates_dup_and_lm_outlier(spark, tmp_path):
+    # 9 near-identical easy docs + 1 gibberish doc (every bigram a
+    # singleton -> worst KN NLL) + 1 EXACT duplicate of doc 1.
+    # Chain must: drop the duplicate (digest dedup), set the p90 edge
+    # at rank ceil(0.9*10) = 9 over the 10 unique docs, drop ONLY the
+    # gibberish doc at rank 10, and stage all 9 released docs as
+    # curriculum stage 1 (monosyllabic short sentences).
+    base = "the cat sat. the cat sat. the cat ran"
+    rows = [(i, f"{base} w{c}", "en", "s", 1)
+            for i, c in zip(range(1, 10), "abcdefghi")]
+    rows.append((10, "zyx qwv plk mnb vcx", "en", "s", 1))
+    rows.append((11, rows[0][1], "en", "s", 1))  # exact dup of doc 1
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = R.ALL_QUERIES["assemble_training_set_v7"](spark, str(tmp_path)).toPandas()
+    assert int(got.n_docs.sum()) == 9
+    assert set(got.stage) == {1}
+    assert (got.max_nll_micro <= got.edge_nll_micro).all()
+    # the checksum pins the released SET: recompute from doc ids 1-9
+    import hashlib
+
+    want = 0
+    for i in range(1, 10):
+        want ^= int(hashlib.md5(f"v7:{i}".encode()).hexdigest()[:15], 16)
+    assert int(got.release_checksum.iloc[0]) == want
