@@ -1059,3 +1059,163 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         "community_size",
     )
+
+
+# DuckDB twin of the k-core peel: identical January-1995 co-supply
+# edges, identical 6 synchronous peel rounds at k = 3 (degree counted
+# over the REMAINING node set each round), identical removal-round
+# bookkeeping and final survivor degrees.
+_KCORE_ROUND = """
+    r{i} AS (
+      SELECT e.a AS id
+      FROM edges e JOIN r{h} x ON x.id = e.a
+      JOIN r{h} y ON y.id = e.b
+      GROUP BY e.a HAVING COUNT(*) >= 3
+    )"""
+
+_KCORE_ORACLE = (
+    """
+    WITH o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    ),
+    e0 AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x
+      JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      JOIN o ON x.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    r0 AS (SELECT DISTINCT a AS id FROM edges),
+    """
+    + ",\n    ".join(_KCORE_ROUND.format(i=i, h=i - 1) for i in range(1, 7))
+    + """,
+    rounds AS (
+      SELECT r0.id,
+             CASE
+               WHEN r6.id IS NOT NULL THEN 0
+               WHEN r1.id IS NULL THEN 1
+               WHEN r2.id IS NULL THEN 2
+               WHEN r3.id IS NULL THEN 3
+               WHEN r4.id IS NULL THEN 4
+               WHEN r5.id IS NULL THEN 5
+               ELSE 6
+             END AS removed_round
+      FROM r0
+      LEFT JOIN r1 ON r1.id = r0.id
+      LEFT JOIN r2 ON r2.id = r0.id
+      LEFT JOIN r3 ON r3.id = r0.id
+      LEFT JOIN r4 ON r4.id = r0.id
+      LEFT JOIN r5 ON r5.id = r0.id
+      LEFT JOIN r6 ON r6.id = r0.id
+    ),
+    coredeg AS (
+      SELECT e.a AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM edges e JOIN r6 x ON x.id = e.a JOIN r6 y ON y.id = e.b
+      GROUP BY e.a
+    )
+    SELECT r.id AS supplier,
+           CAST(CASE WHEN r.removed_round = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS in_core,
+           CAST(r.removed_round AS BIGINT) AS removed_round,
+           CAST(COALESCE(c.core_degree, 0) AS BIGINT) AS core_degree
+    FROM rounds r LEFT JOIN coredeg c ON c.id = r.id
+    """
+)
+
+
+@extra_query("graph_kcore_membership", _KCORE_ORACLE)
+def q_graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (D255, k = 3, six synchronous rounds) over
+    the January-1995 co-supply graph — the density-tier member of the
+    graph family (components D114: connectivity; LPA D245: community
+    assignment; assortativity D233: attachment style; k-core answers
+    WHICH NODES sit in the densely-supported backbone — the classic
+    spam/bot-subgraph and nucleus-extraction primitive, and the
+    pruning pass a graph-sampling pipeline runs before expensive
+    per-node work): synchronously remove every node whose degree
+    among REMAINING nodes is < 3, six times; report per original
+    node the membership flag, the round it was peeled (0 = survivor
+    — the peel ROUND is the "onion layer" index, itself a useful
+    centrality-lite signal), and the survivor's within-core degree.
+
+    Determinism: peeling is synchronous (each round's degrees are
+    computed against the previous round's full survivor set — no
+    order dependence), and the round count is the CONTRACT (the
+    D49/D245 bounded-rounds discipline): oracle-replayable as six
+    unrolled HAVING CTEs; at 100 TB six degree-filter rounds are six
+    bounded (node-keyed partial agg + semi-join) stages with O(V)
+    state. A converged fixture (no removals in round 6) makes the
+    bounded answer THE 3-core exactly — the planted fixture pins
+    both a cascade (a tail whose removal triggers the next peel) and
+    convergence."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    e0 = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    all_nodes = edges.select(F.col("a").alias("id")).distinct()
+    remaining = all_nodes
+    removed = all_nodes.select("id").limit(0).withColumn(
+        "removed_round", F.lit(0).cast("bigint")
+    )
+    for rnd in range(1, 7):
+        ra = remaining.select(F.col("id").alias("a"))
+        rb = remaining.select(F.col("id").alias("b"))
+        deg = (
+            edges.join(ra, "a")
+            .join(rb, "b")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # cache each round's survivor set: the loop otherwise doubles
+        # the join lineage every round (the D49 iterative discipline)
+        survivors = (
+            deg.filter(F.col("d") >= 3).select(F.col("a").alias("id")).cache()
+        )
+        peeled = remaining.join(survivors, "id", "left_anti").select(
+            "id", F.lit(rnd).cast("bigint").alias("removed_round")
+        )
+        removed = removed.unionByName(peeled)
+        remaining = survivors
+    ra = remaining.select(F.col("id").alias("a"))
+    rb = remaining.select(F.col("id").alias("b"))
+    coredeg = (
+        edges.join(ra, "a")
+        .join(rb, "b")
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    survivors_out = remaining.select(
+        "id", F.lit(0).cast("bigint").alias("removed_round")
+    )
+    status = survivors_out.unionByName(removed)
+    return (
+        status.join(coredeg, "id", "left")
+        .select(
+            F.col("id").alias("supplier"),
+            (F.col("removed_round") == 0).cast("bigint").alias("in_core"),
+            "removed_round",
+            F.coalesce("core_degree", F.lit(0)).cast("bigint").alias(
+                "core_degree"
+            ),
+        )
+    )

@@ -4361,3 +4361,89 @@ def q_text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) as bigint)"
         ).alias("avg_nll_micro"),
     )
+
+
+# DuckDB twin of the template-prefix audit: identical 16-char prefix,
+# identical (count DESC, prefix ASC) champion and truncating ppm
+# share with the 30% suspect threshold.
+_TEMPLATE_ORACLE = """
+    WITH pfx AS (
+      SELECT source, substr(text, 1, 16) AS prefix,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_prefixes
+      FROM pfx GROUP BY 1
+    ),
+    top AS (
+      SELECT source, prefix AS top_prefix, c AS top_c
+      FROM pfx
+      QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY c DESC, prefix ASC) = 1
+    )
+    SELECT t.source, t.n_docs, t.n_prefixes, p.top_prefix,
+           CAST(p.top_c AS BIGINT) AS top_count,
+           CAST(p.top_c * 1000000 // t.n_docs AS BIGINT) AS top_share_ppm,
+           CAST(CASE WHEN p.top_c * 1000000 // t.n_docs > 300000
+                THEN 1 ELSE 0 END AS BIGINT) AS template_suspect
+    FROM tot t JOIN top p ON p.source = t.source
+    """
+
+
+@extra_query("source_template_prefixes", _TEMPLATE_ORACLE)
+def q_source_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate/template-prefix audit (D256) — the
+    cheap screen that catches what full near-dup pipelines pay for
+    later: scraped sources that prepend the SAME header to every page
+    (cookie banners, nav bars, license blurbs) poison shingle-based
+    dedup (every pair looks similar) and LM statistics (the header
+    dominates the bigram mass), and the first 16 characters catch it
+    at scan cost — per source, the dominant 16-char prefix, its
+    truncating ppm share, and a >30% template_suspect flag (the D43
+    Gopher-repetition sibling measured ACROSS docs instead of within
+    one; the winnowing D212 stop-fingerprint gate exists because this
+    screen was skipped upstream).
+
+    Exactness: all-integer counts, (count DESC, prefix ASC) champion
+    pinned by a source-partitioned row_number (bounded by distinct
+    prefixes per source), one truncating ppm share. Plan: ONE
+    (source, prefix) partial agg over the scan — prefixes are
+    16-byte keys, so the shuffle is narrow regardless of document
+    size — then metadata-scale per-source top-1. One row per
+    source."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", F.substring("text", 1, 16).alias("prefix")
+    )
+    pfx = docs.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = pfx.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("prefix").asc()
+    )
+    top = (
+        pfx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("prefix").alias("top_prefix"),
+                F.col("c").alias("top_c"))
+    )
+    return (
+        tot.join(top, "source")
+        .select(
+            "source", "n_docs", "n_prefixes", "top_prefix",
+            F.col("top_c").cast("bigint").alias("top_count"),
+            F.expr("cast(top_c * 1000000 div n_docs as bigint)")
+            .alias("top_share_ppm"),
+            F.expr(
+                "cast(case when top_c * 1000000 div n_docs > 300000"
+                " then 1 else 0 end as bigint)"
+            ).alias("template_suspect"),
+        )
+    )

@@ -766,7 +766,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # concentration with the pinned champion tie-break),
 # assemble_training_set_v7 (D254, the curriculum flagship: dedup ->
 # KN p90 gate -> FKGL staging, composing the registered D252/D247
-# queries as DataFrames);
+# queries as DataFrames), graph_kcore_membership (D255, bounded
+# 6-round k=3 peel with onion-layer rounds), source_template_prefixes
+# (D256, the 16-char boilerplate-header screen);
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.

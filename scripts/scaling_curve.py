@@ -185,6 +185,20 @@ SF1_QUERIES = [
     "abc_classification_suppliers",
     "corr_spearman_price_demand",
     "assemble_behavioral_dataset",
+    # round-10 third wave (D243-D254)
+    "contingency_chi_square",
+    "psi_value_drift",
+    "graph_label_propagation",
+    "mutual_information_source_lang",
+    "text_readability_scores",
+    "embedding_hygiene_audit",
+    "events_shapley_attribution",
+    "events_holt_winters",
+    "text_kn_bigram_score",
+    "customer_brand_hhi",
+    "assemble_training_set_v7",
+    "graph_kcore_membership",
+    "source_template_prefixes",
 ]
 SF1_REPS = 2
 

@@ -495,3 +495,87 @@ def test_v7_flagship_gates_dup_and_lm_outlier(spark, tmp_path):
     for i in range(1, 10):
         want ^= int(hashlib.md5(f"v7:{i}".encode()).hexdigest()[:15], 16)
     assert int(got.release_checksum.iloc[0]) == want
+
+
+# ---------------------------------------------------------------- D255
+
+
+def test_kcore_peel_cascades_and_converges(spark, tmp_path):
+    # K4 clique {1,2,3,4} + node 5 hanging off {1,2,6} + leaf 6:
+    # round 1 peels 6 (degree 1), which drops 5 to degree 2 so round
+    # 2 peels 5 (the CASCADE), and the K4 survives as the exact
+    # 3-core with within-core degree 3 — converged well inside the
+    # 6-round bound.
+    _write(
+        spark, tmp_path, "orders",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+        [(1, 1, "O", 1.0, "1995-01-10", "1-URGENT"),
+         (2, 1, "O", 1.0, "1995-01-11", "1-URGENT"),
+         (3, 1, "O", 1.0, "1995-01-12", "1-URGENT"),
+         (4, 1, "O", 1.0, "1995-01-13", "1-URGENT")],
+    )
+    li = []
+    ln = 1
+    for sk in (1, 2, 3, 4):
+        li.append((1, 1, sk, ln)); ln += 1
+    for sk in (5, 1):
+        li.append((2, 1, sk, ln)); ln += 1
+    for sk in (5, 2):
+        li.append((3, 1, sk, ln)); ln += 1
+    for sk in (5, 6):
+        li.append((4, 1, sk, ln)); ln += 1
+    _write(
+        spark, tmp_path, "lineitem",
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int",
+        li,
+    )
+    got = (
+        R.ALL_QUERIES["graph_kcore_membership"](spark, str(tmp_path))
+        .orderBy("supplier")
+        .toPandas()
+    )
+    rr = dict(zip(got.supplier, got.removed_round))
+    assert rr == {1: 0, 2: 0, 3: 0, 4: 0, 5: 2, 6: 1}
+    core = got[got.in_core == 1]
+    assert set(core.supplier) == {1, 2, 3, 4}
+    assert set(core.core_degree) == {3}
+    assert set(got[got.in_core == 0].core_degree) == {0}
+
+
+# ---------------------------------------------------------------- D256
+
+
+def test_template_prefix_flags_header_source(spark, tmp_path):
+    # source "scraped": 6 of 10 docs share the same 16-char header ->
+    # share 600000 ppm, suspect. source "clean": all distinct
+    # prefixes -> share 1/10, not suspect. Champion tie (2-2) in
+    # source "tied" resolves to the lexicographically first prefix.
+    rows = []
+    k = 0
+    header = "COOKIE NOTICE | please accept"
+    for i in range(6):
+        rows.append((k, header + f" page {i}", "en", "scraped", 1)); k += 1
+    for i in range(4):
+        rows.append((k, f"unique{i} body text here", "en", "scraped", 1)); k += 1
+    for i in range(10):
+        rows.append((k, f"doc number {i} of the clean source", "en", "clean", 1))
+        k += 1
+    rows += [(100, "aaaa" + "x" * 20, "en", "tied", 1),
+             (101, "aaaa" + "x" * 20, "en", "tied", 1),
+             (102, "bbbb" + "x" * 20, "en", "tied", 1),
+             (103, "bbbb" + "x" * 20, "en", "tied", 1)]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = R.ALL_QUERIES["source_template_prefixes"](spark, str(tmp_path)).toPandas()
+    g = {r.source: r for r in got.itertuples()}
+    assert g["scraped"].top_share_ppm == 600000
+    assert g["scraped"].template_suspect == 1
+    assert g["scraped"].top_prefix == header[:16]
+    assert g["clean"].template_suspect == 0
+    assert g["clean"].top_share_ppm == 100000
+    assert g["tied"].top_prefix == ("aaaa" + "x" * 20)[:16]
