@@ -4447,3 +4447,222 @@ def q_source_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("template_suspect"),
         )
     )
+
+
+# DuckDB twin of the vocabulary growth curve: identical token
+# first-occurrence table, identical rank-extracted doc_id decile
+# edges, identical micro-ln Heaps slope between successive points.
+_VOCABGROWTH_ORACLE = """
+    WITH toked AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    tfirst AS (SELECT w, MIN(doc_id) AS fd FROM toked GROUP BY w),
+    dcnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+             FROM toked GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, ntok, row_number() OVER (ORDER BY doc_id) AS rk
+      FROM dcnt
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    edges AS (
+      SELECT k.k, r.doc_id AS edge_doc
+      FROM range(1, 11) AS k(k)
+      JOIN nd ON TRUE
+      JOIN ranked r ON r.rk = (k.k * nd.n + 9) // 10
+    ),
+    vk AS (
+      SELECT e.k, CAST(COUNT(*) AS BIGINT) AS vocab_k
+      FROM edges e JOIN tfirst t ON t.fd <= e.edge_doc
+      GROUP BY e.k
+    ),
+    nk AS (
+      SELECT e.k, CAST(SUM(r.ntok) AS BIGINT) AS tokens_k,
+             CAST(COUNT(*) AS BIGINT) AS docs_k
+      FROM edges e JOIN ranked r ON r.doc_id <= e.edge_doc
+      GROUP BY e.k
+    ),
+    pts AS (
+      SELECT e.k, e.edge_doc, nk.docs_k, nk.tokens_k, vk.vocab_k,
+             CAST(round(ln(CAST(vk.vocab_k AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lnv,
+             CAST(round(ln(CAST(nk.tokens_k AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lnn
+      FROM edges e JOIN vk ON vk.k = e.k JOIN nk ON nk.k = e.k
+    )
+    SELECT p.k, p.edge_doc, p.docs_k, p.tokens_k, p.vocab_k,
+           CASE WHEN prev.k IS NULL OR p.lnn = prev.lnn THEN 0
+                ELSE CASE WHEN (p.lnv - prev.lnv) * 1000 >= 0
+                     THEN (p.lnv - prev.lnv) * 1000 // (p.lnn - prev.lnn)
+                     ELSE -((-(p.lnv - prev.lnv) * 1000) // (p.lnn - prev.lnn))
+                     END
+           END AS heaps_beta_milli
+    FROM pts p LEFT JOIN pts prev ON prev.k = p.k - 1
+    """
+
+
+@extra_query("vocab_growth_curve", _VOCABGROWTH_ORACLE)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve (D257) — the corpus-
+    saturation audit beside Zipf coverage (D138), OOV rate (D137) and
+    the GT unseen-mass spectrum (D225): vocabulary size V(n) at ten
+    rank-extracted corpus prefixes (by doc_id ingest order) plus the
+    local Heaps exponent beta = dlnV/dlnN between successive points —
+    the number that says whether a tokenizer's vocab budget is sized
+    for a corpus that is still discovering words (beta ~ 0.5) or has
+    saturated (beta -> 0), and the curve a crawl planner reads to
+    decide if MORE of the same source buys new content at all.
+
+    Exactness: a token's contribution to every prefix is decided by
+    its FIRST-OCCURRENCE doc (one MIN per token — the same
+    first-occurrence-wins discipline as exact dedup), so V(k) needs
+    no per-prefix distinct pass: ONE (token) partial agg + a 10-edge
+    broadcast comparison. Edges are doc_ids at ranks ceil(k*N/10)
+    (the D244 convention); the slope uses micro-lns of integer counts
+    with the sign-safe milli division. Plan: token explode -> (token)
+    MIN partial agg and (doc) count partial agg; the 10-point curve
+    and slopes are metadata-scale. 10 rows at any corpus size."""
+    from mapreduce_project_spark.functions.textfns import tokens
+    from mapreduce_project_spark.operators.windows import global_rank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tfirst = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    dcnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("ntok"))
+    ranked = global_rank(dcnt, ["doc_id"], "rk")
+    nd = dcnt.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    edges = (
+        ranked.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(ks), F.col("rk") == F.expr("(k * n + 9) div 10"))
+        .select("k", F.col("doc_id").alias("edge_doc"))
+    )
+    vk = (
+        tfirst.crossJoin(F.broadcast(edges))
+        .filter(F.col("fd") <= F.col("edge_doc"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_k"))
+    )
+    nk = (
+        ranked.crossJoin(F.broadcast(edges.select("k", "edge_doc")))
+        .filter(F.col("doc_id") <= F.col("edge_doc"))
+        .groupBy("k")
+        .agg(
+            F.sum("ntok").cast("bigint").alias("tokens_k"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_k"),
+        )
+    )
+    lnu = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("bigint")  # noqa: E731
+    pts = (
+        edges.join(vk, "k")
+        .join(nk, "k")
+        .select(
+            "k", "edge_doc", "docs_k", "tokens_k", "vocab_k",
+            lnu(F.col("vocab_k")).alias("lnv"),
+            lnu(F.col("tokens_k")).alias("lnn"),
+        )
+    )
+    prev = pts.select(
+        (F.col("k") + 1).alias("k"),
+        F.col("lnv").alias("plnv"),
+        F.col("lnn").alias("plnn"),
+    )
+    return (
+        pts.join(prev, "k", "left")
+        .select(
+            "k", "edge_doc", "docs_k", "tokens_k", "vocab_k",
+            F.expr(
+                "case when plnn is null or lnn = plnn then 0"
+                " else case when (lnv - plnv) * 1000 >= 0"
+                " then (lnv - plnv) * 1000 div (lnn - plnn)"
+                " else -((-(lnv - plnv) * 1000) div (lnn - plnn)) end end"
+            )
+            .cast("bigint")
+            .alias("heaps_beta_milli"),
+        )
+    )
+
+
+# DuckDB twin of the per-source dup-rate dashboard: identical digest
+# first-occurrence-wins keeper, identical internal/cross attribution
+# against the keeper's source, identical truncating ppm rates.
+_DUPRATE_ORACLE = """
+    WITH d AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+    keep AS (SELECT dg, MIN(doc_id) AS keep_id FROM d GROUP BY dg),
+    ksrc AS (
+      SELECT k.dg, k.keep_id, d.source AS keep_source
+      FROM keep k JOIN d ON d.doc_id = k.keep_id
+    ),
+    flagged AS (
+      SELECT d.source,
+             CASE WHEN d.doc_id = ks.keep_id THEN 1 ELSE 0 END AS is_keep,
+             CASE WHEN d.doc_id <> ks.keep_id
+                   AND ks.keep_source = d.source THEN 1 ELSE 0 END AS dup_int,
+             CASE WHEN d.doc_id <> ks.keep_id
+                   AND ks.keep_source <> d.source THEN 1 ELSE 0 END AS dup_x
+      FROM d JOIN ksrc ks ON ks.dg = d.dg
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_keep) AS BIGINT) AS n_canonical,
+           CAST(SUM(dup_int) AS BIGINT) AS n_dup_internal,
+           CAST(SUM(dup_x) AS BIGINT) AS n_dup_cross,
+           CAST((SUM(dup_int) + SUM(dup_x)) * 1000000 // COUNT(*) AS BIGINT)
+             AS dup_ppm
+    FROM flagged GROUP BY source
+    """
+
+
+@extra_query("source_dup_rates", _DUPRATE_ORACLE)
+def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate dashboard (D258) — the #1 number a
+    curation review actually reads off the exact-dedup pass (C1 gives
+    the deduped corpus; D27/D210 cluster and pick survivors; THIS
+    reports who pays): per source, docs, canonical first-occurrence
+    keepers, duplicates split INTERNAL (the source re-publishes its
+    own content — a template/feed problem) vs CROSS-SOURCE (the
+    source mirrors someone else — a provenance/licensing problem;
+    the split decides whether you fix the scraper or drop the
+    source), and the truncating ppm dup rate.
+
+    Exactness: corpus-wide digest keeper = MIN doc_id per md5 (the
+    pinned first-occurrence-wins convention), attribution compares
+    each dup's source against its KEEPER's source — all-integer
+    flags, one ppm division. Plan: digests are 32-byte keys so every
+    shuffle is narrow; ONE (digest) partial agg finds keepers, one
+    keeper-id equi-join recovers keeper sources, one digest equi-join
+    flags the corpus, ONE (source) partial agg ends it. One row per
+    source at any scale."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("dg")
+    )
+    keep = d.groupBy("dg").agg(F.min("doc_id").alias("keep_id"))
+    ksrc = keep.join(
+        d.select(F.col("doc_id").alias("keep_id"), F.col("source").alias("keep_source")),
+        "keep_id",
+    )
+    flagged = d.join(ksrc, "dg").select(
+        "source",
+        (F.col("doc_id") == F.col("keep_id")).cast("bigint").alias("is_keep"),
+        (
+            (F.col("doc_id") != F.col("keep_id"))
+            & (F.col("keep_source") == F.col("source"))
+        )
+        .cast("bigint")
+        .alias("dup_int"),
+        (
+            (F.col("doc_id") != F.col("keep_id"))
+            & (F.col("keep_source") != F.col("source"))
+        )
+        .cast("bigint")
+        .alias("dup_x"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_keep").cast("bigint").alias("n_canonical"),
+        F.sum("dup_int").cast("bigint").alias("n_dup_internal"),
+        F.sum("dup_x").cast("bigint").alias("n_dup_cross"),
+        F.expr(
+            "cast((sum(dup_int) + sum(dup_x)) * 1000000 div count(*) as bigint)"
+        ).alias("dup_ppm"),
+    )

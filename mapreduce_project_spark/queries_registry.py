@@ -768,7 +768,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # KN p90 gate -> FKGL staging, composing the registered D252/D247
 # queries as DataFrames), graph_kcore_membership (D255, bounded
 # 6-round k=3 peel with onion-layer rounds), source_template_prefixes
-# (D256, the 16-char boilerplate-header screen);
+# (D256, the 16-char boilerplate-header screen), vocab_growth_curve
+# (D257, Heaps-law V(n) with first-occurrence attribution),
+# source_dup_rates (D258, internal-vs-cross dup attribution per
+# source);
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.

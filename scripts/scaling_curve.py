@@ -199,6 +199,8 @@ SF1_QUERIES = [
     "assemble_training_set_v7",
     "graph_kcore_membership",
     "source_template_prefixes",
+    "vocab_growth_curve",
+    "source_dup_rates",
 ]
 SF1_REPS = 2
 

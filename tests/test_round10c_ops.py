@@ -579,3 +579,62 @@ def test_template_prefix_flags_header_source(spark, tmp_path):
     assert g["clean"].template_suspect == 0
     assert g["clean"].top_share_ppm == 100000
     assert g["tied"].top_prefix == ("aaaa" + "x" * 20)[:16]
+
+
+# ---------------------------------------------------------------- D257
+
+
+def test_vocab_growth_first_occurrence_attribution(spark, tmp_path):
+    # 10 docs, one token each: docs 1-5 all say "alpha" (vocab stops
+    # growing), docs 6-10 each introduce a brand-new word (vocab grows
+    # again). V(k) by decile edge k must be [1,1,1,1,1,2,3,4,5,6] and
+    # the Heaps slope must be 0 over the flat stretch and positive on
+    # the discovery stretch.
+    words = ["alpha"] * 5 + ["beta", "gamma", "delta", "eps", "zeta"]
+    rows = [(i + 1, w, "en", "s", 1) for i, w in enumerate(words)]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = (
+        R.ALL_QUERIES["vocab_growth_curve"](spark, str(tmp_path))
+        .orderBy("k")
+        .toPandas()
+    )
+    assert list(got.vocab_k) == [1, 1, 1, 1, 1, 2, 3, 4, 5, 6]
+    assert list(got.tokens_k) == list(range(1, 11))
+    flat = got[(got.k >= 2) & (got.k <= 5)]
+    assert set(flat.heaps_beta_milli) == {0}
+    disc = got[got.k >= 6]
+    assert (disc.heaps_beta_milli > 1000).all()  # super-linear discovery
+
+
+# ---------------------------------------------------------------- D258
+
+
+def test_dup_rates_split_internal_vs_cross(spark, tmp_path):
+    # source A: 2 canonical + 1 internal dup (A repeats its own text).
+    # source B: 2 canonical + 2 cross dups (B mirrors A's text — the
+    # keeper lives in A, so B's copies are CROSS, licensing problem).
+    rows = [
+        (1, "original one", "en", "A", 1),
+        (2, "original two", "en", "A", 1),
+        (3, "original one", "en", "A", 1),   # internal dup of 1
+        (4, "b exclusive", "en", "B", 1),
+        (5, "b second", "en", "B", 1),
+        (6, "original one", "en", "B", 1),   # cross dup (keeper in A)
+        (7, "original two", "en", "B", 1),   # cross dup (keeper in A)
+    ]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        rows,
+    )
+    got = R.ALL_QUERIES["source_dup_rates"](spark, str(tmp_path)).toPandas()
+    g = {r.source: r for r in got.itertuples()}
+    assert (g["A"].n_docs, g["A"].n_canonical, g["A"].n_dup_internal,
+            g["A"].n_dup_cross) == (3, 2, 1, 0)
+    assert (g["B"].n_docs, g["B"].n_canonical, g["B"].n_dup_internal,
+            g["B"].n_dup_cross) == (4, 2, 0, 2)
+    assert g["A"].dup_ppm == 333333 and g["B"].dup_ppm == 500000
