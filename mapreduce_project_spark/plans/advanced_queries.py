@@ -1066,7 +1066,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the REMAINING node set each round), identical removal-round
 # bookkeeping and final survivor degrees.
 _KCORE_ROUND = """
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT e.a AS id
       FROM edges e JOIN r{h} x ON x.id = e.a
       JOIN r{h} y ON y.id = e.b
@@ -1085,8 +1085,9 @@ _KCORE_ORACLE = (
       JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
       JOIN o ON x.l_orderkey = o.o_orderkey
     ),
-    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
-    r0 AS (SELECT DISTINCT a AS id FROM edges),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    r0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
     """
     + ",\n    ".join(_KCORE_ROUND.format(i=i, h=i - 1) for i in range(1, 7))
     + """,
@@ -1186,10 +1187,17 @@ def q_graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        # cache each round's survivor set: the loop otherwise doubles
-        # the join lineage every round (the D49 iterative discipline)
+        # localCheckpoint each round's survivor set: `remaining` fans
+        # out THREE ways per round (two degree-join probes + the
+        # anti-join), so without lineage truncation the logical plan
+        # grows 3^rounds and Catalyst planning dominates (measured
+        # 234 s uncached, 39 s cached-but-unbroken, ~3 s with the
+        # checkpoint at sf0.1); the survivor set is O(V) ids, so the
+        # materialization is cheap at any scale
         survivors = (
-            deg.filter(F.col("d") >= 3).select(F.col("a").alias("id")).cache()
+            deg.filter(F.col("d") >= 3)
+            .select(F.col("a").alias("id"))
+            .localCheckpoint()
         )
         peeled = remaining.join(survivors, "id", "left_anti").select(
             "id", F.lit(rnd).cast("bigint").alias("removed_round")
