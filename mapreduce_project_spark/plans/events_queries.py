@@ -3913,3 +3913,128 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resid").alias("resid_cents"),
         F.col("fc").alias("forecast_next_cents"),
     )
+
+
+# DuckDB twin of the drawdown pass: identical zero-filled daily cents
+# grid (the D232/D250 construction), identical running-peak window and
+# integer drawdown, identical (drawdown DESC, day ASC) champion.
+_DRAWDOWN_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    grid AS (
+      SELECT t.event_type, g.d, COALESCE(dy.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                                (SELECT d1 FROM bounds))) AS d) g
+      LEFT JOIN daily dy ON dy.event_type = t.event_type AND dy.d = g.d
+    ),
+    cum AS (
+      SELECT event_type, d, y,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+               AS equity
+      FROM grid
+    ),
+    dd AS (
+      SELECT event_type, d, y, equity,
+             CAST(MAX(equity) OVER (PARTITION BY event_type ORDER BY d)
+                  AS BIGINT) AS peak,
+             CAST(MAX(equity) OVER (PARTITION BY event_type ORDER BY d)
+                  - equity AS BIGINT) AS drawdown
+      FROM cum
+    ),
+    worst AS (
+      SELECT event_type, d AS worst_day, drawdown AS max_drawdown,
+             peak AS peak_at_worst
+      FROM dd
+      QUALIFY row_number() OVER (
+        PARTITION BY event_type ORDER BY drawdown DESC, d ASC) = 1
+    )
+    SELECT w.event_type,
+           strftime(make_timestamp(w.worst_day * 86400000000), '%Y-%m-%d')
+             AS worst_day,
+           w.max_drawdown, w.peak_at_worst,
+           CASE WHEN w.peak_at_worst = 0 THEN 0
+                ELSE CAST(w.max_drawdown * 1000000 // w.peak_at_worst
+                     AS BIGINT) END AS drawdown_ppm,
+           (SELECT CAST(MAX(equity) AS BIGINT) FROM dd x
+            WHERE x.event_type = w.event_type) AS peak_equity,
+           (SELECT CAST(equity AS BIGINT) FROM dd x
+            WHERE x.event_type = w.event_type
+            ORDER BY d DESC LIMIT 1) AS final_equity
+    FROM worst w
+    """
+
+
+@extra_query("events_max_drawdown", _DRAWDOWN_ORACLE)
+def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type (D259) — the risk statistic
+    completing the financial/time-series family (OHLC D172 bars, TWAP
+    D160, Lorenz/Gini D239 concentration; drawdown answers "how far
+    below its best-ever cumulative level did this series fall, and
+    when" — for a revenue stream it is the worst cumulative shortfall
+    an anomaly post-mortem hunts for, and the same running-peak shape
+    prices any high-water-mark contract): over each type's zero-filled
+    daily cents grid, the cumulative equity curve, its running peak,
+    the max (peak - equity) gap with a (drawdown DESC, day ASC)
+    champion, and the relative drawdown in truncating ppm.
+
+    Exactness: all-integer cents; the equity curve and running peak
+    are per-type ORDER BY day windows over the <=#days grid (bounded
+    per key — never a global window; a century is < 40k rows/key), and
+    the champion tie-break is total-ordered. Plan: ONE (type, day)
+    partial agg collapses the corpus; everything after runs on the
+    bounded grid. One row per event type."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.sum(cents).cast("bigint").alias("y"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("d")
+    dd = (
+        grid.withColumn("equity", F.sum("y").over(wcum).cast("bigint"))
+        .withColumn("peak", F.max("equity").over(wcum).cast("bigint"))
+        .withColumn("drawdown", (F.col("peak") - F.col("equity")).cast("bigint"))
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.col("drawdown").desc(), F.col("d").asc()
+    )
+    worst = (
+        dd.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_micros(F.expr("d * 86400000000")), "yyyy-MM-dd"
+            ).alias("worst_day"),
+            F.col("drawdown").alias("max_drawdown"),
+            F.col("peak").alias("peak_at_worst"),
+        )
+    )
+    summary = dd.groupBy("event_type").agg(
+        F.max("equity").cast("bigint").alias("peak_equity"),
+        F.expr("max_by(equity, d)").cast("bigint").alias("final_equity"),
+    )
+    return worst.join(summary, "event_type").select(
+        "event_type", "worst_day", "max_drawdown", "peak_at_worst",
+        F.expr(
+            "case when peak_at_worst = 0 then 0"
+            " else cast(max_drawdown * 1000000 div peak_at_worst as bigint) end"
+        ).alias("drawdown_ppm"),
+        "peak_equity", "final_equity",
+    )

@@ -2001,3 +2001,134 @@ def q_embedding_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q1_4", "q3_4",
         )
     )
+
+
+# nDCG@20 discount table, baked identically on both engines: term(i)
+# = 1e12 div round(log2(i+1)*1e6) for rank i, and its prefix sums for
+# the ideal DCG — Python ints at module import, so both SQL strings
+# carry the SAME literal constants (the _LN1E6_MICRO discipline).
+def _ndcg_tables() -> tuple[list[int], list[int]]:
+    import math
+
+    terms = [
+        10**12 // round(math.log2(i + 1) * 10**6) for i in range(1, 21)
+    ]
+    cums, s = [], 0
+    for v in terms:
+        s += v
+        cums.append(s)
+    return terms, cums
+
+
+_NDCG_TERMS, _NDCG_CUMS = _ndcg_tables()
+
+_NDCG_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel,
+             c.vec_id AS neighbor_id, c.label AS nlabel,
+             {{cos}} AS cos
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= 20),
+    lblcnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM e GROUP BY label),
+    gains AS (
+      SELECT query_id,
+             CAST(SUM(CASE WHEN nlabel = qlabel
+                  THEN [{", ".join(str(v) for v in _NDCG_TERMS)}][CAST(rk AS INT)]
+                  ELSE 0 END) AS BIGINT) AS dcg_micro,
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_topk,
+             ANY_VALUE(qlabel) AS qlabel
+      FROM top GROUP BY query_id
+    )
+    SELECT g.query_id,
+           CAST(l.cnt - 1 AS BIGINT) AS n_rel_corpus,
+           g.n_rel_topk, g.dcg_micro,
+           CAST([{", ".join(str(v) for v in _NDCG_CUMS)}]
+                [CAST(least(l.cnt - 1, 20) AS INT)] AS BIGINT) AS idcg_micro,
+           CAST(g.dcg_micro * 1000000
+                // [{", ".join(str(v) for v in _NDCG_CUMS)}]
+                  [CAST(least(l.cnt - 1, 20) AS INT)] AS BIGINT) AS ndcg_ppm
+    FROM gains g JOIN lblcnt l ON l.label = g.qlabel
+    """
+
+
+@extra_query("search_ndcg", _NDCG_ORACLE.format(cos=_duck_cos("q.v", "c.v")))
+def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nDCG@20 per query (D260) — the graded-ranking member
+    completing the retrieval-evaluation family (MRR D136 scores the
+    FIRST hit, recall@k counts hits; nDCG weights EVERY hit by a
+    log-discounted position, the metric ranking-system papers
+    actually report): over the exact cosine top-20 (same scaffold as
+    D136 — brute-force GEMM kNN, (cos DESC, neighbor) tie-break),
+    binary relevance = label match, DCG = sum of per-rank discount
+    terms, ideal DCG from the CORPUS-wide relevant count (cnt(label)
+    - 1 capped at 20 — the standard nDCG@k ideal, NOT the top-k hit
+    count: an index that misses everything must score 0, not NaN).
+
+    Exactness: the discount table term(i) = 1e12 div
+    round(log2(i+1)*1e6) and its prefix sums are PYTHON-INT baked
+    literals identical in both engines (the _LN1E6_MICRO constant
+    discipline applied to a whole table), so DCG/IDCG are exact
+    BIGINT sums and nDCG is ONE truncating ppm division. Plan:
+    queries broadcast against the corpus scan (the C3 serving shape),
+    one per-query top-k, one label-count broadcast join; the gain
+    arithmetic is per-row expressions. One row per query vector."""
+    from pyspark.sql import Window  # noqa: F401  (scaffold parity)
+
+    from mapreduce_project_spark.operators.similarity import topk_bruteforce
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = topk_bruteforce(emb, queries, "vec_id", "embedding", 20)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    qlabels = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    lblcnt = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    terms_arr = "array(" + ", ".join(f"{v}L" for v in _NDCG_TERMS) + ")"
+    cums_arr = "array(" + ", ".join(f"{v}L" for v in _NDCG_CUMS) + ")"
+    gains = (
+        top.join(F.broadcast(labels), "neighbor_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.expr(
+                f"cast(sum(case when nlabel = qlabel then"
+                f" element_at({terms_arr}, cast(rk as int)) else 0 end)"
+                " as bigint)"
+            ).alias("dcg_micro"),
+            F.expr(
+                "cast(sum(case when nlabel = qlabel then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n_rel_topk"),
+        )
+    )
+    return (
+        gains.join(F.broadcast(lblcnt), "qlabel")
+        .select(
+            "query_id",
+            (F.col("cnt") - 1).cast("bigint").alias("n_rel_corpus"),
+            "n_rel_topk",
+            "dcg_micro",
+            F.expr(
+                f"cast(element_at({cums_arr},"
+                " cast(least(cnt - 1, 20) as int)) as bigint)"
+            ).alias("idcg_micro"),
+            F.expr(
+                f"cast(dcg_micro * 1000000 div element_at({cums_arr},"
+                " cast(least(cnt - 1, 20) as int)) as bigint)"
+            ).alias("ndcg_ppm"),
+        )
+    )

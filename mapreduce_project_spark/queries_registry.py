@@ -771,7 +771,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D256, the 16-char boilerplate-header screen), vocab_growth_curve
 # (D257, Heaps-law V(n) with first-occurrence attribution),
 # source_dup_rates (D258, internal-vs-cross dup attribution per
-# source);
+# source), events_max_drawdown (D259, running-peak drawdown over the
+# daily grid), search_ndcg (D260, exact nDCG@20 with the baked
+# integer discount table);
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.

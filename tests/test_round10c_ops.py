@@ -638,3 +638,68 @@ def test_dup_rates_split_internal_vs_cross(spark, tmp_path):
     assert (g["B"].n_docs, g["B"].n_canonical, g["B"].n_dup_internal,
             g["B"].n_dup_cross) == (4, 2, 0, 2)
     assert g["A"].dup_ppm == 333333 and g["B"].dup_ppm == 500000
+
+
+# ---------------------------------------------------------------- D259
+
+
+def test_max_drawdown_pins_peak_trough_and_tiebreak(spark, tmp_path):
+    # One type, 10 days of daily net dollars: equity curve peaks at
+    # 150 (day 2), troughs at 30 on day 5 AND stays there on the flat
+    # day 6 — max drawdown = 120 against peak 150 on BOTH days, so the
+    # (drawdown DESC, day ASC) champion must pick the EARLIEST (day
+    # 5); recovery never re-reaches the peak, final equity 130.
+    deltas = [100, 50, -30, -40, -50, 0, 20, 30, 40, 10]
+    rows = []
+    for i, dv in enumerate(deltas):
+        rows.append((i, f"2024-02-{i+1:02d} 09:00:00", 1, "view", float(dv)))
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_max_drawdown"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r.max_drawdown) == 12000  # cents
+    assert r.worst_day == "2024-02-05"
+    assert int(r.peak_at_worst) == 15000
+    assert int(r.drawdown_ppm) == 800000
+    assert int(r.peak_equity) == 15000
+    assert int(r.final_equity) == 13000
+
+
+# ---------------------------------------------------------------- D260
+
+
+def test_ndcg_discount_and_corpus_ideal(spark, tmp_path):
+    # One query (vec 0, label 1). Corpus: relevant A at cos 1 (rank
+    # 1), irrelevant C at cos 0.894 (rank 2), relevant B at cos 0.707
+    # (rank 3), three orthogonal fillers. Closed form with the baked
+    # discount table: DCG = t[1] + t[3]; the IDEAL uses the
+    # CORPUS-wide relevant count (2), not the top-k hit count, so
+    # IDCG = t[1] + t[2] and nDCG < 1e6 exactly because the miss at
+    # rank 2 costs the t[2]-t[3] discount gap.
+    import math
+
+    def vec(*head):
+        v = list(head) + [0.0] * (64 - len(head))
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec(1.0), 1),                       # the query
+        (20, vec(1.0), 1),                      # A: relevant, cos 1
+        (21, vec(2.0, 1.0), 9),                 # C: irrelevant, cos .894
+        (22, vec(1.0, 1.0), 1),                 # B: relevant, cos .707
+        (23, vec(0.0, 0.0, 1.0), 8),
+        (24, vec(0.0, 0.0, 2.0), 8),
+        (25, vec(0.0, 0.0, 3.0), 8),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = R.ALL_QUERIES["search_ndcg"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    t = [None] + [10**12 // round(math.log2(i + 1) * 10**6) for i in range(1, 21)]
+    assert int(r.n_rel_corpus) == 2 and int(r.n_rel_topk) == 2
+    assert int(r.dcg_micro) == t[1] + t[3]
+    assert int(r.idcg_micro) == t[1] + t[2]
+    assert int(r.ndcg_ppm) == (t[1] + t[3]) * 10**6 // (t[1] + t[2])
+    assert int(r.ndcg_ppm) < 1000000
