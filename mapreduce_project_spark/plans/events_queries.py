@@ -4038,3 +4038,118 @@ def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drawdown_ppm"),
         "peak_equity", "final_equity",
     )
+
+
+# DuckDB twin of the conversion-lag table: identical first-signup /
+# first-purchase-after-signup per user, identical month cohorts,
+# identical 4x-scaled exact quartiles over converted users and the
+# -1 no-conversion sentinel.
+_CONVLAG_ORACLE = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ),
+    u AS (
+      SELECT s.user_id,
+             strftime(date_trunc('month', s.s_ts), '%Y-%m') AS cohort,
+             CASE WHEN p.p_ts IS NULL THEN NULL
+                  ELSE (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000
+             END AS lag_s
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ),
+    q AS (
+      SELECT cohort,
+             CAST(4 * quantile_cont(lag_s, 0.25) AS BIGINT) AS q1_4,
+             CAST(4 * quantile_cont(lag_s, 0.50) AS BIGINT) AS q2_4,
+             CAST(4 * quantile_cont(lag_s, 0.75) AS BIGINT) AS q3_4
+      FROM u WHERE lag_s IS NOT NULL GROUP BY cohort
+    )
+    SELECT u.cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(u.lag_s) AS BIGINT) AS n_converted,
+           CAST(COUNT(u.lag_s) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm,
+           COALESCE(q.q1_4, -1) AS lag_q1_4x,
+           COALESCE(q.q2_4, -1) AS lag_q2_4x,
+           COALESCE(q.q3_4, -1) AS lag_q3_4x
+    FROM u LEFT JOIN q ON q.cohort = u.cohort
+    GROUP BY u.cohort, q.q1_4, q.q2_4, q.q3_4
+    """
+
+
+@extra_query("events_conversion_lag", _CONVLAG_ORACLE)
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase conversion-lag quartiles by cohort (D262) —
+    the TIME dimension the funnel family was missing (funnel D45
+    counts who converts, retention matrix D48 counts when users
+    return, hazard D234 gives the per-day rate; this answers HOW LONG
+    conversion takes — the quartile table growth teams read to set
+    trial lengths and nudge timing, per signup-month cohort so
+    product changes show up as cohort-over-cohort shifts).
+
+    Exactness: first signup and first purchase-AFTER-signup per user
+    (two user-keyed partial aggs — the purchase MIN is conditioned on
+    the user's own signup time, so a pre-signup purchase never
+    counts); lag in whole seconds (truncating µs div); quartiles over
+    converted users only, 4x-scaled so the quarter-integer
+    interpolation is an exact BIGINT in both engines (the D235
+    convention; swap for approx_percentile at 100 TB), and cohorts
+    with zero conversions carry the pinned -1 sentinel instead of a
+    NULL-vs-0 ambiguity. Plan: two user-keyed partial aggs + ONE
+    cohort agg; one row per signup-month cohort."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    u = (
+        s.join(p, "user_id", "left")
+        .select(
+            F.date_format(F.date_trunc("month", "s_ts"), "yyyy-MM").alias(
+                "cohort"
+            ),
+            F.expr(
+                "case when p_ts is null then null"
+                " else (unix_micros(p_ts) - unix_micros(s_ts)) div 1000000 end"
+            ).alias("lag_s"),
+        )
+    )
+    q = (
+        u.filter(F.col("lag_s").isNotNull())
+        .groupBy("cohort")
+        .agg(
+            F.expr("cast(4 * percentile(lag_s, 0.25) as bigint)").alias("q1_4"),
+            F.expr("cast(4 * percentile(lag_s, 0.50) as bigint)").alias("q2_4"),
+            F.expr("cast(4 * percentile(lag_s, 0.75) as bigint)").alias("q3_4"),
+        )
+    )
+    return (
+        u.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+            F.count("lag_s").cast("bigint").alias("n_converted"),
+            F.expr("cast(count(lag_s) * 1000000 div count(*) as bigint)").alias(
+                "conv_ppm"
+            ),
+        )
+        .join(q, "cohort", "left")
+        .select(
+            "cohort", "n_signups", "n_converted", "conv_ppm",
+            F.coalesce("q1_4", F.lit(-1)).cast("bigint").alias("lag_q1_4x"),
+            F.coalesce("q2_4", F.lit(-1)).cast("bigint").alias("lag_q2_4x"),
+            F.coalesce("q3_4", F.lit(-1)).cast("bigint").alias("lag_q3_4x"),
+        )
+    )

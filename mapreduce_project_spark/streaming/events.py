@@ -966,3 +966,79 @@ def holt_winters_stream(daily: DataFrame) -> DataFrame:
     return daily.groupBy("series").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def psi_stream(
+    current: DataFrame,
+    edges: list[int],
+    ref_counts: list[int],
+) -> DataFrame:
+    """Streaming Population Stability Index monitor — the stateful twin
+    of the batch `psi_value_drift` (D244): the REFERENCE decile edges
+    and per-bin counts are FROZEN inputs (they are part of the model
+    artifact, exactly as PSI is deployed — the batch query's
+    rank-extracted edges ship with the scoring model), while the
+    CURRENT-window per-bin counts accumulate in state across
+    micro-batches; each batch emits the updated drift reading per
+    series. This is the live "feature drift" dashboard a scoring
+    service watches between re-trains.
+
+    Input: rows of (``series`` string, ``cents`` BIGINT). State: the
+    10 cumulative bin counts. Emission per series per batch:
+    cumulative n, per-bin CSV, and psi_micro computed with the batch
+    twin's EXACT arithmetic — +1/+10 Laplace smoothing, truncating
+    ppm shares, micro-ln of integer counts (round(ln(int)*1e6)), and
+    the sign-safe truncating micro product — so a PSI reading after N
+    rows is bit-identical whether the rows arrived in one batch or
+    twenty (kill/restart safe: the reading depends only on cumulative
+    counts)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(edges) != 9 or len(ref_counts) != 10:
+        raise ValueError("psi_stream needs 9 edges and 10 reference bins")
+    na10 = sum(ref_counts) + 10
+
+    out_schema = "series string, n_cur long, bins string, psi_micro long"
+    state_schema = "counts array<bigint>"
+
+    def lnu(x: int) -> int:
+        return round(math.log(x) * 1000000)
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts)
+        if state.exists:
+            (counts,) = state.get
+            counts = [int(v) for v in counts]
+        else:
+            counts = [0] * 10
+        for c in rows["cents"]:
+            c = int(c)
+            b = sum(1 for e in edges if e < c)  # 0-based bin
+            counts[b] += 1
+        state.update((counts,))
+        nb10 = sum(counts) + 10
+        psi = 0
+        for ca, cb in zip(ref_counts, counts):
+            pa = (ca + 1) * 1000000 // na10
+            pb = (cb + 1) * 1000000 // nb10
+            term = lnu(ca + 1) - lnu(na10) - lnu(cb + 1) + lnu(nb10)
+            raw = (pa - pb) * term
+            psi += raw // 1000000 if raw >= 0 else -((-raw) // 1000000)
+        yield pd.DataFrame(
+            {
+                "series": [key[0]],
+                "n_cur": [sum(counts)],
+                "bins": [",".join(str(v) for v in counts)],
+                "psi_micro": [psi],
+            }
+        )
+
+    return current.groupBy("series").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -203,6 +203,7 @@ SF1_QUERIES = [
     "source_dup_rates",
     "events_max_drawdown",
     "search_ndcg",
+    "events_conversion_lag",
 ]
 SF1_REPS = 2
 

@@ -703,3 +703,41 @@ def test_ndcg_discount_and_corpus_ideal(spark, tmp_path):
     assert int(r.idcg_micro) == t[1] + t[2]
     assert int(r.ndcg_ppm) == (t[1] + t[3]) * 10**6 // (t[1] + t[2])
     assert int(r.ndcg_ppm) < 1000000
+
+
+# ---------------------------------------------------------------- D262
+
+
+def test_conversion_lag_quartiles_and_sentinels(spark, tmp_path):
+    # Cohort 2024-01: 4 signups, 3 convert with lags 100s/200s/400s
+    # (exact 4x quartiles: q1=600, q2=800, q3=1200) — and one user's
+    # PRE-signup purchase must NOT count (they convert later at 400s).
+    # Cohort 2024-02: 1 signup, 0 conversions -> -1 sentinels.
+    rows = [
+        (1, "2024-01-05 10:00:00", 1, "signup", 1.0),
+        (2, "2024-01-05 10:01:40", 1, "purchase", 1.0),   # lag 100
+        (3, "2024-01-06 10:00:00", 2, "signup", 1.0),
+        (4, "2024-01-06 10:03:20", 2, "purchase", 1.0),   # lag 200
+        (5, "2024-01-07 09:00:00", 3, "purchase", 1.0),   # PRE-signup!
+        (6, "2024-01-07 10:00:00", 3, "signup", 1.0),
+        (7, "2024-01-07 10:06:40", 3, "purchase", 1.0),   # lag 400
+        (8, "2024-01-08 10:00:00", 4, "signup", 1.0),     # never converts
+        (9, "2024-02-01 10:00:00", 5, "signup", 1.0),     # empty cohort
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_conversion_lag"](spark, str(tmp_path))
+        .orderBy("cohort")
+        .toPandas()
+    )
+    jan = got.iloc[0]
+    assert (int(jan.n_signups), int(jan.n_converted)) == (4, 3)
+    assert int(jan.conv_ppm) == 750000
+    # lags {100,200,400}: quantile_cont 4x -> q1 = 4*150=600,
+    # q2 = 4*200=800, q3 = 4*300=1200
+    assert (int(jan.lag_q1_4x), int(jan.lag_q2_4x), int(jan.lag_q3_4x)) == (
+        600, 800, 1200)
+    feb = got.iloc[1]
+    assert (int(feb.n_signups), int(feb.n_converted)) == (1, 0)
+    assert (int(feb.lag_q1_4x), int(feb.lag_q2_4x), int(feb.lag_q3_4x)) == (
+        -1, -1, -1)

@@ -1283,3 +1283,68 @@ def test_streaming_holt_winters_matches_replay_across_batches(spark, tmp_path):
     assert got == want and got
     # a negative floor-divided seasonal/trend is exercised
     assert any(r[4] < 0 or r[5] < 0 for r in got)
+
+
+def test_streaming_psi_matches_batch_arithmetic_across_batches(spark, tmp_path):
+    # Frozen reference bins (the model artifact); the current-window
+    # counts accumulate across three micro-batches. The final reading
+    # must be bit-identical to the batch D244 arithmetic applied to
+    # the cumulative counts, and intermediate readings must replay
+    # from prefix counts — a PSI that depends on batch boundaries
+    # would be useless as a dashboard.
+    import math
+
+    from mapreduce_project_spark.streaming.events import psi_stream
+
+    edges = [100, 200, 300, 400, 500, 600, 700, 800, 900]
+    ref_counts = [3, 3, 3, 3, 3, 3, 3, 3, 3, 3]
+    # current mass drifts into the top bin
+    cents = [50, 150, 950, 960, 970, 980, 990, 995, 999, 1001, 1002, 1003]
+    rows = [("s", c) for c in cents]
+    src = tmp_path / "psisrc"
+    src.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            rows[4 * i : 4 * i + 4], "series string, cents long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("series string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        psi_stream(stream, edges, ref_counts)
+        .writeStream.format("memory")
+        .queryName("psi_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "psickpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["series"], r["n_cur"], r["bins"], r["psi_micro"])
+        for r in spark.table("psi_s").collect()
+    }
+
+    def lnu(x):
+        return round(math.log(x) * 1000000)
+
+    def replay(prefix):
+        counts = [0] * 10
+        for c in prefix:
+            counts[sum(1 for e in edges if e < c)] += 1
+        na10, nb10 = sum(ref_counts) + 10, sum(counts) + 10
+        psi = 0
+        for ca, cb in zip(ref_counts, counts):
+            pa = (ca + 1) * 1000000 // na10
+            pb = (cb + 1) * 1000000 // nb10
+            term = lnu(ca + 1) - lnu(na10) - lnu(cb + 1) + lnu(nb10)
+            raw = (pa - pb) * term
+            psi += raw // 1000000 if raw >= 0 else -((-raw) // 1000000)
+        return ("s", len(prefix), ",".join(map(str, counts)), psi)
+
+    want = {replay(cents[:4]), replay(cents[:8]), replay(cents[:12])}
+    assert got == want
+    # the drifted stream must alert (top-bin concentration >> 0.25)
+    assert max(r[3] for r in got) > 250000
