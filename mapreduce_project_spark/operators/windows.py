@@ -292,3 +292,64 @@ def global_prefix_sum(
             yield pdf
 
     return rp.mapInPandas(accumulate, out_schema).drop("_pid")
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_max",
+) -> DataFrame:
+    """EXACT inclusive running MAX of ``value_col`` over a global total
+    order — the max sibling of `global_prefix_sum`, same single-task-
+    window avoidance: range-partition on the order columns, per-
+    partition local cummax in one Arrow pass, then fold in the max of
+    every EARLIER partition's total (a metadata-scale driver collect —
+    one BIGINT per partition). ``value_col`` must be integral;
+    ``order_cols`` must be a unique total order.
+
+    Output: input columns + ``out_col`` (BIGINT). Reference semantics:
+    MAX(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)."""
+    import pandas as pd  # noqa: F401
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    rp = rp.cache()
+    maxes = {
+        r["_pid"]: int(r["m"])
+        for r in rp.groupBy("_pid")
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+        if r["m"] is not None
+    }
+    offsets: dict[int, int] = {}
+    acc = None
+    for pid in sorted(maxes):
+        offsets[pid] = acc
+        acc = maxes[pid] if acc is None else max(acc, maxes[pid])
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rp.schema.fields
+    ) + f", {out_col} long"
+
+    def accumulate(batches):
+        run = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            if run is None:
+                run = offsets.get(pid)
+            vals = pdf[value_col].astype("int64")
+            cm = vals.cummax()
+            if run is not None:
+                cm = cm.clip(lower=run)
+            pdf[out_col] = cm
+            run = int(cm.iloc[-1])
+            yield pdf
+
+    return rp.mapInPandas(accumulate, out_schema).drop("_pid")

@@ -4153,3 +4153,84 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("q3_4", F.lit(-1)).cast("bigint").alias("lag_q3_4x"),
         )
     )
+
+
+# DuckDB twin of the watermark audit: identical ingest-order running
+# max (event_id IS the ingest sequence), identical whole-second
+# lateness, identical 100x-scaled exact percentiles per type.
+_WATERMARK_ORACLE = """
+    WITH o AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    r AS (
+      SELECT event_type, us,
+             MAX(us) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS rm
+      FROM o
+    ),
+    l AS (
+      SELECT event_type, (rm - us) // 1000000 AS late_s FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE late_s = 0) * 1000000 // COUNT(*)
+                AS BIGINT) AS on_time_ppm,
+           CAST(100 * quantile_cont(late_s, 0.50) AS BIGINT) AS p50_100x,
+           CAST(100 * quantile_cont(late_s, 0.95) AS BIGINT) AS p95_100x,
+           CAST(100 * quantile_cont(late_s, 0.99) AS BIGINT) AS p99_100x,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM l GROUP BY event_type
+    """
+
+
+@extra_query("events_watermark_audit", _WATERMARK_ORACLE)
+def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival (watermark-sizing) audit (D263) — the number every
+    Structured Streaming deployment needs BEFORE it exists: treating
+    event_id as the ingest sequence, how far behind the
+    max-event-time-seen-so-far does each event arrive? The p95/p99 of
+    that lateness IS the `withWatermark` delay that would have
+    admitted 95/99% of this corpus's events — measured from the batch
+    history instead of guessed, which is how the streaming twins'
+    watermark parameters (D55/D62) should be chosen in production;
+    the on-time share says how much of the stream a zero-delay
+    watermark would drop.
+
+    Exactness: the running max rides the new
+    `operators/windows.py:global_prefix_max` (range-partition on
+    event_id + per-partition Arrow cummax + a one-BIGINT-per-partition
+    offset fold — the prefix-MAX sibling of `global_prefix_sum`, so
+    NO single-task Window.orderBy over the corpus); lateness in whole
+    truncating seconds; percentiles 100x-scaled so the hundredth-
+    integer interpolation of quantile_cont at 0.50/0.95/0.99 is an
+    exact BIGINT in both engines (the D235 4x convention extended to
+    the p99 grid; swap for approx_percentile at 100 TB). Plan: one
+    range-partitioned prefix pass + ONE (type) partial agg... the
+    grouped exact percentile is domain-bounded (lateness seconds).
+    One row per event type."""
+    from mapreduce_project_spark.operators.windows import global_prefix_max
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    r = global_prefix_max(ev, ["event_id"], "us", "rm")
+    late = r.select(
+        "event_type", F.expr("(rm - us) div 1000000").alias("late_s")
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "cast(sum(case when late_s = 0 then 1 else 0 end) * 1000000"
+            " div count(*) as bigint)"
+        ).alias("on_time_ppm"),
+        F.expr("cast(100 * percentile(late_s, 0.50) as bigint)").alias(
+            "p50_100x"
+        ),
+        F.expr("cast(100 * percentile(late_s, 0.95) as bigint)").alias(
+            "p95_100x"
+        ),
+        F.expr("cast(100 * percentile(late_s, 0.99) as bigint)").alias(
+            "p99_100x"
+        ),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )

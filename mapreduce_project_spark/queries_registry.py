@@ -774,7 +774,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # source), events_max_drawdown (D259, running-peak drawdown over the
 # daily grid), search_ndcg (D260, exact nDCG@20 with the baked
 # integer discount table), events_conversion_lag (D262, cohort
-# signup->purchase lag quartiles); streaming twin psi_stream (D261,
+# signup->purchase lag quartiles), events_watermark_audit (D263,
+# ingest-lateness percentiles over the new global_prefix_max — the
+# measured withWatermark parameter); streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.

@@ -204,6 +204,7 @@ SF1_QUERIES = [
     "events_max_drawdown",
     "search_ndcg",
     "events_conversion_lag",
+    "events_watermark_audit",
 ]
 SF1_REPS = 2
 

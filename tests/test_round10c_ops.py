@@ -741,3 +741,60 @@ def test_conversion_lag_quartiles_and_sentinels(spark, tmp_path):
     assert (int(feb.n_signups), int(feb.n_converted)) == (1, 0)
     assert (int(feb.lag_q1_4x), int(feb.lag_q2_4x), int(feb.lag_q3_4x)) == (
         -1, -1, -1)
+
+
+# ---------------------------------------------------------------- D263
+
+
+def test_watermark_audit_measures_ingest_lateness(spark, tmp_path):
+    # Ingest order (event_id) vs event time: events 1-3 arrive in
+    # time order (late 0); event 4 carries a timestamp 100 s BEHIND
+    # the running max (late 100); event 5 is 10 s behind (late 10);
+    # event 6 advances the clock again (late 0). Exact 100x
+    # percentiles over lates {0,0,0,100,10,0}: p50 = 0,
+    # p95 = 100*(0.75*100 + 0.25*... ) — pin via closed form below.
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 10:01:00", 1, "view", 1.0),
+        (3, "2024-01-01 10:05:00", 1, "view", 1.0),
+        (4, "2024-01-01 10:03:20", 1, "view", 1.0),  # 100 s late
+        (5, "2024-01-01 10:04:50", 1, "view", 1.0),  # 10 s late
+        (6, "2024-01-01 10:06:00", 1, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_watermark_audit"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert int(r.n_events) == 6
+    assert int(r.on_time_ppm) == 4 * 1000000 // 6
+    assert int(r.max_late_s) == 100
+    # lates sorted: [0,0,0,0,10,100]; quantile_cont positions on n=6:
+    # p50 -> idx 2.5 -> 0; p95 -> idx 4.75 -> 10 + 0.75*90 = 77.5
+    # (x100 = 7750); p99 -> idx 4.95 -> 10 + 0.95*90 = 95.5 (9550)
+    assert int(r.p50_100x) == 0
+    assert int(r.p95_100x) == 7750
+    assert int(r.p99_100x) == 9550
+
+
+def test_global_prefix_max_crosses_partition_boundaries(spark):
+    # 500 rows over 32 range partitions, values deliberately DECREASING
+    # so the running max is pinned early and must be carried across
+    # every partition boundary by the offset fold: max(v) over rows
+    # 0..i of v = 1000 - i is always 1000. Then a late spike re-raises
+    # it and the carry must update.
+    from mapreduce_project_spark.operators.windows import global_prefix_max
+
+    rows = [(i, 1000 - i) for i in range(400)]
+    rows += [(400, 5000)]
+    rows += [(400 + i, 100 + i) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r["k"], r["pm"])
+        for r in global_prefix_max(df, ["k"], "v", "pm").collect()
+    }
+    want = set()
+    run = None
+    for k, v in sorted(rows):
+        run = v if run is None else max(run, v)
+        want.add((k, run))
+    assert got == want
