@@ -4340,9 +4340,15 @@ def q_text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "greatest(1,"
+                # headroom guard (CUPED discipline): (4c-3)*1e6 and
+                # 3*n1f*pcont_ppm must stay inside int64 — c(vw) or
+                # N1+(v.) past ~2.3e12 needs DECIMAL widening
+                "case when greatest(c, n1f) > 2305843009213693 then"
+                " raise_error('text_kn_bigram_score: bigram counts exceed"
+                " 64-bit ppm headroom — widen to DECIMAL(38,0)') "
+                "else greatest(1,"
                 " (4 * c - 3) * 1000000 div (4 * cv)"
-                " + (3 * n1f * (n1b * 1000000 div t)) div (4 * cv))"
+                " + (3 * n1f * (n1b * 1000000 div t)) div (4 * cv)) end"
             ).alias("p_ppm"),
         )
     )
