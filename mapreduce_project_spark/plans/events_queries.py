@@ -4234,3 +4234,176 @@ def q_events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("late_s").cast("bigint").alias("max_late_s"),
     )
+
+
+# DuckDB twin of the Simpson audit: identical md5 arms, identical
+# activity strata, identical exact cross-multiplied directions and
+# truncating ppm rates; the __ALL__ row is an aggregate OF the
+# per-stratum aggregates (no second corpus pass on either engine).
+_SIMPSON_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    per AS (
+      SELECT CASE WHEN n_events < 62 THEN 'low'
+                  WHEN n_events < 70 THEN 'mid' ELSE 'high' END AS stratum,
+             arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+      FROM u GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT stratum, arm, n, c FROM per
+      UNION ALL
+      SELECT '__ALL__', arm, CAST(SUM(n) AS BIGINT), CAST(SUM(c) AS BIGINT)
+      FROM per GROUP BY arm
+    ),
+    w AS (
+      SELECT stratum,
+             COALESCE(MAX(CASE WHEN arm = 'A' THEN n END), 0) AS n_a,
+             COALESCE(MAX(CASE WHEN arm = 'A' THEN c END), 0) AS conv_a,
+             COALESCE(MAX(CASE WHEN arm = 'B' THEN n END), 0) AS n_b,
+             COALESCE(MAX(CASE WHEN arm = 'B' THEN c END), 0) AS conv_b
+      FROM b GROUP BY stratum
+    ),
+    d AS (
+      SELECT stratum, n_a, conv_a, n_b, conv_b,
+             CASE WHEN n_a = 0 THEN -1
+                  ELSE conv_a * 1000000 // n_a END AS rate_a_ppm,
+             CASE WHEN n_b = 0 THEN -1
+                  ELSE conv_b * 1000000 // n_b END AS rate_b_ppm,
+             CASE WHEN conv_a * n_b > conv_b * n_a THEN 1
+                  WHEN conv_a * n_b < conv_b * n_a THEN -1
+                  ELSE 0 END AS direction
+      FROM w
+    )
+    SELECT d.stratum, d.n_a, d.conv_a, d.n_b, d.conv_b,
+           d.rate_a_ppm, d.rate_b_ppm,
+           CAST(d.direction AS BIGINT) AS direction,
+           CAST(g.direction AS BIGINT) AS agg_direction,
+           CAST(CASE WHEN d.stratum <> '__ALL__' AND d.direction <> 0
+                      AND g.direction <> 0 AND d.direction <> g.direction
+                     THEN 1 ELSE 0 END AS BIGINT) AS flipped
+    FROM d CROSS JOIN (SELECT direction FROM d WHERE stratum = '__ALL__') g
+    """
+
+
+@extra_query("simpson_paradox_audit", _SIMPSON_ORACLE)
+def q_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox (confounding) audit (D264) — the validity
+    screen the experimentation family was missing (z-test D135 scores
+    the aggregate difference, Welch D186 the continuous metric, CUPED
+    D217 shrinks its variance, chi-square D243 scores association;
+    NONE of them notice when the aggregate direction REVERSES inside
+    every stratum — the classic kidney-stone/Berkeley failure, and on
+    a data-curation pipeline the exact mechanism by which a quality
+    gate that helps every source can still hurt the mixed corpus).
+    Per user-activity stratum (events-per-user tier: the canonical
+    confounder, since heavy users both convert more and can be
+    unevenly exposed) it reports both arms' exact counts, truncating
+    ppm rates, the stratum direction, the aggregate direction, and a
+    flipped flag; a readout whose strata disagree with its __ALL__
+    row must not ship.
+
+    Exactness: arms are the deterministic md5 hash split (the D135
+    discipline); directions compare rates by exact BIGINT
+    cross-multiplication sign(conv_a*n_b - conv_b*n_a) — no division,
+    no float, no truncation-order hazard — with a raise_error
+    headroom guard at 3e9 users/arm (3e9 squared is the int64 edge;
+    widen to DECIMAL(38,0) past it); empty-arm rates carry a pinned
+    -1 sentinel. Plan: ONE user-keyed partial agg over the corpus,
+    ONE (stratum, arm) agg on user rows, then the __ALL__ row is an
+    aggregate OF those six cells (zero extra corpus passes) and the
+    agg-direction join broadcasts one row. Four rows out."""
+    ev = t(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 250),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+                ).isin(*"01234567"),
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            F.expr(
+                "case when n_events < 62 then 'low'"
+                " when n_events < 70 then 'mid' else 'high' end"
+            ).alias("stratum"),
+            "conv",
+        )
+    )
+    per = u.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    b = per.unionByName(
+        per.groupBy("arm")
+        .agg(F.sum("n").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("c"))
+        .select(F.lit("__ALL__").alias("stratum"), "arm", "n", "c")
+    )
+    w = b.groupBy("stratum").agg(
+        F.coalesce(F.max(F.when(F.col("arm") == "A", F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(F.max(F.when(F.col("arm") == "A", F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.coalesce(F.max(F.when(F.col("arm") == "B", F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.coalesce(F.max(F.when(F.col("arm") == "B", F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    d = w.select(
+        "stratum", "n_a", "conv_a", "n_b", "conv_b",
+        F.expr(
+            "case when n_a = 0 then -1"
+            " else conv_a * 1000000 div n_a end"
+        )
+        .cast("bigint")
+        .alias("rate_a_ppm"),
+        F.expr(
+            "case when n_b = 0 then -1"
+            " else conv_b * 1000000 div n_b end"
+        )
+        .cast("bigint")
+        .alias("rate_b_ppm"),
+        F.expr(
+            "case when greatest(n_a, n_b) > 3000000000 then"
+            " raise_error('simpson_paradox_audit: arm sizes exceed 64-bit"
+            " cross-multiplication headroom — widen to DECIMAL(38,0)')"
+            " when conv_a * n_b > conv_b * n_a then 1"
+            " when conv_a * n_b < conv_b * n_a then -1 else 0 end"
+        )
+        .cast("bigint")
+        .alias("direction"),
+    )
+    g = d.filter(F.col("stratum") == "__ALL__").select(
+        F.col("direction").alias("agg_direction")
+    )
+    return d.crossJoin(F.broadcast(g)).select(
+        "stratum", "n_a", "conv_a", "n_b", "conv_b",
+        "rate_a_ppm", "rate_b_ppm", "direction", "agg_direction",
+        F.expr(
+            "cast(case when stratum <> '__ALL__' and direction <> 0"
+            " and agg_direction <> 0 and direction <> agg_direction"
+            " then 1 else 0 end as bigint)"
+        ).alias("flipped"),
+    )

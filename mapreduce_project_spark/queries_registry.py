@@ -776,7 +776,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # integer discount table), events_conversion_lag (D262, cohort
 # signup->purchase lag quartiles), events_watermark_audit (D263,
 # ingest-lateness percentiles over the new global_prefix_max — the
-# measured withWatermark parameter); streaming twin psi_stream (D261,
+# measured withWatermark parameter), simpson_paradox_audit (D264,
+# the stratified-reversal confounding screen with exact
+# cross-multiplied directions); streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.

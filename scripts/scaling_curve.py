@@ -205,6 +205,7 @@ SF1_QUERIES = [
     "search_ndcg",
     "events_conversion_lag",
     "events_watermark_audit",
+    "simpson_paradox_audit",
 ]
 SF1_REPS = 2
 

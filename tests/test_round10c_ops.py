@@ -798,3 +798,74 @@ def test_global_prefix_max_crosses_partition_boundaries(spark):
         run = v if run is None else max(run, v)
         want.add((k, run))
     assert got == want
+
+
+# ---------------------------------------------------------------- D264
+
+
+def test_simpson_audit_flags_aggregate_reversal(spark, tmp_path):
+    # Classic Simpson geometry: A beats B inside BOTH strata, yet B
+    # beats A in the aggregate, because A's users concentrate in the
+    # low-converting high-activity stratum.
+    #   low  (5 events/user):  A 2/2 (1.0)   B 6/8 (0.75)  -> A ahead
+    #   high (70 events/user): A 2/8 (0.25)  B 0/2 (0.0)   -> A ahead
+    #   all:                   A 4/10 (0.4)  B 6/10 (0.6)  -> B ahead
+    # md5-arm ids (first hex 0-7 => A): A = [6, 9, 11, 17, 18, 19, 21,
+    # 23, 24, 26], B = [1, 2, 3, 4, 5, 7, 8, 10, 12, 13].
+    arm_a = [6, 9, 11, 17, 18, 19, 21, 23, 24, 26]
+    arm_b = [1, 2, 3, 4, 5, 7, 8, 10, 12, 13]
+    plan = (
+        [(u, 5, True) for u in arm_a[:2]]
+        + [(u, 70, True) for u in arm_a[2:4]]
+        + [(u, 70, False) for u in arm_a[4:]]
+        + [(u, 5, True) for u in arm_b[:6]]
+        + [(u, 5, False) for u in arm_b[6:8]]
+        + [(u, 70, False) for u in arm_b[8:]]
+    )
+    rows, eid = [], 0
+    for user, n_events, converted in plan:
+        for i in range(n_events):
+            etype = "purchase" if converted and i == 0 else "view"
+            value = 300.0 if etype == "purchase" else 1.0
+            rows.append((eid, "2024-01-01 00:00:00", user, etype, value))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["simpson_paradox_audit"](spark, str(tmp_path))
+        .orderBy("stratum")
+        .toPandas()
+        .set_index("stratum")
+    )
+    assert set(got.index) == {"__ALL__", "low", "high"}
+    low, high, allr = got.loc["low"], got.loc["high"], got.loc["__ALL__"]
+    # exact counts per cell
+    assert (low.n_a, low.conv_a, low.n_b, low.conv_b) == (2, 2, 8, 6)
+    assert (high.n_a, high.conv_a, high.n_b, high.conv_b) == (8, 2, 2, 0)
+    assert (allr.n_a, allr.conv_a, allr.n_b, allr.conv_b) == (10, 4, 10, 6)
+    # truncating ppm rates
+    assert (low.rate_a_ppm, low.rate_b_ppm) == (1000000, 750000)
+    assert (high.rate_a_ppm, high.rate_b_ppm) == (250000, 0)
+    assert (allr.rate_a_ppm, allr.rate_b_ppm) == (400000, 600000)
+    # A wins every stratum, B wins the aggregate => both strata flip
+    assert (low.direction, high.direction, allr.direction) == (1, 1, -1)
+    assert (got.agg_direction == -1).all()
+    assert (low.flipped, high.flipped, allr.flipped) == (1, 1, 0)
+
+
+def test_simpson_audit_empty_arm_sentinel(spark, tmp_path):
+    # A stratum whose B arm is empty must carry the -1 rate sentinel
+    # and a direction decided by cross-multiplication (0*n_a vs
+    # conv_a*0 => 0), never a divide-by-zero.
+    rows = [
+        (i, "2024-01-01 00:00:00", 6, "view", 1.0) for i in range(5)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["simpson_paradox_audit"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("stratum")
+    )
+    low = got.loc["low"]
+    assert (low.n_a, low.n_b) == (1, 0)
+    assert low.rate_b_ppm == -1
+    assert low.direction == 0 and low.flipped == 0
