@@ -4407,3 +4407,121 @@ def q_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as bigint)"
         ).alias("flipped"),
     )
+
+
+# DuckDB twin of the AUC readout: identical per-score tie groups,
+# identical doubled average ranks (r2 = 2*cum - cnt + 1), identical
+# truncating ppm AUC and sign-safe Gini.
+_AUC_ORACLE = """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS score,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM u GROUP BY score
+    ),
+    r AS (
+      SELECT score, cnt, np,
+             CAST(SUM(cnt) OVER (ORDER BY score
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * cum - cnt + 1)) AS BIGINT) AS sum_r2_pos
+      FROM r
+    )
+    SELECT n_pos, n_neg, sum_r2_pos,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+                ELSE (sum_r2_pos - n_pos * (n_pos + 1)) * 1000000
+                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+                WHEN sum_r2_pos - n_pos * (n_pos + 1) - n_pos * n_neg >= 0
+                THEN (sum_r2_pos - n_pos * (n_pos + 1) - n_pos * n_neg)
+                     * 1000000 // (n_pos * n_neg)
+                ELSE -((n_pos * (n_pos + 1) + n_pos * n_neg - sum_r2_pos)
+                       * 1000000 // (n_pos * n_neg))
+                END AS BIGINT) AS gini_ppm
+    FROM agg
+    """
+
+
+@extra_query("classifier_auc_activity", _AUC_ORACLE)
+def q_classifier_auc_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-classifier AUC via the Mann-Whitney rank statistic
+    (D265) — the model-eval member the retrieval metrics can't cover
+    (MRR D136 and nDCG D260 score RANKINGS against relevance; AUC
+    scores a BINARY classifier's ordering of positives over negatives
+    — the first number read off any propensity/quality/toxicity
+    scorer before its threshold is chosen). Here the scorer is
+    per-user activity and the label is high-value conversion: AUC =
+    P(random converter out-ranks random non-converter) — the
+    propensity readout behind D135's arms.
+
+    Exactness: ties (integer activity scores collide heavily) get
+    textbook AVERAGE ranks, kept integral by doubling — for the tie
+    group at score s with cnt members ending at cumulative position
+    cum, r2 = 2*cum - cnt + 1 is twice the average rank, so
+    2U = sum_r2_pos - n_pos*(n_pos+1) is an exact BIGINT and
+    auc_ppm = 2U*1e6 div (2*n_pos*n_neg) one truncating division;
+    Gini = 2*AUC - 1 goes through the sign-safe -((-x) div k) form
+    since DuckDB floors negative division while Spark truncates.
+    Guard rails: n_pos*n_neg > 4e12 raises (the *1e6 numerator would
+    pass the int64 edge — widen to DECIMAL(38,0) there); an empty
+    class yields the pinned -1/-0 sentinels, never a zero division.
+    Plan: ONE user-keyed partial agg over the corpus, ONE per-score
+    agg (domain-bounded: distinct activity counts, not users), a
+    window over THAT metadata-scale table, and a single-row fold —
+    for continuous scores swap the per-score table for the D129
+    global-ranking machinery. One row out."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+            ).otherwise(0)
+        ).alias("pos"),
+    )
+    s = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    r = s.withColumn(
+        "cum",
+        F.expr(
+            "sum(cnt) over (order by score rows between unbounded preceding"
+            " and current row)"
+        ).cast("bigint"),
+    )
+    agg = r.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cum") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("sum_r2_pos"),
+    )
+    return agg.select(
+        "n_pos", "n_neg", "sum_r2_pos",
+        F.expr(
+            "cast(case when n_pos = 0 or n_neg = 0 then -1"
+            " when n_pos * n_neg > 4000000000000 then"
+            " raise_error('classifier_auc_activity: class sizes exceed 64-bit"
+            " ppm headroom — widen to DECIMAL(38,0)')"
+            " else (sum_r2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * n_neg) end as bigint)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "cast(case when n_pos = 0 or n_neg = 0 then 0"
+            " when sum_r2_pos - n_pos * (n_pos + 1) - n_pos * n_neg >= 0"
+            " then (sum_r2_pos - n_pos * (n_pos + 1) - n_pos * n_neg)"
+            " * 1000000 div (n_pos * n_neg)"
+            " else -((n_pos * (n_pos + 1) + n_pos * n_neg - sum_r2_pos)"
+            " * 1000000 div (n_pos * n_neg)) end as bigint)"
+        ).alias("gini_ppm"),
+    )

@@ -778,7 +778,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # ingest-lateness percentiles over the new global_prefix_max — the
 # measured withWatermark parameter), simpson_paradox_audit (D264,
 # the stratified-reversal confounding screen with exact
-# cross-multiplied directions); streaming twin psi_stream (D261,
+# cross-multiplied directions), classifier_auc_activity (D265,
+# exact Mann-Whitney AUC with doubled tie-averaged ranks);
+# streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.

@@ -206,6 +206,7 @@ SF1_QUERIES = [
     "events_conversion_lag",
     "events_watermark_audit",
     "simpson_paradox_audit",
+    "classifier_auc_activity",
 ]
 SF1_REPS = 2
 

@@ -869,3 +869,44 @@ def test_simpson_audit_empty_arm_sentinel(spark, tmp_path):
     assert (low.n_a, low.n_b) == (1, 0)
     assert low.rate_b_ppm == -1
     assert low.direction == 0 and low.flipped == 0
+
+
+# ---------------------------------------------------------------- D265
+
+
+def test_auc_tie_averaged_ranks_closed_form(spark, tmp_path):
+    # neg scores {1,1,2}, pos scores {2,3}: the score-2 tie straddles
+    # the classes, so naive (non-averaged) ranking is off by the tie
+    # correction. Doubled average ranks: score1 r2=3, score2 r2=7,
+    # score3 r2=10 => sum_r2_pos = 17, 2U = 17 - 2*3 = 11,
+    # AUC = 11/12 -> 916666 ppm, Gini = 5/6 -> 833333 ppm.
+    rows, eid = [], 0
+    plan = [(1, 1, False), (2, 1, False), (3, 2, False),
+            (4, 2, True), (5, 3, True)]
+    for user, n_ev, converted in plan:
+        for i in range(n_ev):
+            etype = "purchase" if converted and i == 0 else "view"
+            rows.append((eid, "2024-01-01 00:00:00", user, etype,
+                         300.0 if etype == "purchase" else 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["classifier_auc_activity"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row.n_pos, row.n_neg, row.sum_r2_pos) == (2, 3, 17)
+    assert row.auc_ppm == 916666
+    assert row.gini_ppm == 833333
+
+
+def test_auc_single_class_sentinel(spark, tmp_path):
+    # every user converts: n_neg = 0 must yield the -1 AUC sentinel
+    # and zero Gini, never a divide-by-zero
+    rows = [(0, "2024-01-01 00:00:00", 1, "purchase", 300.0),
+            (1, "2024-01-01 00:00:00", 2, "purchase", 300.0)]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["classifier_auc_activity"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert got.iloc[0].auc_ppm == -1 and got.iloc[0].gini_ppm == 0
