@@ -4525,3 +4525,154 @@ def q_classifier_auc_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (n_pos * n_neg)) end as bigint)"
         ).alias("gini_ppm"),
     )
+
+
+# DuckDB twin of the lift table: identical (score DESC, user_id ASC)
+# total order, identical floor-decile assignment, identical truncating
+# ppm rates/capture/lift.
+_LIFT_ORACLE = """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS score,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT pos,
+             ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) AS rnk,
+             COUNT(*) OVER () AS n_total
+      FROM u
+    ),
+    d AS (
+      SELECT CAST((10 * (rnk - 1)) // n_total AS BIGINT) AS decile,
+             pos, n_total
+      FROM r
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(MAX(n_total) AS BIGINT) AS n_total
+      FROM d GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n_users, n_pos, n_total,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_pos,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_total
+      FROM g
+    )
+    SELECT decile, n_users, n_pos,
+           CAST(n_pos * 1000000 // n_users AS BIGINT) AS rate_ppm,
+           cum_pos,
+           CAST(CASE WHEN pos_total = 0 THEN -1
+                ELSE cum_pos * 1000000 // pos_total END AS BIGINT)
+             AS capture_ppm,
+           CAST(CASE WHEN pos_total = 0 THEN -1
+                ELSE n_pos * n_total * 1000000 // (n_users * pos_total) END
+                AS BIGINT) AS lift_ppm
+    FROM c
+    """
+
+
+@extra_query("classifier_lift_deciles", _LIFT_ORACLE)
+def q_classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table (D266) — the threshold-choosing
+    companion to D265's AUC (AUC scores the ORDERING; the lift table
+    says what acting on the top decile actually buys — the
+    credit-scoring/campaign-targeting readout, and on a curation
+    pipeline the answer to 'if we can only afford to keep/review the
+    top 10% by this quality score, what fraction of the good
+    documents do we capture?'). Users ranked by activity score;
+    per decile: exact counts, conversion rate, cumulative capture
+    (gains) and lift vs the base rate.
+
+    Exactness: the rank is the (score DESC, user_id ASC) TOTAL order
+    — ntile over ties straddling a decile edge is engine-dependent,
+    a pinned tiebreak is not — and decile = (10·(rank−1)) div N, the
+    floor split (first N%10 deciles get the extra user). The global
+    rank is DISTRIBUTED, not a single-task window: per-score tie
+    groups get a partitioned row_number (keyed by score), offset by
+    the per-score cumulative counts computed on the metadata-scale
+    distinct-score table and broadcast back (the D129 discipline).
+    All rates truncating ppm; lift's n_pos·n_total product is exact
+    int64 to ~3e9 users (widen to DECIMAL(38,0) past it — same edge
+    as D264); a zero-conversion corpus carries -1 capture/lift
+    sentinels. Plan: ONE user agg → tiny score-table window +
+    broadcast join → ONE decile agg → 10-row window. Ten rows out."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+            ).otherwise(0)
+        ).alias("pos"),
+    )
+    s = u.groupBy("score").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    s = s.withColumn(
+        "before",
+        F.expr(
+            "sum(cnt) over (order by score desc rows between unbounded"
+            " preceding and 1 preceding)"
+        ).cast("bigint"),
+    ).select(
+        "score",
+        F.coalesce("before", F.lit(0)).alias("before"),
+        F.expr("cast(sum(cnt) over () as bigint)").alias("n_total"),
+    )
+    ranked = (
+        u.withColumn(
+            "rn_in",
+            F.expr(
+                "row_number() over (partition by score order by user_id asc)"
+            ),
+        )
+        .join(F.broadcast(s), "score")
+        .select(
+            "pos",
+            (F.col("before") + F.col("rn_in")).alias("rnk"),
+            "n_total",
+        )
+    )
+    g = (
+        ranked.select(
+            F.expr("cast((10 * (rnk - 1)) div n_total as bigint)").alias(
+                "decile"
+            ),
+            "pos", "n_total",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.max("n_total").cast("bigint").alias("n_total"),
+        )
+    )
+    c = g.select(
+        "decile", "n_users", "n_pos", "n_total",
+        F.expr(
+            "cast(sum(n_pos) over (order by decile rows between unbounded"
+            " preceding and current row) as bigint)"
+        ).alias("cum_pos"),
+        F.expr("cast(sum(n_pos) over () as bigint)").alias("pos_total"),
+    )
+    return c.select(
+        "decile", "n_users", "n_pos",
+        F.expr("cast(n_pos * 1000000 div n_users as bigint)").alias(
+            "rate_ppm"
+        ),
+        "cum_pos",
+        F.expr(
+            "cast(case when pos_total = 0 then -1"
+            " else cum_pos * 1000000 div pos_total end as bigint)"
+        ).alias("capture_ppm"),
+        F.expr(
+            "cast(case when pos_total = 0 then -1"
+            " when n_total > 3000000000 then"
+            " raise_error('classifier_lift_deciles: corpus exceeds 64-bit"
+            " lift headroom — widen to DECIMAL(38,0)')"
+            " else n_pos * n_total * 1000000 div (n_users * pos_total) end"
+            " as bigint)"
+        ).alias("lift_ppm"),
+    )

@@ -779,7 +779,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # measured withWatermark parameter), simpson_paradox_audit (D264,
 # the stratified-reversal confounding screen with exact
 # cross-multiplied directions), classifier_auc_activity (D265,
-# exact Mann-Whitney AUC with doubled tie-averaged ranks);
+# exact Mann-Whitney AUC with doubled tie-averaged ranks),
+# classifier_lift_deciles (D266, decile gains/lift with the pinned
+# tie-straddle split and distributed global rank);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

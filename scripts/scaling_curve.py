@@ -207,6 +207,7 @@ SF1_QUERIES = [
     "events_watermark_audit",
     "simpson_paradox_audit",
     "classifier_auc_activity",
+    "classifier_lift_deciles",
 ]
 SF1_REPS = 2
 

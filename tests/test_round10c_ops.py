@@ -910,3 +910,61 @@ def test_auc_single_class_sentinel(spark, tmp_path):
         spark, str(tmp_path)
     ).toPandas()
     assert got.iloc[0].auc_ppm == -1 and got.iloc[0].gini_ppm == 0
+
+
+# ---------------------------------------------------------------- D266
+
+
+def test_lift_deciles_closed_form_gains(spark, tmp_path):
+    # 20 users with unique scores 20..1 (2 per decile); converters at
+    # scores {20, 19, 18, 2}. Base rate 4/20 => top-decile lift
+    # = 1.0/0.2 = 5.0 -> 5000000 ppm; capture after decile 1 = 3/4.
+    pos_scores = {20, 19, 18, 2}
+    rows, eid = [], 0
+    for user in range(1, 21):
+        score = user  # user 20 has 20 events, ranks first
+        converted = score in pos_scores
+        for i in range(score):
+            etype = "purchase" if converted and i == 0 else "view"
+            rows.append((eid, "2024-01-01 00:00:00", user, etype,
+                         300.0 if etype == "purchase" else 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["classifier_lift_deciles"](spark, str(tmp_path))
+        .orderBy("decile")
+        .toPandas()
+        .set_index("decile")
+    )
+    assert list(got.index) == list(range(10))
+    assert (got.n_users == 2).all()
+    d0, d1, d9 = got.loc[0], got.loc[1], got.loc[9]
+    assert (d0.n_pos, d0.rate_ppm, d0.cum_pos) == (2, 1000000, 2)
+    assert (d0.capture_ppm, d0.lift_ppm) == (500000, 5000000)
+    assert (d1.n_pos, d1.cum_pos, d1.capture_ppm) == (1, 3, 750000)
+    assert d1.lift_ppm == 2500000
+    assert (d9.cum_pos, d9.capture_ppm) == (4, 1000000)
+    assert got.loc[range(2, 9)].n_pos.sum() == 0
+
+
+def test_lift_deciles_tie_straddle_is_pinned_by_user_id(spark, tmp_path):
+    # ALL 20 users share one score: every decile edge falls inside the
+    # tie, so only the pinned user_id ASC tiebreak makes the split
+    # deterministic. The single converter is user 1 => decile 0.
+    rows, eid = [], 0
+    for user in range(1, 21):
+        for i in range(3):
+            etype = "purchase" if user == 1 and i == 0 else "view"
+            rows.append((eid, "2024-01-01 00:00:00", user, etype,
+                         300.0 if etype == "purchase" else 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["classifier_lift_deciles"](spark, str(tmp_path))
+        .orderBy("decile")
+        .toPandas()
+        .set_index("decile")
+    )
+    assert (got.n_users == 2).all()
+    assert got.loc[0].n_pos == 1 and got.n_pos.sum() == 1
+    assert got.loc[0].lift_ppm == 10000000  # 1.0 / (1/20) = 10x
