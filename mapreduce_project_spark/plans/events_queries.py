@@ -4676,3 +4676,142 @@ def q_classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("lift_ppm"),
     )
+
+
+# DuckDB twin of the KM curve: identical death/censor day attribution,
+# identical at-risk prefix counts, identical truncating ppm product
+# replayed through a recursive CTE, identical ppb Greenwood terms.
+_KM_ORACLE = """
+    WITH RECURSIVE per_user AS (
+      SELECT user_id,
+             MIN(epoch_us(date_trunc('day', ts)) // 86400000000) AS entry_d,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(date_trunc('day', ts)) // 86400000000
+                 END) AS conv_d,
+             MAX(epoch_us(date_trunc('day', ts)) // 86400000000) AS last_d
+      FROM events GROUP BY user_id
+    ),
+    spans AS (
+      SELECT CASE WHEN conv_d IS NOT NULL THEN conv_d - entry_d END AS dk,
+             CASE WHEN conv_d IS NULL THEN last_d - entry_d END AS ck
+      FROM per_user
+    ),
+    days AS (
+      SELECT t, CAST(SUM(d) AS BIGINT) AS d, CAST(SUM(c) AS BIGINT) AS c
+      FROM (
+        SELECT dk AS t, 1 AS d, 0 AS c FROM spans WHERE dk IS NOT NULL
+        UNION ALL
+        SELECT ck AS t, 0 AS d, 1 AS c FROM spans WHERE ck IS NOT NULL
+      ) GROUP BY t
+    ),
+    ord AS (
+      SELECT t, d, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn,
+             CAST((SELECT SUM(d + c) FROM days)
+                  - COALESCE(SUM(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM days
+    ),
+    km AS (
+      SELECT rn, t, d, c, n_risk,
+             CAST((n_risk - d) * 1000000 // n_risk AS BIGINT) AS s_ppm,
+             CAST(CASE WHEN d > 0 AND n_risk > d
+                  THEN d * 1000000000 // (n_risk * (n_risk - d))
+                  ELSE 0 END AS BIGINT) AS g_ppb
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.t, o.d, o.c, o.n_risk,
+             CAST(km.s_ppm * (o.n_risk - o.d) // o.n_risk AS BIGINT),
+             CAST(km.g_ppb + CASE WHEN o.d > 0 AND o.n_risk > o.d
+                  THEN o.d * 1000000000 // (o.n_risk * (o.n_risk - o.d))
+                  ELSE 0 END AS BIGINT)
+      FROM ord o JOIN km ON o.rn = km.rn + 1
+    )
+    SELECT CAST(t AS BIGINT) AS t_day, n_risk,
+           d AS d_events, c AS c_censored, s_ppm AS surv_ppm,
+           g_ppb AS greenwood_ppb
+    FROM km
+    """
+
+
+@extra_query("events_km_survival", _KM_ORACLE)
+def q_events_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (D267) — the estimator
+    D234's hazard table is the sufficient statistics FOR, now a
+    hash-checked query of its own (hazard D234 gives the per-day
+    rate on a fixed 30-day grid; this walks every observed
+    death/censor day and carries the survival PRODUCT, the curve a
+    retention/time-to-convert readout actually plots, censoring
+    handled the way the estimator requires — a user observed for c
+    days leaves the risk set after c without polluting later
+    denominators). Death = first purchase day since entry; censor =
+    last observed day for non-converters.
+
+    Exactness: S(t) is the TRUNCATING ppm product s ← s·(n−d) div n
+    applied uniformly (a censor-only day multiplies by (n−0)/n,
+    which is exactly s — no branch needed); each step is int64-safe
+    (s ≤ 1e6, n ≤ 9e12) and the sequential recursion replays in
+    DuckDB as a recursive CTE (the D112/D250 discipline). The
+    Greenwood variance accumulator Σ d·1e9 div (n(n−d)) rides along
+    in exact ppb (n(n−d) passes int64 at ~3e9 users — widen to
+    DECIMAL(38,0) there; terms for n=d are pinned 0 since S has hit
+    zero). At-risk counts come from the prefix sum of (d+c) — every
+    user leaves the risk set exactly once, so n_risk(1) = N needs no
+    second corpus pass. Plan: ONE user-keyed partial agg collapses
+    the corpus; the day table is bounded by the observation span, so
+    the recursion runs in ONE applyInPandas group with Python ints
+    (metadata-scale, like D250's per-type fit). One row per distinct
+    death-or-censor day."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(day).alias("entry_d"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias("conv_d"),
+        F.max(day).alias("last_d"),
+    )
+    deaths = per_user.filter(F.col("conv_d").isNotNull()).select(
+        (F.col("conv_d") - F.col("entry_d")).alias("t"),
+        F.lit(1).alias("d"), F.lit(0).alias("c"),
+    )
+    censors = per_user.filter(F.col("conv_d").isNull()).select(
+        (F.col("last_d") - F.col("entry_d")).alias("t"),
+        F.lit(0).alias("d"), F.lit(1).alias("c"),
+    )
+    days = (
+        deaths.unionByName(censors)
+        .groupBy("t")
+        .agg(
+            F.sum("d").cast("bigint").alias("d"),
+            F.sum("c").cast("bigint").alias("c"),
+        )
+        .withColumn("_g", F.lit(0))
+    )
+
+    def km(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        total = int(pdf["d"].sum() + pdf["c"].sum())
+        out, cum, s, g = [], 0, 1000000, 0
+        for t_day, d, c in zip(pdf["t"], pdf["d"], pdf["c"]):
+            t_day, d, c = int(t_day), int(d), int(c)
+            n = total - cum
+            s = s * (n - d) // n
+            if d > 0 and n > d:
+                g += d * 1000000000 // (n * (n - d))
+            out.append((t_day, n, d, c, s, g))
+            cum += d + c
+        return pd.DataFrame(
+            out,
+            columns=[
+                "t_day", "n_risk", "d_events", "c_censored",
+                "surv_ppm", "greenwood_ppb",
+            ],
+        )
+
+    return days.groupBy("_g").applyInPandas(
+        km,
+        "t_day long, n_risk long, d_events long, c_censored long, "
+        "surv_ppm long, greenwood_ppb long",
+    )

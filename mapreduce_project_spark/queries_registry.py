@@ -781,7 +781,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # cross-multiplied directions), classifier_auc_activity (D265,
 # exact Mann-Whitney AUC with doubled tie-averaged ranks),
 # classifier_lift_deciles (D266, decile gains/lift with the pinned
-# tie-straddle split and distributed global rank);
+# tie-straddle split and distributed global rank), events_km_survival
+# (D267, Kaplan-Meier product-limit curve with the truncating ppm
+# product and ppb Greenwood accumulator);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

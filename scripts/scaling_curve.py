@@ -208,6 +208,7 @@ SF1_QUERIES = [
     "simpson_paradox_audit",
     "classifier_auc_activity",
     "classifier_lift_deciles",
+    "events_km_survival",
 ]
 SF1_REPS = 2
 

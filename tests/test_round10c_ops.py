@@ -968,3 +968,40 @@ def test_lift_deciles_tie_straddle_is_pinned_by_user_id(spark, tmp_path):
     assert (got.n_users == 2).all()
     assert got.loc[0].n_pos == 1 and got.n_pos.sum() == 1
     assert got.loc[0].lift_ppm == 10000000  # 1.0 / (1/20) = 10x
+
+
+# ---------------------------------------------------------------- D267
+
+
+def test_km_survival_textbook_walk(spark, tmp_path):
+    # 5 users entering day 0: death d1, censor d2, death d3, censor
+    # d4, death d5 — the textbook interleave. S: 4/5 -> (censor holds)
+    # -> *2/3 -> (holds) -> *0/1; truncating ppm 800000, 800000,
+    # 533333, 533333, 0. Greenwood ppb: 1e9/20, +1e9/6, then the n=d
+    # terminal term is pinned 0.
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (1, "2024-01-02 00:00:00", 1, "purchase", 10.0),
+        (2, "2024-01-01 00:00:00", 2, "view", 1.0),
+        (3, "2024-01-03 00:00:00", 2, "view", 1.0),
+        (4, "2024-01-01 00:00:00", 3, "view", 1.0),
+        (5, "2024-01-04 00:00:00", 3, "purchase", 10.0),
+        (6, "2024-01-01 00:00:00", 4, "view", 1.0),
+        (7, "2024-01-05 00:00:00", 4, "view", 1.0),
+        (8, "2024-01-01 00:00:00", 5, "view", 1.0),
+        (9, "2024-01-06 00:00:00", 5, "purchase", 10.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_km_survival"](spark, str(tmp_path))
+        .orderBy("t_day")
+        .toPandas()
+    )
+    assert list(got.t_day) == [1, 2, 3, 4, 5]
+    assert list(got.n_risk) == [5, 4, 3, 2, 1]
+    assert list(got.d_events) == [1, 0, 1, 0, 1]
+    assert list(got.c_censored) == [0, 1, 0, 1, 0]
+    assert list(got.surv_ppm) == [800000, 800000, 533333, 533333, 0]
+    assert list(got.greenwood_ppb) == (
+        [50000000, 50000000, 216666666, 216666666, 216666666]
+    )
