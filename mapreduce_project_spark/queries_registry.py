@@ -783,7 +783,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # classifier_lift_deciles (D266, decile gains/lift with the pinned
 # tie-straddle split and distributed global rank), events_km_survival
 # (D267, Kaplan-Meier product-limit curve with the truncating ppm
-# product and ppb Greenwood accumulator);
+# product and ppb Greenwood accumulator), events_tail_index_hill
+# (D268, rank-extracted-k Hill estimator over micro-ln order
+# statistics);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -209,6 +209,7 @@ SF1_QUERIES = [
     "classifier_auc_activity",
     "classifier_lift_deciles",
     "events_km_survival",
+    "events_tail_index_hill",
 ]
 SF1_REPS = 2
 

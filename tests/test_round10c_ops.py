@@ -1005,3 +1005,42 @@ def test_km_survival_textbook_walk(spark, tmp_path):
     assert list(got.greenwood_ppb) == (
         [50000000, 50000000, 216666666, 216666666, 216666666]
     )
+
+
+# ---------------------------------------------------------------- D268
+
+
+def test_hill_tail_index_two_level_closed_form(spark, tmp_path):
+    # 10 values at 2000 cents over an 11th at 1000: every Hill term is
+    # micro-ln(2000) - micro-ln(1000) (~ ln 2), so inv_alpha is that
+    # difference exactly and alpha = 1e12 div it.
+    import math
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "2024-01-01 00:00:00", i, "buy", 20.0))
+    for i in range(11):
+        rows.append((100 + i, "2024-01-01 00:00:00", 100 + i, "buy", 10.0))
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_tail_index_hill"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    mln = lambda c: int(round(math.log(c) * 1000000))  # noqa: E731
+    want_inv = mln(2000) - mln(1000)
+    assert (row.n_values, row.k, row.thresh_cents) == (21, 10, 1000)
+    assert row.inv_alpha_micro == want_inv
+    assert row.alpha_micro == 10**12 // want_inv
+
+
+def test_hill_flat_top_sentinel(spark, tmp_path):
+    # all values identical: zero Hill sum must carry the -1 alpha
+    # sentinel (infinite-alpha / no tail), never a zero division
+    rows = [(i, "2024-01-01 00:00:00", i, "buy", 5.0) for i in range(15)]
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_tail_index_hill"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert got.iloc[0].inv_alpha_micro == 0
+    assert got.iloc[0].alpha_micro == -1
