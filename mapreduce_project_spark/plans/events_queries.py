@@ -4942,3 +4942,144 @@ def q_events_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha_micro"),
         )
     )
+
+
+# DuckDB twin of the lead-lag table: identical zero-filled daily
+# grids, identical per-type truncating means, identical int64 moment
+# sums and the one pinned IEEE ccf expression.
+_CCF_ORACLE = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    grid AS (
+      SELECT t.event_type, g.d, COALESCE(daily.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                                (SELECT d1 FROM bounds))) AS d) g
+      LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = g.d
+    ),
+    mstat AS (
+      SELECT event_type, CAST(SUM(n) // COUNT(*) AS BIGINT) AS m
+      FROM grid GROUP BY event_type
+    ),
+    dev AS (
+      SELECT g.event_type, g.d, g.n - m.m AS dv
+      FROM grid g JOIN mstat m ON m.event_type = g.event_type
+    ),
+    den AS (
+      SELECT event_type, CAST(SUM(dv * dv) AS BIGINT) AS den
+      FROM dev GROUP BY event_type
+    ),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+    num AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             CAST(SUM(a.dv * b.dv) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.d = a.d + l.lag AND a.event_type < b.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.type_a, n.type_b, CAST(n.lag AS BIGINT) AS lag,
+           n.n_pairs, n.num,
+           da.den AS den_a, db.den AS den_b,
+           CASE WHEN da.den = 0 OR db.den = 0 THEN 0.0
+                ELSE CAST(n.num AS DOUBLE)
+                     / sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE))
+           END AS ccf
+    FROM num n
+    JOIN den da ON da.event_type = n.type_a
+    JOIN den db ON db.event_type = n.type_b
+    """
+
+
+@extra_query("events_cross_correlation", _CCF_ORACLE)
+def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily lead-lag cross-correlation between event-type pairs
+    (D269) — the CROSS-series member of the forecasting family (ACF
+    D224 answers 'does this series echo ITSELF at lag k'; this
+    answers 'does click lead purchase by k days' — the
+    marketing-mix/causal-ordering readout, and on a pipeline
+    dashboard the statistic that says which upstream signal is an
+    early-warning proxy for which downstream one). For every ordered
+    type pair (a < b) and lag in [-7, 7]: positive-lag ccf means a's
+    deviations lead b's by that many days.
+
+    Exactness: the D224 discipline pair-wise — both series zero-fill
+    the SHARED [first, last] day grid (missing days are data;
+    skipping them splices non-adjacent days into adjacent pairs),
+    center on their own truncating grid means, all moment sums are
+    exact int64, and ccf = num / sqrt(den_a · den_b) is ONE pinned
+    IEEE expression over int64-exact doubles (constant series carry
+    a pinned 0.0). Plan: ONE (type, day) partial agg collapses the
+    corpus; grids, deviations, the 15-lag band join and the moment
+    sums all run on the ≤ #types × #days metadata-scale table. One
+    row per (pair, lag) with any grid overlap."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    mstat = grid.groupBy("event_type").agg(
+        F.expr("sum(n) div count(1)").cast("bigint").alias("m")
+    )
+    dev = grid.join(F.broadcast(mstat), "event_type").select(
+        "event_type", "d", (F.col("n") - F.col("m")).alias("dv")
+    )
+    den = dev.groupBy("event_type").agg(
+        F.expr("sum(dv * dv)").cast("bigint").alias("den")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("bigint").alias("lag"))
+    a = dev.select(
+        F.col("event_type").alias("type_a"),
+        F.col("d").alias("da"),
+        F.col("dv").alias("dva"),
+    )
+    b = dev.select(
+        F.col("event_type").alias("type_b"),
+        F.col("d").alias("db"),
+        F.col("dv").alias("dvb"),
+    )
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("db") == F.col("da") + F.col("lag"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.expr("sum(dva * dvb)").cast("bigint").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    dena = den.select(
+        F.col("event_type").alias("type_a"), F.col("den").alias("den_a")
+    )
+    denb = den.select(
+        F.col("event_type").alias("type_b"), F.col("den").alias("den_b")
+    )
+    return (
+        num.join(F.broadcast(dena), "type_a")
+        .join(F.broadcast(denb), "type_b")
+        .select(
+            "type_a", "type_b", "lag", "n_pairs", "num", "den_a", "den_b",
+            F.expr(
+                "case when den_a = 0 or den_b = 0 then 0.0"
+                " else cast(num as double)"
+                " / sqrt(cast(den_a as double) * cast(den_b as double)) end"
+            ).alias("ccf"),
+        )
+    )

@@ -785,7 +785,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D267, Kaplan-Meier product-limit curve with the truncating ppm
 # product and ppb Greenwood accumulator), events_tail_index_hill
 # (D268, rank-extracted-k Hill estimator over micro-ln order
-# statistics);
+# statistics), events_cross_correlation (D269, pairwise lead-lag
+# ccf over shared zero-filled day grids);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -210,6 +210,7 @@ SF1_QUERIES = [
     "classifier_lift_deciles",
     "events_km_survival",
     "events_tail_index_hill",
+    "events_cross_correlation",
 ]
 SF1_REPS = 2
 

@@ -1044,3 +1044,55 @@ def test_hill_flat_top_sentinel(spark, tmp_path):
     ).toPandas()
     assert got.iloc[0].inv_alpha_micro == 0
     assert got.iloc[0].alpha_micro == -1
+
+
+# ---------------------------------------------------------------- D269
+
+
+def test_ccf_planted_two_day_lead(spark, tmp_path):
+    # click spikes day 0, purchase spikes day 2; a third type anchors
+    # the grid to 4 days. Devs: click [3,-1,-1,-1], purchase
+    # [-1,-1,3,-1], den 12 each. Lag +2 num = 3*3 + 1 = 10 ->
+    # ccf = 10/12; lag 0 num = -3+1-3+1 = -4 -> -1/3.
+    rows, eid = [], 0
+    for _ in range(4):
+        rows.append((eid, "2024-01-01 00:00:00", 1, "click", 1.0)); eid += 1
+    for _ in range(4):
+        rows.append((eid, "2024-01-03 00:00:00", 2, "purchase", 1.0)); eid += 1
+    rows.append((eid, "2024-01-01 00:00:00", 3, "zanchor", 1.0)); eid += 1
+    rows.append((eid, "2024-01-04 00:00:00", 3, "zanchor", 1.0)); eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_cross_correlation"](spark, str(tmp_path))
+        .filter("type_a = 'click' and type_b = 'purchase'")
+        .orderBy("lag")
+        .toPandas()
+        .set_index("lag")
+    )
+    # lags with zero grid overlap (|lag| > 3) emit no row
+    assert list(got.index) == list(range(-3, 4))
+    assert (got.den_a == 12).all() and (got.den_b == 12).all()
+    lag2, lag0 = got.loc[2], got.loc[0]
+    assert (lag2.num, lag2.n_pairs) == (10, 2)
+    assert abs(lag2.ccf - 10 / 12) < 1e-15
+    assert (lag0.num, lag0.n_pairs) == (-4, 4)
+    assert abs(lag0.ccf - (-4 / 12)) < 1e-15
+    # the champion lag IS the planted lead
+    assert got.ccf.idxmax() == 2
+
+
+def test_ccf_constant_series_sentinel(spark, tmp_path):
+    # a constant series has zero deviation energy: ccf is the pinned
+    # 0.0, never a zero division
+    rows = []
+    for d in range(3):
+        rows.append((d, f"2024-01-0{d+1} 00:00:00", 1, "flat", 1.0))
+        rows.append((10 + d, f"2024-01-0{d+1} 00:00:00", 2, "vary", 1.0))
+    rows.append((20, "2024-01-01 00:00:00", 3, "vary", 1.0))
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_cross_correlation"](spark, str(tmp_path))
+        .filter("type_a = 'flat' and type_b = 'vary' and lag = 0")
+        .toPandas()
+    )
+    assert got.iloc[0].den_a == 0 and got.iloc[0].ccf == 0.0
