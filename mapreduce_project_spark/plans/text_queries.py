@@ -4672,3 +4672,124 @@ def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((sum(dup_int) + sum(dup_x)) * 1000000 div count(*) as bigint)"
         ).alias("dup_ppm"),
     )
+
+
+# DuckDB twin of the RM3 expansion: identical tokenizer, identical
+# (matched-tf DESC, doc_id) feedback set, identical truncating ppm
+# language models and uniform relevance-model average.
+_RM3_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dlen, tk
+      FROM toks WHERE len(tk) > 0
+    ),
+    matched AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT doc_id, unnest(tk) AS term FROM dl)
+      WHERE term IN ('spark', 'shuffle', 'vector')
+      GROUP BY doc_id
+    ),
+    fb AS (SELECT doc_id FROM matched ORDER BY m DESC, doc_id LIMIT 10),
+    fc AS (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM fb),
+    ftf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dlen) AS dlen
+      FROM (SELECT doc_id, dlen, unnest(tk) AS term FROM dl
+            WHERE doc_id IN (SELECT doc_id FROM fb))
+      GROUP BY doc_id, term
+    ),
+    rm AS (
+      SELECT term,
+             CAST(SUM(tf * 1000000 // dlen) // (SELECT f FROM fc) AS BIGINT)
+               AS rm_ppm,
+             CAST(COUNT(*) AS BIGINT) AS fb_docs
+      FROM ftf
+      WHERE term NOT IN ('spark', 'shuffle', 'vector')
+      GROUP BY term
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rm_ppm DESC, term) AS BIGINT)
+             AS rank,
+           term, rm_ppm, fb_docs
+    FROM rm ORDER BY rm_ppm DESC, term LIMIT 10
+    """
+
+
+@extra_query("search_rm3_expansion", _RM3_ORACLE)
+def q_search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1/RM3 relevance
+    model, D270) — the retrieval family's missing feedback loop (BM25
+    D105 scores the literal query, RRF D167 fuses rankings, proximity
+    D213/phrase D179 tighten matching, nDCG D260 evaluates; NONE of
+    them fix the vocabulary-mismatch failure where relevant documents
+    use different words than the query — the classic Lavrenko-Croft
+    relevance model does, and it is the standard first-stage recall
+    lever in production search): take the top feedback documents for
+    the seed query, estimate the language model of the relevant set,
+    and emit the top expansion terms a second-pass query would add.
+
+    Exactness: the feedback set is the top-10 docs by (matched-tf
+    DESC, doc_id ASC) — an all-integer pinned ranking (float BM25
+    feedback weights stay in the pytest-tolerance bm25_search; the
+    uniform-weight relevance model is the standard hash-exact
+    variant); per-doc language models P(w|d) = tf·1e6 div dlen in
+    truncating ppm; the relevance model averages them with one more
+    truncating division by the ACTUAL feedback count (a corpus with
+    <10 matching docs divides by what it has, pinned); seed terms are
+    excluded from the expansion list; ties on rm_ppm break by term
+    ASC. Plan: corpus-scale work is ONE tokenize+explode with the
+    seed-term filter (the same pruned scan as D105) and ONE partial
+    agg; the feedback re-tokenize touches exactly 10 documents via a
+    broadcast semi-join, and everything after runs on that
+    metadata-scale table. Ten rows out."""
+    from mapreduce_project_spark.functions import tokens
+
+    seeds = ("spark", "shuffle", "vector")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("tk"))
+        .withColumn("dlen", F.size("tk").cast("bigint"))
+        .filter(F.col("dlen") > 0)
+    )
+    matched = (
+        docs.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*seeds))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    fb = matched.orderBy(F.desc("m"), "doc_id").limit(10).select("doc_id")
+    fc = fb.agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    ftf = (
+        docs.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", "dlen", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.any_value("dlen").alias("dlen"),
+        )
+    )
+    rm = (
+        ftf.filter(~F.col("term").isin(*seeds))
+        .crossJoin(F.broadcast(fc))
+        .groupBy("term")
+        .agg(
+            F.expr(
+                "cast(sum(tf * 1000000 div dlen) div any_value(f) as bigint)"
+            ).alias("rm_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("fb_docs"),
+        )
+    )
+    return (
+        rm.withColumn(
+            "rank",
+            F.expr(
+                "cast(row_number() over (order by rm_ppm desc, term asc)"
+                " as bigint)"
+            ),
+        )
+        .orderBy(F.desc("rm_ppm"), "term")
+        .limit(10)
+        .select("rank", "term", "rm_ppm", "fb_docs")
+    )

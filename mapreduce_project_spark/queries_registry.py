@@ -786,7 +786,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # product and ppb Greenwood accumulator), events_tail_index_hill
 # (D268, rank-extracted-k Hill estimator over micro-ln order
 # statistics), events_cross_correlation (D269, pairwise lead-lag
-# ccf over shared zero-filled day grids);
+# ccf over shared zero-filled day grids), search_rm3_expansion
+# (D270, Lavrenko-Croft relevance-model expansion terms with the
+# integer feedback ranking);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -211,6 +211,7 @@ SF1_QUERIES = [
     "events_km_survival",
     "events_tail_index_hill",
     "events_cross_correlation",
+    "search_rm3_expansion",
 ]
 SF1_REPS = 2
 

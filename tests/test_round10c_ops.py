@@ -1096,3 +1096,34 @@ def test_ccf_constant_series_sentinel(spark, tmp_path):
         .toPandas()
     )
     assert got.iloc[0].den_a == 0 and got.iloc[0].ccf == 0.0
+
+
+# ---------------------------------------------------------------- D270
+
+
+def test_rm3_expansion_closed_form_and_seed_exclusion(spark, tmp_path):
+    # Two seed-matching feedback docs both containing 'cluster':
+    # rm_ppm(cluster) = (250000 + 500000) // 2 = 375000; the 125000
+    # tie between 'io' and 'tuning' breaks by term ASC; seed terms and
+    # the seedless doc never appear.
+    docs = [
+        (1, "spark spark cluster tuning", "en", "s", 26),
+        (2, "shuffle cluster cluster io", "en", "s", 26),
+        (3, "noise words here", "en", "s", 16),
+    ]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+        docs,
+    )
+    got = (
+        R.ALL_QUERIES["search_rm3_expansion"](spark, str(tmp_path))
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert list(got.term[:3]) == ["cluster", "io", "tuning"]
+    assert list(got.rm_ppm[:3]) == [375000, 125000, 125000]
+    assert list(got.fb_docs[:3]) == [2, 1, 1]
+    assert not set(got.term) & {"spark", "shuffle", "vector"}
+    assert "noise" not in set(got.term)
