@@ -5083,3 +5083,171 @@ def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccf"),
         )
     )
+
+
+# DuckDB twin of the backtest: the HOLT and HW sub-oracles are nested
+# verbatim as subqueries (the v7-flagship composition discipline —
+# backtest parity transitively re-verifies both fits), the naive and
+# seasonal-naive competitors are grid self-joins, and the common eval
+# window is whatever the inner joins leave (targets [d0+8, d1]).
+_BACKTEST_ORACLE = (
+    """
+    WITH ag AS (
+      SELECT t.event_type, g.d, COALESCE(dy.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(
+          (SELECT MIN(epoch_us(date_trunc('day', ts)) // 86400000000)
+           FROM events),
+          (SELECT MAX(epoch_us(date_trunc('day', ts)) // 86400000000)
+           FROM events))) AS d) g
+      LEFT JOIN (
+        SELECT event_type,
+               epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM events GROUP BY 1, 2) dy
+        ON dy.event_type = t.event_type AND dy.d = g.d
+    ),
+    h AS (
+      SELECT event_type,
+             CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) + 1 AS td,
+             forecast_next_cents AS fc_holt
+      FROM ("""
+    + _HOLT_ORACLE
+    + """) hh
+    ),
+    w AS (
+      SELECT event_type,
+             CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) + 1 AS td,
+             forecast_next_cents AS fc_hw
+      FROM ("""
+    + _HW_ORACLE
+    + """) ww
+    ),
+    wide AS (
+      SELECT a.event_type, a.d AS td, a.y,
+             n.y AS fc_naive, s.y AS fc_snaive, h.fc_holt, w.fc_hw
+      FROM ag a
+      JOIN ag n ON n.event_type = a.event_type AND n.d = a.d - 1
+      JOIN ag s ON s.event_type = a.event_type AND s.d = a.d - 7
+      JOIN h ON h.event_type = a.event_type AND h.td = a.d
+      JOIN w ON w.event_type = a.event_type AND w.td = a.d
+    ),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_evals,
+             CAST(SUM(abs(y - fc_naive)) AS BIGINT) AS sae_naive,
+             CAST(SUM(abs(y - fc_snaive)) AS BIGINT) AS sae_snaive,
+             CAST(SUM(abs(y - fc_holt)) AS BIGINT) AS sae_holt,
+             CAST(SUM(abs(y - fc_hw)) AS BIGINT) AS sae_hw
+      FROM wide GROUP BY event_type
+    ),
+    long AS (
+      SELECT event_type, n_evals, 'naive' AS model,
+             sae_naive AS sae_cents, sae_naive FROM per
+      UNION ALL SELECT event_type, n_evals, 'snaive', sae_snaive, sae_naive
+      FROM per
+      UNION ALL SELECT event_type, n_evals, 'holt', sae_holt, sae_naive
+      FROM per
+      UNION ALL SELECT event_type, n_evals, 'holt_winters', sae_hw, sae_naive
+      FROM per
+    )
+    SELECT event_type, model, n_evals, sae_cents,
+           CAST(sae_cents // n_evals AS BIGINT) AS mae_cents,
+           CAST(CASE WHEN sae_naive = 0 THEN -1
+                ELSE sae_cents * 1000000 // sae_naive END AS BIGINT)
+             AS mase_ppm
+    FROM long
+    """
+)
+
+
+@extra_query("forecast_backtest_mase", _BACKTEST_ORACLE)
+def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast backtest with MASE (D271) — the
+    EVALUATION the forecasting family was missing (seasonal-naive
+    D214, Holt D232, Holt-Winters D250 each produce one-step
+    forecasts; nothing says WHICH to deploy per series — the
+    capacity-planning question is never 'fit a model', it is 'which
+    model earns its keep over the naive baselines on THIS stream'):
+    per event type, the one-step-ahead absolute errors of four
+    competitors — random-walk naive y_t, seasonal-naive y_{t-6},
+    Holt, Holt-Winters — on the COMMON eval window where all four are
+    defined (targets [d0+8, d1]; comparing models on different
+    windows is the classic backtest sin), with MASE against the naive
+    error mass.
+
+    Exactness: actuals and forecasts are exact BIGINT cents; error
+    sums are exact; mae = sae div n truncating; mase_ppm =
+    sae_model·1e6 div sae_naive one truncating division on SUMS (the
+    shared n cancels — no double-division drift), with the naive row
+    pinned at exactly 1000000 and a zero-naive-error corpus carrying
+    the -1 sentinel. The Spark side CALLS the registered D232/D250
+    queries and joins their DataFrames; the oracle nests both
+    sub-oracles verbatim as subqueries — backtest parity transitively
+    re-verifies both fits (the v7-flagship composition discipline).
+    Plan: sub-model cost dominates (ONE (type,day) partial agg each +
+    metadata-scale recursions); the backtest itself is four
+    metadata-scale grid joins + ONE type agg. Four rows per type."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.sum(cents).cast("bigint").alias("y"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = ev.select("event_type").distinct()
+    ag = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    naive = ag.select(
+        "event_type", (F.col("d") + 1).alias("td"), F.col("y").alias("fc_naive")
+    )
+    snaive = ag.select(
+        "event_type", (F.col("d") + 7).alias("td"),
+        F.col("y").alias("fc_snaive"),
+    )
+    holt = q_events_holt_forecast(spark, sf_dir).select(
+        "event_type",
+        (F.unix_date(F.to_date("day")).cast("bigint") + 1).alias("td"),
+        F.col("forecast_next_cents").alias("fc_holt"),
+    )
+    hw = q_events_holt_winters(spark, sf_dir).select(
+        "event_type",
+        (F.unix_date(F.to_date("day")).cast("bigint") + 1).alias("td"),
+        F.col("forecast_next_cents").alias("fc_hw"),
+    )
+    wide = (
+        ag.select("event_type", F.col("d").alias("td"), "y")
+        .join(naive, ["event_type", "td"])
+        .join(snaive, ["event_type", "td"])
+        .join(holt, ["event_type", "td"])
+        .join(hw, ["event_type", "td"])
+    )
+    per = wide.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.expr("cast(sum(abs(y - fc_naive)) as bigint)").alias("sae_naive"),
+        F.expr("cast(sum(abs(y - fc_snaive)) as bigint)").alias("sae_snaive"),
+        F.expr("cast(sum(abs(y - fc_holt)) as bigint)").alias("sae_holt"),
+        F.expr("cast(sum(abs(y - fc_hw)) as bigint)").alias("sae_hw"),
+    )
+    long = per.selectExpr(
+        "event_type",
+        "n_evals",
+        "sae_naive",
+        "stack(4, 'naive', sae_naive, 'snaive', sae_snaive,"
+        " 'holt', sae_holt, 'holt_winters', sae_hw) as (model, sae_cents)",
+    )
+    return long.select(
+        "event_type", "model", "n_evals", "sae_cents",
+        F.expr("cast(sae_cents div n_evals as bigint)").alias("mae_cents"),
+        F.expr(
+            "cast(case when sae_naive = 0 then -1"
+            " when sae_cents > 9000000000000 then"
+            " raise_error('forecast_backtest_mase: error mass exceeds 64-bit"
+            " ppm headroom — widen to DECIMAL(38,0)')"
+            " else sae_cents * 1000000 div sae_naive end as bigint)"
+        ).alias("mase_ppm"),
+    )

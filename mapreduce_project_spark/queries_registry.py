@@ -788,7 +788,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # statistics), events_cross_correlation (D269, pairwise lead-lag
 # ccf over shared zero-filled day grids), search_rm3_expansion
 # (D270, Lavrenko-Croft relevance-model expansion terms with the
-# integer feedback ranking);
+# integer feedback ranking), forecast_backtest_mase (D271,
+# walk-forward MASE scoreboard composing the registered D232/D250
+# fits against the naive baselines);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -212,6 +212,7 @@ SF1_QUERIES = [
     "events_tail_index_hill",
     "events_cross_correlation",
     "search_rm3_expansion",
+    "forecast_backtest_mase",
 ]
 SF1_REPS = 2
 

@@ -1127,3 +1127,34 @@ def test_rm3_expansion_closed_form_and_seed_exclusion(spark, tmp_path):
     assert list(got.fb_docs[:3]) == [2, 1, 1]
     assert not set(got.term) & {"spark", "shuffle", "vector"}
     assert "noise" not in set(got.term)
+
+
+# ---------------------------------------------------------------- D271
+
+
+def test_backtest_exactly_periodic_ranks_seasonal_models(spark, tmp_path):
+    # 21 days of an exactly period-7 series (k_d events of value 1.00,
+    # k cycling 1..7): seasonal-naive and Holt-Winters are exact
+    # (sae = 0, mase = 0), the naive row is pinned at exactly 1e6,
+    # and trend-only Holt pays for missing the cycle.
+    rows, eid = [], 0
+    for d in range(21):
+        k = (d % 7) + 1
+        day = f"2024-01-{d+1:02d}"
+        for _ in range(k):
+            rows.append((eid, f"{day} 12:00:00", 1, "beat", 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["forecast_backtest_mase"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("model")
+    )
+    assert set(got.index) == {"naive", "snaive", "holt", "holt_winters"}
+    assert (got.n_evals == 13).all()  # targets day 8..20
+    assert got.loc["naive"].mase_ppm == 1000000
+    assert got.loc["snaive"].sae_cents == 0
+    assert got.loc["snaive"].mase_ppm == 0
+    assert got.loc["holt_winters"].sae_cents == 0
+    assert got.loc["holt_winters"].mase_ppm == 0
+    assert got.loc["holt"].sae_cents > 0
