@@ -790,7 +790,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D270, Lavrenko-Croft relevance-model expansion terms with the
 # integer feedback ranking), forecast_backtest_mase (D271,
 # walk-forward MASE scoreboard composing the registered D232/D250
-# fits against the naive baselines);
+# fits against the naive baselines); streaming twin
+# watermark_stream (D272, the live watermark-sizing monitor with
+# exact integer percentiles) stays pytest-pinned + soaked;
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -1042,3 +1042,137 @@ def psi_stream(
     return current.groupBy("series").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def watermark_stream(events: DataFrame, cap_s: int = 86400) -> DataFrame:
+    """Streaming watermark-sizing monitor (D272) — the stateful twin of
+    the batch `events_watermark_audit` (D263), deployed the way the
+    number is actually needed: LIVE, on the stream whose
+    ``withWatermark`` delay it is sizing, instead of from a one-shot
+    batch audit after the fact. Arrival order is the stream itself
+    (the batch twin's event_id surrogate made explicit): each
+    micro-batch is processed in event_id order, the global
+    running-max event time rides in state, every event's lateness =
+    running-max − its event time in whole truncating seconds, and a
+    per-(type, lateness-second) sparse histogram accumulates so each
+    batch emits the updated per-type reading — on-time share and
+    EXACT 100x-scaled p50/p95/p99 lateness (the quantile_cont
+    interpolation done in pure integers: position (n−1)·p in
+    hundredths, linear between the two straddled order statistics).
+
+    Prefix-exactness (the twins' contract): the reading after N rows
+    is bit-identical whether they arrived in one batch or twenty —
+    state is (running max, sparse histograms, true maxes), all pure
+    functions of the processed prefix, so kill/restart from a
+    checkpoint cannot corrupt the dashboard. Lateness seconds clamp
+    into a ``cap_s`` overflow bucket (bounded state by construction —
+    the histogram holds ≤ cap_s+1 distinct keys per type; percentile
+    reads clamp there while ``max_late_s`` keeps the true max).
+    Input: rows of (``event_id``, ``event_type``, ``us``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, n_events long, on_time_ppm long, "
+        "p50_100x long, p95_100x long, p99_100x long, max_late_s long"
+    )
+    state_schema = (
+        "rm long, types array<string>, hists array<string>, "
+        "maxs array<bigint>"
+    )
+
+    def pct100(items: list[tuple[int, int]], n: int, p: int) -> int:
+        # exact 100x quantile_cont over a sorted sparse histogram
+        idx100 = (n - 1) * p
+        lo, frac = divmod(idx100, 100)
+        seen = 0
+        v_lo = v_hi = items[-1][0]
+        for val, cnt in items:
+            if seen + cnt > lo:
+                v_lo = val
+                v_hi = val if seen + cnt > lo + 1 else None
+                break
+            seen += cnt
+        if v_hi is None:
+            seen2 = 0
+            for val, cnt in items:
+                if seen2 + cnt > lo + 1:
+                    v_hi = val
+                    break
+                seen2 += cnt
+            else:
+                v_hi = v_lo
+        if frac == 0:
+            return v_lo * 100
+        return v_lo * 100 + (v_hi - v_lo) * frac
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("event_id")
+        if state.exists:
+            rm, types, hists, maxs = state.get
+            rm = int(rm)
+            types = list(types)
+            hists = {
+                t: {
+                    int(kv.split(":")[0]): int(kv.split(":")[1])
+                    for kv in h.split(",")
+                    if kv
+                }
+                for t, h in zip(types, hists)
+            }
+            maxs = {t: int(m) for t, m in zip(types, maxs)}
+        else:
+            rm, hists, maxs = -(1 << 62), {}, {}
+        for et, eid, us in zip(
+            rows["event_type"], rows["event_id"], rows["us"]
+        ):
+            us = int(us)
+            rm = max(rm, us)
+            late = (rm - us) // 1000000
+            h = hists.setdefault(et, {})
+            b = min(late, cap_s)
+            h[b] = h.get(b, 0) + 1
+            maxs[et] = max(maxs.get(et, 0), late)
+        types = sorted(hists)
+        state.update(
+            (
+                rm,
+                types,
+                [
+                    ",".join(f"{k}:{v}" for k, v in sorted(hists[t].items()))
+                    for t in types
+                ],
+                [maxs[t] for t in types],
+            )
+        )
+        out = []
+        for t in types:
+            items = sorted(hists[t].items())
+            n = sum(c for _, c in items)
+            on_time = hists[t].get(0, 0)
+            out.append(
+                (
+                    t, n, on_time * 1000000 // n,
+                    pct100(items, n, 50), pct100(items, n, 95),
+                    pct100(items, n, 99), maxs[t],
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "n_events", "on_time_ppm",
+                "p50_100x", "p95_100x", "p99_100x", "max_late_s",
+            ],
+        )
+
+    return (
+        events.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -677,6 +677,104 @@ def main() -> int:
     report["streams"]["ann_ingest"] = meta
     ok &= ai_match and meta["restarted"]
 
+    # ---------- 8. watermark-sizing monitor (D272) ----------
+    from mapreduce_project_spark.streaming.events import watermark_stream
+
+    wm_src = os.path.join(work, "wmsrc")
+    os.makedirs(wm_src)
+    wm_slices = []
+    for i in range(N_BATCHES):
+        sl = (
+            spark.read.parquet(os.path.join(ev_src, f"b{i:02d}.parquet"))
+            .select("event_id", "event_type", F.unix_micros("ts").alias("us"))
+        )
+        rows = sorted(
+            ((r["event_id"], r["event_type"], r["us"]) for r in sl.collect()),
+        )
+        if not rows:
+            continue
+        wm_slices.append(rows)
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, us long"
+        ).coalesce(1).write.parquet(os.path.join(wm_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(wm_src, f"b{i:02d}.parquet"), i)
+    wm_out, wm_ck = os.path.join(work, "wm_out"), os.path.join(work, "wm_ck")
+
+    def make_wm():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(wm_src + "/*/")
+        )
+        return (
+            watermark_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", wm_out)
+            .option("checkpointLocation", wm_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_wm, "watermark_stream")
+    got_wm = {
+        (
+            r["event_type"], r["n_events"], r["on_time_ppm"],
+            r["p50_100x"], r["p95_100x"], r["p99_100x"], r["max_late_s"],
+        )
+        for r in spark.read.parquet(wm_out).collect()
+    }
+
+    def wm_pct(items, n, p):
+        idx100 = (n - 1) * p
+        lo, frac = divmod(idx100, 100)
+        flat_lo = flat_hi = items[-1][0]
+        seen = 0
+        for val, cnt in items:
+            if seen + cnt > lo:
+                flat_lo = val
+                flat_hi = val if seen + cnt > lo + 1 else None
+                break
+            seen += cnt
+        if flat_hi is None:
+            seen2 = 0
+            for val, cnt in items:
+                if seen2 + cnt > lo + 1:
+                    flat_hi = val
+                    break
+                seen2 += cnt
+            else:
+                flat_hi = flat_lo
+        return flat_lo * 100 + (flat_hi - flat_lo) * (frac if frac else 0)
+
+    want_wm = set()
+    rm = -(1 << 62)
+    hists: dict = {}
+    wmaxs: dict = {}
+    for chunk in wm_slices:
+        for _eid, et, us in chunk:
+            us = int(us)
+            rm = max(rm, us)
+            late = (rm - us) // 1000000
+            h = hists.setdefault(et, {})
+            b = min(late, 86400)
+            h[b] = h.get(b, 0) + 1
+            wmaxs[et] = max(wmaxs.get(et, 0), late)
+        for et in sorted(hists):
+            items = sorted(hists[et].items())
+            n = sum(c for _, c in items)
+            want_wm.add(
+                (
+                    et, n, hists[et].get(0, 0) * 1000000 // n,
+                    wm_pct(items, n, 50), wm_pct(items, n, 95),
+                    wm_pct(items, n, 99), wmaxs[et],
+                )
+            )
+    wm_match = got_wm == want_wm and bool(got_wm)
+    meta.update({"rows": len(got_wm), "match_vs_replay": wm_match})
+    report["streams"]["watermark"] = meta
+    ok &= wm_match and meta["restarted"]
+
     report["all_green"] = bool(ok)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=2)

@@ -1348,3 +1348,82 @@ def test_streaming_psi_matches_batch_arithmetic_across_batches(spark, tmp_path):
     assert got == want
     # the drifted stream must alert (top-bin concentration >> 0.25)
     assert max(r[3] for r in got) > 250000
+
+
+def test_streaming_watermark_monitor_prefix_exact(spark, tmp_path):
+    # Lateness sequence {0,0,0,0,10,100} split 3+3 across micro-batches:
+    # the batch-2 reading must equal the full-prefix closed form
+    # (p95_100x = 7750 — the D263 fixture's 77.5 s), and the batch-1
+    # reading must replay from its own prefix (all on time).
+    from mapreduce_project_spark.streaming.events import watermark_stream
+
+    secs = [1000, 1010, 1020, 1030, 1020, 930]  # lates 0,0,0,0,10,100
+    rows = [(i, "e", s * 1000000) for i, s in enumerate(secs)]
+    src = tmp_path / "wmsrc"
+    src.mkdir()
+    for i in range(2):
+        spark.createDataFrame(
+            rows[3 * i : 3 * i + 3], "event_id long, event_type string, us long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        watermark_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wm_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.table("wm_s")
+        .select(
+            "event_type", "n_events", "on_time_ppm",
+            "p50_100x", "p95_100x", "p99_100x", "max_late_s",
+        )
+        .collect()
+    }
+    want = {
+        ("e", 3, 1000000, 0, 0, 0, 0),  # after batch 1: all on time
+        ("e", 6, 666666, 0, 7750, 9550, 100),  # full prefix
+    }
+    assert got == want
+
+
+def test_streaming_watermark_cap_bucket_bounds_state(spark, tmp_path):
+    # cap_s=50: the 70 s straggler clamps into the overflow bucket
+    # (percentiles read 50 there) while max_late_s keeps the truth.
+    from mapreduce_project_spark.streaming.events import watermark_stream
+
+    secs = [1000, 930]  # lates 0, 70 -> capped bucket 50
+    rows = [(i, "e", s * 1000000) for i, s in enumerate(secs)]
+    src = tmp_path / "wmcsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, us long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        watermark_stream(stream, cap_s=50)
+        .writeStream.format("memory")
+        .queryName("wm_c")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wmcckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("wm_c").collect()[0]
+    # n=2: p95 position = 0.95 -> 0*100 + (50-0)*95 = 4750
+    assert (row.n_events, row.max_late_s) == (2, 70)
+    assert row.p95_100x == 4750 and row.p99_100x == 4950
