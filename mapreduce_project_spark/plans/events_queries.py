@@ -5251,3 +5251,162 @@ def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else sae_cents * 1000000 div sae_naive end as bigint)"
         ).alias("mase_ppm"),
     )
+
+
+# DuckDB twin of the isotonic fit: identical per-score prefix table,
+# identical minimax interval selection (IEEE-deterministic double
+# ordering, (j,k) ASC tie-breaks), identical exact ppm render of the
+# SELECTED interval's rational mean.
+_ISO_ORACLE = """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS score,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM u GROUP BY score
+    ),
+    pre AS (
+      SELECT score, cnt, np,
+             CAST(ROW_NUMBER() OVER (ORDER BY score) AS BIGINT) AS rn,
+             CAST(SUM(cnt) OVER (ORDER BY score
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccnt,
+             CAST(SUM(np) OVER (ORDER BY score
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
+      FROM s
+    ),
+    iv AS (
+      SELECT j.rn AS jrn, k.rn AS krn,
+             CAST(k.cnp - (j.cnp - j.np) AS BIGINT) AS s_jk,
+             CAST(k.ccnt - (j.ccnt - j.cnt) AS BIGINT) AS c_jk
+      FROM pre j JOIN pre k ON k.rn >= j.rn
+    ),
+    minj AS (
+      SELECT jrn, s_jk, c_jk
+      FROM (
+        SELECT jrn, s_jk, c_jk,
+               ROW_NUMBER() OVER (
+                 PARTITION BY jrn
+                 ORDER BY CAST(s_jk AS DOUBLE) / CAST(c_jk AS DOUBLE) ASC,
+                          krn ASC) AS r
+        FROM iv
+      ) WHERE r = 1
+    ),
+    fit AS (
+      SELECT rn, s_jk, c_jk
+      FROM (
+        SELECT i.rn AS rn, m.jrn, m.s_jk, m.c_jk,
+               ROW_NUMBER() OVER (
+                 PARTITION BY i.rn
+                 ORDER BY CAST(m.s_jk AS DOUBLE) / CAST(m.c_jk AS DOUBLE)
+                          DESC, m.jrn ASC) AS r
+        FROM pre i JOIN minj m ON m.jrn <= i.rn
+      ) WHERE r = 1
+    )
+    SELECT CAST(p.score AS BIGINT) AS score, p.cnt, p.np,
+           CAST(p.np * 1000000 // p.cnt AS BIGINT) AS raw_ppm,
+           CAST(f.s_jk * 1000000 // f.c_jk AS BIGINT) AS iso_ppm
+    FROM pre p JOIN fit f ON f.rn = p.rn
+    """
+
+
+@extra_query("calibration_isotonic", _ISO_ORACLE)
+def q_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) probability calibration (D273) — the third
+    member of the model-eval trio (AUC D265 scores the ORDERING, the
+    lift table D266 scores TARGETING; isotonic regression turns the
+    raw score into a CALIBRATED probability — the reliability curve a
+    propensity consumer needs before treating scores as
+    probabilities, and the standard post-hoc calibrator shipped with
+    production scorers). Per distinct activity score: exact counts,
+    the raw conversion rate, and the monotone-nondecreasing fitted
+    rate.
+
+    Exactness: instead of the sequential pool-adjacent-violators
+    merge (whose backtracking no recursive CTE expresses cleanly),
+    the fit uses the exact MINIMAX characterization iso(i) =
+    max_{j<=i} min_{k>=j} mean(y[j..k]): interval means come from
+    prefix-sum differences (exact BIGINT), the argmin/argmax SELECT
+    an interval by IEEE-deterministic double ordering with pinned
+    (k ASC)/(j ASC) tie-breaks — identical on both engines — and the
+    emitted iso_ppm is the exact truncating render of the SELECTED
+    interval's rational mean, so no float ever reaches the output.
+    Plan: ONE user-keyed partial agg over the corpus, ONE per-score
+    agg; the O(n²) interval lattice lives on the metadata-scale
+    distinct-score table (n = distinct activity counts, not users —
+    the same domain-boundedness as D265). One row per distinct
+    score."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 250), 1
+            ).otherwise(0)
+        ).alias("pos"),
+    )
+    s = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    pre = s.select(
+        "score", "cnt", "np",
+        F.expr("cast(row_number() over (order by score) as bigint)").alias(
+            "rn"
+        ),
+        F.expr(
+            "cast(sum(cnt) over (order by score rows unbounded preceding)"
+            " as bigint)"
+        ).alias("ccnt"),
+        F.expr(
+            "cast(sum(np) over (order by score rows unbounded preceding)"
+            " as bigint)"
+        ).alias("cnp"),
+    )
+    j = pre.select(
+        F.col("rn").alias("jrn"),
+        (F.col("cnp") - F.col("np")).alias("cnp0"),
+        (F.col("ccnt") - F.col("cnt")).alias("ccnt0"),
+    )
+    k = pre.select(
+        F.col("rn").alias("krn"),
+        F.col("cnp").alias("kcnp"),
+        F.col("ccnt").alias("kccnt"),
+    )
+    iv = j.join(k, F.col("krn") >= F.col("jrn")).select(
+        "jrn", "krn",
+        (F.col("kcnp") - F.col("cnp0")).cast("bigint").alias("s_jk"),
+        (F.col("kccnt") - F.col("ccnt0")).cast("bigint").alias("c_jk"),
+    )
+    minj = (
+        iv.withColumn(
+            "r",
+            F.expr(
+                "row_number() over (partition by jrn order by"
+                " cast(s_jk as double) / cast(c_jk as double) asc, krn asc)"
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("jrn", "s_jk", "c_jk")
+    )
+    fit = (
+        pre.select(F.col("rn"))
+        .join(minj, F.col("jrn") <= F.col("rn"))
+        .withColumn(
+            "r",
+            F.expr(
+                "row_number() over (partition by rn order by"
+                " cast(s_jk as double) / cast(c_jk as double) desc, jrn asc)"
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("rn", "s_jk", "c_jk")
+    )
+    return pre.join(fit, "rn").select(
+        F.col("score").cast("bigint").alias("score"), "cnt", "np",
+        F.expr("cast(np * 1000000 div cnt as bigint)").alias("raw_ppm"),
+        F.expr("cast(s_jk * 1000000 div c_jk as bigint)").alias("iso_ppm"),
+    )

@@ -793,6 +793,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # fits against the naive baselines); streaming twin
 # watermark_stream (D272, the live watermark-sizing monitor with
 # exact integer percentiles) stays pytest-pinned + soaked;
+# calibration_isotonic (D273, minimax-form PAVA with exact rational
+# renders) completes the model-eval trio;
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -213,6 +213,7 @@ SF1_QUERIES = [
     "events_cross_correlation",
     "search_rm3_expansion",
     "forecast_backtest_mase",
+    "calibration_isotonic",
 ]
 SF1_REPS = 2
 

@@ -1158,3 +1158,55 @@ def test_backtest_exactly_periodic_ranks_seasonal_models(spark, tmp_path):
     assert got.loc["holt_winters"].sae_cents == 0
     assert got.loc["holt_winters"].mase_ppm == 0
     assert got.loc["holt"].sae_cents > 0
+
+
+# ---------------------------------------------------------------- D273
+
+
+def test_isotonic_pools_the_planted_violator(spark, tmp_path):
+    # scores 1..4 with raw rates [0, 1.0, 0.5, 1.0]: PAVA pools the
+    # (1.0, 0.5) violator at scores 2-3 into 2/3 while leaving the
+    # ends alone => iso = [0, 666666, 666666, 1000000], monotone.
+    plan = [
+        (1, 1, False), (2, 1, False),          # score 1: 0/2
+        (3, 2, True),                          # score 2: 1/1
+        (4, 3, True), (5, 3, False),           # score 3: 1/2
+        (6, 4, True),                          # score 4: 1/1
+    ]
+    rows, eid = [], 0
+    for user, n_ev, converted in plan:
+        for i in range(n_ev):
+            etype = "purchase" if converted and i == 0 else "view"
+            rows.append((eid, "2024-01-01 00:00:00", user, etype,
+                         300.0 if etype == "purchase" else 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["calibration_isotonic"](spark, str(tmp_path))
+        .orderBy("score")
+        .toPandas()
+    )
+    assert list(got.score) == [1, 2, 3, 4]
+    assert list(got.raw_ppm) == [0, 1000000, 500000, 1000000]
+    assert list(got.iso_ppm) == [0, 666666, 666666, 1000000]
+    assert list(got.iso_ppm) == sorted(got.iso_ppm)  # monotone by def
+
+
+def test_isotonic_identity_on_already_monotone(spark, tmp_path):
+    # already-nondecreasing rates must pass through untouched
+    plan = [(1, 1, False), (2, 2, True), (3, 2, False), (4, 3, True)]
+    rows, eid = [], 0
+    for user, n_ev, converted in plan:
+        for i in range(n_ev):
+            etype = "purchase" if converted and i == 0 else "view"
+            rows.append((eid, "2024-01-01 00:00:00", user, etype,
+                         300.0 if etype == "purchase" else 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["calibration_isotonic"](spark, str(tmp_path))
+        .orderBy("score")
+        .toPandas()
+    )
+    assert list(got.raw_ppm) == [0, 500000, 1000000]
+    assert list(got.iso_ppm) == [0, 500000, 1000000]
