@@ -2132,3 +2132,140 @@ def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_ppm"),
         )
     )
+
+
+# DuckDB twin of the silhouette audit: the full two-round Lloyd
+# sub-oracle is nested verbatim (v7 composition discipline — parity
+# transitively re-verifies the fit), the final assignment re-ranks
+# every point against the FINAL centroids with the same left-fold
+# float distance and (d2, cid) tie order, and the per-point score is
+# one pinned IEEE expression rendered to ppm before any aggregation.
+def _silhouette_oracle() -> str:
+    sq = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " j -> (b.v[j]-c.cv[j])*(b.v[j]-c.cv[j])), (x,y) -> x+y)"
+    )
+    return (
+        "WITH km AS ("
+        + _kmeans_oracle(8, 2)
+        + """),
+    cents AS (SELECT cid, list(centroid_val ORDER BY dim) AS cv
+              FROM km GROUP BY cid),
+    base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (
+      SELECT b.id, c.cid, """
+        + sq
+        + """ AS d2
+      FROM base b CROSS JOIN cents c
+    ),
+    rk AS (
+      SELECT id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS r
+      FROM sc
+    ),
+    pick AS (
+      SELECT a.id, a.cid, a.d2 AS a2, b.d2 AS b2
+      FROM rk a LEFT JOIN rk b ON b.id = a.id AND b.r = 2
+      WHERE a.r = 1
+    ),
+    sp AS (
+      SELECT cid,
+             CASE WHEN b2 IS NULL OR b2 = 0 THEN 0
+                  ELSE CAST(floor((sqrt(b2) - sqrt(a2)) / sqrt(b2)
+                                  * 1000000 + 0.5) AS BIGINT) END AS s_ppm
+      FROM pick
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+           CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm,
+           CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm
+    FROM sp GROUP BY cid
+    """
+    )
+
+
+@extra_query("clustering_silhouette", _silhouette_oracle())
+def q_clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette cluster-quality audit (D274) — the
+    EVALUATION the clustering family was missing (Lloyd k-means D32
+    fits, IVF D10/D133 serves cells, semantic dedup D31/D206 forms
+    clusters; nothing says whether the partition is any GOOD — the
+    silhouette is the number that decides k and flags clusters that
+    should be merged): per cluster of the D32 fit, the mean/min/max
+    simplified silhouette s = (b − a)/b with a = distance to the OWN
+    (nearest) centroid and b = distance to the second-nearest — the
+    O(N·k) centroid variant that replaces the O(N²) pairwise
+    silhouette at scale (and the reason this is computable on 100 TB
+    at all).
+
+    Exactness: the Spark side CALLS the registered Lloyd machinery
+    (same seeds, fixed-point means, (d2, cid) tie order) and the
+    oracle nests the full two-round unrolled sub-oracle verbatim —
+    parity transitively re-verifies the fit (v7 discipline); the
+    final assignment re-ranks every point against the FINAL centroids
+    with the same left-fold float distance; each point's s is ONE
+    pinned IEEE expression (sqrt/divide in fixed operand order,
+    identical doubles on both engines) rendered to ppm via
+    floor(x·1e6 + 0.5) BEFORE any aggregation, so the per-cluster
+    sums are exact integer — no order-dependent float accumulation
+    reaches the output (s ≥ 0 by construction since a is the nearest;
+    coincident-centroid b = 0 carries a pinned 0). Plan: the fit is
+    2 broadcast-assign + partial-agg rounds; the audit adds ONE
+    zero-shuffle assignment projection (8-centroid broadcast) + ONE
+    cid-keyed partial agg. Eight rows out."""
+    from mapreduce_project_spark.operators.similarity import (
+        as_double,
+        kmeans_lloyd,
+        sq_dist,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent_tbl = kmeans_lloyd(emb, "vec_id", "embedding", 8, 2, 64)
+    cents = cent_tbl.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+            lambda s: s.getField("centroid_val"),
+        ).alias("cv")
+    )
+    crow = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+    )
+    base = emb.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v")
+    )
+    scored = base.crossJoin(F.broadcast(crow)).select(
+        "id",
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    sq_dist(F.col("v"), c.getField("cv")).alias("d"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ).alias("sc"),
+    )
+    pick = scored.select(
+        "id",
+        F.col("sc").getItem(0).getField("cid").alias("cid"),
+        F.col("sc").getItem(0).getField("d").alias("a2"),
+        F.expr("get(sc, 1).d").alias("b2"),
+    )
+    sp = pick.select(
+        "cid",
+        F.expr(
+            "case when b2 is null or b2 = 0 then cast(0 as bigint)"
+            " else cast(floor((sqrt(b2) - sqrt(a2)) / sqrt(b2)"
+            " * 1000000 + 0.5) as bigint) end"
+        ).alias("s_ppm"),
+    )
+    return sp.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.expr("cast(sum(s_ppm) div count(*) as bigint)").alias("mean_s_ppm"),
+        F.min("s_ppm").cast("bigint").alias("min_s_ppm"),
+        F.max("s_ppm").cast("bigint").alias("max_s_ppm"),
+    ).select(
+        F.col("cid").cast("bigint").alias("cid"),
+        "n_points", "mean_s_ppm", "min_s_ppm", "max_s_ppm",
+    )

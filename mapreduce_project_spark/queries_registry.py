@@ -794,7 +794,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # watermark_stream (D272, the live watermark-sizing monitor with
 # exact integer percentiles) stays pytest-pinned + soaked;
 # calibration_isotonic (D273, minimax-form PAVA with exact rational
-# renders) completes the model-eval trio;
+# renders) completes the model-eval trio; clustering_silhouette
+# (D274, the O(N*k) simplified silhouette over the nested Lloyd
+# sub-oracle) completes the clustering family;
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -214,6 +214,7 @@ SF1_QUERIES = [
     "search_rm3_expansion",
     "forecast_backtest_mase",
     "calibration_isotonic",
+    "clustering_silhouette",
 ]
 SF1_REPS = 2
 

@@ -1210,3 +1210,50 @@ def test_isotonic_identity_on_already_monotone(spark, tmp_path):
     )
     assert list(got.raw_ppm) == [0, 500000, 1000000]
     assert list(got.iso_ppm) == [0, 500000, 1000000]
+
+
+# ---------------------------------------------------------------- D274
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_silhouette_perfect_separation_scores_one(spark, tmp_path):
+    # 8 scaled one-hot seed vectors, each duplicated: Lloyd's seeds ARE
+    # the 8 cluster modes, every point sits ON its centroid (a = 0)
+    # with the nearest other centroid at sqrt(200) => s = 1 exactly
+    # for all 16 points.
+    rows = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[i] = 10.0
+        rows.append((i, list(v), i))
+        rows.append((100 + i, list(v), i))
+    _write_embeddings(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["clustering_silhouette"](spark, str(tmp_path))
+        .orderBy("cid")
+        .toPandas()
+    )
+    assert list(got.cid) == list(range(8))
+    assert (got.n_points == 2).all()
+    assert (got.mean_s_ppm == 1000000).all()
+    assert (got.min_s_ppm == 1000000).all()
+
+
+def test_silhouette_collapsed_fit_pins_zero(spark, tmp_path):
+    # 10 identical vectors: every seed centroid coincides, the fit
+    # collapses to one populated cluster, and the undefined
+    # second-nearest distance is pinned to s = 0 (not NULL, not a
+    # zero division).
+    v = [1.0] * 64
+    rows = [(i, list(v), 0) for i in range(10)]
+    _write_embeddings(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["clustering_silhouette"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert got.n_points.sum() == 10
+    assert (got.mean_s_ppm == 0).all() and (got.max_s_ppm == 0).all()
