@@ -5410,3 +5410,169 @@ def q_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(np * 1000000 div cnt as bigint)").alias("raw_ppm"),
         F.expr("cast(s_jk * 1000000 div c_jk as bigint)").alias("iso_ppm"),
     )
+
+
+# DuckDB twin of the CMH table: identical strata/arms (the D264
+# construction), identical truncating per-stratum micro terms and the
+# pooled Mantel-Haenszel ratio of their sums.
+_CMH_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 250
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CASE WHEN n_events < 62 THEN 'low'
+                  WHEN n_events < 70 THEN 'mid' ELSE 'high' END AS stratum,
+             arm, conv FROM u
+    ),
+    cell AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(SUM(CASE WHEN arm = 'A' THEN 1 - conv ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 - conv ELSE 0 END) AS BIGINT)
+               AS d
+      FROM s GROUP BY stratum
+    ),
+    term AS (
+      SELECT stratum, a, b, c, d,
+             CAST(a * d * 1000000 // (a + b + c + d) AS BIGINT) AS r_micro,
+             CAST(b * c * 1000000 // (a + b + c + d) AS BIGINT) AS s_micro
+      FROM cell
+    ),
+    strata_rows AS (
+      SELECT stratum, a, b, c, d,
+             CAST(CASE WHEN b * c = 0 THEN -1
+                  ELSE a * d * 1000000 // (b * c) END AS BIGINT) AS or_ppm,
+             CAST(-1 AS BIGINT) AS cmh_or_ppm
+      FROM term
+    ),
+    pooled AS (
+      SELECT '__POOLED__' AS stratum,
+             CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+             CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d,
+             CAST(CASE WHEN SUM(b) * SUM(c) = 0 THEN -1
+                  ELSE SUM(a) * SUM(d) * 1000000 // (SUM(b) * SUM(c)) END
+                  AS BIGINT) AS or_ppm,
+             CAST(CASE WHEN SUM(s_micro) = 0 THEN -1
+                  ELSE SUM(r_micro) * 1000000 // SUM(s_micro) END AS BIGINT)
+               AS cmh_or_ppm
+      FROM term
+    )
+    SELECT * FROM strata_rows
+    UNION ALL
+    SELECT * FROM pooled
+    """
+
+
+@extra_query("abtest_cmh_pooled", _CMH_ORACLE)
+def q_abtest_cmh_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio (D275) — the FIX for
+    what the Simpson audit detects (D264 flags that the marginal
+    direction disagrees with the strata; CMH is what you report
+    INSTEAD of the confounded marginal: the strata-weighted common
+    odds ratio, the epidemiology-standard way to pool 2×2 tables
+    without letting unequal arm exposure across strata fabricate an
+    effect). Same strata (activity tiers) and md5 arms as D264; per
+    stratum the 2×2 cells and raw odds ratio, plus a __POOLED__ row
+    carrying BOTH the naive marginal OR and the CMH estimate — their
+    disagreement is the Simpson distortion, quantified.
+
+    Exactness: per-stratum CMH terms a·d·1e6 div n and b·c·1e6 div n
+    are truncating micro-units in a PINNED order (sum-of-truncated,
+    not truncated-sum); the pooled ratio is one more truncating
+    division of their exact BIGINT sums; raw ORs carry a -1 sentinel
+    on empty cells (b·c = 0), as does a zero CMH denominator;
+    products stay inside int64 to ~3e6 conversions per stratum cell
+    with a raise_error guard (widen to DECIMAL(38,0) past it). Plan:
+    ONE user-keyed partial agg → ONE (stratum) cell agg (the arms
+    fold into conditional sums — narrower than D264's (stratum, arm)
+    shuffle); everything after runs on ≤4 rows. Four rows out."""
+    ev = t(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 250),
+                    1,
+                ).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+                ).isin(*"01234567"),
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            F.expr(
+                "case when n_events < 62 then 'low'"
+                " when n_events < 70 then 'mid' else 'high' end"
+            ).alias("stratum"),
+            "conv",
+        )
+    )
+    cell = u.groupBy("stratum").agg(
+        F.expr("cast(sum(case when arm = 'A' then conv else 0 end) as bigint)")
+        .alias("a"),
+        F.expr(
+            "cast(sum(case when arm = 'A' then 1 - conv else 0 end) as bigint)"
+        ).alias("b"),
+        F.expr("cast(sum(case when arm = 'B' then conv else 0 end) as bigint)")
+        .alias("c"),
+        F.expr(
+            "cast(sum(case when arm = 'B' then 1 - conv else 0 end) as bigint)"
+        ).alias("d"),
+    )
+    term = cell.select(
+        "stratum", "a", "b", "c", "d",
+        F.expr(
+            "case when greatest(a * d, b * c) > 9000000000000 then"
+            " raise_error('abtest_cmh_pooled: cell products exceed 64-bit"
+            " micro headroom — widen to DECIMAL(38,0)')"
+            " else cast(a * d * 1000000 div (a + b + c + d) as bigint) end"
+        ).alias("r_micro"),
+        F.expr("cast(b * c * 1000000 div (a + b + c + d) as bigint)").alias(
+            "s_micro"
+        ),
+    )
+    strata_rows = term.select(
+        "stratum", "a", "b", "c", "d",
+        F.expr(
+            "cast(case when b * c = 0 then -1"
+            " else a * d * 1000000 div (b * c) end as bigint)"
+        ).alias("or_ppm"),
+        F.lit(-1).cast("bigint").alias("cmh_or_ppm"),
+    )
+    pooled = term.agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum("b").cast("bigint").alias("b"),
+        F.sum("c").cast("bigint").alias("c"),
+        F.sum("d").cast("bigint").alias("d"),
+        F.sum("r_micro").cast("bigint").alias("rs"),
+        F.sum("s_micro").cast("bigint").alias("ss"),
+    ).select(
+        F.lit("__POOLED__").alias("stratum"), "a", "b", "c", "d",
+        F.expr(
+            "cast(case when b * c = 0 then -1"
+            " else a * d * 1000000 div (b * c) end as bigint)"
+        ).alias("or_ppm"),
+        F.expr(
+            "cast(case when ss = 0 then -1"
+            " else rs * 1000000 div ss end as bigint)"
+        ).alias("cmh_or_ppm"),
+    )
+    return strata_rows.unionByName(pooled)

@@ -796,7 +796,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # calibration_isotonic (D273, minimax-form PAVA with exact rational
 # renders) completes the model-eval trio; clustering_silhouette
 # (D274, the O(N*k) simplified silhouette over the nested Lloyd
-# sub-oracle) completes the clustering family;
+# sub-oracle) completes the clustering family; abtest_cmh_pooled
+# (D275, the Mantel-Haenszel pooled OR that FIXES what the Simpson
+# audit detects);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -215,6 +215,7 @@ SF1_QUERIES = [
     "forecast_backtest_mase",
     "calibration_isotonic",
     "clustering_silhouette",
+    "abtest_cmh_pooled",
 ]
 SF1_REPS = 2
 

@@ -1257,3 +1257,47 @@ def test_silhouette_collapsed_fit_pins_zero(spark, tmp_path):
     ).toPandas()
     assert got.n_points.sum() == 10
     assert (got.mean_s_ppm == 0).all() and (got.max_s_ppm == 0).all()
+
+
+# ---------------------------------------------------------------- D275
+
+
+def test_cmh_pools_confounded_strata_exactly(spark, tmp_path):
+    # low: a=2,b=1,c=4,d=4 (OR 2.0); high: a=2,b=6,c=1,d=2 (OR 0.667).
+    # Per-stratum micro terms: r = ad*1e6//11, s = bc*1e6//11 =>
+    # CMH = (727272+363636)*1e6 // (363636+545454) = EXACTLY 1200000,
+    # while the naive marginal OR = 24e6//35 = 685714 — the Simpson
+    # distortion, quantified on one row.
+    arm_a = [6, 9, 11, 17, 18, 19, 21, 23, 24, 26, 27]
+    arm_b = [1, 2, 3, 4, 5, 7, 8, 10, 12, 13, 14]
+    plan = (
+        [(u, 5, True) for u in arm_a[:2]]          # low A conv
+        + [(arm_a[2], 5, False)]                   # low A non
+        + [(u, 70, True) for u in arm_a[3:5]]      # high A conv
+        + [(u, 70, False) for u in arm_a[5:11]]    # high A non
+        + [(u, 5, True) for u in arm_b[:4]]        # low B conv
+        + [(u, 5, False) for u in arm_b[4:8]]      # low B non
+        + [(arm_b[8], 70, True)]                   # high B conv
+        + [(u, 70, False) for u in arm_b[9:11]]    # high B non
+    )
+    rows, eid = [], 0
+    for user, n_ev, converted in plan:
+        for i in range(n_ev):
+            etype = "purchase" if converted and i == 0 else "view"
+            rows.append((eid, "2024-01-01 00:00:00", user, etype,
+                         300.0 if etype == "purchase" else 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["abtest_cmh_pooled"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("stratum")
+    )
+    low, high, pooled = got.loc["low"], got.loc["high"], got.loc["__POOLED__"]
+    assert (low.a, low.b, low.c, low.d) == (2, 1, 4, 4)
+    assert (high.a, high.b, high.c, high.d) == (2, 6, 1, 2)
+    assert low.or_ppm == 2000000 and high.or_ppm == 666666
+    assert (pooled.a, pooled.b, pooled.c, pooled.d) == (4, 7, 5, 6)
+    assert pooled.or_ppm == 685714
+    assert pooled.cmh_or_ppm == 1200000
+    assert (low.cmh_or_ppm, high.cmh_or_ppm) == (-1, -1)
