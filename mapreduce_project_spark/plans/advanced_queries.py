@@ -1227,3 +1227,229 @@ def q_graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# DuckDB twin of the nprobe ladder: the identical deterministic index
+# build as _IVF_ORACLE (smallest-id seeds, one sampled Lloyd step,
+# fixed-point means, lowest-cid/-id ties), then the SAME probed search
+# at every rung, scored against the exact brute-force top-5.
+_NPROBE_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM (SELECT * FROM base ORDER BY id LIMIT 16)
+    ), assign0 AS (
+      SELECT id, v, cid FROM (
+        SELECT s.id, s.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.id
+                 ORDER BY {_SQDIST.format(a='s.v', b='c.cv')}, c.cid) AS rk
+        FROM (SELECT * FROM base WHERE id % 10 = 0) s CROSS JOIN seeds c
+      ) WHERE rk = 1
+    ), cents1 AS (
+      SELECT cid, list(val ORDER BY dim) AS cv FROM (
+        SELECT cid, i - 1 AS dim,
+               CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                 / COUNT(v[i]) AS val
+        FROM assign0, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY cid, i
+      ) GROUP BY cid
+    ), cells AS (
+      SELECT id, v, cid FROM (
+        SELECT b.id, b.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.id
+                 ORDER BY {_SQDIST.format(a='b.v', b='c.cv')}, c.cid) AS rk
+        FROM base b CROSS JOIN cents1 c
+      ) WHERE rk = 1
+    ), pranked AS (
+      SELECT query_id, qv, cid, rk AS prk FROM (
+        SELECT q.id AS query_id, q.v AS qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                 ORDER BY {_SQDIST.format(a='q.v', b='c.cv')}, c.cid) AS rk
+        FROM (SELECT * FROM base WHERE id < 10) q CROSS JOIN cents1 c
+      ) WHERE rk <= 8
+    ), rungs AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    cand AS (
+      SELECT r.nprobe, p.query_id, p.qv, l.id AS neighbor_id, l.v
+      FROM rungs r
+      JOIN pranked p ON p.prk <= r.nprobe
+      JOIN cells l USING (cid)
+      WHERE l.id != p.query_id
+    ), ivf5 AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                 ORDER BY list_reduce(list_transform(generate_series(1, 64),
+                            i -> qv[i]*v[i]), (x,y) -> x+y)
+                          / (sqrt(list_reduce(list_transform(qv, x -> x*x),
+                                              (x,y) -> x+y))
+                           * sqrt(list_reduce(list_transform(v, x -> x*x),
+                                              (x,y) -> x+y))) DESC,
+                          neighbor_id) AS rk
+        FROM cand
+      ) WHERE rk <= 5
+    ), exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.id AS query_id, b.id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.id
+                 ORDER BY list_reduce(list_transform(generate_series(1, 64),
+                            i -> q.v[i]*b.v[i]), (x,y) -> x+y)
+                          / (sqrt(list_reduce(list_transform(q.v, x -> x*x),
+                                              (x,y) -> x+y))
+                           * sqrt(list_reduce(list_transform(b.v, x -> x*x),
+                                              (x,y) -> x+y))) DESC,
+                          b.id) AS rk
+        FROM (SELECT * FROM base WHERE id < 10) q
+        JOIN base b ON b.id != q.id
+      ) WHERE rk <= 5
+    ), denom AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM exact5),
+    costs AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS candidates_scanned
+      FROM cand GROUP BY nprobe
+    ),
+    hits AS (
+      SELECT i.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ivf5 i JOIN exact5 e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.nprobe
+    )
+    SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+           c.candidates_scanned,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           (SELECT nd FROM denom) AS n_exact,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // (SELECT nd FROM denom)
+                AS BIGINT) AS recall_ppm
+    FROM costs c LEFT JOIN hits h ON h.nprobe = c.nprobe
+    """
+
+
+@extra_query("ivf_nprobe_recall_curve", _NPROBE_ORACLE)
+def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe recall-vs-cost ladder (D276) — the ANN-serving
+    counterpart of the LSH width ladder (D221 audits the DEDUP
+    family's knob; this audits the SERVING family's: how many of the
+    16 IVF cells must a query probe before recall against the exact
+    brute-force top-5 is acceptable, and what does each rung cost in
+    candidates scanned? — the exact curve every vector-store
+    deployment reads to set nprobe, produced from the real index
+    instead of guessed). One row per rung (1/2/4/8 probes): total
+    candidates scanned (the cost), exact-top-5 hits, and recall ppm.
+
+    Exactness: the index build is byte-identical to the registered
+    `similarity_topk_ivf` (smallest-id seeds, one sampled Lloyd step,
+    fixed-point means, lowest-cid/-id tie-breaks, left-fold float
+    arithmetic), built ONCE and shared by all four rungs (a ladder
+    re-building per rung would be a benchmark artifact); recall
+    counts are exact integers over pinned (cos DESC, id) top-5 sets;
+    by construction each rung's candidate set contains the previous
+    rung's (probe ranks are nested), so recall is monotone in nprobe
+    — the planted test pins exactly that. Plan: quantizer = 2
+    broadcast-assign passes + one partial-agg mean; the ladder adds
+    ONE cells-to-probes join fanned 4× by the rung lattice and two
+    bounded top-5 windows; exact5 is the same broadcast-queries scan
+    as `similarity_topk`. Four rows out."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.operators.similarity import (
+        _cents_row,
+        _nearest_cid,
+        as_double,
+        cluster_centroid_means,
+        cosine,
+        sq_dist,
+        topk_bruteforce,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v")
+    )
+    seed_w = Window.orderBy("id")
+    seed_cents = (
+        base.orderBy("id")
+        .limit(16)
+        .select(
+            (F.row_number().over(seed_w) - 1).alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+    sample = base.filter(F.col("id") % 10 == 0)
+    assign0 = sample.crossJoin(F.broadcast(_cents_row(seed_cents))).select(
+        "id", "v", _nearest_cid(F.col("v")).alias("cid")
+    )
+    cents1 = cluster_centroid_means(assign0, 64).cache()
+    cells = base.crossJoin(F.broadcast(_cents_row(cents1))).select(
+        "id", "v", _nearest_cid(F.col("v")).alias("cid")
+    )
+    q = base.filter(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qscored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            sq_dist(F.col("qv"), c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    pranked = (
+        q.crossJoin(F.broadcast(_cents_row(cents1)))
+        .select(
+            "query_id", "qv",
+            F.posexplode(F.slice(F.array_sort(qscored), 1, 8)).alias(
+                "pos", "p"
+            ),
+        )
+        .select(
+            "query_id", "qv",
+            F.col("p.cid").alias("cid"),
+            (F.col("pos") + 1).alias("prk"),
+        )
+    )
+    rungs = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe bigint")
+    cand = (
+        cells.join(
+            F.broadcast(pranked.crossJoin(F.broadcast(rungs)).filter(
+                F.col("prk") <= F.col("nprobe")
+            )),
+            "cid",
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "nprobe", "query_id", "qv",
+            F.col("id").alias("neighbor_id"), "v",
+        )
+    )
+    w5 = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    ivf5 = (
+        cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact5 = topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
+    ).select("query_id", "neighbor_id")
+    denom = exact5.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    costs = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("candidates_scanned")
+    )
+    hits = (
+        ivf5.join(exact5, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        costs.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            "candidates_scanned",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("nd").alias("n_exact"),
+            F.expr(
+                "cast(coalesce(n_hits, 0) * 1000000 div nd as bigint)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -798,7 +798,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D274, the O(N*k) simplified silhouette over the nested Lloyd
 # sub-oracle) completes the clustering family; abtest_cmh_pooled
 # (D275, the Mantel-Haenszel pooled OR that FIXES what the Simpson
-# audit detects);
+# audit detects); ivf_nprobe_recall_curve (D276, the serving-side
+# recall/cost ladder off the shared deterministic IVF build);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

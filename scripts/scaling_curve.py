@@ -216,6 +216,7 @@ SF1_QUERIES = [
     "calibration_isotonic",
     "clustering_silhouette",
     "abtest_cmh_pooled",
+    "ivf_nprobe_recall_curve",
 ]
 SF1_REPS = 2
 

@@ -1301,3 +1301,40 @@ def test_cmh_pools_confounded_strata_exactly(spark, tmp_path):
     assert pooled.or_ppm == 685714
     assert pooled.cmh_or_ppm == 1200000
     assert (low.cmh_or_ppm, high.cmh_or_ppm) == (-1, -1)
+
+
+# ---------------------------------------------------------------- D276
+
+
+def test_nprobe_ladder_knee_closed_form(spark, tmp_path):
+    # 16 orthogonal cells (seeds = one-hot ids 0..15), an exact-copy
+    # anchor (id 20+10j, sampled so every cell survives the Lloyd
+    # step) and a near-dup (id 1001+2i) per queried cell. Exact top-5
+    # per query = [anchor, near-dup, three cos-0 fillers by id ASC].
+    # Probe ties at d2=2 break by cid ASC, so the rungs pin EXACTLY:
+    # nprobe=1 finds anchor+near-dup (recall 0.4), nprobe=2 adds one
+    # filler (0.6), nprobe=4 probes cells {0..3} and saturates (1.0).
+    rows = []
+    for i in range(16):
+        v = [0.0] * 64
+        v[i] = 1.0
+        rows.append((i, list(v), i))            # one-hot / seed / query
+        rows.append((20 + 10 * i, list(v), i))  # sampled anchor copy
+    for i in range(10):
+        v = [0.0] * 64
+        v[i] = 1.0
+        v[i + 10] = 0.1
+        rows.append((1001 + 2 * i, list(v), i))  # near-dup, never sampled
+    _write_embeddings(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["ivf_nprobe_recall_curve"](spark, str(tmp_path))
+        .orderBy("nprobe")
+        .toPandas()
+    )
+    assert list(got.nprobe) == [1, 2, 4, 8]
+    assert (got.n_exact == 50).all()
+    assert list(got.recall_ppm) == [400000, 600000, 1000000, 1000000]
+    # nested probe sets => strictly more candidates per rung
+    assert list(got.candidates_scanned) == sorted(
+        got.candidates_scanned
+    ) and got.candidates_scanned.is_unique
