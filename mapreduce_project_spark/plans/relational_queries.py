@@ -2886,3 +2886,125 @@ def q_customer_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("top_share_ppm"),
         )
     )
+
+
+# DuckDB twin of the join preflight: identical per-key count tables,
+# identical exact product-sum cardinality and (rows DESC, key ASC)
+# champion key.
+_PREFLIGHT_ORACLE = """
+    WITH lo AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM lineitem GROUP BY 1
+    ),
+    oo AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM orders GROUP BY 1
+    ),
+    j1 AS (
+      SELECT lo.k, lo.cl * oo.cr AS rows_k FROM lo JOIN oo USING (k)
+    ),
+    oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM orders GROUP BY 1
+    ),
+    cc AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM customer GROUP BY 1
+    ),
+    j2 AS (
+      SELECT oc.k, oc.cl * cc.cr AS rows_k FROM oc JOIN cc USING (k)
+    ),
+    s1 AS (
+      SELECT 'lineitem_orders' AS join_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_left,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_right,
+             CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+             CAST(SUM(rows_k) AS BIGINT) AS predicted_rows,
+             CAST((SELECT k FROM j1 ORDER BY rows_k DESC, k ASC LIMIT 1)
+                  AS BIGINT) AS top_key,
+             CAST(MAX(rows_k) AS BIGINT) AS top_key_rows
+      FROM j1
+    ),
+    s2 AS (
+      SELECT 'orders_customer' AS join_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_left,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_right,
+             CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+             CAST(SUM(rows_k) AS BIGINT) AS predicted_rows,
+             CAST((SELECT k FROM j2 ORDER BY rows_k DESC, k ASC LIMIT 1)
+                  AS BIGINT) AS top_key,
+             CAST(MAX(rows_k) AS BIGINT) AS top_key_rows
+      FROM j2
+    )
+    SELECT join_name, n_left, n_right, n_keys_common, predicted_rows,
+           top_key, top_key_rows,
+           CAST(top_key_rows * 1000000 // predicted_rows AS BIGINT)
+             AS top_share_ppm
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    """
+
+
+@extra_query("join_size_preflight", _PREFLIGHT_ORACLE)
+def q_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size preflight (D277) — the number a planner (or an
+    engineer about to launch a 100 TB join) wants BEFORE the shuffle
+    runs: |A ⋈ B| = Σ_k c_A(k)·c_B(k) computed EXACTLY from the two
+    per-key count tables, which cost one partial agg each — orders of
+    magnitude cheaper than the join they predict (the skew diagnostic
+    D65 profiles ONE side's key distribution; this multiplies both
+    sides, which is what actually explodes: a key modest on each side
+    alone can dominate the product). Reported for the two fixture
+    join shapes (lineitem⋈orders 1:N, orders⋈customer N:1) with the
+    champion key and its output share — a top_share_ppm near 1e6
+    says one key IS the join and the plan needs salting (D17) or an
+    AQE skew split before launch.
+
+    Exactness: counts and the product-sum are exact BIGINT (per-key
+    products bounded by the fanout square; the sum wraps int64 only
+    past ~9e18 output rows — a join nobody should run unsalted — with
+    the natural DuckDB HUGEINT widening on the oracle side); the
+    champion is pinned by (rows DESC, key ASC) via max_by struct
+    ordering. Plan: ONE partial agg per table side + a key-table
+    equi-join that shuffles ONE bigint per distinct key; nothing
+    corpus-width moves. Two rows out."""
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+
+    def preflight(left, lkey, right, rkey, name):
+        lo = left.groupBy(F.col(lkey).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cl")
+        )
+        ro = right.groupBy(F.col(rkey).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cr")
+        )
+        jk = lo.join(ro, "k").select(
+            "k", (F.col("cl") * F.col("cr")).cast("bigint").alias("rows_k")
+        )
+        nl = left.agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+        nr = right.agg(F.count(F.lit(1)).cast("bigint").alias("n_right"))
+        return (
+            jk.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_keys_common"),
+                F.sum("rows_k").cast("bigint").alias("predicted_rows"),
+                F.expr(
+                    "max_by(k, struct(rows_k, -k))"
+                ).cast("bigint").alias("top_key"),
+                F.max("rows_k").cast("bigint").alias("top_key_rows"),
+            )
+            .crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(nr))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left", "n_right", "n_keys_common", "predicted_rows",
+                "top_key", "top_key_rows",
+                F.expr(
+                    "cast(top_key_rows * 1000000 div predicted_rows"
+                    " as bigint)"
+                ).alias("top_share_ppm"),
+            )
+        )
+
+    return preflight(li, "l_orderkey", od, "o_orderkey", "lineitem_orders").unionByName(
+        preflight(od, "o_custkey", cu, "c_custkey", "orders_customer")
+    )

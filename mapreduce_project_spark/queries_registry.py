@@ -800,6 +800,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D275, the Mantel-Haenszel pooled OR that FIXES what the Simpson
 # audit detects); ivf_nprobe_recall_curve (D276, the serving-side
 # recall/cost ladder off the shared deterministic IVF build);
+# join_size_preflight (D277, exact product-sum join cardinality +
+# champion-key skew share from per-key count tables);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -217,6 +217,7 @@ SF1_QUERIES = [
     "clustering_silhouette",
     "abtest_cmh_pooled",
     "ivf_nprobe_recall_curve",
+    "join_size_preflight",
 ]
 SF1_REPS = 2
 

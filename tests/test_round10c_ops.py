@@ -1338,3 +1338,69 @@ def test_nprobe_ladder_knee_closed_form(spark, tmp_path):
     assert list(got.candidates_scanned) == sorted(
         got.candidates_scanned
     ) and got.candidates_scanned.is_unique
+
+
+# ---------------------------------------------------------------- D277
+
+
+def _write_trio(spark, tmp_path, lineitems, orders, customers):
+    _write(
+        spark, tmp_path, "lineitem",
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+        [(k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1995-01-01")
+         for k in lineitems],
+    )
+    _write(
+        spark, tmp_path, "orders",
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+        [(k, c, "O", 1.0, "1995-01-01", "3-MEDIUM") for k, c in orders],
+    )
+    _write(
+        spark, tmp_path, "customer",
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+        [(c, "n", 0, 0.0, "S") for c in customers],
+    )
+
+
+def test_join_preflight_exact_cardinality_and_skew(spark, tmp_path):
+    # lineitem keys {1 x3, 2 x2}, orders {1, 2, 3(orphan)}:
+    # predicted = 3+2 = 5 over 2 common keys, champion key 1 at 60%.
+    # orders custkeys {10 x2, 20 x1}: predicted 3, champion 10 at 2/3.
+    _write_trio(
+        spark, tmp_path,
+        lineitems=[1, 1, 1, 2, 2],
+        orders=[(1, 10), (2, 10), (3, 20)],
+        customers=[10, 20],
+    )
+    got = (
+        R.ALL_QUERIES["join_size_preflight"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("join_name")
+    )
+    lo = got.loc["lineitem_orders"]
+    assert (lo.n_left, lo.n_right, lo.n_keys_common) == (5, 3, 2)
+    assert (lo.predicted_rows, lo.top_key, lo.top_key_rows) == (5, 1, 3)
+    assert lo.top_share_ppm == 600000
+    oc = got.loc["orders_customer"]
+    assert (oc.predicted_rows, oc.top_key, oc.top_share_ppm) == (3, 10, 666666)
+
+
+def test_join_preflight_champion_tie_breaks_low_key(spark, tmp_path):
+    # equal per-key products must pick the SMALLEST key
+    _write_trio(
+        spark, tmp_path,
+        lineitems=[2, 2, 1, 1],
+        orders=[(1, 10), (2, 10)],
+        customers=[10],
+    )
+    got = (
+        R.ALL_QUERIES["join_size_preflight"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("join_name")
+    )
+    assert got.loc["lineitem_orders"].top_key == 1
