@@ -5576,3 +5576,186 @@ def q_abtest_cmh_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cmh_or_ppm"),
     )
     return strata_rows.unionByName(pooled)
+
+
+# DuckDB twin of the burst detector: identical zero-filled grid,
+# identical integer micro-nat Poisson costs, the forward Viterbi
+# recursion (normalized per step, predecessor bits materialized per
+# row) replayed in one recursive CTE and the backtrack in a second —
+# the first backward-walking recursion in the oracle suite.
+_BURST_ORACLE = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    grid AS MATERIALIZED (
+      SELECT t.event_type, g.d,
+             row_number() OVER (PARTITION BY t.event_type ORDER BY g.d)
+               AS rn,
+             COALESCE(dy.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                                (SELECT d1 FROM bounds))) AS d) g
+      LEFT JOIN daily dy ON dy.event_type = t.event_type AND dy.d = g.d
+    ),
+    consts AS MATERIALIZED (
+      SELECT event_type,
+             greatest(1, CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT)) AS l0,
+             CAST(round(ln(greatest(1, CAST(SUM(y) * 1000000 // COUNT(*)
+                  AS BIGINT))) * 1000000) AS BIGINT) - 13815511 AS c0,
+             CAST(round(ln(3 * greatest(1, CAST(SUM(y) * 1000000 // COUNT(*)
+                  AS BIGINT))) * 1000000) AS BIGINT) - 13815511 AS c1,
+             CAST(round(ln(COUNT(*)) * 1000000) AS BIGINT) AS tr
+      FROM grid GROUP BY event_type
+    ),
+    fwd AS (
+      SELECT g.event_type, g.rn, g.d, g.y,
+             CAST((c.l0 - g.y * c.c0)
+                  - least(c.l0 - g.y * c.c0, 3 * c.l0 - g.y * c.c1 + c.tr)
+                  AS BIGINT) AS d0,
+             CAST((3 * c.l0 - g.y * c.c1 + c.tr)
+                  - least(c.l0 - g.y * c.c0, 3 * c.l0 - g.y * c.c1 + c.tr)
+                  AS BIGINT) AS d1,
+             0 AS pred0, 0 AS pred1
+      FROM grid g JOIN consts c USING (event_type) WHERE g.rn = 1
+      UNION ALL
+      SELECT g.event_type, g.rn, g.d, g.y,
+             CAST((least(f.d0, f.d1) + c.l0 - g.y * c.c0)
+                  - least(least(f.d0, f.d1) + c.l0 - g.y * c.c0,
+                          least(f.d0 + c.tr, f.d1) + 3 * c.l0 - g.y * c.c1)
+                  AS BIGINT),
+             CAST((least(f.d0 + c.tr, f.d1) + 3 * c.l0 - g.y * c.c1)
+                  - least(least(f.d0, f.d1) + c.l0 - g.y * c.c0,
+                          least(f.d0 + c.tr, f.d1) + 3 * c.l0 - g.y * c.c1)
+                  AS BIGINT),
+             CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END,
+             CASE WHEN f.d0 + c.tr <= f.d1 THEN 0 ELSE 1 END
+      FROM fwd f
+      JOIN grid g ON g.event_type = f.event_type AND g.rn = f.rn + 1
+      JOIN consts c ON c.event_type = g.event_type
+    ),
+    last AS (SELECT event_type, MAX(rn) AS rt FROM fwd GROUP BY 1),
+    bwd AS (
+      SELECT f.event_type, f.rn,
+             CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END AS state
+      FROM fwd f JOIN last l ON l.event_type = f.event_type AND f.rn = l.rt
+      UNION ALL
+      SELECT fb.event_type, b.rn - 1,
+             CASE WHEN b.state = 0 THEN fb.pred0 ELSE fb.pred1 END
+      FROM bwd b
+      JOIN fwd fb ON fb.event_type = b.event_type AND fb.rn = b.rn
+      WHERE b.rn > 1
+    ),
+    lab AS (
+      SELECT g.event_type, g.rn, g.d, g.y, b.state,
+             CASE WHEN b.state = 1
+                  AND COALESCE(lag(b.state) OVER (PARTITION BY g.event_type
+                                                  ORDER BY g.rn), 0) = 0
+             THEN 1 ELSE 0 END AS starts
+      FROM grid g JOIN bwd b ON b.event_type = g.event_type AND b.rn = g.rn
+    )
+    SELECT event_type,
+           strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+           y, CAST(state AS BIGINT) AS state,
+           CAST(CASE WHEN state = 1
+                THEN SUM(starts) OVER (PARTITION BY event_type ORDER BY rn)
+                ELSE 0 END AS BIGINT) AS burst_id
+    FROM lab
+    """
+
+
+@extra_query("events_burst_detection", _BURST_ORACLE)
+def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style two-state burst detection (D278) — the
+    INTERVAL-shaped member of the anomaly family (CUSUM D195 finds a
+    mean SHIFT point, MAD D134 flags single outlier days,
+    seasonal-naive D214 explains cycles; bursts are different: a
+    sustained elevated-rate EPISODE with a start and an end — the
+    enumerate-bursts primitive behind trending-topic and incident
+    detection): a 2-state automaton (base rate λ, burst rate 3λ) with
+    Poisson day costs and a ln(n)-scaled entry penalty, solved
+    EXACTLY by Viterbi over the zero-filled daily grid per type; each
+    day gets its optimal-path state and a burst id.
+
+    Exactness: day costs λ_micro − y·(µln(λ_micro) − ln(1e6)·1e6)
+    are exact micro-nat integers (the D252 baked-constant
+    discipline; the state-independent ln(y!) term cancels and is
+    dropped, as Kleinberg does); the DP normalizes per step
+    (subtract the running min — argmin-preserving, keeps int64
+    bounded on any horizon); ALL ties prefer the base state (pinned
+    in min-order); the oracle replays the forward recursion in one
+    recursive CTE (predecessor bits materialized per row) and the
+    BACKTRACK in a second, backward-walking recursion — stream order
+    cannot drift. Plan: ONE (type, day) partial agg collapses the
+    corpus; the Viterbi runs per type over the ≤#days grid inside
+    applyInPandas with Python ints (the D250 shape — each output
+    depends on the previous output). One row per (type, day)."""
+    import math
+
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ys)
+        l0 = max(1, sum(ys) * 1000000 // n)
+        c0 = round(math.log(l0) * 1000000) - 13815511
+        c1 = round(math.log(3 * l0) * 1000000) - 13815511
+        tr = round(math.log(n) * 1000000)
+        preds = []
+        f0 = l0 - ys[0] * c0
+        f1 = 3 * l0 - ys[0] * c1 + tr
+        m = min(f0, f1)
+        d0, d1 = f0 - m, f1 - m
+        preds.append((0, 0))
+        for y in ys[1:]:
+            p0 = 0 if d0 <= d1 else 1
+            p1 = 0 if d0 + tr <= d1 else 1
+            f0 = min(d0, d1) + l0 - y * c0
+            f1 = min(d0 + tr, d1) + 3 * l0 - y * c1
+            m = min(f0, f1)
+            d0, d1 = f0 - m, f1 - m
+            preds.append((p0, p1))
+        states = [0] * n
+        states[n - 1] = 0 if d0 <= d1 else 1
+        for i in range(n - 1, 0, -1):
+            states[i - 1] = preds[i][states[i]]
+        burst_ids, bid = [], 0
+        prev = 0
+        for s in states:
+            if s == 1 and prev == 0:
+                bid += 1
+            burst_ids.append(bid if s == 1 else 0)
+            prev = s
+        pdf["state"] = states
+        pdf["burst_id"] = burst_ids
+        return pdf
+
+    fit = grid.groupBy("event_type").applyInPandas(
+        viterbi,
+        "event_type string, d long, y long, state long, burst_id long",
+    )
+    return fit.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.expr("d * 86400000000")), "yyyy-MM-dd"
+        ).alias("day"),
+        "y", "state", "burst_id",
+    )

@@ -802,6 +802,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # recall/cost ladder off the shared deterministic IVF build);
 # join_size_preflight (D277, exact product-sum join cardinality +
 # champion-key skew share from per-key count tables);
+# events_burst_detection (D278, exact integer Viterbi burst episodes
+# with the backward-walking backtrack recursion);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -218,6 +218,7 @@ SF1_QUERIES = [
     "abtest_cmh_pooled",
     "ivf_nprobe_recall_curve",
     "join_size_preflight",
+    "events_burst_detection",
 ]
 SF1_REPS = 2
 

@@ -1404,3 +1404,40 @@ def test_join_preflight_champion_tie_breaks_low_key(spark, tmp_path):
         .set_index("join_name")
     )
     assert got.loc["lineitem_orders"].top_key == 1
+
+
+# ---------------------------------------------------------------- D278
+
+
+def test_burst_detection_brackets_the_spike_exactly(spark, tmp_path):
+    # 14 flat days of 2 events with days 6-8 at 20: the optimal path
+    # enters the burst state exactly at the spike and leaves exactly
+    # after it — no smearing into neighbors — and labels it burst 1.
+    rows, eid = [], 0
+    for d in range(14):
+        k = 20 if d in (5, 6, 7) else 2
+        for _ in range(k):
+            rows.append((eid, f"2024-01-{d+1:02d} 12:00:00", 1, "spike", 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["events_burst_detection"](spark, str(tmp_path))
+        .orderBy("day")
+        .toPandas()
+    )
+    want = [0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0]
+    assert list(got.state) == want
+    assert list(got.burst_id) == [0 if s == 0 else 1 for s in want]
+
+
+def test_burst_detection_flat_series_never_bursts(spark, tmp_path):
+    rows, eid = [], 0
+    for d in range(10):
+        for _ in range(3):
+            rows.append((eid, f"2024-01-{d+1:02d} 12:00:00", 1, "flat", 1.0))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = R.ALL_QUERIES["events_burst_detection"](
+        spark, str(tmp_path)
+    ).toPandas()
+    assert (got.state == 0).all() and (got.burst_id == 0).all()
