@@ -5759,3 +5759,158 @@ def q_events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         "y", "state", "burst_id",
     )
+
+
+# DuckDB twin of the FDR readout: identical per-type 2x2 counts,
+# identical pinned-literal normal-CDF polynomial (A&S 26.2.17) and
+# micro renders, identical step-up rule on the 5-row table.
+_PHI_TAIL = (
+    "(exp(-({z}) * ({z}) / 2.0) / 2.5066282746310002"
+    " * (0.319381530 * (1.0 / (1.0 + 0.2316419 * ({z})))"
+    "  - 0.356563782 * pow(1.0 / (1.0 + 0.2316419 * ({z})), 2)"
+    "  + 1.781477937 * pow(1.0 / (1.0 + 0.2316419 * ({z})), 3)"
+    "  - 1.821255978 * pow(1.0 / (1.0 + 0.2316419 * ({z})), 4)"
+    "  + 1.330274429 * pow(1.0 / (1.0 + 0.2316419 * ({z})), 5)))"
+)
+
+_BH_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id, event_type,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(MAX(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT)
+               AS conv
+      FROM events GROUP BY user_id, event_type
+    ),
+    cell AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM u GROUP BY event_type
+    ),
+    zt AS (
+      SELECT event_type, n1, c1, n2, c2,
+             CASE WHEN n1 = 0 OR n2 = 0 OR c1 + c2 = 0
+                       OR c1 + c2 = n1 + n2 THEN 0.0
+                  ELSE (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                       / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                              * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                              * (1.0 / n1 + 1.0 / n2))
+             END AS z
+      FROM cell
+    ),
+    pt AS (
+      SELECT event_type, n1, c1, n2, c2, z,
+             CAST(round(least(1000000.0,
+                  2000000.0 * {_PHI_TAIL.format(z='abs(z)')})) AS BIGINT)
+               AS p_micro
+      FROM zt
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_micro, event_type)
+                     AS BIGINT) AS rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pt
+    ),
+    cutoff AS (
+      SELECT COALESCE(MAX(rank), 0) AS kmax
+      FROM ranked WHERE p_micro * m <= rank * 50000
+    )
+    SELECT event_type, n1, c1, n2, c2, z, p_micro, rank,
+           CAST(rank * 50000 // m AS BIGINT) AS bh_threshold_micro,
+           CAST(CASE WHEN rank <= (SELECT kmax FROM cutoff)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject
+    FROM ranked
+    """
+
+
+@extra_query("abtest_bh_fdr", _BH_ORACLE)
+def q_abtest_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (D279) — the multiple-testing
+    closer the experimentation family needs the moment it tests MORE
+    THAN ONE metric (z D135, Welch D186, CUPED D217, CMH D275 each
+    score one hypothesis; a dashboard testing conversion per event
+    type runs five at once, and at α=0.05 a naive per-test readout
+    fabricates one 'winner' per twenty metrics — BH is the standard
+    step-up control of the false-discovery rate): per event type the
+    high-value-conversion two-proportion z, its two-sided p, the BH
+    rank, the i·α/m threshold, and the step-up reject flag (ALL
+    hypotheses up to the LARGEST rank whose p clears its threshold —
+    the part naive thresholding gets wrong).
+
+    Exactness: counts exact BIGINT; z is the pinned pooled-variance
+    IEEE expression (degenerate cells — empty arm, zero or saturated
+    conversions — pin z = 0); the normal tail goes through the
+    Abramowitz-Stegun 26.2.17 polynomial with its five literal
+    coefficients and sqrt(2π) baked to 17 digits, written identically
+    in both engines, rendered once to p_micro (capped at 1e6); the
+    step-up comparison p·m ≤ rank·α·1e6 is pure integer (α = 0.05 →
+    50000), rank ties break by event_type. Plan: ONE (user, type)
+    partial agg over the corpus, ONE type rollup; ranking and the
+    step-up scan run on the ≤#types-row table. One row per type."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.expr(
+            "cast(max(case when value > 250 then 1 else 0 end) as bigint)"
+        ).alias("conv")
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+            ).isin(*"01234567"),
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    cell = u.groupBy("event_type").agg(
+        F.expr("cast(sum(case when arm = 'A' then 1 else 0 end) as bigint)")
+        .alias("n1"),
+        F.expr("cast(sum(case when arm = 'A' then conv else 0 end) as bigint)")
+        .alias("c1"),
+        F.expr("cast(sum(case when arm = 'B' then 1 else 0 end) as bigint)")
+        .alias("n2"),
+        F.expr("cast(sum(case when arm = 'B' then conv else 0 end) as bigint)")
+        .alias("c2"),
+    )
+    zt = cell.withColumn(
+        "z",
+        F.expr(
+            "case when n1 = 0 or n2 = 0 or c1 + c2 = 0"
+            " or c1 + c2 = n1 + n2 then 0.0"
+            " else (cast(c1 as double) / n1 - cast(c2 as double) / n2)"
+            " / sqrt((cast(c1 + c2 as double) / (n1 + n2))"
+            " * (1 - cast(c1 + c2 as double) / (n1 + n2))"
+            " * (1.0 / n1 + 1.0 / n2)) end"
+        ),
+    )
+    pt = zt.withColumn(
+        "p_micro",
+        F.expr(
+            "cast(round(least(1000000.0, 2000000.0 * "
+            + _PHI_TAIL.format(z="abs(z)")
+            + ")) as bigint)"
+        ),
+    )
+    ranked = pt.withColumn(
+        "rank",
+        F.expr(
+            "cast(row_number() over (order by p_micro, event_type) as bigint)"
+        ),
+    ).withColumn("m", F.expr("cast(count(*) over () as bigint)"))
+    kmax = ranked.filter(
+        F.expr("p_micro * m <= rank * 50000")
+    ).agg(F.coalesce(F.max("rank"), F.lit(0)).alias("kmax"))
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type", "n1", "c1", "n2", "c2", "z", "p_micro", "rank",
+        F.expr("cast(rank * 50000 div m as bigint)").alias(
+            "bh_threshold_micro"
+        ),
+        F.expr(
+            "cast(case when rank <= kmax then 1 else 0 end as bigint)"
+        ).alias("reject"),
+    )

@@ -803,7 +803,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # join_size_preflight (D277, exact product-sum join cardinality +
 # champion-key skew share from per-key count tables);
 # events_burst_detection (D278, exact integer Viterbi burst episodes
-# with the backward-walking backtrack recursion);
+# with the backward-walking backtrack recursion); abtest_bh_fdr
+# (D279, step-up FDR over the per-type z panel with the pinned
+# A&S normal-tail polynomial);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -219,6 +219,7 @@ SF1_QUERIES = [
     "ivf_nprobe_recall_curve",
     "join_size_preflight",
     "events_burst_detection",
+    "abtest_bh_fdr",
 ]
 SF1_REPS = 2
 

@@ -1441,3 +1441,35 @@ def test_burst_detection_flat_series_never_bursts(spark, tmp_path):
         spark, str(tmp_path)
     ).toPandas()
     assert (got.state == 0).all() and (got.burst_id == 0).all()
+
+
+# ---------------------------------------------------------------- D279
+
+
+def test_bh_fdr_rejects_planted_effect_only(spark, tmp_path):
+    # 'sig': arm A converts 8/8, arm B 0/8 (z = 4.0 exactly, p ~ 6e-5)
+    # 'nul': nobody converts (pinned z = 0, p = 1.0). BH at alpha=0.05
+    # over m=2 must reject 'sig' (rank 1) and keep 'nul'.
+    arm_a = [6, 9, 11, 17, 18, 19, 21, 23]
+    arm_b = [1, 2, 3, 4, 5, 7, 8, 10]
+    rows, eid = [], 0
+    for u in arm_a:
+        rows.append((eid, "2024-01-01 00:00:00", u, "sig", 300.0)); eid += 1
+    for u in arm_b:
+        rows.append((eid, "2024-01-01 00:00:00", u, "sig", 1.0)); eid += 1
+    for u in arm_a + arm_b:
+        rows.append((eid, "2024-01-01 00:00:00", u, "nul", 1.0)); eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["abtest_bh_fdr"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("event_type")
+    )
+    sig, nul = got.loc["sig"], got.loc["nul"]
+    assert (sig.n1, sig.c1, sig.n2, sig.c2) == (8, 8, 8, 0)
+    assert sig.z == 4.0
+    assert sig["rank"] == 1 and sig.p_micro < 25000  # clears alpha/2
+    assert sig.reject == 1
+    assert nul.z == 0.0 and nul.p_micro == 1000000
+    assert nul.reject == 0
+    assert (got.bh_threshold_micro == got["rank"] * 50000 // 2).all()
