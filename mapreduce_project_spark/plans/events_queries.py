@@ -5914,3 +5914,90 @@ def q_abtest_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(case when rank <= kmax then 1 else 0 end as bigint)"
         ).alias("reject"),
     )
+
+
+# DuckDB twin of the report card: the D279/D264/D275 sub-oracles are
+# nested verbatim as subqueries (v7 composition discipline — report
+# parity transitively re-verifies all three), joined on the BH panel
+# spine with the overall confounding columns broadcast to every row.
+_REPORT_ORACLE = (
+    """
+    WITH bh AS ("""
+    + _BH_ORACLE
+    + """),
+    sp AS ("""
+    + _SIMPSON_ORACLE
+    + """),
+    cmh AS ("""
+    + _CMH_ORACLE
+    + """),
+    flips AS (
+      SELECT CAST(SUM(flipped) AS BIGINT) AS simpson_flips FROM sp
+    ),
+    pooled AS (
+      SELECT or_ppm AS marginal_or_ppm, cmh_or_ppm
+      FROM cmh WHERE stratum = '__POOLED__'
+    )
+    SELECT b.event_type, b.z, b.p_micro, b.rank, b.reject,
+           f.simpson_flips, p.marginal_or_ppm, p.cmh_or_ppm,
+           CASE WHEN b.reject = 1 AND f.simpson_flips > 0
+                THEN 'investigate-confounding'
+                WHEN b.reject = 1 THEN 'ship'
+                ELSE 'no-effect' END AS verdict
+    FROM bh b CROSS JOIN flips f CROSS JOIN pooled p
+    """
+)
+
+
+@extra_query("abtest_report_card", _REPORT_ORACLE)
+def q_abtest_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation report card (D280) — the one-table readout the
+    whole A/B family exists to produce (an analyst never reads D135's
+    z, D279's FDR panel, D264's confounding screen and D275's CMH
+    separately — the REPORT joins them, and its verdict column is the
+    ship/no-ship decision): one row per event-type metric off the BH
+    panel spine (z, p, rank, step-up reject), with the corpus-level
+    confounding columns on every row — Simpson flip count, naive
+    marginal OR, CMH pooled OR — and a pinned three-way verdict:
+    'ship' (FDR-significant, no stratified reversal),
+    'investigate-confounding' (significant but the Simpson audit
+    flipped — the marginal effect may be exposure mix, read the CMH
+    column instead), or 'no-effect'.
+
+    Exactness: the Spark side CALLS the registered D279/D264/D275
+    queries and joins their DataFrames; the oracle nests all three
+    sub-oracles verbatim — report parity transitively re-verifies the
+    z/p polynomial, the cross-multiplied directions and the CMH micro
+    sums in one hash (the v7-flagship composition discipline, applied
+    to the experimentation family). Plan: sub-query cost dominates
+    (each is ONE user-keyed partial agg + metadata-scale folds); the
+    report adds two single-row broadcast cross joins. One row per
+    event type."""
+    bh = q_abtest_bh_fdr(spark, sf_dir).select(
+        "event_type", "z", "p_micro", "rank", "reject"
+    )
+    flips = q_simpson_paradox_audit(spark, sf_dir).agg(
+        F.sum("flipped").cast("bigint").alias("simpson_flips")
+    )
+    pooled = (
+        q_abtest_cmh_pooled(spark, sf_dir)
+        .filter(F.col("stratum") == "__POOLED__")
+        .select(
+            F.col("or_ppm").alias("marginal_or_ppm"),
+            "cmh_or_ppm",
+        )
+    )
+    return (
+        bh.crossJoin(F.broadcast(flips))
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type", "z", "p_micro", "rank", "reject",
+            "simpson_flips", "marginal_or_ppm", "cmh_or_ppm",
+            F.expr(
+                "case when reject = 1 and simpson_flips > 0"
+                " then 'investigate-confounding'"
+                " when reject = 1 then 'ship'"
+                " else 'no-effect' end"
+            ).alias("verdict"),
+        )
+    )

@@ -805,7 +805,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # events_burst_detection (D278, exact integer Viterbi burst episodes
 # with the backward-walking backtrack recursion); abtest_bh_fdr
 # (D279, step-up FDR over the per-type z panel with the pinned
-# A&S normal-tail polynomial);
+# A&S normal-tail polynomial); abtest_report_card (D280, the
+# family flagship joining BH + Simpson + CMH into one verdict
+# table);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -220,6 +220,7 @@ SF1_QUERIES = [
     "join_size_preflight",
     "events_burst_detection",
     "abtest_bh_fdr",
+    "abtest_report_card",
 ]
 SF1_REPS = 2
 

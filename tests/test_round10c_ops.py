@@ -1473,3 +1473,33 @@ def test_bh_fdr_rejects_planted_effect_only(spark, tmp_path):
     assert nul.z == 0.0 and nul.p_micro == 1000000
     assert nul.reject == 0
     assert (got.bh_threshold_micro == got["rank"] * 50000 // 2).all()
+
+
+# ---------------------------------------------------------------- D280
+
+
+def test_report_card_verdict_routes_on_confounding(spark, tmp_path):
+    # The D279 planted effect ('sig' 8/8 vs 0/8) with activity uniform
+    # (everyone low-tier => no stratified reversal possible): the
+    # report must say 'ship' for sig and 'no-effect' for nul, with
+    # zero Simpson flips and consistent CMH columns on every row.
+    arm_a = [6, 9, 11, 17, 18, 19, 21, 23]
+    arm_b = [1, 2, 3, 4, 5, 7, 8, 10]
+    rows, eid = [], 0
+    for u in arm_a:
+        rows.append((eid, "2024-01-01 00:00:00", u, "sig", 300.0)); eid += 1
+    for u in arm_b:
+        rows.append((eid, "2024-01-01 00:00:00", u, "sig", 1.0)); eid += 1
+    for u in arm_a + arm_b:
+        rows.append((eid, "2024-01-01 00:00:00", u, "nul", 1.0)); eid += 1
+    _write_events(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["abtest_report_card"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (got.simpson_flips == 0).all()
+    assert got.loc["sig"].verdict == "ship"
+    assert got.loc["nul"].verdict == "no-effect"
+    # CMH: a=8 conv, b=0 nonconv... b*c = 0 -> -1 sentinel marginal OR
+    assert (got.marginal_or_ppm == got.marginal_or_ppm.iloc[0]).all()
