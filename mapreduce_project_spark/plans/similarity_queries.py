@@ -2269,3 +2269,184 @@ def q_clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cid"),
         "n_points", "mean_s_ppm", "min_s_ppm", "max_s_ppm",
     )
+
+
+def _gmedian_oracle() -> str:
+    sq = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " j -> ({a}[j]-{b}[j])*({a}[j]-{b}[j])), (x,y) -> x+y)"
+    )
+
+    def iteration(i: int) -> str:
+        return f"""
+    w{i} AS (
+      SELECT p.label, p.v,
+             sqrt({sq.format(a='p.v', b='m.mv')}) AS d
+      FROM pts p JOIN m{i - 1} m USING (label)
+    ),
+    den{i} AS (
+      SELECT label,
+             CAST(SUM(CAST(floor(1000000000.0 / d + 0.5) AS BIGINT))
+                  AS BIGINT) AS sd
+      FROM w{i} WHERE d >= 0.000001 GROUP BY label
+    ),
+    num{i} AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(floor(v[i] / d * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sn
+      FROM w{i}, (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE d >= 0.000001 GROUP BY label, i
+    ),
+    c{i} AS (
+      SELECT c.label, c.dim,
+             CASE WHEN dn.sd IS NULL OR dn.sd = 0 THEN c.val
+                  ELSE CAST(n.sn AS DOUBLE) / CAST(dn.sd AS DOUBLE)
+             END AS val
+      FROM c{i - 1} c
+      LEFT JOIN num{i} n ON n.label = c.label AND n.dim = c.dim
+      LEFT JOIN den{i} dn ON dn.label = c.label
+    ),
+    m{i} AS (SELECT label, list(val ORDER BY dim) AS mv FROM c{i}
+             GROUP BY label)"""
+
+    return (
+        """
+    WITH pts AS (
+      SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(floor(v[i] * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e9 / COUNT(v[i]) AS val
+      FROM pts, (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY label, i
+    ),
+    m0 AS (SELECT label, list(val ORDER BY dim) AS mv FROM c0 GROUP BY label),"""
+        + iteration(1)
+        + ","
+        + iteration(2)
+        + """
+    SELECT c2.label, CAST(c2.dim AS BIGINT) AS dim,
+           c2.val AS gmedian_val, c0.val AS mean_val,
+           CAST(floor(abs(c2.val - c0.val) * 1000000 + 0.5) AS BIGINT)
+             AS shift_micro
+    FROM c2 JOIN c0 ON c0.label = c2.label AND c0.dim = c2.dim
+    """
+    )
+
+
+@extra_query("embedding_geometric_median", _gmedian_oracle())
+def q_embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weiszfeld geometric median per label (D281) — the ROBUST member
+    of the centroid family (mean centroids D182 shift arbitrarily far
+    under a single corrupted vector; the geometric median has a 50%
+    breakdown point — the center a production embedding store should
+    publish when its ingest gate (D248) admits outliers): two
+    Weiszfeld iterations from the fixed-point mean, emitting per
+    (label, dim) the robust center, the mean for contrast, and the
+    per-dimension shift — large shift_micro IS the outlier-influence
+    signal.
+
+    Exactness: distances to the current estimate are pinned left-fold
+    IEEE doubles; each iteration's weighted sums go through
+    SCALED-INTEGER terms (floor(v_j/d·1e9 + 0.5), floor(1e9/d + 0.5))
+    summed as exact BIGINT — order-INdependent where naive float
+    accumulation would hash-drift across partitionings — and the new
+    estimate is ONE pinned double division of the two sums; points
+    within 1e-6 of the estimate are skipped (the classic Weiszfeld
+    singularity — such a point effectively IS the median), and a
+    fully-degenerate label (all points coincident with the estimate)
+    keeps the previous estimate by construction. Plan: per iteration
+    ONE broadcast of the ≤#labels×64 centroid table + a zero-shuffle
+    distance projection + ONE (label, dim) partial agg — the Lloyd
+    shape with robust weights. #labels × 64 rows out."""
+    from mapreduce_project_spark.operators.similarity import (
+        as_double,
+        sq_dist,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    c0 = pts.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    ).groupBy("label", "dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5))).cast("double")
+            / F.lit(1e9)
+            / F.count("x")
+        ).alias("val")
+    )
+
+    def to_list(cells):
+        return cells.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("mv")
+        )
+
+    cells = c0
+    for _ in range(2):
+        m = to_list(cells)
+        w = pts.join(F.broadcast(m), "label").select(
+            "label", "v",
+            F.sqrt(sq_dist(F.col("v"), F.col("mv"))).alias("d"),
+        )
+        den = (
+            w.filter(F.col("d") >= 0.000001)
+            .groupBy("label")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "cast(floor(1000000000.0 / d + 0.5) as bigint)"
+                    )
+                )
+                .cast("bigint")
+                .alias("sd")
+            )
+        )
+        num = (
+            w.filter(F.col("d") >= 0.000001)
+            .select("label", "d", F.posexplode("v").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "cast(floor(x / d * 1000000000.0 + 0.5) as bigint)"
+                    )
+                )
+                .cast("bigint")
+                .alias("sn")
+            )
+        )
+        cells = (
+            cells.join(num, ["label", "dim"], "left")
+            .join(F.broadcast(den), "label", "left")
+            .select(
+                "label", "dim",
+                F.expr(
+                    "case when sd is null or sd = 0 then val"
+                    " else cast(sn as double) / cast(sd as double) end"
+                ).alias("val"),
+            )
+        )
+    return (
+        cells.alias("g")
+        .join(
+            c0.select(
+                "label", "dim", F.col("val").alias("mean_val")
+            ).alias("m"),
+            ["label", "dim"],
+        )
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("val").alias("gmedian_val"),
+            "mean_val",
+            F.expr(
+                "cast(floor(abs(val - mean_val) * 1000000 + 0.5) as bigint)"
+            ).alias("shift_micro"),
+        )
+    )

@@ -807,7 +807,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # (D279, step-up FDR over the per-type z panel with the pinned
 # A&S normal-tail polynomial); abtest_report_card (D280, the
 # family flagship joining BH + Simpson + CMH into one verdict
-# table);
+# table); embedding_geometric_median (D281, Weiszfeld robust
+# centroid with scaled-integer weighted sums);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

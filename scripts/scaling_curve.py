@@ -221,6 +221,7 @@ SF1_QUERIES = [
     "events_burst_detection",
     "abtest_bh_fdr",
     "abtest_report_card",
+    "embedding_geometric_median",
 ]
 SF1_REPS = 2
 

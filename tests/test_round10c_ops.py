@@ -1503,3 +1503,38 @@ def test_report_card_verdict_routes_on_confounding(spark, tmp_path):
     assert got.loc["nul"].verdict == "no-effect"
     # CMH: a=8 conv, b=0 nonconv... b*c = 0 -> -1 sentinel marginal OR
     assert (got.marginal_or_ppm == got.marginal_or_ppm.iloc[0]).all()
+
+
+# ---------------------------------------------------------------- D281
+
+
+def test_geometric_median_resists_the_outlier(spark, tmp_path):
+    # 9 copies of e0 plus one outlier at 100*e1: the mean lands at
+    # (0.9, 10.0, ...) — dragged 10 units up dim 1 by one point —
+    # while two Weiszfeld steps pull the robust center back to the
+    # cluster (dim-1 coordinate collapses by >10x, dim 0 approaches 1).
+    rows = []
+    v = [0.0] * 64
+    v[0] = 1.0
+    for i in range(9):
+        rows.append((i, list(v), 0))
+    o = [0.0] * 64
+    o[1] = 100.0
+    rows.append((9, list(o), 0))
+    # a degenerate label: all points coincident => estimate stays put
+    u = [0.5] * 64
+    for i in range(5):
+        rows.append((100 + i, list(u), 1))
+    _write_embeddings(spark, tmp_path, rows)
+    got = (
+        R.ALL_QUERIES["embedding_geometric_median"](spark, str(tmp_path))
+        .toPandas()
+    )
+    g0 = got[got.label == 0].set_index("dim")
+    assert abs(g0.loc[0].mean_val - 0.9) < 1e-9
+    assert abs(g0.loc[1].mean_val - 10.0) < 1e-9
+    assert g0.loc[1].gmedian_val < 1.0          # outlier influence collapsed
+    assert g0.loc[0].gmedian_val > 0.95         # pulled back to the cluster
+    assert g0.loc[1].shift_micro > 9000000      # the influence signal
+    g1 = got[got.label == 1]
+    assert (g1.shift_micro == 0).all()          # degenerate label pinned
