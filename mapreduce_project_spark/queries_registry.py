@@ -808,7 +808,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # A&S normal-tail polynomial); abtest_report_card (D280, the
 # family flagship joining BH + Simpson + CMH into one verdict
 # table); embedding_geometric_median (D281, Weiszfeld robust
-# centroid with scaled-integer weighted sums);
+# centroid with scaled-integer weighted sums); streaming twin
+# burst_stream (D282, the causal forward-filter burst alarm with
+# frozen batch-fitted parameters) stays pytest-pinned + soaked;
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

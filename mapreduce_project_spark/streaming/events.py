@@ -1176,3 +1176,72 @@ def watermark_stream(events: DataFrame, cap_s: int = 86400) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def burst_stream(
+    daily: DataFrame, l0_micro: int, tr_micro: int
+) -> DataFrame:
+    """Streaming burst alarm (D282) — the CAUSAL twin of the batch
+    Viterbi burst detector (`events_burst_detection`, D278): the batch
+    query smooths (each day's state uses the WHOLE series via the
+    backward pass — the right answer for historical episode
+    enumeration); a live monitor cannot see the future, so this twin
+    runs the same two-state recursion as a FORWARD FILTER and emits,
+    per day, the normalized path costs and the causal in-burst flag
+    (d1 < d0; ties prefer base — the same pinned order as the batch).
+    The base rate and entry penalty are FROZEN inputs (the model
+    artifact, fitted by the batch query — the psi_stream/D261
+    deployment discipline), so a reading after N days is a pure
+    function of the processed prefix: bit-identical whether the days
+    arrived in one batch or twenty, and kill/restart-safe.
+
+    Input: rows of (``series``, ``d``, ``y``) daily counts. State:
+    the two normalized BIGINT path costs. Arithmetic is the batch
+    twin's exactly: cost0 = l0 − y·c0, cost1 = 3l0 − y·c1 in
+    micro-nats with c = µln(λ_micro) − ln(1e6)·1e6 baked from the
+    frozen λ, per-step min-normalization, integer end-to-end."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    c0 = round(math.log(l0_micro) * 1000000) - 13815511
+    c1 = round(math.log(3 * l0_micro) * 1000000) - 13815511
+
+    out_schema = (
+        "series string, d long, y long, d0 long, d1 long, in_burst long"
+    )
+    state_schema = "d0 long, d1 long, started long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("d")
+        if state.exists:
+            d0, d1, started = (int(v) for v in state.get)
+        else:
+            d0, d1, started = 0, 0, 0
+        out = []
+        for d, y in zip(rows["d"], rows["y"]):
+            d, y = int(d), int(y)
+            f0 = l0_micro - y * c0
+            f1 = 3 * l0_micro - y * c1
+            if not started:
+                f1 += tr_micro  # entering burst from the base start
+                started = 1
+            else:
+                f0 += min(d0, d1)
+                f1 += min(d0 + tr_micro, d1)
+            m = min(f0, f1)
+            d0, d1 = f0 - m, f1 - m
+            out.append((key[0], d, y, d0, d1, 1 if d1 < d0 else 0))
+        state.update((d0, d1, started))
+        yield pd.DataFrame(
+            out, columns=["series", "d", "y", "d0", "d1", "in_burst"]
+        )
+
+    return daily.groupBy("series").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

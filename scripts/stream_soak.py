@@ -775,6 +775,76 @@ def main() -> int:
     report["streams"]["watermark"] = meta
     ok &= wm_match and meta["restarted"]
 
+    # ---------- 9. causal burst alarm (D282) ----------
+    import math
+
+    from mapreduce_project_spark.streaming.events import burst_stream
+
+    bu_src = os.path.join(work, "busrc")
+    os.makedirs(bu_src)
+    bu_l0 = max(
+        1,
+        sum(int(r["y"]) for r in tdaily) * 1000000
+        // max(1, len(tdaily)),
+    )
+    bu_tr = round(math.log(max(2, len(tdaily))) * 1000000)
+    for i in range(ho_batches):
+        chunk = [r for r in tdaily if day_of_batch[r["d"]] == i]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            [(r["series"], r["d"], r["y"]) for r in chunk],
+            "series string, d long, y long",
+        ).coalesce(1).write.parquet(os.path.join(bu_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(bu_src, f"b{i:02d}.parquet"), i)
+    bu_out, bu_ck = os.path.join(work, "bu_out"), os.path.join(work, "bu_ck")
+
+    def make_bu():
+        stream = (
+            spark.readStream.schema("series string, d long, y long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(bu_src + "/*/")
+        )
+        return (
+            burst_stream(stream, bu_l0, bu_tr)
+            .writeStream.format("parquet")
+            .option("path", bu_out)
+            .option("checkpointLocation", bu_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_bu, "burst_stream")
+    got_bu = {
+        (r["series"], r["d"], r["y"], r["d0"], r["d1"], r["in_burst"])
+        for r in spark.read.parquet(bu_out).collect()
+    }
+    bc0 = round(math.log(bu_l0) * 1000000) - 13815511
+    bc1 = round(math.log(3 * bu_l0) * 1000000) - 13815511
+    want_bu = set()
+    bstate: dict = {}
+    for r in tdaily:
+        s, d, y = r["series"], int(r["d"]), int(r["y"])
+        f0 = bu_l0 - y * bc0
+        f1 = 3 * bu_l0 - y * bc1
+        if s not in bstate:
+            f1 += bu_tr
+        else:
+            pd0, pd1 = bstate[s]
+            f0 += min(pd0, pd1)
+            f1 += min(pd0 + bu_tr, pd1)
+        m = min(f0, f1)
+        bstate[s] = (f0 - m, f1 - m)
+        want_bu.add(
+            (s, d, y, bstate[s][0], bstate[s][1],
+             1 if bstate[s][1] < bstate[s][0] else 0)
+        )
+    bu_match = got_bu == want_bu and bool(got_bu)
+    meta.update({"rows": len(got_bu), "match_vs_replay": bu_match})
+    report["streams"]["burst"] = meta
+    ok &= bu_match and meta["restarted"]
+
     report["all_green"] = bool(ok)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=2)

@@ -1427,3 +1427,71 @@ def test_streaming_watermark_cap_bucket_bounds_state(spark, tmp_path):
     # n=2: p95 position = 0.95 -> 0*100 + (50-0)*95 = 4750
     assert (row.n_events, row.max_late_s) == (2, 70)
     assert row.p95_100x == 4750 and row.p99_100x == 4950
+
+
+def test_streaming_burst_filter_prefix_exact(spark, tmp_path):
+    # The D278 spike series (2,2,...,20,20,20,...,2) split into three
+    # micro-batches: every emitted (d0, d1, in_burst) row must equal
+    # the pure-Python forward-filter replay — batch boundaries cannot
+    # shift the causal alarm, and the alarm must fire during the
+    # spike and release after it.
+    import math
+
+    from mapreduce_project_spark.streaming.events import burst_stream
+
+    ys = [2] * 14
+    for i in (5, 6, 7):
+        ys[i] = 20
+    l0 = max(1, sum(ys) * 1000000 // len(ys))
+    tr = round(math.log(len(ys)) * 1000000)
+    rows = [("s", d, y) for d, y in enumerate(ys)]
+    src = tmp_path / "bsrc"
+    src.mkdir()
+    for i in range(3):
+        chunk = rows[5 * i: 5 * i + 5]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk, "series string, d long, y long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("series string, d long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        burst_stream(stream, l0, tr)
+        .writeStream.format("memory")
+        .queryName("burst_s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["series"], r["d"], r["y"], r["d0"], r["d1"], r["in_burst"])
+        for r in spark.table("burst_s").collect()
+    }
+
+    c0 = round(math.log(l0) * 1000000) - 13815511
+    c1 = round(math.log(3 * l0) * 1000000) - 13815511
+    want, d0, d1, started = set(), 0, 0, False
+    flags = []
+    for d, y in enumerate(ys):
+        f0 = l0 - y * c0
+        f1 = 3 * l0 - y * c1
+        if not started:
+            f1 += tr
+            started = True
+        else:
+            f0 += min(d0, d1)
+            f1 += min(d0 + tr, d1)
+        m = min(f0, f1)
+        d0, d1 = f0 - m, f1 - m
+        flag = 1 if d1 < d0 else 0
+        flags.append(flag)
+        want.add(("s", d, y, d0, d1, flag))
+    assert got == want
+    assert flags[6] == 1 and flags[7] == 1      # alarm during the spike
+    assert flags[0] == 0 and flags[13] == 0     # quiet before and after
