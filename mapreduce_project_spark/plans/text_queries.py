@@ -4793,3 +4793,144 @@ def q_search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("rank", "term", "rm_ppm", "fb_docs")
     )
+
+
+# DuckDB twin of the keyness table: identical tokenizer and counts,
+# identical x*micro-ln(x) expansion terms, identical (g2 DESC, term)
+# top-20 per source.
+_MLNX = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+def _xlnx(x: str) -> str:
+    return f"CASE WHEN {x} = 0 THEN 0 ELSE ({x}) * {_MLNX.format(x=x)} END"
+
+
+_KEYNESS_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    st AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+      FROM toks GROUP BY source, term
+    ),
+    tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t FROM st GROUP BY term),
+    ss AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s FROM st GROUP BY source),
+    nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+    cells AS (
+      SELECT st.source, st.term, st.a,
+             tt.t - st.a AS b,
+             ss.s - st.a AS c,
+             (SELECT n FROM nn) - tt.t - ss.s + st.a AS d,
+             tt.t, ss.s, (SELECT n FROM nn) AS n
+      FROM st JOIN tt USING (term) JOIN ss USING (source)
+      WHERE st.a >= 5
+    ),
+    g AS (
+      SELECT source, term, a, b, c, d,
+             CAST(2 * ({_xlnx('a')} + {_xlnx('b')} + {_xlnx('c')}
+                   + {_xlnx('d')} + {_xlnx('n')}
+                   - {_xlnx('(a + b)')} - {_xlnx('(c + d)')}
+                   - {_xlnx('(a + c)')} - {_xlnx('(b + d)')})
+                  AS BIGINT) AS g2_micro,
+             CASE WHEN a * (b + d) > b * (a + c) THEN 1 ELSE -1 END AS direction
+      FROM cells
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rank, term, a AS n_in_source,
+           b AS n_elsewhere, g2_micro,
+           CAST(direction AS BIGINT) AS direction
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY g2_micro DESC, term ASC) AS rk
+      FROM g
+    ) WHERE rk <= 20
+    """
+
+
+@extra_query("text_keyness_g2", _KEYNESS_ORACLE)
+def q_text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (D283) — the WHAT-changed
+    companion to the corpus-drift monitors (KL drift D153 and PSI
+    D244 say THAT a source's distribution moved; PMI D184 finds
+    collocations; keyness answers the corpus-linguistics question
+    'which terms characterize THIS source against the rest' — the
+    table a curation review reads to name a source's register, and
+    the classic G² test is the standard because it is safe at the
+    small counts chi-square mishandles): per source the top-20 terms
+    by G², with the 2×2 cell counts and an over/under-represented
+    direction.
+
+    Exactness: G² = 2[Σ O·lnO − margins] uses the identity that
+    expands it entirely into x·ln(x) of INTEGER counts — each term is
+    x·µln(x) (micro-ln convention) so g2_micro is an exact BIGINT
+    sum, 0·ln0 pinned to 0, no rational expected-count ever computed;
+    direction by exact cross-multiplication a(b+d) vs b(a+c); a ≥ 5
+    support floor (the G² validity rule) prunes the tail BEFORE the
+    margins join; ties break (g2 DESC, term ASC). Plan: ONE
+    tokenize+explode → ONE (source, term) partial agg; term and
+    source margins are vocabulary-/source-scale rollups broadcast
+    back; the top-20 window partitions by source over its vocabulary.
+    ≤20 rows per source."""
+    from mapreduce_project_spark.functions import tokens
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("term"))
+    )
+    st = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    tt = st.groupBy("term").agg(F.sum("a").cast("bigint").alias("t"))
+    ss = st.groupBy("source").agg(F.sum("a").cast("bigint").alias("s"))
+    nn = st.agg(F.sum("a").cast("bigint").alias("n"))
+    cells = (
+        st.filter(F.col("a") >= 5)
+        .join(tt, "term")
+        .join(F.broadcast(ss), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source", "term", "a",
+            (F.col("t") - F.col("a")).cast("bigint").alias("b"),
+            (F.col("s") - F.col("a")).cast("bigint").alias("c"),
+            (F.col("n") - F.col("t") - F.col("s") + F.col("a"))
+            .cast("bigint")
+            .alias("d"),
+            "n",
+        )
+    )
+
+    def xlnx(x: str) -> str:
+        return (
+            f"case when {x} = 0 then 0 else ({x}) *"
+            f" cast(round(ln(cast({x} as double)) * 1000000) as bigint) end"
+        )
+
+    g = cells.select(
+        "source", "term", "a", "b",
+        F.expr(
+            f"cast(2 * ({xlnx('a')} + {xlnx('b')} + {xlnx('c')}"
+            f" + {xlnx('d')} + {xlnx('n')}"
+            f" - {xlnx('(a + b)')} - {xlnx('(c + d)')}"
+            f" - {xlnx('(a + c)')} - {xlnx('(b + d)')}) as bigint)"
+        ).alias("g2_micro"),
+        F.expr(
+            "cast(case when a * (b + d) > b * (a + c) then 1 else -1 end"
+            " as bigint)"
+        ).alias("direction"),
+    )
+    return (
+        g.withColumn(
+            "rank",
+            F.expr(
+                "cast(row_number() over (partition by source"
+                " order by g2_micro desc, term asc) as bigint)"
+            ),
+        )
+        .filter(F.col("rank") <= 20)
+        .select(
+            "source", "rank", "term",
+            F.col("a").alias("n_in_source"),
+            F.col("b").alias("n_elsewhere"),
+            "g2_micro", "direction",
+        )
+    )

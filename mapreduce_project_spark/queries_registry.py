@@ -811,6 +811,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # centroid with scaled-integer weighted sums); streaming twin
 # burst_stream (D282, the causal forward-filter burst alarm with
 # frozen batch-fitted parameters) stays pytest-pinned + soaked;
+# text_keyness_g2 (D283, per-source Dunning G2 keyness via the
+# all-integer x*ln(x) expansion);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

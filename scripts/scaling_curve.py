@@ -222,6 +222,7 @@ SF1_QUERIES = [
     "abtest_bh_fdr",
     "abtest_report_card",
     "embedding_geometric_median",
+    "text_keyness_g2",
 ]
 SF1_REPS = 2
 

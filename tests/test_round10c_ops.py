@@ -1538,3 +1538,55 @@ def test_geometric_median_resists_the_outlier(spark, tmp_path):
     assert g0.loc[1].shift_micro > 9000000      # the influence signal
     g1 = got[got.label == 1]
     assert (g1.shift_micro == 0).all()          # degenerate label pinned
+
+
+# ---------------------------------------------------------------- D283
+
+
+def test_keyness_g2_closed_form_and_direction(spark, tmp_path):
+    # Source X: 8x zebra + 8x filler; source Y: 16x filler. Both X
+    # terms share the SAME symmetric 2x2 (zebra over-, filler
+    # under-represented), so g2 = 2*(8µln8 + 32µln32 - 24µln24
+    # - 16µln16) = 13808736 for BOTH (the b=0 cell exercising the
+    # 0*ln0 = 0 pin) and the tie breaks by term ASC.
+    docs = [
+        (1, " ".join(["zebra"] * 8), "en", "X", 1),
+        (2, " ".join(["filler"] * 8), "en", "X", 1),
+        (3, " ".join(["filler"] * 16), "en", "Y", 1),
+    ]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+        docs,
+    )
+    got = (
+        R.ALL_QUERIES["text_keyness_g2"](spark, str(tmp_path))
+        .toPandas()
+    )
+    x = got[got.source == "X"].set_index("term")
+    assert x.loc["filler"]["rank"] == 1 and x.loc["zebra"]["rank"] == 2
+    assert (x.loc["zebra"].n_in_source, x.loc["zebra"].n_elsewhere) == (8, 0)
+    assert x.loc["zebra"].g2_micro == 13808736
+    assert x.loc["filler"].g2_micro == 13808736
+    assert x.loc["zebra"].direction == 1
+    assert x.loc["filler"].direction == -1
+
+
+def test_keyness_g2_support_floor_prunes_rare_terms(spark, tmp_path):
+    # a term with a < 5 occurrences in a source never reaches the
+    # table (the G2 small-count validity rule), though its tokens
+    # still count in the margins
+    docs = [
+        (1, " ".join(["rare"] * 4 + ["common"] * 8), "en", "X", 1),
+        (2, " ".join(["common"] * 8), "en", "Y", 1),
+    ]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+        docs,
+    )
+    got = R.ALL_QUERIES["text_keyness_g2"](spark, str(tmp_path)).toPandas()
+    assert "rare" not in set(got.term)
+    assert "common" in set(got.term)
