@@ -4934,3 +4934,168 @@ def q_text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2_micro", "direction",
         )
     )
+
+
+# DuckDB twin of the TextRank summary: identical sentence split and
+# 30-sentence cap, identical shared-distinct-token edge weights,
+# identical two integer micro power-iteration rounds and (score DESC,
+# sidx ASC) top-3.
+_TEXTRANK_ORACLE = """
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr
+      FROM documents
+    ),
+    frags AS (
+      SELECT doc_id, t.i AS sidx, trim(arr[t.i]) AS sentence,
+             list_distinct(regexp_extract_all(lower(arr[t.i]), '[a-z]+'))
+               AS stok
+      FROM arrs, UNNEST(generate_series(1, least(len(arr), 30))) AS t(i)
+    ),
+    sents AS (
+      SELECT doc_id, CAST(sidx AS BIGINT) AS sidx, sentence
+      FROM frags WHERE len(stok) > 0
+    ),
+    st AS (
+      SELECT doc_id, CAST(sidx AS BIGINT) AS sidx, unnest(stok) AS token
+      FROM frags WHERE len(stok) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.sidx AS i, b.sidx AS j,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM st a JOIN st b
+        ON b.doc_id = a.doc_id AND b.token = a.token AND b.sidx != a.sidx
+      GROUP BY 1, 2, 3
+    ),
+    strength AS (
+      SELECT doc_id, j, CAST(SUM(w) AS BIGINT) AS wj
+      FROM pairs GROUP BY 1, 2
+    ),
+    r1 AS (
+      SELECT s.doc_id, s.sidx,
+             CAST(150000 + 85 * COALESCE(c.inflow, 0) // 100 AS BIGINT) AS r
+      FROM sents s LEFT JOIN (
+        SELECT p.doc_id, p.i AS sidx,
+               CAST(SUM(p.w * 1000000 // st.wj) AS BIGINT) AS inflow
+        FROM pairs p JOIN strength st
+          ON st.doc_id = p.doc_id AND st.j = p.j
+        GROUP BY 1, 2
+      ) c ON c.doc_id = s.doc_id AND c.sidx = s.sidx
+    ),
+    r2 AS (
+      SELECT s.doc_id, s.sidx,
+             CAST(150000 + 85 * COALESCE(c.inflow, 0) // 100 AS BIGINT) AS r
+      FROM sents s LEFT JOIN (
+        SELECT p.doc_id, p.i AS sidx,
+               CAST(SUM(p.w * r1.r // st.wj) AS BIGINT) AS inflow
+        FROM pairs p
+        JOIN strength st ON st.doc_id = p.doc_id AND st.j = p.j
+        JOIN r1 ON r1.doc_id = p.doc_id AND r1.sidx = p.j
+        GROUP BY 1, 2
+      ) c ON c.doc_id = s.doc_id AND c.sidx = s.sidx
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rank, sidx,
+           score_micro, sentence
+    FROM (
+      SELECT r2.doc_id, r2.sidx, r2.r AS score_micro, s.sentence,
+             ROW_NUMBER() OVER (PARTITION BY r2.doc_id
+                                ORDER BY r2.r DESC, r2.sidx ASC) AS rk
+      FROM r2 JOIN sents s
+        ON s.doc_id = r2.doc_id AND s.sidx = r2.sidx
+    ) WHERE rk <= 3
+    """
+
+
+@extra_query("text_textrank_summary", _TEXTRANK_ORACLE)
+def q_text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (D284) — the per-document
+    member of the graph family applied to text (PageRank D49 ranks a
+    corpus-level graph; RAKE D218 scores keyPHRASES by co-occurrence
+    degree; TextRank ranks SENTENCES by centrality in the
+    shared-vocabulary graph — the standard unsupervised extractive
+    summarizer, and for a training pipeline the cheap way to keep the
+    most representative spans of an over-long document instead of
+    truncating blindly): per document, sentences become nodes (first
+    30, the classic cap), edges weigh SHARED DISTINCT TOKENS, and two
+    damped power-iteration rounds pick the top-3 central sentences.
+
+    Exactness: the sentence split ('[.!?]+' with 1-based positions)
+    and tokenizer are pinned identically in both engines; edge
+    weights are integer counts; ranks run in exact micro-units with
+    the D49 integer-PageRank discipline — init 1e6, per-edge
+    contribution w·r div W_j truncating, damping as
+    150000 + 85·inflow div 100 — so two rounds are BIGINT-exact and
+    the (score DESC, sidx ASC) top-3 is fully pinned; isolated
+    sentences (no shared vocabulary) hold the 150000 teleport floor.
+    Plan: ONE sentence explode (linear) → within-document (doc,
+    token)-keyed pair join (bounded by the 30-sentence cap — never
+    corpus-quadratic) → two join+partial-agg rounds on the bounded
+    edge table → per-doc top-3 window. Three rows per document."""
+    from mapreduce_project_spark.functions import tokens
+
+    frags = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "[.!?]+")).alias("pos", "frag"),
+        )
+        .filter(F.col("pos") < 30)
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("sidx"),
+            F.trim(F.col("frag")).alias("sentence"),
+            F.array_distinct(tokens("frag")).alias("stok"),
+        )
+        .filter(F.size("stok") > 0)
+    )
+    sents = frags.select("doc_id", "sidx", "sentence")
+    st = frags.select(
+        "doc_id", "sidx", F.explode("stok").alias("token")
+    )
+    a = st.select("doc_id", F.col("sidx").alias("i"), "token")
+    b = st.select("doc_id", F.col("sidx").alias("j"), "token")
+    pairs = (
+        a.join(b, ["doc_id", "token"])
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("doc_id", "i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    strength = pairs.groupBy("doc_id", "j").agg(
+        F.sum("w").cast("bigint").alias("wj")
+    )
+
+    def damp(rank_expr):
+        inflow = (
+            pairs.join(strength, ["doc_id", "j"])
+            .join(rank_expr, ["doc_id", "j"], "inner")
+            .groupBy("doc_id", F.col("i").alias("sidx"))
+            .agg(
+                F.expr("cast(sum(w * r div wj) as bigint)").alias("inflow")
+            )
+        )
+        return sents.join(inflow, ["doc_id", "sidx"], "left").select(
+            "doc_id", "sidx",
+            F.expr(
+                "cast(150000 + 85 * coalesce(inflow, 0) div 100 as bigint)"
+            ).alias("r"),
+        )
+
+    r0 = sents.select(
+        "doc_id", F.col("sidx").alias("j"), F.lit(1000000).cast("bigint").alias("r")
+    )
+    r1 = damp(r0).select("doc_id", F.col("sidx").alias("j"), "r")
+    r2 = damp(r1)
+    return (
+        r2.join(sents, ["doc_id", "sidx"])
+        .withColumn(
+            "rank",
+            F.expr(
+                "cast(row_number() over (partition by doc_id"
+                " order by r desc, sidx asc) as bigint)"
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "rank", "sidx",
+            F.col("r").alias("score_micro"), "sentence",
+        )
+    )

@@ -812,7 +812,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # burst_stream (D282, the causal forward-filter burst alarm with
 # frozen batch-fitted parameters) stays pytest-pinned + soaked;
 # text_keyness_g2 (D283, per-source Dunning G2 keyness via the
-# all-integer x*ln(x) expansion);
+# all-integer x*ln(x) expansion); text_textrank_summary (D284,
+# per-document sentence-centrality summarization with the integer
+# PageRank discipline);
 # streaming twin psi_stream (D261,
 # frozen-reference drift monitor) stays pytest-pinned;
 # streaming twin holt_winters_stream (D251,

@@ -223,6 +223,7 @@ SF1_QUERIES = [
     "abtest_report_card",
     "embedding_geometric_median",
     "text_keyness_g2",
+    "text_textrank_summary",
 ]
 SF1_REPS = 2
 

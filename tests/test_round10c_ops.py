@@ -1590,3 +1590,35 @@ def test_keyness_g2_support_floor_prunes_rare_terms(spark, tmp_path):
     got = R.ALL_QUERIES["text_keyness_g2"](spark, str(tmp_path)).toPandas()
     assert "rare" not in set(got.term)
     assert "common" in set(got.term)
+
+
+# ---------------------------------------------------------------- D284
+
+
+def test_textrank_ranks_the_hub_sentence(spark, tmp_path):
+    # s1 shares 2 tokens with each of s2/s3, s2-s3 share 1, s4 is
+    # isolated. Hand-rolled two integer rounds: r2 = [1122777, 938610,
+    # 938610, 150000] => the hub s1 ranks 1, the s2/s3 tie breaks by
+    # sidx, the isolated s4 holds the teleport floor and misses top-3.
+    docs = [
+        (
+            1,
+            "alpha beta gamma. alpha beta delta. gamma epsilon alpha? "
+            "zulu yankee xray.",
+            "en", "s", 1,
+        ),
+    ]
+    _write(
+        spark, tmp_path, "documents",
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+        docs,
+    )
+    got = (
+        R.ALL_QUERIES["text_textrank_summary"](spark, str(tmp_path))
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert list(got.sidx) == [1, 2, 3]
+    assert list(got.score_micro) == [1122777, 938610, 938610]
+    assert got.iloc[0].sentence == "alpha beta gamma"
