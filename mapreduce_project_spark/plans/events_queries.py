@@ -4471,8 +4471,10 @@ def q_classifier_auc_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc_ppm = 2U*1e6 div (2*n_pos*n_neg) one truncating division;
     Gini = 2*AUC - 1 goes through the sign-safe -((-x) div k) form
     since DuckDB floors negative division while Spark truncates.
-    Guard rails: n_pos*n_neg > 4e12 raises (the *1e6 numerator would
-    pass the int64 edge — widen to DECIMAL(38,0) there); an empty
+    Guard rails: class sizes past 2e6 raise (their product's *1e6
+    numerator would pass the int64 edge; the guard tests the INPUTS
+    so the check itself cannot wrap — widen to DECIMAL(38,0)
+    there); an empty
     class yields the pinned -1/-0 sentinels, never a zero division.
     Plan: ONE user-keyed partial agg over the corpus, ONE per-score
     agg (domain-bounded: distinct activity counts, not users), a
@@ -4510,7 +4512,7 @@ def q_classifier_auc_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos", "n_neg", "sum_r2_pos",
         F.expr(
             "cast(case when n_pos = 0 or n_neg = 0 then -1"
-            " when n_pos * n_neg > 4000000000000 then"
+            " when greatest(n_pos, n_neg) > 2000000 then"
             " raise_error('classifier_auc_activity: class sizes exceed 64-bit"
             " ppm headroom — widen to DECIMAL(38,0)')"
             " else (sum_r2_pos - n_pos * (n_pos + 1)) * 1000000"
@@ -5540,8 +5542,8 @@ def q_abtest_cmh_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = cell.select(
         "stratum", "a", "b", "c", "d",
         F.expr(
-            "case when greatest(a * d, b * c) > 9000000000000 then"
-            " raise_error('abtest_cmh_pooled: cell products exceed 64-bit"
+            "case when greatest(a, b, c, d) > 3000000 then"
+            " raise_error('abtest_cmh_pooled: cell counts exceed 64-bit"
             " micro headroom — widen to DECIMAL(38,0)')"
             " else cast(a * d * 1000000 div (a + b + c + d) as bigint) end"
         ).alias("r_micro"),
