@@ -4597,9 +4597,10 @@ def q_classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups get a partitioned row_number (keyed by score), offset by
     the per-score cumulative counts computed on the metadata-scale
     distinct-score table and broadcast back (the D129 discipline).
-    All rates truncating ppm; lift's n_pos·n_total product is exact
-    int64 to ~3e9 users (widen to DECIMAL(38,0) past it — same edge
-    as D264); a zero-conversion corpus carries -1 capture/lift
+    All rates truncating ppm; lift's n_pos·n_total·1e6 numerator is
+    exact int64 to ~3e6 users (the triple product — widen to
+    DECIMAL(38,0) past it; the guard tests n_total so the check
+    cannot wrap); a zero-conversion corpus carries -1 capture/lift
     sentinels. Plan: ONE user agg → tiny score-table window +
     broadcast join → ONE decile agg → 10-row window. Ten rows out."""
     ev = t(spark, sf_dir, "events")
@@ -4671,7 +4672,7 @@ def q_classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("capture_ppm"),
         F.expr(
             "cast(case when pos_total = 0 then -1"
-            " when n_total > 3000000000 then"
+            " when n_total > 3000000 then"
             " raise_error('classifier_lift_deciles: corpus exceeds 64-bit"
             " lift headroom — widen to DECIMAL(38,0)')"
             " else n_pos * n_total * 1000000 div (n_users * pos_total) end"

@@ -4908,10 +4908,13 @@ def q_text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = cells.select(
         "source", "term", "a", "b",
         F.expr(
-            f"cast(2 * ({xlnx('a')} + {xlnx('b')} + {xlnx('c')}"
+            f"cast(case when n > 300000000000 then"
+            f" raise_error('text_keyness_g2: corpus token count exceeds"
+            f" 64-bit micro-ln headroom — widen to DECIMAL(38,0)')"
+            f" else 2 * ({xlnx('a')} + {xlnx('b')} + {xlnx('c')}"
             f" + {xlnx('d')} + {xlnx('n')}"
             f" - {xlnx('(a + b)')} - {xlnx('(c + d)')}"
-            f" - {xlnx('(a + c)')} - {xlnx('(b + d)')}) as bigint)"
+            f" - {xlnx('(a + c)')} - {xlnx('(b + d)')}) end as bigint)"
         ).alias("g2_micro"),
         F.expr(
             "cast(case when a * (b + d) > b * (a + c) then 1 else -1 end"
