@@ -341,6 +341,16 @@ def global_prefix_max(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # contract check BEFORE the int64 cast: nulls would
+            # otherwise surface as an obscure pandas astype error
+            # (ADVICE r10); the sum sibling tolerates nulls-as-0 but a
+            # running max has no principled null fill
+            if pdf[value_col].isna().any():
+                raise ValueError(
+                    f"global_prefix_max: {value_col!r} contains NULL —"
+                    " the running max is undefined over nulls; filter"
+                    " or coalesce upstream"
+                )
             pid = int(pdf["_pid"].iloc[0])
             if run is None:
                 run = offsets.get(pid)
@@ -348,6 +358,7 @@ def global_prefix_max(
             cm = vals.cummax()
             if run is not None:
                 cm = cm.clip(lower=run)
+            pdf = pdf.copy()
             pdf[out_col] = cm
             run = int(cm.iloc[-1])
             yield pdf

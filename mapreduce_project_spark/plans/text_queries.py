@@ -4342,8 +4342,15 @@ def q_text_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 # headroom guard (CUPED discipline): (4c-3)*1e6 and
                 # 3*n1f*pcont_ppm must stay inside int64 — c(vw) or
-                # N1+(v.) past ~2.3e12 needs DECIMAL widening
-                "case when greatest(c, n1f) > 2305843009213693 then"
+                # N1+(v.) past ~2.3e12 needs DECIMAL widening. The
+                # bound is int64max div 4e6 = 2305843009213, derived
+                # from the WORST term (4*c*1e6): at the threshold
+                # 4*2305843009213*1e6 = 9.2233720368e18 < int64max,
+                # one past it overflows — guard INPUTS, never the
+                # product (ADVICE r10: a 1000x-looser constant left an
+                # overflow band where ANSI raised generically and
+                # ANSI-off wrapped silently).
+                "case when greatest(c, n1f) > 2305843009213 then"
                 " raise_error('text_kn_bigram_score: bigram counts exceed"
                 " 64-bit ppm headroom — widen to DECIMAL(38,0)') "
                 "else greatest(1,"
@@ -4908,7 +4915,13 @@ def q_text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = cells.select(
         "source", "term", "a", "b",
         F.expr(
-            f"cast(case when n > 300000000000 then"
+            # headroom: the left-associated partial sum peaks near
+            # 2*n*uln(n) (d ~ n for rare terms, and xlnx(n) is a full
+            # positive term before any negative margin cancels), which
+            # fits int64 only for n <= ~1.75e11 — the guard fires at
+            # 1.5e11 so the else-branch can never wrap inside the band
+            # the threshold admits (ADVICE r10: 3e11 left a 2x band).
+            f"cast(case when n > 150000000000 then"
             f" raise_error('text_keyness_g2: corpus token count exceeds"
             f" 64-bit micro-ln headroom — widen to DECIMAL(38,0)')"
             f" else 2 * ({xlnx('a')} + {xlnx('b')} + {xlnx('c')}"
