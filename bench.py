@@ -25,6 +25,14 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# sampled at import time — before this process spins up the JVM and
+# its own 32 executor threads pollute the 1-minute average
+try:
+    with open("/proc/loadavg", encoding="ascii") as _fh:
+        LOAD_START: float | None = float(_fh.read().split()[0])
+except OSError:
+    LOAD_START = None
+
 # Fixed cross-round comparison panel (VERDICT r5 task 6): the driver
 # rotates ~46 of the 50 declared slots every round, so round-over-round
 # totals compare different query sets. These 12 (a slice of the
@@ -229,6 +237,16 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     declared_timings = {n: s for n, s in timings.items() if n in queries}
     panel_timings = {n: timings[n] for n in PANEL if n in timings}
+    # host-load stamp (VERDICT r10 task 2): the round-10 committed
+    # bench was recorded at load avg 6.6 and overstated the panel 27%.
+    # loadavg_1m_start is sampled BEFORE the bench's own work (this
+    # process's Spark threads inflate the end-of-run sample); the
+    # artifact gate rejects a BENCH whose start load exceeds ~1.0.
+    try:
+        with open("/proc/loadavg", encoding="ascii") as fh:
+            load_end = float(fh.read().split()[0])
+    except OSError:
+        load_end = None
     out = {
         "metric": f"total_declared_query_seconds_sf{sf}",
         "value": round(sum(declared_timings.values()), 3),
@@ -237,6 +255,9 @@ def main() -> None:
         "panel": panel_timings,
         "panel_total": round(sum(panel_timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_1m_start": LOAD_START,
+        "loadavg_1m_end": load_end,
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if failures:
         out["failures"] = failures

@@ -26,23 +26,65 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def newest_sweep(repo_root: str) -> str | None:
-    paths = glob.glob(os.path.join(repo_root, "SWEEP_r*.json"))
+def newest_artifact(repo_root: str, stem: str) -> str | None:
+    paths = glob.glob(os.path.join(repo_root, f"{stem}_r*.json"))
     if not paths:
         return None
 
     def round_no(p: str) -> int:
-        m = re.search(r"SWEEP_r(\d+)\.json$", p)
+        m = re.search(rf"{stem}_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
     return max(paths, key=round_no)
+
+
+# A committed benchmark of record must come from a quiet host
+# (VERDICT r10 task 2: the r10 BENCH was recorded at load 6.6 and
+# overstated the fixed panel 27%). 1.0 on a 32-CPU box = essentially
+# idle; anything above means another workload shared the measurement.
+MAX_BENCH_LOADAVG = 1.0
+# rounds whose BENCH predates the loadavg stamp — grandfathered
+FIRST_LOAD_STAMPED_ROUND = 11
+
+
+def check_bench(repo_root: str) -> bool:
+    path = newest_artifact(repo_root, "BENCH")
+    if not path:
+        print("BENCH gate: no BENCH_r*.json yet (pre-bench round) — skip")
+        return True
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    round_no = int(m.group(1)) if m else 0
+    bench = json.load(open(path, encoding="utf-8"))
+    load = bench.get("loadavg_1m_start")
+    name = os.path.basename(path)
+    if load is None:
+        if round_no < FIRST_LOAD_STAMPED_ROUND:
+            print(f"BENCH gate: {name} predates the loadavg stamp — skip")
+            return True
+        print(
+            f"GATE FAIL: {name} carries no loadavg_1m_start — regenerate "
+            "with the stamping bench.py (a BENCH of record must prove its "
+            "host was quiet)"
+        )
+        return False
+    if load > MAX_BENCH_LOADAVG:
+        print(
+            f"GATE FAIL: {name} was recorded at 1-min load {load} > "
+            f"{MAX_BENCH_LOADAVG} — a loaded-host benchmark cannot be the "
+            "committed record; re-run bench.py on a quiet machine"
+        )
+        return False
+    print(f"BENCH gate: {name} loadavg_1m_start={load} — quiet host, OK")
+    return True
 
 
 def main() -> int:
     from mapreduce_project_spark import queries_registry as R
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sweep_path = sys.argv[1] if len(sys.argv) > 1 else newest_sweep(repo_root)
+    sweep_path = (
+        sys.argv[1] if len(sys.argv) > 1 else newest_artifact(repo_root, "SWEEP")
+    )
     if not sweep_path or not os.path.exists(sweep_path):
         print("GATE FAIL: no SWEEP_r*.json artifact found")
         return 1
@@ -77,6 +119,8 @@ def main() -> int:
     if bad:
         ok = False
         print(f"GATE FAIL: sweep records bad_or_vacuous={bad}")
+    if not check_bench(repo_root):
+        ok = False
     print("GATE OK" if ok else "GATE FAIL")
     return 0 if ok else 1
 
