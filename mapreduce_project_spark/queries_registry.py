@@ -634,6 +634,95 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "embedding_top_pc",               # D219 first slot
         ),
     ),
+    # --- Round 11: wave 1 of 2 burning the 65-query round-10 backlog
+    # (VERDICT r10 task 1 — it exceeds one rotation window; round 12
+    # takes the rest). Keep only the four sentinels + the 12 bench-
+    # panel members (13 unique names); every other slot goes to the
+    # OLDEST never-driver-checked block, D220–D258 (exactly 37 batch
+    # queries — D238/D251 are pytest-pinned streaming twins). Deferred
+    # to round 12: events_max_drawdown (D259), search_ndcg (D260),
+    # events_conversion_lag (D262), and the D263–D284 batch block.
+    (
+        (
+            # driver-r10-green, giving up slots to the backlog
+            "dedup_embedding_clusters",
+            "dedup_embedding_clusters_lsh",
+            "search_hybrid_rrf",
+            "denoise_span_corruption_pairs",
+            "source_token_allocation",
+            "source_overlap_matrix",
+            "matryoshka_recall_curve",
+            "ccnet_quality_buckets",
+            "text_mojibake_audit",
+            "sketch_hll_registers_exact",
+            "dp_noisy_source_counts",
+            "heavy_hitters_bigrams",
+            "assemble_training_set_v5",
+            "search_phrase_positions",
+            "weighted_median_price",
+            "token_entropy_by_source",
+            "text_trigram_backoff_score",
+            "events_cusum_changepoints",
+            "embedding_jl_projection",
+            "basket_association_rules",
+            "tokenizer_fertility_by_source",
+            "dedup_containment_pairs",
+            "approx_distinct_parts",
+            "approx_quantiles_price",
+            "dedup_embedding_clusters_lsh_auto",
+            "assemble_training_set_v6",
+            "dedup_snm_pairs",
+            "dedup_canonical_map",
+            "events_markov_attribution",
+            "text_winnow_pairs",
+            "search_proximity",
+            "events_seasonal_baseline",
+            "events_sequential_pairs",
+            "itemcf_topk",
+            "abtest_cuped_adjust",
+            "text_rake_keyphrases",
+            "embedding_top_pc",
+        ),
+        (
+            "source_quality_drift",            # D220 first slot
+            "lsh_width_ladder",                # D221 first slot
+            "text_longest_repeat",             # D222 first slot
+            "events_bot_scores",               # D223 first slot
+            "events_hourly_acf",               # D224 first slot
+            "vocab_gt_spectrum",               # D225 first slot
+            "text_tfidf_cosine_pairs",         # D226 first slot
+            "fk_integrity_audit",              # D227 first slot
+            "text_rouge_adjacent",             # D228 first slot
+            "events_concurrency_profile",      # D229 first slot
+            "abtest_bootstrap_ci",             # D230 first slot
+            "stylometry_burrows_delta",        # D231 first slot
+            "events_holt_forecast",            # D232 first slot
+            "graph_degree_assortativity",      # D233 first slot
+            "events_retention_hazard",         # D234 first slot
+            "embedding_sq2_codebook",          # D235 first slot
+            "multimodal_audio_resample",       # D236 first slot
+            "t_closeness_audit",               # D237 first slot
+            "events_lorenz_gini",              # D239 first slot
+            "abc_classification_suppliers",    # D240 first slot
+            "corr_spearman_price_demand",      # D241 first slot
+            "assemble_behavioral_dataset",     # D242 first slot
+            "contingency_chi_square",          # D243 first slot
+            "psi_value_drift",                 # D244 first slot
+            "graph_label_propagation",         # D245 first slot
+            "mutual_information_source_lang",  # D246 first slot
+            "text_readability_scores",         # D247 first slot
+            "embedding_hygiene_audit",         # D248 first slot
+            "events_shapley_attribution",      # D249 first slot
+            "events_holt_winters",             # D250 first slot
+            "text_kn_bigram_score",            # D252 first slot
+            "customer_brand_hhi",              # D253 first slot
+            "assemble_training_set_v7",        # D254 first slot
+            "graph_kcore_membership",          # D255 first slot
+            "source_template_prefixes",        # D256 first slot
+            "vocab_growth_curve",              # D257 first slot
+            "source_dup_rates",                # D258 first slot
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet
@@ -820,6 +909,22 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # streaming twin holt_winters_stream (D251,
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
+#
+# Round-12 rotation seed (wave 2 of the round-10 backlog burn —
+# VERDICT r10 task 1 planned two waves; round 11 took D220–D258):
+# events_max_drawdown (D259), search_ndcg (D260), events_conversion_lag
+# (D262), events_watermark_audit (D263), simpson_paradox_audit (D264),
+# classifier_auc_activity (D265), classifier_lift_deciles (D266),
+# events_km_survival (D267), events_tail_index_hill (D268),
+# events_cross_correlation (D269), search_rm3_expansion (D270),
+# forecast_backtest_mase (D271), calibration_isotonic (D273),
+# clustering_silhouette (D274), abtest_cmh_pooled (D275),
+# ivf_nprobe_recall_curve (D276), join_size_preflight (D277),
+# events_burst_detection (D278), abtest_bh_fdr (D279),
+# abtest_report_card (D280), embedding_geometric_median (D281),
+# text_keyness_g2 (D283), text_textrank_summary (D284) — 23 names,
+# plus any round-11 additions; streaming twins watermark_stream
+# (D272) and burst_stream (D282) stay pytest-pinned + soaked.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG
