@@ -1727,6 +1727,187 @@ def q_lsh_width_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _width_ladder_sampled_oracle(
+    threshold: float,
+    n_tables: int,
+    widths: tuple[int, ...],
+    dim: int,
+    sample_lt: str,
+) -> str:
+    """DuckDB twin of the SAMPLED-truth width ladder: identical static
+    full-width codes and candidate counts over ALL vectors; the truth
+    set is restricted to the md5-pinned vector sample (deterministic on
+    both engines: lowercase-hex md5 of the decimal vec_id string)."""
+    from mapreduce_project_spark.operators.similarity import (
+        duck_code_exprs_for_signs,
+        rademacher_signs_pc,
+    )
+
+    wmax = max(widths)
+    duck_codes = duck_code_exprs_for_signs(
+        rademacher_signs_pc(n_tables, wmax, dim)
+    )
+    codes_arr = "[" + ", ".join(duck_codes) + "]"
+    cand_ctes, rows = [], []
+    for w in widths:
+        msk = (1 << w) - 1
+        or_pred = " OR ".join(
+            f"(a.cs[{i + 1}] & {msk}) = (b.cs[{i + 1}] & {msk})"
+            for i in range(n_tables)
+        )
+        cand_ctes.append(
+            f"""cand{w} AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE ({or_pred})
+    )"""
+        )
+        rows.append(
+            f"""
+    SELECT CAST({w} AS BIGINT) AS width,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{w}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_sampled,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+             JOIN cand{w} k ON k.ia = t.ia AND k.ib = t.ib)
+             AS n_caught_sampled,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((SELECT COUNT(*) FROM truth t
+                            JOIN cand{w} k ON k.ia = t.ia AND k.ib = t.ib)
+                          * 1000000 // (SELECT COUNT(*) FROM truth) AS BIGINT)
+           END AS recall_ppm,
+           CAST((SELECT COUNT(*) FROM cand{w}) * 1000000
+                // (SELECT (n * (n - 1)) // 2 FROM npairs) AS BIGINT) AS cand_ppm"""
+        )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS MATERIALIZED (SELECT vec_id, v, {codes_arr} AS cs FROM e),
+    npairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    s AS MATERIALIZED (
+      SELECT vec_id, v FROM c
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{sample_lt}'
+    ),
+    truth AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.v', 'b.v')} >= {threshold}
+    ),
+    {','.join(cand_ctes)}
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@extra_query(
+    "lsh_width_ladder_sampled",
+    _width_ladder_sampled_oracle(0.3, 16, (8, 12, 16), 64, "40000000"),
+)
+def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-truth width-ladder audit (D285) — the PRODUCTION form of
+    D221 (VERDICT r10 task 3): candidate counts stay EXACT at any N
+    (they ride the same single coarsest-width bucketed self-join and
+    per-row masking), but the recall denominator — the one quadratic
+    stage D221 deliberately kept exact, the reason it had no decade
+    row — is replaced by an estimate over a deterministic ~25% vector
+    sample (md5(vec_id) hex < '40000000', the D28 split convention, so
+    the DuckDB twin replays the identical sample). Vector sampling at
+    rate r makes every pair's inclusion probability r² uniformly, so
+    caught/true over sampled pairs is the standard unbiased ratio
+    estimate of ladder recall while the GEMM truth stage pays (rN)²/2
+    — at r = 1/4, a 16× cut that turns the audit's scale-killer into
+    a dial: at 100 TB, shrink r until the truth stage fits the budget;
+    the estimate stays valid because the sample is pinned by hash, not
+    by partition order.
+
+    Exactness: the sample predicate is a lowercase-hex md5 string
+    compare, bit-identical in both engines; the truth set reuses the
+    proven fold-cosine pairing on the sampled vectors; every output is
+    an integer count or truncating ppm. Plan: identical candidate
+    machinery to D221 (one Arrow code kernel, ONE bucketed self-join at
+    width 8, finer widths by masking the joined codes); the truth GEMM
+    runs over the sampled block only. D221 remains registered as the
+    exact-truth small-N audit; this twin carries the decade row."""
+    from mapreduce_project_spark.operators.similarity import (
+        cosine_pairs_gemm,
+        lsh_codes_exact,
+        rademacher_signs_pc,
+    )
+
+    n_tables, widths, threshold = 16, (8, 12, 16), 0.3
+    emb = t(spark, sf_dir, "embeddings")
+    signs = rademacher_signs_pc(n_tables, max(widths), 64)
+    coded = lsh_codes_exact(emb, "vec_id", "embedding", signs).select(
+        "id",
+        "table",
+        F.expr(f"code & {(1 << widths[0]) - 1}").alias("c_lo"),
+        "code",
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    m12 = (1 << widths[1]) - 1
+    matched = a.join(
+        b,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.c_lo") == F.col("b.c_lo"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("ia"),
+        F.col("b.id").alias("ib"),
+        ((F.col("a.code").bitwiseAND(m12)) == (F.col("b.code").bitwiseAND(m12)))
+        .alias("e12"),
+        (F.col("a.code") == F.col("b.code")).alias("e16"),
+    )
+    flags = matched.groupBy("ia", "ib").agg(
+        F.max("e12").alias("e12"), F.max("e16").alias("e16")
+    )
+    samp = emb.filter(
+        F.expr("substr(md5(cast(vec_id as string)), 1, 8) < '40000000'")
+    )
+    truth = cosine_pairs_gemm(
+        samp.withColumn("blk", F.lit(0)),
+        "vec_id",
+        "embedding",
+        threshold,
+        "blk",
+    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+    caught = truth.join(
+        flags.withColumn("c8", F.lit(True)), ["ia", "ib"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("c8"), 1).otherwise(0)).cast("bigint").alias("k8"),
+        F.sum(F.when(F.col("e12"), 1).otherwise(0)).cast("bigint").alias("k12"),
+        F.sum(F.when(F.col("e16"), 1).otherwise(0)).cast("bigint").alias("k16"),
+    )
+    cands = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c8"),
+        F.sum(F.when(F.col("e12"), 1).otherwise(0)).cast("bigint").alias("c12"),
+        F.sum(F.when(F.col("e16"), 1).otherwise(0)).cast("bigint").alias("c16"),
+    )
+    npairs = emb.agg(
+        F.expr("(count(1) * (count(1) - 1)) div 2").cast("bigint").alias("np")
+    )
+    one = cands.crossJoin(caught).crossJoin(npairs)
+    ladder = one.select(
+        F.explode(
+            F.expr(
+                "array(struct(cast(8 as bigint) as width, c8 as nc, k8 as nk),"
+                " struct(cast(12 as bigint) as width, c12 as nc, k12 as nk),"
+                " struct(cast(16 as bigint) as width, c16 as nc, k16 as nk))"
+            )
+        ).alias("s"),
+        "n_true",
+        "np",
+    )
+    return ladder.select(
+        F.col("s.width").alias("width"),
+        F.col("s.nc").alias("n_candidates"),
+        F.col("n_true").alias("n_true_sampled"),
+        F.col("s.nk").alias("n_caught_sampled"),
+        F.when(F.col("n_true") == 0, F.lit(0))
+        .otherwise(F.expr("s.nk * 1000000 div n_true"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.expr("s.nc * 1000000 div np").cast("bigint").alias("cand_ppm"),
+    )
+
+
 # DuckDB twin of the SQ2 codebook: identical milli quantization (the
 # D219 float32->DOUBLE widening discipline), identical 4x-scaled exact
 # quartiles, identical shifted-floor reconstruction means.

@@ -910,6 +910,12 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # the seasonal-ring-buffer state class) stays pytest-pinned + soaked.
 # streaming twin holt_stream (D238) stays pytest-pinned + soaked.
 #
+# Round-11 additions (strict-EQUAL at sf0.001/0.01/0.1, rotation-
+# eligible for round 12+): lsh_width_ladder_sampled (D285, the
+# sampled-truth width-ladder twin — exact candidate counts at full N,
+# recall estimated over the md5-pinned 25% vector sample; carries the
+# decade row the exact D221 deliberately lacks).
+#
 # Round-12 rotation seed (wave 2 of the round-10 backlog burn —
 # VERDICT r10 task 1 planned two waves; round 11 took D220–D258):
 # events_max_drawdown (D259), search_ndcg (D260), events_conversion_lag

@@ -224,6 +224,12 @@ SF1_QUERIES = [
     "embedding_geometric_median",
     "text_keyness_g2",
     "text_textrank_summary",
+    # round-11 additions. lsh_width_ladder_sampled (D285) is the
+    # sampled-truth twin built to give the ladder family the decade
+    # row the exact D221 deliberately lacks: its truth GEMM runs on
+    # the pinned 25% vector sample (1/16 of the pair mass), while the
+    # candidate counts stay exact at full N.
+    "lsh_width_ladder_sampled",
 ]
 SF1_REPS = 2
 

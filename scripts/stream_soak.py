@@ -845,6 +845,88 @@ def main() -> int:
     report["streams"]["burst"] = meta
     ok &= bu_match and meta["restarted"]
 
+    # ---------- 10. PSI drift monitor (D261) ----------
+    # the last state-class stream without kill/restart evidence
+    # (VERDICT r10 task 4): frozen reference deciles/bins from the FULL
+    # value distribution (the model-artifact deployment shape), current
+    # counts accumulating in state; every per-batch reading must equal
+    # the sequential prefix replay bit-for-bit across the kill.
+    from mapreduce_project_spark.streaming.events import psi_stream
+
+    ps_src = os.path.join(work, "pssrc")
+    os.makedirs(ps_src)
+    ps_slices = []
+    for i in range(N_BATCHES):
+        sl = spark.read.parquet(os.path.join(ev_src, f"b{i:02d}.parquet")).selectExpr(
+            "event_type AS series",
+            "cast(floor(value * 100.0 + 0.5) AS bigint) AS cents",
+        )
+        rows = sorted((r["series"], int(r["cents"])) for r in sl.collect())
+        if not rows:
+            continue
+        ps_slices.append(rows)
+        spark.createDataFrame(rows, "series string, cents long").coalesce(
+            1
+        ).write.parquet(os.path.join(ps_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(ps_src, f"b{i:02d}.parquet"), i)
+
+    all_cents = sorted(c for chunk in ps_slices for _s, c in chunk)
+    ps_edges = [all_cents[(len(all_cents) - 1) * d // 10] for d in range(1, 10)]
+    ps_ref = [0] * 10
+    for c in all_cents:
+        ps_ref[sum(1 for e in ps_edges if e < c)] += 1
+    ps_out, ps_ck = os.path.join(work, "ps_out"), os.path.join(work, "ps_ck")
+
+    def make_ps():
+        stream = (
+            spark.readStream.schema("series string, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ps_src + "/*/")
+        )
+        return (
+            psi_stream(stream, ps_edges, ps_ref)
+            .writeStream.format("parquet")
+            .option("path", ps_out)
+            .option("checkpointLocation", ps_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_ps, "psi_stream")
+    got_ps = {
+        (r["series"], r["n_cur"], r["bins"], r["psi_micro"])
+        for r in spark.read.parquet(ps_out).collect()
+    }
+
+    def _lnu(x: int) -> int:
+        return round(math.log(x) * 1000000)
+
+    ps_na10 = sum(ps_ref) + 10
+    want_ps = set()
+    ps_counts: dict = {}
+    for chunk in ps_slices:
+        touched = set()
+        for s, c in chunk:
+            cs = ps_counts.setdefault(s, [0] * 10)
+            cs[sum(1 for e in ps_edges if e < c)] += 1
+            touched.add(s)
+        for s in touched:
+            cs = ps_counts[s]
+            nb10 = sum(cs) + 10
+            psi = 0
+            for ca, cb in zip(ps_ref, cs):
+                pa = (ca + 1) * 1000000 // ps_na10
+                pb = (cb + 1) * 1000000 // nb10
+                term = _lnu(ca + 1) - _lnu(ps_na10) - _lnu(cb + 1) + _lnu(nb10)
+                raw = (pa - pb) * term
+                psi += raw // 1000000 if raw >= 0 else -((-raw) // 1000000)
+            want_ps.add((s, sum(cs), ",".join(map(str, cs)), psi))
+    ps_match = got_ps == want_ps and bool(got_ps)
+    meta.update({"rows": len(got_ps), "match_vs_replay": ps_match})
+    report["streams"]["psi"] = meta
+    ok &= ps_match and meta["restarted"]
+
     report["all_green"] = bool(ok)
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=2)
