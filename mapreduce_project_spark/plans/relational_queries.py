@@ -1808,8 +1808,21 @@ _ITEMCF_ORACLE = """
       SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
-    bsz AS (SELECT u, COUNT(*) AS bs FROM ui GROUP BY u),
-    capped AS (SELECT ui.u, ui.i FROM ui JOIN bsz USING (u) WHERE bsz.bs <= 100),
+    bsz AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS bs FROM ui GROUP BY u),
+    hist AS (SELECT bs, CAST(COUNT(*) AS BIGINT) AS c FROM bsz GROUP BY bs),
+    cum AS (
+      SELECT bs,
+             CAST(SUM(c) OVER (ORDER BY bs) AS BIGINT) AS cum,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM hist) AS n
+      FROM hist
+    ),
+    cap AS (
+      SELECT greatest(8, 4 * MIN(bs)) AS cap FROM cum WHERE 10 * cum >= 9 * n
+    ),
+    capped AS (
+      SELECT ui.u, ui.i FROM ui JOIN bsz USING (u) CROSS JOIN cap
+      WHERE bsz.bs <= cap.cap
+    ),
     ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY i),
     ab AS (
       SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS n_ab
@@ -1847,13 +1860,23 @@ def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale discipline: baskets are CUSTOMER-keyed distinct (customer,
     part) rows; pair generation is the within-basket self-join, so
-    candidate mass is Σ basket² — bounded here by the ≤100-part WHALE
-    CAP (the production guard: one institutional buyer with 10⁶ parts
-    would otherwise contribute 10¹² pairs; capped customers simply
-    drop out of the similarity evidence, the standard CF treatment of
-    degenerate users). Per-item top-5 is a keyed window over the pair
+    candidate mass is Σ basket² — bounded by the DATA-DEPENDENT whale
+    cap (round-11, the D206 auto-width pattern replacing the static
+    ≤100 constant): whale = basket > 4× the exact 90th-percentile
+    basket size, floored at 8. The percentile comes from the basket-
+    size HISTOGRAM (domain = distinct basket sizes, metadata-scale at
+    any corpus — the one unpartitioned running-sum window is over that
+    tiny domain, never over customers), discrete type-1 semantics via
+    pure integer comparison (cum·10 ≥ n·9 ⇔ cum ≥ ceil(0.9n)), so the
+    DuckDB twin replays the cap bit-exactly. A regular distribution
+    (max < 4·p90) drops nothing; one institutional buyer with 10⁶
+    parts (10¹² pairs) is cut wherever the corpus's own p90 sits —
+    the guard now scales with the basket-size distribution instead of
+    asserting 100 is always the right knee. Capped customers drop out
+    of the similarity evidence entirely, the standard CF treatment of
+    degenerate users. Per-item top-5 is a keyed window over the pair
     aggregate. Hash-matched at three SFs; planted co-purchase geometry
-    pinned in tests/test_advanced.py."""
+    + planted whale-drop pinned in tests/test_advanced.py."""
     from pyspark.sql import Window
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1863,8 +1886,24 @@ def q_itemcf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
     )
-    bsz = ui.groupBy("u").agg(F.count(F.lit(1)).alias("bs"))
-    capped = ui.join(bsz.filter(F.col("bs") <= 100).select("u"), "u").cache()
+    bsz = ui.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("bs"))
+    hist = bsz.groupBy("bs").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = hist.select(
+        "bs",
+        F.sum("c")
+        .over(Window.orderBy("bs").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").cast("bigint").alias("n"))))
+    cap = cum.filter(F.col("cum") * 10 >= F.col("n") * 9).agg(
+        F.greatest(F.lit(8), F.lit(4) * F.min("bs")).cast("bigint").alias("cap")
+    )
+    capped = (
+        ui.join(bsz, "u")
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("bs") <= F.col("cap"))
+        .select("u", "i")
+        .cache()
+    )
     ni = capped.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     # n_ab is symmetric: generate each unordered pair ONCE (i < i'),
@@ -3007,4 +3046,142 @@ def q_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return preflight(li, "l_orderkey", od, "o_orderkey", "lineitem_orders").unionByName(
         preflight(od, "o_custkey", cu, "c_custkey", "orders_customer")
+    )
+
+
+_ADVISOR_ORACLE = """
+    WITH cf AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+    ),
+    ofil AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate < DATE '1995-03-15'
+    ),
+    lf AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_shipdate > DATE '1995-03-15' GROUP BY 1
+    ),
+    oc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ofil GROUP BY 1),
+    ok AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ofil GROUP BY 1),
+    i1 AS (SELECT CAST(COALESCE(SUM(cf.c * oc.c), 0) AS BIGINT) AS rows_
+           FROM cf JOIN oc ON oc.k = cf.k),
+    i2 AS (SELECT CAST(COALESCE(SUM(ok.c * lf.c), 0) AS BIGINT) AS rows_
+           FROM ok JOIN lf ON lf.k = ok.k),
+    fin AS (
+      SELECT CAST(COALESCE(SUM(cf.c * lf.c), 0) AS BIGINT) AS rows_
+      FROM ofil o
+      JOIN cf ON cf.k = o.o_custkey
+      JOIN lf ON lf.k = o.o_orderkey
+    ),
+    cand AS (
+      SELECT 'customer_orders_first' AS join_order,
+             (SELECT rows_ FROM i1) AS intermediate_rows,
+             (SELECT rows_ FROM fin) AS final_rows
+      UNION ALL
+      SELECT 'orders_lineitem_first',
+             (SELECT rows_ FROM i2), (SELECT rows_ FROM fin)
+    )
+    SELECT join_order, intermediate_rows, final_rows,
+           CAST(intermediate_rows + final_rows AS BIGINT) AS pipeline_cost_rows,
+           CAST(rk AS BIGINT) AS rank,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS chosen
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY intermediate_rows, join_order) AS rk
+      FROM cand
+    )
+    """
+
+
+@extra_query("join_order_advisor", _ADVISOR_ORACLE)
+def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join-ORDER advisor (D288) — D277's exact preflight
+    turned into the decision a planner actually makes (VERDICT r10
+    task 7 candidate): for TPC-H Q3's three-way join under its real
+    filters (BUILDING segment, the 1995-03-15 date cuts), predict
+    EXACTLY what each left-deep order would materialize —
+    |σC ⋈ σO| via Σ_k c_C(k)·c_O(k) against |σO ⋈ σL| via
+    Σ_k c_O(k)·c_L(k) — plus the shared exact final size
+    (Σ_{o∈σO} c_C(o.custkey)·c_L(o.orderkey), one pass over filtered
+    orders with two count-table joins), and rank the orders by
+    intermediate mass. Unlike an NDV-based estimator this is not a
+    model: the numbers are the true row counts, so the chosen order
+    is provably optimal among the candidates for shuffle mass — the
+    pre-launch advisory for a 100 TB join pipeline at the cost of
+    three partial aggs (the D65→D277→D288 diagnostic ladder:
+    one-side skew → pairwise size → order choice).
+
+    Exactness: every figure is an exact BIGINT count or product-sum
+    (the D277 overflow argument: the sum wraps only past ~9e18 output
+    rows); rank pinned by (intermediate ASC, name ASC). Plan: nothing
+    corpus-width shuffles — filters reach the scans, count tables
+    shuffle one BIGINT per distinct key, the final-size pass is
+    orders-scale with two broadcastable count joins. Two rows out at
+    any scale."""
+    cf = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ofil = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    ).select("o_orderkey", "o_custkey")
+    lf = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    oc = ofil.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    okt = ofil.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    i1 = (
+        cf.join(oc.withColumnRenamed("c", "c2"), "k")
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+             .cast("bigint").alias("intermediate_rows"))
+        .withColumn("join_order", F.lit("customer_orders_first"))
+    )
+    i2 = (
+        okt.join(lf.withColumnRenamed("c", "c2"), "k")
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+             .cast("bigint").alias("intermediate_rows"))
+        .withColumn("join_order", F.lit("orders_lineitem_first"))
+    )
+    fin = (
+        ofil.join(
+            F.broadcast(cf.withColumnRenamed("k", "o_custkey")
+                        .withColumnRenamed("c", "cc")),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(lf.withColumnRenamed("k", "o_orderkey")
+                        .withColumnRenamed("c", "cl")),
+            "o_orderkey",
+        )
+        .agg(F.coalesce(F.sum(F.col("cc") * F.col("cl")), F.lit(0))
+             .cast("bigint").alias("final_rows"))
+    )
+    cand = i1.unionByName(i2).crossJoin(F.broadcast(fin))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("intermediate_rows", "join_order")
+    return cand.select(
+        "join_order",
+        "intermediate_rows",
+        "final_rows",
+        (F.col("intermediate_rows") + F.col("final_rows"))
+        .cast("bigint")
+        .alias("pipeline_cost_rows"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.expr(
+            "cast(case when row_number() over"
+            " (order by intermediate_rows, join_order) = 1"
+            " then 1 else 0 end as bigint)"
+        ).alias("chosen"),
     )

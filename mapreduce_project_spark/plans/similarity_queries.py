@@ -1908,6 +1908,174 @@ def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_recall_cert_oracle(
+    threshold: float, n_tables: int, dim: int, sample_lt: str, target_ppm: int
+) -> str:
+    """DuckDB twin of the semantic-dedup recall certificate: static
+    full-width (24-bit) prefix-consistent codes masked to the
+    COUNT-derived auto width (the D206 convention), truth restricted
+    to the md5-pinned vector sample, candidacy checked per truth pair
+    (no bucket self-join — the certificate never enumerates
+    candidates)."""
+    from mapreduce_project_spark.operators.similarity import (
+        duck_code_exprs_for_signs,
+        rademacher_signs_pc,
+    )
+
+    duck_codes = duck_code_exprs_for_signs(
+        rademacher_signs_pc(n_tables, 24, dim)
+    )
+    codes_arr = "[" + ", ".join(duck_codes) + "]"
+    or_pred = " OR ".join(
+        f"(ca.cs[{i + 1}] & w.msk) = (cb.cs[{i + 1}] & w.msk)"
+        for i in range(n_tables)
+    )
+    nb_expr = (
+        "GREATEST(8, LEAST(24, CAST(ceil(log2(CAST(COUNT(*) AS DOUBLE)"
+        " / 8.0)) AS INT)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    w AS (
+      SELECT CAST({nb_expr} AS BIGINT) AS nb,
+             CAST((1 << {nb_expr}) - 1 AS INT) AS msk,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM e
+    ),
+    c AS MATERIALIZED (SELECT vec_id, v, {codes_arr} AS cs FROM e),
+    s AS MATERIALIZED (
+      SELECT vec_id, v FROM c
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{sample_lt}'
+    ),
+    truth AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.v', 'b.v')} >= {threshold}
+    ),
+    hit AS (
+      SELECT t.ia, t.ib
+      FROM truth t
+      JOIN c ca ON ca.vec_id = t.ia
+      JOIN c cb ON cb.vec_id = t.ib, w
+      WHERE ({or_pred})
+    )
+    SELECT (SELECT n_vectors FROM w) AS n_vectors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_sampled,
+           (SELECT nb FROM w) AS nb,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_sampled,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_caught_sampled,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((SELECT COUNT(*) FROM hit) * 1000000
+                          // (SELECT COUNT(*) FROM truth) AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                 AND (SELECT COUNT(*) FROM hit) * 1000000
+                     >= {target_ppm} * (SELECT COUNT(*) FROM truth)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS certified
+    """
+
+
+@extra_query(
+    "dedup_semantic_recall_cert",
+    _semantic_recall_cert_oracle(0.3, 32, 64, "80000000", 990000),
+)
+def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup RECALL CERTIFICATE (D286) — makes the SCALE.md
+    claim behind D206 itself an oracle-audited artifact (VERDICT r10
+    task 7 candidate): does the auto-width 32-table sign-LSH
+    configuration catch ≥ 99% of true pairs at the corpus's qualifying
+    threshold? One row: corpus size, the auto width nb the D206 rule
+    picks for THIS corpus, sampled-truth pair count, how many of those
+    pairs collide in ≥1 table at width nb, the recall estimate, and
+    the certified 0/1 verdict. The threshold is pinned at 0.3 — the
+    fixture's qualifying regime (its max pairwise cosine is ~0.51, so
+    a production 0.85 gate would certify vacuously) and deliberately
+    the near-orthogonal regime where sign-LSH CANNOT prune (the D165
+    measured honesty): on these fixtures the certificate correctly
+    reports certified = 0 — the pre-release answer that stops a team
+    from shipping a corpus dedup'd with a silently-lossy config. On a
+    true near-dup corpus (pairs at cos ≥ 0.9) the same certificate
+    passes — pinned by the planted high-cosine fixture in
+    tests/test_round11_ops.py. When a growing corpus pushes nb up
+    (bucket-size discipline) until per-pair collision mass drops below
+    target, a passing certificate flips to 0 — the signal to add
+    tables BEFORE the next release.
+
+    Exactness + scale: truth rides the md5-pinned 50% vector sample
+    (D285 discipline — (rN)²/2 GEMM, the dial that fits any budget);
+    candidacy is checked PER TRUTH PAIR against the 32 per-vector
+    codes (a |truth|×32 join — the certificate never enumerates the
+    candidate pairs, so nothing here is ever corpus-quadratic); nb =
+    clamp(ceil(log2(N/8)), 8, 24) from each engine's own COUNT (D206
+    convention, prefix-consistent planes ⇒ the DuckDB twin masks its
+    static 24-bit codes to identical bits). Every output is an integer
+    count, truncating ppm, or pinned CASE."""
+    import math
+
+    from mapreduce_project_spark.operators.similarity import (
+        cosine_pairs_gemm,
+        lsh_codes_exact,
+        rademacher_signs_pc,
+    )
+
+    threshold, n_tables, target_ppm = 0.3, 32, 990000
+    emb = t(spark, sf_dir, "embeddings")
+    n_rows = emb.count()  # metadata-scale driver action (one COUNT)
+    nb = max(8, min(24, math.ceil(math.log2(max(n_rows, 1) / 8 or 1))))
+    coded = lsh_codes_exact(
+        emb, "vec_id", "embedding", rademacher_signs_pc(n_tables, nb, 64)
+    )
+    samp = emb.filter(
+        F.expr("substr(md5(cast(vec_id as string)), 1, 8) < '80000000'")
+    )
+    truth = cosine_pairs_gemm(
+        samp.withColumn("blk", F.lit(0)), "vec_id", "embedding", threshold, "blk"
+    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+    ca = coded.select(
+        F.col("id").alias("ia"), "table", F.col("code").alias("code_a")
+    )
+    cb = coded.select(
+        F.col("id").alias("ib"), "table", F.col("code").alias("code_b")
+    )
+    hit = (
+        truth.join(ca, "ia")
+        .join(cb, ["ib", "table"])
+        .filter(F.col("code_a") == F.col("code_b"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    summary = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_sampled"))
+        .crossJoin(
+            hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_caught_sampled"))
+        )
+        .crossJoin(samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled")))
+    )
+    return summary.select(
+        F.lit(n_rows).cast("bigint").alias("n_vectors"),
+        "n_sampled",
+        F.lit(nb).cast("bigint").alias("nb"),
+        "n_true_sampled",
+        "n_caught_sampled",
+        F.when(F.col("n_true_sampled") == 0, F.lit(0))
+        .otherwise(F.expr("n_caught_sampled * 1000000 div n_true_sampled"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.when(
+            (F.col("n_true_sampled") > 0)
+            & (
+                F.col("n_caught_sampled") * 1000000
+                >= F.lit(target_ppm) * F.col("n_true_sampled")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("certified"),
+    )
+
+
 # DuckDB twin of the SQ2 codebook: identical milli quantization (the
 # D219 float32->DOUBLE widening discipline), identical 4x-scaled exact
 # quartiles, identical shifted-floor reconstruction means.

@@ -2875,15 +2875,62 @@ def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE = """
+# The k-gram hash shared by both engines (round-11, replacing the md5
+# hex-bridge that dominated the query's sf0.1 wall — VERDICT r10 task
+# 5): the normalized alphabet is exactly [a-z], so the 8-gram encodes
+# INJECTIVELY as base-26 (code < 26^8 ~ 2.09e11), then one
+# multiply-mod-Mersenne61 scrambles the order the min-selection sees.
+# max(code)*M = 9.1889e18 < 2^63-1, so the product never overflows;
+# both operands non-negative, so Spark % and DuckDB % agree. Pure
+# integer codegen on both engines — no digest, no hex parse.
+_WINNOW_MIX = 44002859
+_WINNOW_MOD = 2305843009213693951  # 2^61 - 1
+
+
+def _winnow_hash(s: str, j: str, cast_int: bool) -> str:
+    """The unrolled base-26 encode + mix, rendered for either engine
+    (DuckDB substr needs INT positions; Spark takes BIGINT). Every
+    digit weight is CAST to BIGINT explicitly: ascii() is INT and the
+    small powers of 26 parse as INT32, so an uncast product would run
+    in 32-bit arithmetic and overflow at d >= 6 (25 * 26^6 > 2^31)."""
+    pos = (f"CAST({j} + {{d}} AS INT)" if cast_int else f"{j} + {{d}}")
+    code = " + ".join(
+        f"(ascii(substr({s}, {pos.format(d=d)}, 1)) - 97)"
+        f" * CAST({26 ** d} AS BIGINT)"
+        for d in range(8)
+    )
+    return f"(({code}) * CAST({_WINNOW_MIX} AS BIGINT)) % {_WINNOW_MOD}"
+
+
+def _winnow_hash_arr() -> str:
+    """The Spark-side form of the same hash: all per-position hashes in
+    ONE transform over the doc's char-code array `a` (posexplode'd by
+    the caller). MEASURED (round-11 A/B at sf0.1): per-position
+    ``substr(s, j+d, 1)`` is an O(j) codepoint scan from the string
+    start in Spark's UTF8String, so the unrolled-substr form was
+    O(len²) per doc (10.7 s vs 5.9 s for this array form at the hash
+    stage); ``element_at`` on the int array is O(1). Values are
+    bit-identical to `_winnow_hash` — the DuckDB twin keeps the substr
+    render (byte-indexed there, and oracle scale is small)."""
+    code = " + ".join(
+        f"(element_at(a, cast(j + {d} as int)) - 97)"
+        f" * CAST({26 ** d} AS BIGINT)"
+        for d in range(8)
+    )
+    return (
+        f"transform(sequence(1, np),"
+        f" j -> (({code}) * CAST({_WINNOW_MIX} AS BIGINT)) % {_WINNOW_MOD})"
+    )
+
+
+_WINNOW_ORACLE = f"""
     WITH norm AS MATERIALIZED (
       SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s
       FROM documents
     ),
     kg AS MATERIALIZED (
       SELECT doc_id, CAST(i AS BIGINT) AS j,
-             CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 15)
-                  AS BIGINT) AS h,
+             CAST({_winnow_hash('s', 'i', True)} AS BIGINT) AS h,
              CAST(len(s) - 7 AS BIGINT) AS np
       FROM norm, LATERAL unnest(generate_series(1, len(s) - 7)) AS g(i)
       WHERE len(s) >= 8
@@ -2934,7 +2981,7 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints): stop-fingerprints with df > 16 are dropped before
     pairing (no pair evidence, df² candidate mass — the AllPairs
     hazard class), and the relative 20% floor keeps incidental
-    locality out; 265 pairs at sf0.1, ≈ the true near-dup set plus
+    locality out; 244 pairs at sf0.1, ≈ the true near-dup set plus
     genuine local overlaps. The guarantee the other
     dedup families don't give: any shared substring of length
     >= w + k − 1 = 13 normalized chars yields at least one SHARED
@@ -2943,53 +2990,65 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection), where shingle-Jaccard (global) dilutes a short shared
     run and exact-substring needs full runs aligned.
 
-    Cross-engine determinism: the hash is the md5 hex-bridge 60-bit
-    integer (the proven conv/CAST pairing), so both engines select the
-    IDENTICAL positions — selection order is (hash ASC, position DESC),
-    expressed as ONE partial-aggregable MIN over the struct (h, −j)
-    (lexicographic struct-min ≡ the row_number tie-break; the round-10
-    rewrite of the original per-window row_number: min-by-struct
-    combines MAP-SIDE, so the 6× window explode collapses inside each
-    scan partition before the only wide shuffle carries one row per
-    (doc, window) — the weighted-median cells-first move; measured
-    6.9 s → see SCALING.md, outputs hash-equal at three SFs).
-    Scale shape: k-gram explode is map-side; window membership is a
-    bounded 6× explode; the per-(doc, window) argmin is the partial
-    agg above; the corpus then shrinks to fingerprint
-    density 2/(w+1) ≈ 29% before the only corpus-wide join, which is
-    fingerprint-keyed (an inverted index, bounded by per-hash df like
-    every posting join in the C2 family). Planted cross-position
-    shared-paragraph fixture pinned in tests/test_dedup.py."""
+    Cross-engine determinism: the hash is the base-26 INJECTIVE
+    encode of the [a-z]⁸ k-gram (code < 26⁸ ≈ 2.09e11) scrambled by
+    one multiply-mod-2⁶¹−1 — pure integer codegen in BOTH engines
+    (round-11 rewrite of the md5 hex-bridge: digest + hex substring +
+    base-16 conv per corpus position; max(code)·M = 9.19e18 never
+    overflows int64, and injectivity means within-corpus hash
+    collisions are impossible rather than ~2⁻⁶⁰), so both engines
+    select IDENTICAL positions — selection order is (hash ASC,
+    position DESC) as a lexicographic struct-min. Round-11 measured
+    retune (VERDICT r10 task 5, A/B'd at sf0.1): the md5 bridge
+    itself was NOT the dominant constant (md5 ≈ integer hash at the
+    stage level once the integer form indexes a char-code ARRAY —
+    per-position substr is an O(j) UTF8 scan, 10.7 vs 5.9 s); the
+    real win was replacing the 6× window-membership explode + partial
+    agg with ONE doc-keyed frame window (min-struct over ROWS 5
+    PRECEDING — same one-row-per-position shuffle volume, none of the
+    6× row materialization; stage 12.7 → 9.1 s, identical fingerprint
+    set). Full query: 8.1 → 3.7 s warm at sf0.1, hash-equal at three
+    SFs. Scale shape: per-position hashes ride one array transform
+    (map-side); the frame window partitions by doc (per-doc work
+    bounded by the n_chars cap); the corpus then shrinks to
+    fingerprint density 2/(w+1) ≈ 29% before the only corpus-wide
+    join, which is fingerprint-keyed (an inverted index, bounded by
+    per-hash df like every posting join in the C2 family). Planted
+    cross-position shared-paragraph fixture pinned in
+    tests/test_dedup.py."""
     K, W = 8, 6
     docs = t(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id", F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("s")
     )
+    # per-position hashes in one array transform (O(1) element_at on
+    # the char-code array — see _winnow_hash_arr for the measured
+    # O(len²) substr hazard this avoids)
     kg = (
         norm.filter(F.length("s") >= K)
-        .select("doc_id", "s", F.expr(f"length(s) - {K - 1}").alias("np"))
-        .select("doc_id", "np", "s", F.explode(F.expr("sequence(1, np)")).alias("j"))
         .select(
             "doc_id",
-            "np",
-            "j",
-            F.expr(
-                f"cast(conv(substr(md5(cast(substr(s, j, {K}) AS binary)),"
-                " 1, 15), 16, 10) AS bigint)"
-            ).alias("h"),
+            F.expr(f"length(s) - {K - 1}").alias("np"),
+            F.expr("transform(split(s, ''), c -> ascii(c))").alias("a"),
         )
+        .select("doc_id", "np", F.expr(f"posexplode({_winnow_hash_arr()}) AS (p, h)"))
+        .select("doc_id", "np", (F.col("p") + 1).alias("j"), "h")
     )
-    grid = kg.withColumn("nw", F.expr(f"greatest(1L, np - {W - 1})")).select(
+    # rightmost-min of each 6-window as ONE frame window (round-11
+    # rewrite of the 6x window-membership explode + partial agg: the
+    # doc-keyed window shuffles one row per POSITION — same volume as
+    # the map-side-combined grid, none of the 6x row materialization;
+    # measured 12.7 -> 9.1 s at sf0.1 with the identical fingerprint
+    # set). Row j >= W is the window ending at j; a doc shorter than
+    # one window (np < W) keeps its j = np row, the single all-
+    # positions window — exactly the grid's nw = 1 clamp.
+    winners = kg.selectExpr(
         "doc_id",
+        "np",
         "j",
-        "h",
-        F.explode(
-            F.expr(f"sequence(greatest(1L, j - {W - 1}), least(j, nw))")
-        ).alias("i"),
-    )
-    winners = grid.groupBy("doc_id", "i").agg(
-        F.min(F.struct(F.col("h"), (-F.col("j")).alias("nj"))).alias("m")
-    )
+        f"min(struct(h, -j AS nj)) OVER (PARTITION BY doc_id ORDER BY j"
+        f" ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW) AS m",
+    ).filter(F.expr(f"j >= {W} OR j = np"))
     fps = winners.select("doc_id", F.col("m.h").alias("h")).distinct().cache()
     dfh = fps.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
     rare = fps.join(dfh.filter(F.col("dfc") <= 16).select("h"), "h")

@@ -1801,6 +1801,320 @@ def _v7_oracle() -> str:
     """
 
 
+# DuckDB twin of the v8 cross-modality release: nests the D252 KN and
+# D247 readability sub-oracles verbatim, plus the D248 hygiene class
+# ladder + Tukey fence (copied fragment, cited) as the vector gate.
+def _v8_oracle() -> str:
+    from mapreduce_project_spark.plans.text_queries import (
+        _KN_ORACLE,
+        _READABILITY_ORACLE,
+    )
+
+    return f"""
+    WITH kn AS ({_KN_ORACLE}),
+    rd AS ({_READABILITY_ORACLE}),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    classed AS (
+      -- the D248 hygiene ladder (similarity_queries._HYGIENE_ORACLE)
+      SELECT vec_id,
+             CASE
+               WHEN embedding IS NULL THEN 'null'
+               WHEN len(embedding) <> 64 THEN 'wrong_dim'
+               WHEN len(list_filter(embedding,
+                        x -> isnan(CAST(x AS DOUBLE))
+                             OR isinf(CAST(x AS DOUBLE)))) > 0
+                 THEN 'nonfinite'
+               ELSE 'ok'
+             END AS cls0,
+             CASE
+               WHEN embedding IS NULL OR len(embedding) <> 64
+                    OR len(list_filter(embedding,
+                           x -> isnan(CAST(x AS DOUBLE))
+                                OR isinf(CAST(x AS DOUBLE)))) > 0
+                 THEN NULL
+               ELSE (
+                 SELECT CAST(SUM(q * q) AS BIGINT) FROM (
+                   SELECT CAST(floor(CAST(u AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                     AS q
+                   FROM unnest(embedding) AS t(u)))
+             END AS norm2q
+      FROM embeddings
+    ),
+    finalv AS (
+      SELECT vec_id,
+             CASE WHEN cls0 <> 'ok' THEN cls0
+                  WHEN norm2q = 0 THEN 'zero' ELSE 'valid' END AS cls,
+             norm2q
+      FROM classed
+    ),
+    fence AS (
+      SELECT CAST(4 * quantile_cont(norm2q, 0.25) AS BIGINT) AS q1_4,
+             CAST(4 * quantile_cont(norm2q, 0.75) AS BIGINT) AS q3_4
+      FROM finalv WHERE cls = 'valid'
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             CASE WHEN cls <> 'valid' THEN 'invalid'
+                  WHEN 8 * norm2q < 2 * q1_4 - 3 * (q3_4 - q1_4)
+                    OR 8 * norm2q > 2 * q3_4 + 3 * (q3_4 - q1_4)
+                    THEN 'outlier'
+                  ELSE 'pass' END AS vstatus
+      FROM finalv CROSS JOIN fence
+    ),
+    cand AS (
+      SELECT d.doc_id, d.source, kn.avg_nll_micro, rd.n_words, rd.fkgl_milli,
+             COALESCE(vec.vstatus, 'missing') AS vstatus
+      FROM documents d
+      JOIN keep ON keep.doc_id = d.doc_id
+      JOIN kn ON kn.doc_id = d.doc_id
+      JOIN rd ON rd.doc_id = d.doc_id
+      LEFT JOIN vec ON vec.doc_id = d.doc_id
+    ),
+    drops AS (
+      SELECT source,
+             CAST(COUNT(*) FILTER (WHERE vstatus = 'missing') AS BIGINT)
+               AS n_dropped_vec_missing,
+             CAST(COUNT(*) FILTER (WHERE vstatus = 'invalid') AS BIGINT)
+               AS n_dropped_vec_invalid,
+             CAST(COUNT(*) FILTER (WHERE vstatus = 'outlier') AS BIGINT)
+               AS n_dropped_vec_outlier
+      FROM cand GROUP BY source
+    ),
+    passed AS (SELECT * FROM cand WHERE vstatus = 'pass'),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM passed),
+    ranked AS (
+      SELECT doc_id, avg_nll_micro,
+             row_number() OVER (ORDER BY avg_nll_micro, doc_id) AS rk
+      FROM passed
+    ),
+    edge AS (
+      SELECT r.avg_nll_micro AS edge_nll
+      FROM ranked r CROSS JOIN ns
+      WHERE r.rk = (9 * ns.n + 9) // 10
+    ),
+    kndrops AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dropped_kn
+      FROM passed CROSS JOIN edge
+      WHERE avg_nll_micro > edge_nll
+      GROUP BY source
+    ),
+    kept AS (
+      SELECT p.*,
+             CASE WHEN p.fkgl_milli < 5000 THEN 1
+                  WHEN p.fkgl_milli < 9000 THEN 2 ELSE 3 END AS stage
+      FROM passed p CROSS JOIN edge
+      WHERE p.avg_nll_micro <= edge.edge_nll
+    )
+    SELECT k.stage, k.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k.n_words) AS BIGINT) AS n_tokens,
+           CASE WHEN SUM(k.fkgl_milli) >= 0
+                THEN CAST(SUM(k.fkgl_milli) // COUNT(*) AS BIGINT)
+                ELSE -CAST((-SUM(k.fkgl_milli)) // COUNT(*) AS BIGINT)
+           END AS avg_fkgl_milli,
+           CAST(MAX(k.avg_nll_micro) AS BIGINT) AS max_nll_micro,
+           (SELECT edge_nll FROM edge) AS edge_nll_micro,
+           CAST(COALESCE(MIN(dr.n_dropped_vec_missing), 0) AS BIGINT)
+             AS n_dropped_vec_missing,
+           CAST(COALESCE(MIN(dr.n_dropped_vec_invalid), 0) AS BIGINT)
+             AS n_dropped_vec_invalid,
+           CAST(COALESCE(MIN(dr.n_dropped_vec_outlier), 0) AS BIGINT)
+             AS n_dropped_vec_outlier,
+           CAST(COALESCE(MIN(kd.n_dropped_kn), 0) AS BIGINT) AS n_dropped_kn,
+           bit_xor(CAST('0x' || substr(md5('v8:' || CAST(k.doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT)) AS release_checksum
+    FROM kept k
+    LEFT JOIN drops dr ON dr.source = k.source
+    LEFT JOIN kndrops kd ON kd.source = k.source
+    GROUP BY k.stage, k.source
+    """
+
+
+@extra_query("assemble_training_set_v8", _v8_oracle())
+def q_assemble_training_set_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition, generation 8 — the first CROSS-MODALITY
+    release (VERDICT r10 task 7): v7 certifies text learnability
+    order; v8 requires BOTH modalities of a (document, embedding) row
+    to pass their gates before a doc enters the curriculum, and
+    reports per-gate drop attribution so the release manifest says
+    WHY every excluded doc is out. Gate chain: exact digest dedup
+    (min-doc_id survivor) → VECTOR hygiene (the D248 ladder on the
+    doc's embedding joined vec_id = doc_id: class must be 'valid' AND
+    inside the ×8-integer Tukey norm fence; docs with no embedding
+    row drop as 'missing' — a multimodal release ships no
+    text-only rows) → Kneser-Ney p90 perplexity gate (D252, edge
+    rank-extracted over the JOINT-modality survivor pool) → FKGL
+    curriculum staging (D247). Manifest per (stage, source): budgets,
+    the truncating sign-safe mean grade, gate evidence (p90 edge, max
+    NLL), per-source drop counts by cause (vec-missing / vec-invalid /
+    vec-outlier / KN), and the D139 order-independent XOR checksum
+    (pepper 'v8:') pinning the released doc SET.
+
+    Composition discipline: the Spark side calls the registered D252
+    and D247 queries and joins their outputs; the vector gate reuses
+    the D248 class ladder + fence expressions verbatim; the oracle
+    nests all three sub-oracles, so flagship parity transitively
+    re-verifies each. Scale: every sub-operator is linear (their own
+    SURVEY rows); the gate adds one global rank over survivors and
+    ONE (stage, source) partial agg; drop accounting is one
+    source-keyed partial agg over deduped candidates. The embedding
+    payload never shuffles — the gate reduces each vector to a class
+    string and one BIGINT norm at the scan."""
+    from mapreduce_project_spark.operators.windows import global_rank
+    from mapreduce_project_spark.plans.text_queries import (
+        q_text_kn_bigram_score,
+        q_text_readability_scores,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    keep = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kn = q_text_kn_bigram_score(spark, sf_dir).select("doc_id", "avg_nll_micro")
+    rd = q_text_readability_scores(spark, sf_dir).select(
+        "doc_id", "n_words", "fkgl_milli"
+    )
+    # vector gate — the D248 hygiene ladder + fence, reduced to a
+    # per-doc pass/invalid/outlier status (expressions cited from
+    # q_embedding_hygiene_audit)
+    nonfinite = (
+        "exists(embedding, x -> isnan(cast(x as double))"
+        " or cast(x as double) = cast('Infinity' as double)"
+        " or cast(x as double) = cast('-Infinity' as double))"
+    )
+    classed = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "case when embedding is null then 'null'"
+            " when size(embedding) <> 64 then 'wrong_dim'"
+            f" when {nonfinite} then 'nonfinite'"
+            " else 'ok' end"
+        ).alias("cls0"),
+        F.expr(
+            "case when embedding is null or size(embedding) <> 64"
+            f" or {nonfinite} then null"
+            " else aggregate(transform(embedding,"
+            "   x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint)),"
+            "   cast(0 as bigint), (acc, q) -> acc + q * q) end"
+        ).alias("norm2q"),
+    )
+    finalv = classed.select(
+        "vec_id",
+        F.expr(
+            "case when cls0 <> 'ok' then cls0"
+            " when norm2q = 0 then 'zero' else 'valid' end"
+        ).alias("cls"),
+        "norm2q",
+    )
+    fence = finalv.filter(F.col("cls") == "valid").agg(
+        F.expr("cast(4 * percentile(norm2q, 0.25) as bigint)").alias("q1_4"),
+        F.expr("cast(4 * percentile(norm2q, 0.75) as bigint)").alias("q3_4"),
+    )
+    vec = (
+        finalv.crossJoin(F.broadcast(fence))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "case when cls <> 'valid' then 'invalid'"
+                " when 8 * norm2q < 2 * q1_4 - 3 * (q3_4 - q1_4)"
+                "   or 8 * norm2q > 2 * q3_4 + 3 * (q3_4 - q1_4)"
+                "   then 'outlier'"
+                " else 'pass' end"
+            ).alias("vstatus"),
+        )
+    )
+    cand = (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id")
+        .join(kn, "doc_id")
+        .join(rd, "doc_id")
+        .join(vec, "doc_id", "left")
+        .withColumn("vstatus", F.coalesce(F.col("vstatus"), F.lit("missing")))
+        .cache()
+    )
+    drops = cand.groupBy("source").agg(
+        F.expr("sum(case when vstatus = 'missing' then 1 else 0 end)")
+        .cast("bigint")
+        .alias("n_dropped_vec_missing"),
+        F.expr("sum(case when vstatus = 'invalid' then 1 else 0 end)")
+        .cast("bigint")
+        .alias("n_dropped_vec_invalid"),
+        F.expr("sum(case when vstatus = 'outlier' then 1 else 0 end)")
+        .cast("bigint")
+        .alias("n_dropped_vec_outlier"),
+    )
+    passed = cand.filter(F.col("vstatus") == "pass")
+    ns = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = global_rank(
+        passed.select("doc_id", "avg_nll_micro"), ["avg_nll_micro", "doc_id"], "rk"
+    )
+    edge = (
+        ranked.crossJoin(F.broadcast(ns))
+        .filter(F.expr("rk = (9 * n + 9) div 10"))
+        .select(F.col("avg_nll_micro").alias("edge_nll"))
+    )
+    kndrops = (
+        passed.crossJoin(F.broadcast(edge))
+        .filter(F.col("avg_nll_micro") > F.col("edge_nll"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped_kn"))
+    )
+    kept = (
+        passed.crossJoin(F.broadcast(edge))
+        .filter(F.col("avg_nll_micro") <= F.col("edge_nll"))
+        .withColumn(
+            "stage",
+            F.expr(
+                "case when fkgl_milli < 5000 then 1"
+                " when fkgl_milli < 9000 then 2 else 3 end"
+            ).cast("bigint"),
+        )
+    )
+    return (
+        kept.groupBy("stage", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "case when sum(fkgl_milli) >= 0"
+                " then cast(sum(fkgl_milli) div count(*) as bigint)"
+                " else -cast((-sum(fkgl_milli)) div count(*) as bigint) end"
+            ).alias("avg_fkgl_milli"),
+            F.max("avg_nll_micro").cast("bigint").alias("max_nll_micro"),
+            F.first("edge_nll").cast("bigint").alias("edge_nll_micro"),
+            F.expr(
+                "bit_xor(cast(conv(substr(md5(cast(concat('v8:',"
+                " cast(doc_id as string)) as binary)), 1, 15), 16, 10)"
+                " as bigint))"
+            ).alias("release_checksum"),
+        )
+        .join(F.broadcast(drops), "source", "left")
+        .join(F.broadcast(kndrops), "source", "left")
+        .select(
+            "stage",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_fkgl_milli",
+            "max_nll_micro",
+            "edge_nll_micro",
+            F.coalesce("n_dropped_vec_missing", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_vec_missing"),
+            F.coalesce("n_dropped_vec_invalid", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_vec_invalid"),
+            F.coalesce("n_dropped_vec_outlier", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_vec_outlier"),
+            F.coalesce("n_dropped_kn", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_kn"),
+            "release_checksum",
+        )
+    )
+
+
 @extra_query("assemble_training_set_v7", _v7_oracle())
 def q_assemble_training_set_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP composition, generation 7 — the CURRICULUM-ordered

@@ -632,3 +632,44 @@ def test_itemcf_planted_copurchase_geometry(spark, tmp_path):
     assert r["sim2_micro"] == 666_666 and r["rk"] == 1
     # C(300): only D(400) survives; C-A pruned
     assert [r["neighbor"] for r in by_part[300]] == [400]
+
+
+def test_itemcf_data_dependent_whale_cap_drops_outlier_basket(spark, tmp_path):
+    # Round-11 auto-cap (the D206 pattern): whale = basket > 4 * exact
+    # p90 basket size, floor 8. Plant 30 two-part baskets all
+    # co-purchasing {A,B} (p90 = 2 -> cap = 8) plus ONE 20-part whale
+    # that is the only co-purchase evidence for pair (C,D): the whale
+    # exceeds the cap, so (C,D) must NOT appear, while (A,B) keeps all
+    # 30 counts — and n_a/n_b exclude the whale's memberships too.
+    import mapreduce_project_spark.queries_registry as R
+
+    orders, lines, ok = [], [], 0
+    for cust in range(1, 31):
+        ok += 1
+        orders.append((ok, cust))
+        lines.append((ok, 100))
+        lines.append((ok, 200))
+    ok += 1
+    orders.append((ok, 999))
+    for p in [300, 400] + [500 + k for k in range(18)]:  # 20-part whale
+        lines.append((ok, p))
+    # a second (C,D) co-purchase from another whale-sized basket so the
+    # pair would pass min-support if whales were admitted
+    ok += 1
+    orders.append((ok, 998))
+    for p in [300, 400] + [600 + k for k in range(18)]:
+        lines.append((ok, p))
+    spark.createDataFrame(orders, "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(lines, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = R.ALL_QUERIES["itemcf_topk"](spark, str(tmp_path)).collect()
+    parts_seen = {r["part"] for r in rows}
+    assert 300 not in parts_seen and 400 not in parts_seen
+    a_rows = [r for r in rows if r["part"] == 100]
+    assert [r["neighbor"] for r in a_rows] == [200]
+    assert (a_rows[0]["n_ab"], a_rows[0]["n_a"], a_rows[0]["n_b"]) == (30, 30, 30)
+    assert a_rows[0]["sim2_micro"] == 1_000_000  # perfect co-purchase

@@ -8,7 +8,7 @@ from __future__ import annotations
 import hashlib
 
 import mapreduce_project_spark.queries_registry as R
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, rows_of
 
 # ---------------------------------------------------------------- D285
 
@@ -75,3 +75,159 @@ def test_sampled_ladder_truth_gated_by_md5_sample(spark, tmp_path):
     # both identical pairs are candidates at full width on BOTH queries
     assert (samp.n_candidates >= 2).all()
     assert list(samp.n_candidates) == list(exact.n_candidates)
+
+
+# ---------------------------------------------------------------- D286
+
+
+def _in_half_sample(i: int) -> bool:
+    return hashlib.md5(str(i).encode()).hexdigest()[:8] < "80000000"
+
+
+def test_recall_cert_certifies_planted_high_cosine_corpus(spark, tmp_path):
+    # On a TRUE near-dup corpus the certificate must pass: plant two
+    # identical-vector pairs with all four ids inside the 50% md5
+    # sample (6, 9) and (11, 17) — identical vectors share every LSH
+    # code, so both pairs are caught at any width -> recall 1e6,
+    # certified = 1. Background = disjoint one-hots (pairwise cos 0).
+    for i in (6, 9, 11, 17):
+        assert _in_half_sample(i)
+    vec_a = [1.0 if d < 4 else 0.0 for d in range(64)]
+    vec_b = [1.0 if 4 <= d < 8 else 0.0 for d in range(64)]
+    rows = [(6, vec_a, 0), (9, vec_a, 0), (11, vec_b, 0), (17, vec_b, 0)]
+    for k, i in enumerate([0, 1, 2, 3, 4, 5, 7, 8, 10, 12]):
+        rows.append((i, [1.0 if d == 8 + k else 0.0 for d in range(64)], 1))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = R.ALL_QUERIES["dedup_semantic_recall_cert"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert got["n_true_sampled"] == 2
+    assert got["n_caught_sampled"] == 2
+    assert got["recall_ppm"] == 1000000
+    assert got["certified"] == 1
+    assert got["nb"] == 8  # clamp floor at this corpus size
+
+
+def test_recall_cert_honestly_fails_near_orthogonal_fixture(spark, duck):
+    # The fixture's qualifying regime (cos >= 0.3, max pair ~0.51) is
+    # the documented cannot-prune zone for sign-LSH: the certificate
+    # must be NON-vacuous and must NOT certify — the pre-release
+    # answer that stops a lossy-config ship.
+    got = R.ALL_QUERIES["dedup_semantic_recall_cert"](spark, SF_DIR).collect()[0]
+    assert got["n_true_sampled"] > 0, "vacuous certificate"
+    assert 0 < got["n_caught_sampled"] < got["n_true_sampled"]
+    assert got["certified"] == 0
+
+
+# ---------------------------------------------------------------- D287
+
+
+def test_v8_drop_attribution_per_modality_gate(spark, tmp_path):
+    # 12 docs, one source: 9 with valid identical-norm embeddings
+    # (pass), one NULL embedding (invalid), one wrong-dim (invalid),
+    # one with a 100x-norm embedding (outlier via the zero-IQR fence),
+    # and one doc with NO embedding row (missing). The release must
+    # ship exactly the 9 passing docs (p90 edge at n=9 keeps all) and
+    # the manifest must attribute every drop to its gate.
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "alpha beta gamma delta epsilon theta",
+        "alpha beta gamma delta epsilon iota",
+        "alpha beta gamma delta epsilon kappa",
+        "alpha beta gamma delta epsilon lam",
+        "alpha beta gamma delta epsilon mu",
+        "alpha beta gamma delta epsilon nu",
+        "alpha beta gamma delta epsilon xi",
+        "alpha beta gamma delta epsilon omicron",  # null embedding
+        "alpha beta gamma delta epsilon pi",       # wrong-dim
+        "alpha beta gamma delta epsilon rho",      # outlier norm
+        "alpha beta gamma delta epsilon sigma",    # missing row
+    ]
+    docs = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    good = [0.1] * 64
+    emb = [(i, good, 0) for i in range(9)]
+    emb.append((9, None, 0))
+    emb.append((10, [1.0, 2.0], 0))
+    emb.append((11, [10.0] * 64, 0))
+    # doc 12 has no embedding row at all
+    spark.createDataFrame(
+        emb, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = R.ALL_QUERIES["assemble_training_set_v8"](spark, str(tmp_path)).toPandas()
+    assert int(got.n_docs.sum()) == 9
+    drops = set(
+        zip(
+            got.n_dropped_vec_missing,
+            got.n_dropped_vec_invalid,
+            got.n_dropped_vec_outlier,
+            got.n_dropped_kn,
+        )
+    )
+    assert drops == {(1, 2, 1, 0)}, drops
+
+
+def test_v8_matches_oracle_on_planted_fixture(spark, tmp_path):
+    # Same planted fixture shape, hash-compared against the nested
+    # oracle (flagship parity transitively re-verifies the KN,
+    # readability and hygiene sub-oracles on the poison classes).
+    test_v8_drop_attribution_per_modality_gate(spark, tmp_path)
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    got = R.ALL_QUERIES["assemble_training_set_v8"](spark, str(tmp_path)).toPandas()
+    want = con.sql(R.ALL_ORACLES["assemble_training_set_v8"]).df()
+    assert rows_of(got) == rows_of(want)
+
+
+# ---------------------------------------------------------------- D288
+
+
+def test_join_order_advisor_predictions_equal_actual_join_sizes(spark, duck):
+    # The advisor's numbers are EXACT counts, not estimates: audit by
+    # running the actual filtered joins and comparing row counts.
+    from pyspark.sql import functions as F
+
+    got = {
+        r["join_order"]: r
+        for r in R.ALL_QUERIES["join_order_advisor"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {"customer_orders_first", "orders_lineitem_first"}
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    i1 = cu.join(od, cu["c_custkey"] == od["o_custkey"]).count()
+    i2 = od.join(li, od["o_orderkey"] == li["l_orderkey"]).count()
+    fin = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"])
+        .join(li, od["o_orderkey"] == li["l_orderkey"])
+        .count()
+    )
+    assert got["customer_orders_first"]["intermediate_rows"] == i1
+    assert got["orders_lineitem_first"]["intermediate_rows"] == i2
+    assert got["customer_orders_first"]["final_rows"] == fin
+    assert got["orders_lineitem_first"]["final_rows"] == fin
+    # the chosen order is the provable minimum
+    chosen = [r for r in got.values() if r["chosen"] == 1]
+    assert len(chosen) == 1
+    assert chosen[0]["intermediate_rows"] == min(i1, i2)
+    ranks = sorted(r["rank"] for r in got.values())
+    assert ranks == [1, 2]
