@@ -914,7 +914,17 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # eligible for round 12+): lsh_width_ladder_sampled (D285, the
 # sampled-truth width-ladder twin — exact candidate counts at full N,
 # recall estimated over the md5-pinned 25% vector sample; carries the
-# decade row the exact D221 deliberately lacks).
+# decade row the exact D221 deliberately lacks);
+# dedup_semantic_recall_cert (D286, the oracle-audited recall
+# certificate for the D206 auto-width config — honest certified=0 at
+# the fixture's near-orthogonal regime, planted pass-path fixture);
+# assemble_training_set_v8 (D287, the first cross-modality flagship:
+# text gates x D248 vector hygiene with per-gate drop attribution);
+# join_order_advisor (D288, exact left-deep order choice for the Q3
+# 3-way join from D277 count-table product-sums, prediction==actual
+# pinned). Round-11 retunes: text_winnow_pairs (injective base-26
+# integer hash + frame-window selection, 8.1 -> 3.7 s at sf0.1) and
+# itemcf_topk (data-dependent whale cap = 4x exact p90 basket size).
 #
 # Round-12 rotation seed (wave 2 of the round-10 backlog burn —
 # VERDICT r10 task 1 planned two waves; round 11 took D220–D258):

@@ -230,6 +230,9 @@ SF1_QUERIES = [
     # the pinned 25% vector sample (1/16 of the pair mass), while the
     # candidate counts stay exact at full N.
     "lsh_width_ladder_sampled",
+    "dedup_semantic_recall_cert",
+    "assemble_training_set_v8",
+    "join_order_advisor",
 ]
 SF1_REPS = 2
 
