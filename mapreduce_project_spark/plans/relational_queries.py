@@ -3185,3 +3185,94 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as bigint)"
         ).alias("chosen"),
     )
+
+
+# Logical row-byte conventions for the layout advisor, pinned
+# identically on both engines: 8 B for BIGINT/DOUBLE/TIMESTAMP, 4 B
+# for INTEGER, VARCHAR = utf-8 octet_length (+4 B offset entry, NULL
+# counted as the bare offset). These are LOGICAL planning bytes (what
+# a shuffle row costs), not parquet-encoded bytes.
+_LAYOUT_TABLES = (
+    ("lineitem", 8 * 3 + 4 + 8 * 4 + 8 + 4 * 2,
+     ("l_returnflag", "l_linestatus")),
+    ("orders", 8 * 2 + 8 + 8 + 4 * 2, ("o_orderstatus", "o_orderpriority")),
+    ("events", 8 * 3 + 8 + 4 * 2, ("event_type", "props")),
+)
+
+_TARGET_PART_BYTES = 134217728  # 128 MiB, the maxPartitionBytes default
+
+
+def _layout_varbytes(cols: tuple) -> str:
+    # DuckDB's utf-8 byte length is strlen() (octet_length is
+    # BLOB-only there); Spark's is octet_length() — same value.
+    return " + ".join(f"COALESCE(strlen({c}), 0)" for c in cols)
+
+
+_LAYOUT_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0) AS BIGINT)
+             AS logical_bytes,
+           CAST((COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0)
+                 + {_TARGET_PART_BYTES - 1}) // {_TARGET_PART_BYTES}
+                AS BIGINT) AS recommended_partitions,
+           CAST(COUNT(*) // ((COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0)
+                 + {_TARGET_PART_BYTES - 1}) // {_TARGET_PART_BYTES})
+                AS BIGINT) AS rows_per_partition,
+           CAST(COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0) // COUNT(*)
+                AS BIGINT) AS avg_row_bytes
+    FROM {name}
+    """
+    for name, fixed, cols in _LAYOUT_TABLES
+)
+
+
+@extra_query("partition_layout_advisor", _LAYOUT_ORACLE)
+def q_partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-LAYOUT advisor (D291) — the ops-side number that sizes
+    `spark.sql.shuffle.partitions` / `maxPartitionBytes` BEFORE a 100 TB
+    job runs (the brief's spill-aware mandate, turned into a query):
+    per fact table, the exact logical byte mass under a pinned
+    row-cost convention (8 B fixed-width numerics/timestamps, 4 B
+    INTEGER, VARCHAR = octet_length + 4 B offset — the cost of a row
+    crossing a shuffle, NOT its parquet-encoded size), the partition
+    count that hits the 128 MiB default target, and the resulting
+    rows-per-partition — the three numbers that decide whether a
+    stage spills at the target SF. Exactness: every figure is an
+    exact BIGINT sum of integer widths (ceil via the add-then-div
+    trick); both engines agree because octet_length is UTF-8 bytes in
+    each. Plan: ONE partial agg per table (count + one SUM of a
+    per-row integer expression at the scan — zero shuffle beyond the
+    final singleton), three rows out at any corpus size."""
+    frames = []
+    for name, fixed, cols in _LAYOUT_TABLES:
+        var = " + ".join(f"coalesce(octet_length({c}), 0)" for c in cols)
+        df = t(spark, sf_dir, name).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.expr(f"sum({fixed} + {var})"), F.lit(0))
+            .cast("bigint")
+            .alias("logical_bytes"),
+        )
+        frames.append(
+            df.select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "logical_bytes",
+                F.expr(
+                    f"cast((logical_bytes + {_TARGET_PART_BYTES - 1})"
+                    f" div {_TARGET_PART_BYTES} as bigint)"
+                ).alias("recommended_partitions"),
+                F.expr(
+                    f"cast(n_rows div ((logical_bytes + {_TARGET_PART_BYTES - 1})"
+                    f" div {_TARGET_PART_BYTES}) as bigint)"
+                ).alias("rows_per_partition"),
+                F.expr("cast(logical_bytes div n_rows as bigint)").alias(
+                    "avg_row_bytes"
+                ),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

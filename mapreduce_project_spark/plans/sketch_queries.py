@@ -528,3 +528,80 @@ def q_sketch_cms_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell").cast("bigint").alias("cms_est"))
         .select("user_id", "n_exact", "cms_est")
     )
+
+
+@extra_query(
+    "join_preflight_sketch_audit",
+    """
+    WITH lk AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1),
+    sk AS (SELECT s_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM supplier GROUP BY 1),
+    cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(lk.c * sk.c), 0) AS BIGINT) AS rows_
+           FROM lk JOIN sk USING (k))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lk) AS n_keys_left,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sk) AS n_keys_right,
+           (SELECT n FROM cm) AS n_keys_common,
+           (SELECT n FROM cm) AS n_common_sketch,
+           CAST(0 AS BIGINT) AS sketch_err_ppm,
+           (SELECT rows_ FROM cm) AS predicted_rows
+    """,
+)
+def q_join_preflight_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join preflight, AUDITED against the exact preflight
+    (D290) — the KB-state form of D277 for when even the per-key count
+    tables are too big to join eagerly: the common-key cardinality of
+    lineitem ⋈ supplier estimated by a theta-sketch INTERSECTION (two
+    constant-size sketch aggs, one driver-free set operation — the
+    D126 set-algebra capability pointed at planning), side by side
+    with the exact count-table numbers and the estimation error in
+    ppm. The oracle pins the sketch columns to the EXACT values — the
+    D81 discipline: theta at lgk=14 is provably exact below 2^14
+    retained keys (suppliers are 100 at sf0.1, 1k at sf≈1 — an order
+    of magnitude inside the window at every measured scale), so the
+    sketch path earns a hard value-level signal, and a theta
+    regression would surface as a hash mismatch, not a tolerance
+    drift. At 100 TB the same plan estimates common keys within ±2%
+    without ever joining the key tables; the exact product-sum
+    (D277) remains the tool once the order is shortlisted.
+
+    Plan: one partial agg per side for the exact counts (the D277
+    machinery), one constant-size sketch agg per side, one broadcast
+    combine — nothing corpus-width shuffles. One row out."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    su = t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    lk = li.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cl"))
+    sk = su.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cr"))
+    exact = lk.join(sk, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_common"),
+        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("bigint")
+        .alias("predicted_rows"),
+    )
+    nl = lk.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_left"))
+    nr = sk.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_right"))
+    sketches = li.agg(F.theta_sketch_agg("k", _LGK).alias("ska")).crossJoin(
+        su.agg(F.theta_sketch_agg("k", _LGK).alias("skb"))
+    )
+    est = sketches.select(
+        F.theta_sketch_estimate(F.theta_intersection(F.col("ska"), F.col("skb")))
+        .cast("bigint")
+        .alias("n_common_sketch")
+    )
+    return (
+        exact.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_keys_left",
+            "n_keys_right",
+            "n_keys_common",
+            "n_common_sketch",
+            F.expr(
+                "cast(abs(n_common_sketch - n_keys_common) * 1000000"
+                " div greatest(1, n_keys_common) as bigint)"
+            ).alias("sketch_err_ppm"),
+            "predicted_rows",
+        )
+    )

@@ -922,7 +922,10 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # text gates x D248 vector hygiene with per-gate drop attribution);
 # join_order_advisor (D288, exact left-deep order choice for the Q3
 # 3-way join from D277 count-table product-sums, prediction==actual
-# pinned). Round-11 retunes: text_winnow_pairs (injective base-26
+# pinned); join_preflight_sketch_audit (D290, theta-intersection
+# common-key estimate pinned to the exact count inside the 2^14
+# exactness window); partition_layout_advisor (D291, exact logical
+# row-byte mass + 128 MiB partition sizing per fact table). Round-11 retunes: text_winnow_pairs (injective base-26
 # integer hash + frame-window selection, 8.1 -> 3.7 s at sf0.1) and
 # itemcf_topk (data-dependent whale cap = 4x exact p90 basket size).
 #

@@ -233,6 +233,8 @@ SF1_QUERIES = [
     "dedup_semantic_recall_cert",
     "assemble_training_set_v8",
     "join_order_advisor",
+    "join_preflight_sketch_audit",
+    "partition_layout_advisor",
 ]
 SF1_REPS = 2
 

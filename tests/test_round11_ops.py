@@ -231,3 +231,77 @@ def test_join_order_advisor_predictions_equal_actual_join_sizes(spark, duck):
     assert chosen[0]["intermediate_rows"] == min(i1, i2)
     ranks = sorted(r["rank"] for r in got.values())
     assert ranks == [1, 2]
+
+
+# ---------------------------------------------------------------- D290
+
+
+def test_sketch_preflight_planted_overlap(spark, tmp_path):
+    # suppliers {1..5}, lineitem suppkeys {3..8}: common = {3,4,5};
+    # lineitem has 2 rows per suppkey -> predicted = 3 keys * 2 * 1.
+    # Inside theta's exactness window the sketch MUST equal exact.
+    sup = [(k, f"s{k}") for k in range(1, 6)]
+    li = [(i, k) for i, k in enumerate([3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8])]
+    spark.createDataFrame(sup, "s_suppkey long, s_name string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(li, "l_orderkey long, l_suppkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    got = R.ALL_QUERIES["join_preflight_sketch_audit"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert got["n_keys_left"] == 6 and got["n_keys_right"] == 5
+    assert got["n_keys_common"] == 3
+    assert got["n_common_sketch"] == 3
+    assert got["sketch_err_ppm"] == 0
+    assert got["predicted_rows"] == 6
+
+
+# ---------------------------------------------------------------- D291
+
+
+def test_layout_advisor_planted_row_bytes(spark, tmp_path):
+    # events fixed width = 8*3 + 8 + 4*2 = 40; two rows with 2-byte
+    # event_type and 2-byte props -> 44 B/row, 88 B total, 1 partition.
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10, "ab", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 11, "cd", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    # the advisor also reads lineitem/orders; give it tiny ones
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "A", "F", dt.datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["table_name"]: r
+        for r in R.ALL_QUERIES["partition_layout_advisor"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    ev = got["events"]
+    assert ev["n_rows"] == 2
+    assert ev["logical_bytes"] == 88
+    assert ev["recommended_partitions"] == 1
+    assert ev["rows_per_partition"] == 2
+    assert ev["avg_row_bytes"] == 44
+    # lineitem: fixed 8*3+4+8*4+8+4*2 = 76 + 1 + 1 = 78
+    assert got["lineitem"]["logical_bytes"] == 78
+    # orders: fixed 8+8+8+8+4*2 = 40 + 1 + 8 = 49
+    assert got["orders"]["logical_bytes"] == 49
