@@ -5174,3 +5174,136 @@ def q_text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("score_micro"), "sentence",
         )
     )
+
+
+# DuckDB twin of the query-likelihood retrieval: identical tokenizer,
+# identical Dirichlet integer forms A = tf*T + mu*cf and
+# B = (dlen + mu)*T, identical micro-ln render and (score DESC,
+# doc_id ASC) top-10.
+_QL_ORACLE = f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM toked
+      WHERE len(toks) > 0
+    ),
+    tt AS (
+      SELECT CAST(SUM(len(toks)) AS BIGINT) AS t FROM toked
+    ),
+    occ AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM toked)
+      WHERE tok IN ('spark', 'shuffle', 'vector')
+      GROUP BY 1, 2
+    ),
+    cf AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM occ GROUP BY tok
+    ),
+    grid AS (
+      SELECT d.doc_id, d.dlen, q.tok,
+             COALESCE(occ.tf, 0) AS tf, COALESCE(cf.cf, 0) AS cf, tt.t
+      FROM d
+      CROSS JOIN (VALUES ('spark'), ('shuffle'), ('vector')) AS q(tok)
+      CROSS JOIN tt
+      LEFT JOIN occ ON occ.doc_id = d.doc_id AND occ.tok = q.tok
+      LEFT JOIN cf ON cf.tok = q.tok
+    ),
+    scored AS (
+      SELECT doc_id, dlen,
+             CAST(SUM(
+               CASE WHEN t > 2300000000000 OR dlen > 1000000 THEN
+                 error('search_query_likelihood: corpus exceeds 64-bit'
+                       || ' Dirichlet headroom — widen to DECIMAL(38,0)')
+               ELSE
+                 CAST(round(ln(CAST(greatest(1, tf * t + 2000 * cf)
+                                    AS DOUBLE)) * 1000000) AS BIGINT)
+                 - CAST(round(ln(CAST((dlen + 2000) * t AS DOUBLE))
+                              * 1000000) AS BIGINT)
+               END) AS BIGINT) AS score_micro
+      FROM grid GROUP BY doc_id, dlen
+    )
+    SELECT doc_id, dlen, score_micro, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+@extra_query("search_query_likelihood", _QL_ORACLE)
+def q_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with DIRICHLET smoothing (D293,
+    Ponte-Croft / Zhai-Lafferty) — the language-modeling member
+    completing the retrieval family (BM25 D105 is the tf-idf
+    probabilistic ranker; RRF D167 fuses rankers; RM3 D270 expands
+    queries; QL ranks by P(q|d) under a document LM smoothed toward
+    the corpus LM, the other classic lexical baseline and the one the
+    LM-scoring family shares its math with): top-10 documents for the
+    fixed 3-term query by Σ_t ln((tf + μ·cf/T)/(|d| + μ)), μ = 2000.
+
+    Exactness — unlike BM25's float render (pytest-only), QL
+    hash-matches: multiplying through by T makes both ln arguments
+    INTEGERS (A = tf·T + μ·cf, B = (|d|+μ)·T — the same value since
+    ln(A/T·...) differences cancel the common T), and micro-ln of an
+    exact integer (round(ln(int)·1e6), the _LN1E6_MICRO convention KN
+    D252 proved hash-green) is engine-identical; greatest(1, A) floors
+    the absent-term-absent-corpus case; a raise_error guard fires
+    before T > 2.3e12 or |d| > 1e6 can push tf·T or (|d|+μ)·T past
+    int64 (guarding INPUTS, the 12f5e5f discipline). Plan: one
+    tokenize pass feeds doc lengths, the IN-pruned tf explode, corpus
+    cf (3 rows, broadcast) and T (scalar); the doc×3 grid is map-side;
+    ONE doc-keyed partial agg; global top-10 via the pinned
+    (score DESC, doc_id) order. Ten rows out at any scale."""
+    from mapreduce_project_spark.functions import tokens
+
+    terms = ("spark", "shuffle", "vector")
+    toked = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    d = toked.select(
+        "doc_id", F.size("tk").cast("bigint").alias("dlen")
+    ).filter(F.col("dlen") > 0)
+    tt = toked.agg(
+        F.coalesce(F.sum(F.size("tk")), F.lit(0)).cast("bigint").alias("t")
+    )
+    occ = (
+        toked.select("doc_id", F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    cf = occ.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cf"))
+    qterms = spark.createDataFrame([(x,) for x in terms], "tok string")
+    grid = (
+        d.crossJoin(F.broadcast(qterms))
+        .crossJoin(F.broadcast(tt))
+        .join(occ, ["doc_id", "tok"], "left")
+        .join(F.broadcast(cf), "tok", "left")
+        .select(
+            "doc_id",
+            "dlen",
+            "t",
+            F.coalesce("tf", F.lit(0)).cast("bigint").alias("tf"),
+            F.coalesce("cf", F.lit(0)).cast("bigint").alias("cf"),
+        )
+    )
+    scored = grid.groupBy("doc_id", "dlen").agg(
+        F.expr(
+            "cast(sum(case when t > 2300000000000 or dlen > 1000000 then"
+            " raise_error('search_query_likelihood: corpus exceeds 64-bit"
+            " Dirichlet headroom — widen to DECIMAL(38,0)')"
+            " else cast(round(ln(cast(greatest(1, tf * t + 2000 * cf)"
+            " as double)) * 1000000, 0) as bigint)"
+            " - cast(round(ln(cast((dlen + 2000) * t as double))"
+            " * 1000000, 0) as bigint) end) as bigint)"
+        ).alias("score_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "dlen", "score_micro", "rank")
+    )

@@ -235,6 +235,9 @@ SF1_QUERIES = [
     "join_order_advisor",
     "join_preflight_sketch_audit",
     "partition_layout_advisor",
+    "graph_clustering_coefficient",
+    "search_query_likelihood",
+    "conformal_value_intervals",
 ]
 SF1_REPS = 2
 

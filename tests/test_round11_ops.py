@@ -305,3 +305,112 @@ def test_layout_advisor_planted_row_bytes(spark, tmp_path):
     assert got["lineitem"]["logical_bytes"] == 78
     # orders: fixed 8+8+8+8+4*2 = 40 + 1 + 8 = 49
     assert got["orders"]["logical_bytes"] == 49
+
+
+# ---------------------------------------------------------------- D292
+
+
+def test_clustering_coefficient_triangle_vs_star(spark, tmp_path):
+    # Co-supply fixture: order 1 supplied by {1,2,3} (a triangle —
+    # each node deg 2, cc = 1e6); orders 2-4 form a star around
+    # supplier 4 (deg 3, zero triangles -> cc 0; leaves deg 1 -> 0).
+    import datetime as dt
+
+    d = dt.datetime(1995, 2, 1)
+    orders = [(k, k, "O", 1.0, d, "1-URGENT") for k in range(1, 5)]
+    lines = [(1, 1), (1, 2), (1, 3), (2, 4), (2, 5), (3, 4), (3, 6), (4, 4), (4, 7)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node"]: (r["degree"], r["n_tri"], r["cc_ppm"])
+        for r in R.ALL_QUERIES["graph_clustering_coefficient"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (2, 1, 1000000)
+    assert got[2] == (2, 1, 1000000)
+    assert got[3] == (2, 1, 1000000)
+    assert got[4] == (3, 0, 0)  # the star center: high degree, cc 0
+    assert got[5] == (1, 0, 0) and got[6] == (1, 0, 0) and got[7] == (1, 0, 0)
+
+
+# ---------------------------------------------------------------- D293
+
+
+def test_query_likelihood_replays_closed_form(spark, tmp_path):
+    # Three docs: one with all three query terms, one with one term,
+    # one with none. Replay the exact integer Dirichlet arithmetic in
+    # Python and pin scores AND order.
+    import math
+
+    texts = {
+        0: "spark shuffle vector spark pipeline",
+        1: "shuffle only here with filler words",
+        2: "nothing relevant at all whatsoever",
+    }
+    docs = [(i, t2, "en", "s", len(t2)) for i, t2 in texts.items()]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["dlen"], r["score_micro"], r["rank"])
+        for r in R.ALL_QUERIES["search_query_likelihood"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    toks = {i: t2.split() for i, t2 in texts.items()}
+    T = sum(len(v) for v in toks.values())
+    cf = {
+        q: sum(v.count(q) for v in toks.values())
+        for q in ("spark", "shuffle", "vector")
+    }
+
+    def uln(x):
+        return round(math.log(x) * 1000000)
+
+    want = {}
+    for i, v in toks.items():
+        dlen = len(v)
+        s = 0
+        for q in ("spark", "shuffle", "vector"):
+            a = max(1, v.count(q) * T + 2000 * cf[q])
+            s += uln(a) - uln((dlen + 2000) * T)
+        want[i] = (dlen, s)
+    for i in texts:
+        assert got[i][0] == want[i][0] and got[i][1] == want[i][1], (i, got[i], want[i])
+    ranks = {i: got[i][2] for i in texts}
+    assert ranks[0] == 1  # all three terms
+    assert ranks[1] == 2  # one term
+    assert ranks[2] == 3  # none
+
+
+# ---------------------------------------------------------------- D294
+
+
+def test_conformal_intervals_cover_and_partition(spark, duck):
+    # Properties on the real fixture: the three md5 splits partition
+    # each type's events; intervals are symmetric around the point
+    # prediction; empirical test coverage sits near the 90% target
+    # (binomial noise band) — the conformal guarantee as a number.
+    rows = R.ALL_QUERIES["conformal_value_intervals"](spark, SF_DIR).collect()
+    assert rows, "no event types scored"
+    totals = {
+        r[0]: r[1]
+        for r in duck.sql(
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    for r in rows:
+        assert r["n_train"] + r["n_cal"] + r["n_test"] == totals[r["event_type"]]
+        assert r["lo_cents"] == r["pred_cents"] - r["qhat_cents"]
+        assert r["hi_cents"] == r["pred_cents"] + r["qhat_cents"]
+        assert 800000 <= r["coverage_ppm"] <= 1000000, (
+            r["event_type"], r["coverage_ppm"],
+        )
