@@ -5307,3 +5307,134 @@ def q_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "dlen", "score_micro", "rank")
     )
+
+
+# DuckDB twin of the Zipf slope fit: identical tokenizer, identical
+# (freq DESC, term ASC) top-64 ranks, identical milli-ln coordinates
+# and centered integer OLS moments in pinned order.
+_ZIPF_SLOPE_ORACLE = f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY f DESC, tok) AS BIGINT) AS rk,
+             f
+      FROM tf
+    ),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT) AS y
+      FROM ranked WHERE rk <= 64
+    ),
+    sums AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM pts GROUP BY source
+    ),
+    cent AS (
+      SELECT p.source, s.n,
+             CAST(SUM((s.n * p.x - s.sx) * (s.n * p.y - s.sy)) AS BIGINT)
+               AS suv,
+             CAST(SUM((s.n * p.x - s.sx) * (s.n * p.x - s.sx)) AS BIGINT)
+               AS suu,
+             CAST(SUM((s.n * p.y - s.sy) * (s.n * p.y - s.sy)) AS BIGINT)
+               AS svv
+      FROM pts p JOIN sums s USING (source)
+      GROUP BY p.source, s.n
+    )
+    SELECT source, n AS n_terms,
+           CASE WHEN suu = 0 THEN CAST(0 AS BIGINT)
+                WHEN suv >= 0 THEN CAST((suv * 1000) // suu AS BIGINT)
+                ELSE -CAST(((-suv) * 1000) // suu AS BIGINT)
+           END AS slope_milli,
+           CASE WHEN suu = 0 OR svv = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((abs(suv) * 1000 // suu)
+                          * (abs(suv) * 1000 // svv) AS BIGINT)
+           END AS r2_ppm
+    FROM cent
+    """
+
+
+@extra_query("source_zipf_slope", _ZIPF_SLOPE_ORACLE)
+def q_source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ZIPF-MANDELBROT slope (D295) — the power-law exponent
+    the Zipf coverage curve (D138) draws but never fits, and the OLS
+    trend machinery (D124) pointed at corpus linguistics: per source,
+    regress milli-ln(frequency) on milli-ln(rank) over the top-64
+    terms — slope ≈ −1000·α for a Zipfian source (α ≈ 1 in natural
+    language; a much flatter slope flags template/boilerplate-heavy
+    sources, a steeper one flags tiny-vocabulary spam — the one-number
+    register fingerprint a curation review reads next to keyness D283).
+
+    Exactness: ranks pinned (freq DESC, term ASC); coordinates are
+    milli-ln of exact integers (round(ln(int)·1e3) — the micro-ln
+    convention at 1e3, chosen so the CENTERED integer moments fit
+    int64: u = n·x − Σx ≤ 64·1.4e4·64 and Σu·v ≤ ~7.5e13 at any corpus
+    size, because rank ≤ 64 bounds x and y only grows as ln(freq));
+    slope = truncating sign-safe (Σuv·1000) div Σuu; r² as the
+    double-truncating ppm product ((|Σuv|·1000 div Σuu)·(|Σuv|·1000
+    div Σvv)) — every figure BIGINT in pinned order. Plan: ONE
+    tokenize+explode → (source, term) partial agg → per-source top-64
+    window (bounded by vocabulary) → ONE source-keyed moment agg.
+    One row per source at any scale."""
+    from pyspark.sql import Window
+
+    from mapreduce_project_spark.functions import tokens
+
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("f"), "tok")
+    pts = (
+        tf.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 64)
+        .select(
+            "source",
+            F.expr("cast(round(ln(cast(rk as double)) * 1000, 0) as bigint)")
+            .alias("x"),
+            F.expr("cast(round(ln(cast(f as double)) * 1000, 0) as bigint)")
+            .alias("y"),
+        )
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    cent = (
+        pts.join(F.broadcast(sums), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.expr("cast(sum((n * x - sx) * (n * y - sy)) as bigint)").alias(
+                "suv"
+            ),
+            F.expr("cast(sum((n * x - sx) * (n * x - sx)) as bigint)").alias(
+                "suu"
+            ),
+            F.expr("cast(sum((n * y - sy) * (n * y - sy)) as bigint)").alias(
+                "svv"
+            ),
+        )
+    )
+    return cent.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "case when suu = 0 then cast(0 as bigint)"
+            " when suv >= 0 then cast((suv * 1000) div suu as bigint)"
+            " else -cast(((-suv) * 1000) div suu as bigint) end"
+        ).alias("slope_milli"),
+        F.expr(
+            "case when suu = 0 or svv = 0 then cast(0 as bigint)"
+            " else cast((abs(suv) * 1000 div suu)"
+            " * (abs(suv) * 1000 div svv) as bigint) end"
+        ).alias("r2_ppm"),
+    )

@@ -931,7 +931,9 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # search_query_likelihood (D293, Dirichlet QL retrieval — the
 # hash-matchable lexical ranker via integer ln arguments);
 # conformal_value_intervals (D294, split-conformal +/-qhat intervals
-# with the exact ceil(0.9(n+1)) rank and measured held-out coverage). Round-11 retunes: text_winnow_pairs (injective base-26
+# with the exact ceil(0.9(n+1)) rank and measured held-out coverage);
+# source_zipf_slope (D295, per-source Zipf-Mandelbrot exponent via
+# centered integer milli-ln OLS over the pinned top-64 ranks). Round-11 retunes: text_winnow_pairs (injective base-26
 # integer hash + frame-window selection, 8.1 -> 3.7 s at sf0.1) and
 # itemcf_topk (data-dependent whale cap = 4x exact p90 basket size).
 #

@@ -238,6 +238,7 @@ SF1_QUERIES = [
     "graph_clustering_coefficient",
     "search_query_likelihood",
     "conformal_value_intervals",
+    "source_zipf_slope",
 ]
 SF1_REPS = 2
 

@@ -414,3 +414,37 @@ def test_conformal_intervals_cover_and_partition(spark, duck):
         assert 800000 <= r["coverage_ppm"] <= 1000000, (
             r["event_type"], r["coverage_ppm"],
         )
+
+
+# ---------------------------------------------------------------- D295
+
+
+def test_zipf_slope_planted_power_law(spark, tmp_path):
+    # Plant an exact power law f(rk) = 640 // rk over 8 distinct terms
+    # in one source: the log-log fit must recover slope ~= -1000
+    # (alpha = 1) with near-perfect r2; a flat source (all terms equal
+    # frequency) must fit slope 0.
+    words = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    text_zipf = " ".join(
+        " ".join([w] * (640 // (i + 1))) for i, w in enumerate(words)
+    )
+    text_flat = " ".join(" ".join([w] * 10) for w in words)
+    docs = [
+        (0, text_zipf, "en", "zipf", len(text_zipf)),
+        (1, text_flat, "en", "flat", len(text_flat)),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in R.ALL_QUERIES["source_zipf_slope"](spark, str(tmp_path)).collect()
+    }
+    z = got["zipf"]
+    assert z["n_terms"] == 8
+    # 640//rk deviates from the ideal power law only by floor rounding
+    assert -1050 <= z["slope_milli"] <= -950, z["slope_milli"]
+    assert z["r2_ppm"] > 990000, z["r2_ppm"]
+    f = got["flat"]
+    assert f["slope_milli"] == 0 and f["r2_ppm"] == 0
