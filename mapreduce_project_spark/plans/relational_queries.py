@@ -2591,9 +2591,13 @@ def q_contingency_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the FULL r x c grid: an unobserved cell has O = 0 but still
     # contributes E to the statistic — dropping it understates chi2
-    # (planted diagonal fixture pins this)
+    # (planted diagonal fixture pins this). ct is BROADCAST explicitly:
+    # both sides are metadata-scale aggregate outputs, but without the
+    # hint Catalyst plans an unbroadcast CartesianProduct (no size
+    # stats on aggregates) — the node the declared-slate plan lint
+    # rightly bans (round-11, caught when D243 rotated into a slot).
     grid = (
-        rt.crossJoin(ct)
+        rt.crossJoin(F.broadcast(ct))
         .join(cells, ["segment", "priority"], "left")
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)).cast("bigint"))
     )
