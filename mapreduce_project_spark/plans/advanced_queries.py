@@ -1495,7 +1495,7 @@ def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node LOCAL CLUSTERING COEFFICIENT (D292) — the density
+    """Per-node LOCAL CLUSTERING COEFFICIENT (D291) — the density
     member completing the graph family's node-level statistics
     (components D114: which island; LPA D245: which community; k-core
     D255: how deeply supported; assortativity D233: one corpus-level

@@ -6070,7 +6070,7 @@ _CONFORMAL_ORACLE = """
 
 @extra_query("conformal_value_intervals", _CONFORMAL_ORACLE)
 def q_conformal_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPLIT-CONFORMAL prediction intervals (D294, Vovk / Lei et al.) —
+    """SPLIT-CONFORMAL prediction intervals (D293, Vovk / Lei et al.) —
     the distribution-free interval member completing the model-eval
     family (AUC D265 ranks, lift D266 targets, isotonic D273
     calibrates probabilities; conformal wraps ANY point predictor in

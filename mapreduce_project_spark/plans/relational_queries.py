@@ -3234,7 +3234,7 @@ _LAYOUT_ORACLE = " UNION ALL ".join(
 
 @extra_query("partition_layout_advisor", _LAYOUT_ORACLE)
 def q_partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-LAYOUT advisor (D291) — the ops-side number that sizes
+    """Partition-LAYOUT advisor (D290) — the ops-side number that sizes
     `spark.sql.shuffle.partitions` / `maxPartitionBytes` BEFORE a 100 TB
     job runs (the brief's spill-aware mandate, turned into a query):
     per fact table, the exact logical byte mass under a pinned

@@ -550,7 +550,7 @@ def q_sketch_cms_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_preflight_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join preflight, AUDITED against the exact preflight
-    (D290) — the KB-state form of D277 for when even the per-key count
+    (D289) — the KB-state form of D277 for when even the per-key count
     tables are too big to join eagerly: the common-key cardinality of
     lineitem ⋈ supplier estimated by a theta-sketch INTERSECTION (two
     constant-size sketch aggs, one driver-free set operation — the

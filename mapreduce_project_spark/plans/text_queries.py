@@ -5233,7 +5233,7 @@ _QL_ORACLE = f"""
 
 @extra_query("search_query_likelihood", _QL_ORACLE)
 def q_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-likelihood retrieval with DIRICHLET smoothing (D293,
+    """Query-likelihood retrieval with DIRICHLET smoothing (D292,
     Ponte-Croft / Zhai-Lafferty) — the language-modeling member
     completing the retrieval family (BM25 D105 is the tf-idf
     probabilistic ranker; RRF D167 fuses rankers; RM3 D270 expands
@@ -5362,7 +5362,7 @@ _ZIPF_SLOPE_ORACLE = f"""
 
 @extra_query("source_zipf_slope", _ZIPF_SLOPE_ORACLE)
 def q_source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source ZIPF-MANDELBROT slope (D295) — the power-law exponent
+    """Per-source ZIPF-MANDELBROT slope (D294) — the power-law exponent
     the Zipf coverage curve (D138) draws but never fits, and the OLS
     trend machinery (D124) pointed at corpus linguistics: per source,
     regress milli-ln(frequency) on milli-ln(rank) over the top-64

@@ -922,17 +922,17 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # text gates x D248 vector hygiene with per-gate drop attribution);
 # join_order_advisor (D288, exact left-deep order choice for the Q3
 # 3-way join from D277 count-table product-sums, prediction==actual
-# pinned); join_preflight_sketch_audit (D290, theta-intersection
+# pinned); join_preflight_sketch_audit (D289, theta-intersection
 # common-key estimate pinned to the exact count inside the 2^14
-# exactness window); partition_layout_advisor (D291, exact logical
+# exactness window); partition_layout_advisor (D290, exact logical
 # row-byte mass + 128 MiB partition sizing per fact table);
-# graph_clustering_coefficient (D292, per-node cc over the co-supply
+# graph_clustering_coefficient (D291, per-node cc over the co-supply
 # graph on the compact-forward triangle operator);
-# search_query_likelihood (D293, Dirichlet QL retrieval — the
+# search_query_likelihood (D292, Dirichlet QL retrieval — the
 # hash-matchable lexical ranker via integer ln arguments);
-# conformal_value_intervals (D294, split-conformal +/-qhat intervals
+# conformal_value_intervals (D293, split-conformal +/-qhat intervals
 # with the exact ceil(0.9(n+1)) rank and measured held-out coverage);
-# source_zipf_slope (D295, per-source Zipf-Mandelbrot exponent via
+# source_zipf_slope (D294, per-source Zipf-Mandelbrot exponent via
 # centered integer milli-ln OLS over the pinned top-64 ranks). Round-11 retunes: text_winnow_pairs (injective base-26
 # integer hash + frame-window selection, 8.1 -> 3.7 s at sf0.1) and
 # itemcf_topk (data-dependent whale cap = 4x exact p90 basket size).

@@ -233,7 +233,7 @@ def test_join_order_advisor_predictions_equal_actual_join_sizes(spark, duck):
     assert ranks == [1, 2]
 
 
-# ---------------------------------------------------------------- D290
+# ---------------------------------------------------------------- D289
 
 
 def test_sketch_preflight_planted_overlap(spark, tmp_path):
@@ -258,7 +258,7 @@ def test_sketch_preflight_planted_overlap(spark, tmp_path):
     assert got["predicted_rows"] == 6
 
 
-# ---------------------------------------------------------------- D291
+# ---------------------------------------------------------------- D290
 
 
 def test_layout_advisor_planted_row_bytes(spark, tmp_path):
@@ -307,7 +307,7 @@ def test_layout_advisor_planted_row_bytes(spark, tmp_path):
     assert got["orders"]["logical_bytes"] == 49
 
 
-# ---------------------------------------------------------------- D292
+# ---------------------------------------------------------------- D291
 
 
 def test_clustering_coefficient_triangle_vs_star(spark, tmp_path):
@@ -340,7 +340,7 @@ def test_clustering_coefficient_triangle_vs_star(spark, tmp_path):
     assert got[5] == (1, 0, 0) and got[6] == (1, 0, 0) and got[7] == (1, 0, 0)
 
 
-# ---------------------------------------------------------------- D293
+# ---------------------------------------------------------------- D292
 
 
 def test_query_likelihood_replays_closed_form(spark, tmp_path):
@@ -391,7 +391,7 @@ def test_query_likelihood_replays_closed_form(spark, tmp_path):
     assert ranks[2] == 3  # none
 
 
-# ---------------------------------------------------------------- D294
+# ---------------------------------------------------------------- D293
 
 
 def test_conformal_intervals_cover_and_partition(spark, duck):
@@ -416,7 +416,7 @@ def test_conformal_intervals_cover_and_partition(spark, duck):
         )
 
 
-# ---------------------------------------------------------------- D295
+# ---------------------------------------------------------------- D294
 
 
 def test_zipf_slope_planted_power_law(spark, tmp_path):
