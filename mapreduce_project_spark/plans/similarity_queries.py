@@ -1909,14 +1909,15 @@ def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_recall_cert_oracle(
-    threshold: float, n_tables: int, dim: int, sample_lt: str, target_ppm: int
+    threshold: float, n_tables: int, dim: int, target_s: int, target_ppm: int
 ) -> str:
     """DuckDB twin of the semantic-dedup recall certificate: static
     full-width (24-bit) prefix-consistent codes masked to the
     COUNT-derived auto width (the D206 convention), truth restricted
-    to the md5-pinned vector sample, candidacy checked per truth pair
-    (no bucket self-join — the certificate never enumerates
-    candidates)."""
+    to the md5-pinned AUTO-RATE vector sample (threshold hex from this
+    engine's own COUNT, targeting ~target_s sampled vectors), candidacy
+    checked per truth pair (no bucket self-join — the certificate
+    never enumerates candidates)."""
     from mapreduce_project_spark.operators.similarity import (
         duck_code_exprs_for_signs,
         rademacher_signs_pc,
@@ -1943,9 +1944,15 @@ def _semantic_recall_cert_oracle(
       FROM e
     ),
     c AS MATERIALIZED (SELECT vec_id, v, {codes_arr} AS cs FROM e),
+    w2 AS (
+      SELECT lpad(lower(to_hex(LEAST(4294967295,
+               ({target_s} * 4294967296) // GREATEST(1, COUNT(*))))),
+             8, '0') AS thr
+      FROM e
+    ),
     s AS MATERIALIZED (
-      SELECT vec_id, v FROM c
-      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{sample_lt}'
+      SELECT c.vec_id, c.v FROM c, w2
+      WHERE substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 8) < w2.thr
     ),
     truth AS MATERIALIZED (
       SELECT a.vec_id AS ia, b.vec_id AS ib
@@ -1978,7 +1985,7 @@ def _semantic_recall_cert_oracle(
 
 @extra_query(
     "dedup_semantic_recall_cert",
-    _semantic_recall_cert_oracle(0.3, 32, 64, "80000000", 990000),
+    _semantic_recall_cert_oracle(0.3, 32, 64, 2048, 990000),
 )
 def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup RECALL CERTIFICATE (D286) — makes the SCALE.md
@@ -2002,15 +2009,20 @@ def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target, a passing certificate flips to 0 — the signal to add
     tables BEFORE the next release.
 
-    Exactness + scale: truth rides the md5-pinned 50% vector sample
-    (D285 discipline — (rN)²/2 GEMM, the dial that fits any budget);
-    candidacy is checked PER TRUTH PAIR against the 32 per-vector
-    codes (a |truth|×32 join — the certificate never enumerates the
-    candidate pairs, so nothing here is ever corpus-quadratic); nb =
-    clamp(ceil(log2(N/8)), 8, 24) from each engine's own COUNT (D206
-    convention, prefix-consistent planes ⇒ the DuckDB twin masks its
-    static 24-bit codes to identical bits). Every output is an integer
-    count, truncating ppm, or pinned CASE."""
+    Exactness + scale: truth rides the md5-pinned AUTO-RATE vector
+    sample — r = min(1, 2048/N) rendered as the 8-hex-digit threshold
+    floor(r·2³²) from each engine's OWN COUNT (the D206 auto pattern
+    applied to the D285 sampling dial), so the truth GEMM compares a
+    ~CONSTANT ~2048 vectors at ANY corpus size (the round-11 decade
+    caught the fixed-50% form at 154×/decade — 331 s at sf≈1 from a
+    10k-vector single-block GEMM; auto-rate flattens the stage to
+    ~constant cost by construction); candidacy is checked PER TRUTH
+    PAIR against the 32 per-vector codes (a |truth|×32 join — the
+    certificate never enumerates the candidate pairs, so nothing here
+    is ever corpus-quadratic); nb = clamp(ceil(log2(N/8)), 8, 24) from
+    each engine's own COUNT (prefix-consistent planes ⇒ the DuckDB
+    twin masks its static 24-bit codes to identical bits). Every
+    output is an integer count, truncating ppm, or pinned CASE."""
     import math
 
     from mapreduce_project_spark.operators.similarity import (
@@ -2026,8 +2038,11 @@ def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = lsh_codes_exact(
         emb, "vec_id", "embedding", rademacher_signs_pc(n_tables, nb, 64)
     )
+    # auto-rate sample threshold from the same COUNT that sized nb:
+    # identical integer formula to the oracle's w2 CTE
+    thr = format(min(0xFFFFFFFF, (2048 << 32) // max(1, n_rows)), "08x")
     samp = emb.filter(
-        F.expr("substr(md5(cast(vec_id as string)), 1, 8) < '80000000'")
+        F.expr(f"substr(md5(cast(vec_id as string)), 1, 8) < '{thr}'")
     )
     truth = cosine_pairs_gemm(
         samp.withColumn("blk", F.lit(0)), "vec_id", "embedding", threshold, "blk"
