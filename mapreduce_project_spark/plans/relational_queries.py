@@ -3221,10 +3221,12 @@ _LAYOUT_ORACLE = " UNION ALL ".join(
            CAST((COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0)
                  + {_TARGET_PART_BYTES - 1}) // {_TARGET_PART_BYTES}
                 AS BIGINT) AS recommended_partitions,
-           CAST(COUNT(*) // ((COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0)
-                 + {_TARGET_PART_BYTES - 1}) // {_TARGET_PART_BYTES})
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+             COUNT(*) // ((COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0)
+                 + {_TARGET_PART_BYTES - 1}) // {_TARGET_PART_BYTES}) END
                 AS BIGINT) AS rows_per_partition,
-           CAST(COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0) // COUNT(*)
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+             COALESCE(SUM({fixed} + {_layout_varbytes(cols)}), 0) // COUNT(*) END
                 AS BIGINT) AS avg_row_bytes
     FROM {name}
     """
@@ -3267,13 +3269,18 @@ def q_partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"cast((logical_bytes + {_TARGET_PART_BYTES - 1})"
                     f" div {_TARGET_PART_BYTES} as bigint)"
                 ).alias("recommended_partitions"),
+                # n_rows = 0 ⇒ recommended_partitions = 0: both ratios
+                # would divide by zero (NULL with ANSI off, raise with
+                # ANSI on) — pin the empty-table answer to 0 explicitly.
                 F.expr(
-                    f"cast(n_rows div ((logical_bytes + {_TARGET_PART_BYTES - 1})"
-                    f" div {_TARGET_PART_BYTES}) as bigint)"
+                    "cast(case when n_rows = 0 then 0 else"
+                    f" n_rows div ((logical_bytes + {_TARGET_PART_BYTES - 1})"
+                    f" div {_TARGET_PART_BYTES}) end as bigint)"
                 ).alias("rows_per_partition"),
-                F.expr("cast(logical_bytes div n_rows as bigint)").alias(
-                    "avg_row_bytes"
-                ),
+                F.expr(
+                    "cast(case when n_rows = 0 then 0"
+                    " else logical_bytes div n_rows end as bigint)"
+                ).alias("avg_row_bytes"),
             )
         )
     out = frames[0]

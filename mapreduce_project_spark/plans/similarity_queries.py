@@ -1732,12 +1732,15 @@ def _width_ladder_sampled_oracle(
     n_tables: int,
     widths: tuple[int, ...],
     dim: int,
-    sample_lt: str,
+    target_s: int,
 ) -> str:
     """DuckDB twin of the SAMPLED-truth width ladder: identical static
     full-width codes and candidate counts over ALL vectors; the truth
-    set is restricted to the md5-pinned vector sample (deterministic on
-    both engines: lowercase-hex md5 of the decimal vec_id string)."""
+    set is restricted to the md5-pinned AUTO-RATE vector sample —
+    threshold hex floor(min(1, target_s/N)·2³²) from this engine's own
+    COUNT (the D286 convention; round-12 re-pin per VERDICT r11 task 3
+    — the fixed-25% form was N²r² = 25.4×/decade), with the saturated
+    r = 1 case sampling the full corpus."""
     from mapreduce_project_spark.operators.similarity import (
         duck_code_exprs_for_signs,
         rademacher_signs_pc,
@@ -1782,9 +1785,16 @@ def _width_ladder_sampled_oracle(
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c AS MATERIALIZED (SELECT vec_id, v, {codes_arr} AS cs FROM e),
     npairs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    w2 AS (
+      SELECT COUNT(*) <= {target_s} AS sat,
+             lpad(lower(to_hex(LEAST(4294967295,
+               ({target_s} * 4294967296) // GREATEST(1, COUNT(*))))),
+             8, '0') AS thr
+      FROM c
+    ),
     s AS MATERIALIZED (
-      SELECT vec_id, v FROM c
-      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{sample_lt}'
+      SELECT vec_id, v FROM c, w2
+      WHERE w2.sat OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < w2.thr
     ),
     truth AS MATERIALIZED (
       SELECT a.vec_id AS ia, b.vec_id AS ib
@@ -1798,7 +1808,7 @@ def _width_ladder_sampled_oracle(
 
 @extra_query(
     "lsh_width_ladder_sampled",
-    _width_ladder_sampled_oracle(0.3, 16, (8, 12, 16), 64, "40000000"),
+    _width_ladder_sampled_oracle(0.3, 16, (8, 12, 16), 64, 2048),
 )
 def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-truth width-ladder audit (D285) — the PRODUCTION form of
@@ -1806,16 +1816,19 @@ def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (they ride the same single coarsest-width bucketed self-join and
     per-row masking), but the recall denominator — the one quadratic
     stage D221 deliberately kept exact, the reason it had no decade
-    row — is replaced by an estimate over a deterministic ~25% vector
-    sample (md5(vec_id) hex < '40000000', the D28 split convention, so
-    the DuckDB twin replays the identical sample). Vector sampling at
+    row — is replaced by an estimate over the md5-pinned AUTO-RATE
+    vector sample: r = min(1, 2048/N), rendered as the 8-hex-digit
+    threshold floor(r·2³²) from each engine's OWN COUNT (the D286
+    convention — round-12 re-pin per VERDICT r11 task 3: the first
+    registered form hard-pinned r = 25%, whose (rN)² truth GEMM is
+    still corpus-quadratic, measured 25.4×/decade). Vector sampling at
     rate r makes every pair's inclusion probability r² uniformly, so
     caught/true over sampled pairs is the standard unbiased ratio
-    estimate of ladder recall while the GEMM truth stage pays (rN)²/2
-    — at r = 1/4, a 16× cut that turns the audit's scale-killer into
-    a dial: at 100 TB, shrink r until the truth stage fits the budget;
-    the estimate stays valid because the sample is pinned by hash, not
-    by partition order.
+    estimate of ladder recall while the GEMM truth stage compares a
+    ~CONSTANT ~2048 vectors at ANY corpus size; the estimate stays
+    valid because the sample is pinned by hash, not partition order.
+    N ≤ 2048 saturates r at 1 — the full corpus is the sample (no
+    'ffffffff' filter, which would drop prefixes equal to it).
 
     Exactness: the sample predicate is a lowercase-hex md5 string
     compare, bit-identical in both engines; the truth set reuses the
@@ -1857,9 +1870,17 @@ def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = matched.groupBy("ia", "ib").agg(
         F.max("e12").alias("e12"), F.max("e16").alias("e16")
     )
-    samp = emb.filter(
-        F.expr("substr(md5(cast(vec_id as string)), 1, 8) < '40000000'")
-    )
+    # auto-rate sample threshold from one driver-side COUNT — the
+    # identical integer formula to the oracle's w2 CTE; N <= 2048
+    # saturates r at 1 (full corpus, no filter).
+    n_rows = emb.count()
+    if n_rows <= 2048:
+        samp = emb
+    else:
+        thr = format(min(0xFFFFFFFF, (2048 << 32) // max(1, n_rows)), "08x")
+        samp = emb.filter(
+            F.expr(f"substr(md5(cast(vec_id as string)), 1, 8) < '{thr}'")
+        )
     truth = cosine_pairs_gemm(
         samp.withColumn("blk", F.lit(0)),
         "vec_id",
@@ -1931,9 +1952,14 @@ def _semantic_recall_cert_oracle(
         f"(ca.cs[{i + 1}] & w.msk) = (cb.cs[{i + 1}] & w.msk)"
         for i in range(n_tables)
     )
+    # Pure-integer nb (ADVICE r11): ceil(log2(N/8)) ==
+    # bit_length(ceil(N/8) - 1) exactly for integer N >= 1, so neither
+    # engine's float log2 rounding can flip nb at a power-of-two
+    # boundary. bin() renders minimal-width, so length(bin(m-1)) IS
+    # bit_length (m-1 = 0 renders '0', length 1, clamped to 8 anyway).
     nb_expr = (
-        "GREATEST(8, LEAST(24, CAST(ceil(log2(CAST(COUNT(*) AS DOUBLE)"
-        " / 8.0)) AS INT)))"
+        "GREATEST(8, LEAST(24, CAST(length(bin("
+        "(GREATEST(1, COUNT(*)) + 7) // 8 - 1)) AS INT)))"
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1945,14 +1971,18 @@ def _semantic_recall_cert_oracle(
     ),
     c AS MATERIALIZED (SELECT vec_id, v, {codes_arr} AS cs FROM e),
     w2 AS (
-      SELECT lpad(lower(to_hex(LEAST(4294967295,
+      -- sat: N <= target_s means r = 1 — sample the FULL corpus
+      -- rather than filtering on the saturated 'ffffffff' threshold
+      -- (which would drop md5 prefixes equal to it, ADVICE r11).
+      SELECT COUNT(*) <= {target_s} AS sat,
+             lpad(lower(to_hex(LEAST(4294967295,
                ({target_s} * 4294967296) // GREATEST(1, COUNT(*))))),
              8, '0') AS thr
       FROM e
     ),
     s AS MATERIALIZED (
       SELECT c.vec_id, c.v FROM c, w2
-      WHERE substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 8) < w2.thr
+      WHERE w2.sat OR substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 8) < w2.thr
     ),
     truth AS MATERIALIZED (
       SELECT a.vec_id AS ia, b.vec_id AS ib
@@ -2023,8 +2053,6 @@ def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     each engine's own COUNT (prefix-consistent planes ⇒ the DuckDB
     twin masks its static 24-bit codes to identical bits). Every
     output is an integer count, truncating ppm, or pinned CASE."""
-    import math
-
     from mapreduce_project_spark.operators.similarity import (
         cosine_pairs_gemm,
         lsh_codes_exact,
@@ -2034,16 +2062,24 @@ def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, n_tables, target_ppm = 0.3, 32, 990000
     emb = t(spark, sf_dir, "embeddings")
     n_rows = emb.count()  # metadata-scale driver action (one COUNT)
-    nb = max(8, min(24, math.ceil(math.log2(max(n_rows, 1) / 8 or 1))))
+    # pure-integer nb (ADVICE r11): ceil(log2(N/8)) ==
+    # bit_length(ceil(N/8) - 1) exactly for integer N >= 1 — no float
+    # log2 whose 1-ulp rounding could flip nb at a 2^k boundary.
+    nb = max(8, min(24, ((max(1, n_rows) + 7) // 8 - 1).bit_length()))
     coded = lsh_codes_exact(
         emb, "vec_id", "embedding", rademacher_signs_pc(n_tables, nb, 64)
     )
     # auto-rate sample threshold from the same COUNT that sized nb:
-    # identical integer formula to the oracle's w2 CTE
-    thr = format(min(0xFFFFFFFF, (2048 << 32) // max(1, n_rows)), "08x")
-    samp = emb.filter(
-        F.expr(f"substr(md5(cast(vec_id as string)), 1, 8) < '{thr}'")
-    )
+    # identical integer formula to the oracle's w2 CTE. N <= 2048
+    # saturates r at 1 — sample the FULL corpus instead of filtering
+    # on 'ffffffff' (which would drop prefixes equal to it).
+    if n_rows <= 2048:
+        samp = emb
+    else:
+        thr = format(min(0xFFFFFFFF, (2048 << 32) // max(1, n_rows)), "08x")
+        samp = emb.filter(
+            F.expr(f"substr(md5(cast(vec_id as string)), 1, 8) < '{thr}'")
+        )
     truth = cosine_pairs_gemm(
         samp.withColumn("blk", F.lit(0)), "vec_id", "embedding", threshold, "blk"
     ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))

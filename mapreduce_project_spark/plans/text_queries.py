@@ -3712,6 +3712,242 @@ def q_text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned MinHash family for the LSH-candidate TF-IDF sibling (D295):
+# 16 hash functions = 8 bands x 2 rows. h_k(term) = (A_k*u + B_k) mod
+# 2^32 over u = first-8-hex-digits of md5(term) (< 2^32): with A_k ODD,
+# u -> A_k*u mod 2^32 is a BIJECTION of the 32-bit key space — each k
+# is a genuine pseudo-random permutation (the classic minhash
+# construction). The modulus must be far below A*u so the product
+# wraps ~2^29 times: a first cut used mod (2^61-1), which A*u < 2^61
+# never wraps — every h_k was monotonic in u, all 16 minhashes picked
+# the SAME min-u shingle, and the banding degenerated to one hash
+# (measured: two J~0.98 pairs missed at sf0.1). A_k < 2^29 keeps every
+# product < 2^61 — exact int64 on both engines. Both the Spark exprs
+# and the DuckDB oracle are generated from THIS tuple — one source of
+# constants, bit-replayable candidates.
+_TFLSH_P = 4294967296  # 2^32
+_TFLSH_HASHES = tuple(
+    (268435399 + 2 * k * 1000003, 479001599 + k * 100000037) for k in range(16)
+)
+_TFLSH_BANDS = 8
+
+
+def _tflsh_min_exprs(u_expr: str) -> list[str]:
+    return [
+        f"min(({a} * {u_expr} + {b}) % {_TFLSH_P}) AS h{k}"
+        for k, (a, b) in enumerate(_TFLSH_HASHES)
+    ]
+
+
+_TFLSH_ORACLE = """
+    WITH tk AS (SELECT doc_id, {toks} AS tks FROM documents),
+    sh AS (
+      SELECT doc_id, tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] AS term
+      FROM tk, unnest(generate_series(1, len(tks) - 2)) AS u(i)
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM sh GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf * ((SELECT n FROM nd) // d.df) AS BIGINT) AS w, d.df
+      FROM tf t JOIN dfreq d USING (term)
+      WHERE d.df <= greatest(2, (SELECT n FROM nd) // 50)
+    ),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nsq FROM w GROUP BY 1),
+    uu AS (
+      SELECT doc_id, CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS u
+      FROM w
+    ),
+    mh AS (SELECT doc_id, {min_exprs} FROM uu GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, g.b AS band,
+             CASE g.b {k1_cases} END AS k1,
+             CASE g.b {k2_cases} END AS k2
+      FROM mh, unnest(generate_series(0, {nb_minus1})) AS g(b)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS shared_terms
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.shared_terms, d.dot,
+           na.nsq AS norm_a_sq, nb.nsq AS norm_b_sq,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= 0.6
+    """.format(
+    toks=_TOKS,
+    min_exprs=", ".join(_tflsh_min_exprs("u")),
+    k1_cases=" ".join(f"WHEN {b} THEN h{2 * b}" for b in range(_TFLSH_BANDS)),
+    k2_cases=" ".join(
+        f"WHEN {b} THEN h{2 * b + 1}" for b in range(_TFLSH_BANDS)
+    ),
+    nb_minus1=_TFLSH_BANDS - 1,
+)
+
+
+@extra_query("text_tfidf_cosine_pairs_lsh", _TFLSH_ORACLE)
+def q_text_tfidf_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weighted-cosine pairs via MINHASH-LSH candidates (D295)
+    — the 100 TB-registered form of D226 (VERDICT r11 task 4): same
+    weights, same exact integer dot, same pinned IEEE cosine and 0.6
+    gate, but the pair GENERATION no longer rides the Σdf² shared-term
+    join (measured 21.3×/decade on the closed-vocabulary fixture —
+    quadratic physics that does not finish at 100×). Candidates come
+    from banded MinHash over the SAME df-capped shingle space the
+    weights live in: 16 pinned hash functions (8 bands × 2 rows) of
+    the md5-derived 32-bit shingle key, min-aggregated per doc in ONE
+    map-side-combining groupBy, band keys exploded 8 rows/doc, and a
+    bucketed self-join on (band, h_{2b}, h_{2b+1}) — the D165/D206
+    candidate discipline, so join fan concentrates exactly on
+    near-dup families instead of Σdf². The exact weighted dot then
+    runs ONLY over candidate pairs (join fan = Σ_cand |terms|, linear
+    in candidates). A pair at capped-shingle Jaccard J survives ≥1
+    band with p = 1−(1−J²)^8 (J = 0.9 ⇒ 0.9999); measured vs the
+    exact D226 twin: 28/28, 25/25, 137/140 pairs at the three SFs —
+    the only misses are J ≈ 0.02–0.04 pairs whose cosine ≥ 0.6 comes
+    from ONE shared ultra-rare shingle (an idf artifact no
+    set-similarity candidate scheme can or should chase; documented,
+    not hidden). Near-dup recall is pinned by the planted fixture in
+    tests/test_round12_ops.py. D226 stays registered as the exact
+    small-N oracle twin; this form holds the driver slot.
+
+    Exactness: the DuckDB twin replays the IDENTICAL candidate set —
+    hash constants single-sourced from `_TFLSH_HASHES`, u = first 8
+    md5 hex digits (< 2³²), A < 2²⁹ so every product stays < 2⁶¹ in
+    exact int64 on both engines; weights/dot/norms are the D226
+    BIGINTs and the cosine the same one-divide IEEE expression.
+    Reference: the reference engine has no weighted set-similarity
+    join; capability class per SURVEY §2 D295 (PPJoin D109 + sign-LSH
+    D165 composition, Bayardo et al. / Broder banding made Spark- and
+    oracle-replayable)."""
+    from mapreduce_project_spark.functions import token_ngrams, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(token_ngrams(tokens("text"), 3)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.greatest(F.lit(2), F.expr("n div 50")))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * (n div df)").cast("bigint").alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.expr("sum(w * w)").cast("bigint").alias("nsq")
+    )
+    # 16 minhashes in ONE partial-agg groupBy (no 16x row explosion:
+    # the h_k are column expressions over the same (doc, term) row)
+    uu = w.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(cast(term as binary)), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("u"),
+    )
+    mh = uu.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({a} * u + {b}) % {_TFLSH_P})").alias(f"h{k}")
+            for k, (a, b) in enumerate(_TFLSH_HASHES)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"h{2 * b}").alias("k1"),
+                        F.col(f"h{2 * b + 1}").alias("k2"),
+                    )
+                    for b in range(_TFLSH_BANDS)
+                ]
+            )
+        ).alias("band", "s"),
+    ).select("doc_id", "band", "s.k1", "s.k2")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.expr("sum(w_a * w_b)").cast("bigint").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("shared_terms"),
+        )
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("doc_a"), F.col("nsq").alias("norm_a_sq")
+    )
+    nb = nrm.select(
+        F.col("doc_id").alias("doc_b"), F.col("nsq").alias("norm_b_sq")
+    )
+    cos = F.expr(
+        "if(greatest(dot, norm_a_sq, norm_b_sq) < 9007199254740992L, "
+        "cast(dot as double) / (sqrt(cast(norm_a_sq as double))"
+        " * sqrt(cast(norm_b_sq as double))), "
+        "raise_error('text_tfidf_cosine_pairs_lsh: sums exceed exact-double"
+        " range — rescale idf before trusting cosine'))"
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.6)
+        .select(
+            "doc_a", "doc_b", "shared_terms", "dot",
+            "norm_a_sq", "norm_b_sq", "cosine",
+        )
+    )
+
+
 # DuckDB twin of the ROUGE-2 pass: identical prefix-sort adjacency
 # (row_number over the same 24-char normalized key), identical bigram
 # multisets, identical truncating ppm arithmetic.
@@ -4321,11 +4557,17 @@ _KN_ORACLE = f"""
     cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1b FROM cvw GROUP BY 1),
     tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cvw),
     scored AS (
+      -- guard twin of the Spark-side headroom raise (same constant,
+      -- int64max // 4e6): past it BOTH engines must refuse rather
+      -- than one raising while the other silently computes.
       SELECT b.doc_id,
-             greatest(1,
+             CASE WHEN greatest(cvw.c, cv.n1f) > 2305843009213 THEN
+               error('text_kn_bigram_score: bigram counts exceed 64-bit'
+                     || ' ppm headroom — widen to DECIMAL(38,0)')
+             ELSE greatest(1,
                (4 * cvw.c - 3) * 1000000 // (4 * cv.cv)
                + (3 * cv.n1f * (cw.n1b * 1000000 // tt.t)) // (4 * cv.cv)
-             ) AS p_ppm
+             ) END AS p_ppm
       FROM big b
       JOIN cvw ON cvw.v = b.v AND cvw.w = b.w
       JOIN cv ON cv.v = b.v
@@ -4893,11 +5135,16 @@ _KEYNESS_ORACLE = f"""
       WHERE st.a >= 5
     ),
     g AS (
+      -- guard twin of the Spark-side headroom raise (same 1.5e11
+      -- threshold): past it BOTH engines refuse identically.
       SELECT source, term, a, b, c, d,
-             CAST(2 * ({_xlnx('a')} + {_xlnx('b')} + {_xlnx('c')}
+             CAST(CASE WHEN n > 150000000000 THEN
+               error('text_keyness_g2: corpus token count exceeds 64-bit'
+                     || ' micro-ln headroom — widen to DECIMAL(38,0)')
+             ELSE 2 * ({_xlnx('a')} + {_xlnx('b')} + {_xlnx('c')}
                    + {_xlnx('d')} + {_xlnx('n')}
                    - {_xlnx('(a + b)')} - {_xlnx('(c + d)')}
-                   - {_xlnx('(a + c)')} - {_xlnx('(b + d)')})
+                   - {_xlnx('(a + c)')} - {_xlnx('(b + d)')}) END
                   AS BIGINT) AS g2_micro,
              CASE WHEN a * (b + d) > b * (a + c) THEN 1 ELSE -1 END AS direction
       FROM cells

@@ -723,6 +723,98 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "source_dup_rates",                # D258 first slot
         ),
     ),
+    # --- Round 12: wave 2 of 2 — this CLOSES the never-driver-checked
+    # backlog (VERDICT r11 task 1). Keep the four sentinels + the 12
+    # bench-panel members (13 unique names); all 37 round-11 entrants
+    # are driver-r11 green (CORRECTNESS_r11.json 50/50) and give up
+    # their slots to the 33 remaining first-timers: the D259–D284
+    # deferral block (23 oracle-equipped names) and the 10 round-11
+    # additions D285–D294. lsh_width_ladder hands its audit slot to the
+    # sampled auto-rate twin (VERDICT r11 task 3) and
+    # text_tfidf_cosine_pairs to its LSH-candidate sibling (task 4).
+    # After this wave every oracle-equipped query has held a driver
+    # slot at least once — the rotation backlog is EMPTY; future waves
+    # only need to cover new operators and re-verification slices.
+    (
+        (
+            "source_quality_drift",
+            "lsh_width_ladder",
+            "text_longest_repeat",
+            "events_bot_scores",
+            "events_hourly_acf",
+            "vocab_gt_spectrum",
+            "text_tfidf_cosine_pairs",
+            "fk_integrity_audit",
+            "text_rouge_adjacent",
+            "events_concurrency_profile",
+            "abtest_bootstrap_ci",
+            "stylometry_burrows_delta",
+            "events_holt_forecast",
+            "graph_degree_assortativity",
+            "events_retention_hazard",
+            "embedding_sq2_codebook",
+            "multimodal_audio_resample",
+            "t_closeness_audit",
+            "events_lorenz_gini",
+            "abc_classification_suppliers",
+            "corr_spearman_price_demand",
+            "assemble_behavioral_dataset",
+            "contingency_chi_square",
+            "psi_value_drift",
+            "graph_label_propagation",
+            "mutual_information_source_lang",
+            "text_readability_scores",
+            "embedding_hygiene_audit",
+            "events_shapley_attribution",
+            "events_holt_winters",
+            "text_kn_bigram_score",
+            "customer_brand_hhi",
+            "assemble_training_set_v7",
+            "graph_kcore_membership",
+            "source_template_prefixes",
+            "vocab_growth_curve",
+            "source_dup_rates",
+        ),
+        (
+            # D259–D284 deferral block — first-ever driver slots
+            "events_max_drawdown",             # D259 first slot
+            "search_ndcg",                     # D260 first slot
+            "events_conversion_lag",           # D262 first slot
+            "events_watermark_audit",          # D263 first slot
+            "simpson_paradox_audit",           # D264 first slot
+            "classifier_auc_activity",         # D265 first slot
+            "classifier_lift_deciles",         # D266 first slot
+            "events_km_survival",              # D267 first slot
+            "events_tail_index_hill",          # D268 first slot
+            "events_cross_correlation",        # D269 first slot
+            "search_rm3_expansion",            # D270 first slot
+            "forecast_backtest_mase",          # D271 first slot
+            "calibration_isotonic",            # D273 first slot
+            "clustering_silhouette",           # D274 first slot
+            "abtest_cmh_pooled",               # D275 first slot
+            "ivf_nprobe_recall_curve",         # D276 first slot
+            "join_size_preflight",             # D277 first slot
+            "events_burst_detection",          # D278 first slot
+            "abtest_bh_fdr",                   # D279 first slot
+            "abtest_report_card",              # D280 first slot
+            "embedding_geometric_median",      # D281 first slot
+            "text_keyness_g2",                 # D283 first slot
+            "text_textrank_summary",           # D284 first slot
+            # round-11 additions — first-ever driver slots
+            "lsh_width_ladder_sampled",        # D285 (round-12 auto-rate re-pin)
+            "dedup_semantic_recall_cert",      # D286 first slot
+            "assemble_training_set_v8",        # D287 first slot
+            "join_order_advisor",              # D288 first slot
+            "join_preflight_sketch_audit",     # D289 first slot
+            "partition_layout_advisor",        # D290 first slot
+            "graph_clustering_coefficient",    # D291 first slot
+            "search_query_likelihood",         # D292 first slot
+            "conformal_value_intervals",       # D293 first slot
+            "source_zipf_slope",               # D294 first slot
+            # round-12 additions
+            "text_tfidf_cosine_pairs_lsh",     # D295 — takes D226's slot
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet
@@ -952,6 +1044,20 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # text_keyness_g2 (D283), text_textrank_summary (D284) — 23 names,
 # plus any round-11 additions; streaming twins watermark_stream
 # (D272) and burst_stream (D282) stay pytest-pinned + soaked.
+#
+# Round-12 additions (strict-EQUAL at sf0.001/0.01/0.1, holding
+# round-12 driver slots on arrival): text_tfidf_cosine_pairs_lsh
+# (D295, the scale-safe TF-IDF cosine sibling — banded MinHash
+# candidates over the df-capped shingle space with single-sourced
+# mod-2^32 hash constants replayed bit-identically by the DuckDB twin;
+# takes D226's driver slot per VERDICT r11 task 4). Round-12 re-pins:
+# lsh_width_ladder_sampled (D285) moved from the fixed 25% md5 sample
+# to the D286 auto-rate threshold (~2048 truth vectors at any N,
+# saturation ⇒ full corpus — VERDICT r11 task 3 + ADVICE r11), and
+# dedup_semantic_recall_cert (D286) derives nb by pure integer
+# bit-length on both engines. After the round-12 wave the
+# never-driver-checked backlog is EMPTY: every oracle-equipped query
+# has held a driver slot at least once.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

@@ -227,8 +227,9 @@ SF1_QUERIES = [
     # round-11 additions. lsh_width_ladder_sampled (D285) is the
     # sampled-truth twin built to give the ladder family the decade
     # row the exact D221 deliberately lacks: its truth GEMM runs on
-    # the pinned 25% vector sample (1/16 of the pair mass), while the
-    # candidate counts stay exact at full N.
+    # the AUTO-RATE vector sample (~2048 vectors at any N since the
+    # round-12 re-pin, VERDICT r11 task 3), while the candidate
+    # counts stay exact at full N.
     "lsh_width_ladder_sampled",
     "dedup_semantic_recall_cert",
     "assemble_training_set_v8",
@@ -239,6 +240,8 @@ SF1_QUERIES = [
     "search_query_likelihood",
     "conformal_value_intervals",
     "source_zipf_slope",
+    # round-12 additions
+    "text_tfidf_cosine_pairs_lsh",
 ]
 SF1_REPS = 2
 

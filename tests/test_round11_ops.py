@@ -13,15 +13,25 @@ from tests.conftest import SF_DIR, rows_of
 # ---------------------------------------------------------------- D285
 
 
-def _in_sample(i: int) -> bool:
-    # the query's pinned predicate: md5 hex prefix of the decimal id
-    return hashlib.md5(str(i).encode()).hexdigest()[:8] < "40000000"
+def _auto_thr(n: int, target: int = 2048) -> str:
+    # the round-12 auto-rate predicate (D286 convention): r=min(1,
+    # target/N) rendered as floor(r*2^32) hex; N <= target saturates
+    return format(min(0xFFFFFFFF, (target << 32) // max(1, n)), "08x")
+
+
+def _in_auto_sample(i: int, n: int) -> bool:
+    return n <= 2048 or (
+        hashlib.md5(str(i).encode()).hexdigest()[:8] < _auto_thr(n)
+    )
 
 
 def test_sampled_ladder_candidates_equal_exact_twin(spark):
     # Candidate machinery is shared with D221 verbatim: on the real
     # fixture the per-width candidate counts and fractions must be
-    # IDENTICAL; only the truth columns may differ (sampled subset).
+    # IDENTICAL. Round-12 re-pin: the truth sample is AUTO-RATE
+    # (r = min(1, 2048/N)); the sf0.001 fixture is far below 2048
+    # vectors, so r saturates at 1 and the truth columns must equal
+    # the exact twin EXACTLY (full-corpus sample, no md5 filter).
     exact = (
         R.ALL_QUERIES["lsh_width_ladder"](spark, SF_DIR)
         .toPandas().sort_values("width").reset_index(drop=True)
@@ -33,48 +43,60 @@ def test_sampled_ladder_candidates_equal_exact_twin(spark):
     assert list(samp.width) == [8, 12, 16]
     assert list(samp.n_candidates) == list(exact.n_candidates)
     assert list(samp.cand_ppm) == list(exact.cand_ppm)
-    # ~25% vector sample ⇒ ~1/16 of pairs: the sampled truth set is a
-    # strict subset, and non-vacuous on the fixture
-    assert 0 < samp.n_true_sampled.iloc[0] < exact.n_true.iloc[0]
-    assert (samp.n_caught_sampled <= samp.n_true_sampled).all()
+    assert samp.n_true_sampled.iloc[0] > 0
+    assert list(samp.n_true_sampled) == list(exact.n_true)
+    assert list(samp.n_caught_sampled) == list(exact.n_caught)
 
 
-def test_sampled_ladder_truth_gated_by_md5_sample(spark, tmp_path):
-    # Plant two identical-vector pairs (cos = 1): pair A's ids are both
-    # INSIDE the md5 sample (6, 19), pair B's both OUTSIDE (0, 1).
-    # Background vectors are disjoint one-hots (pairwise cos 0). The
-    # sampled variant must count ONLY pair A in its truth set and catch
-    # it at every width (identical vectors share every code); the exact
-    # twin on the same fixture counts both pairs — proving the sample
-    # gates the denominator, not the candidate side.
-    assert _in_sample(6) and _in_sample(19)
-    assert not _in_sample(0) and not _in_sample(1)
-    vec_a = [1.0 if d < 4 else 0.0 for d in range(64)]
-    vec_b = [1.0 if 4 <= d < 8 else 0.0 for d in range(64)]
-    rows = [(6, vec_a, 0), (19, vec_a, 0), (0, vec_b, 0), (1, vec_b, 0)]
-    for k, i in enumerate([2, 3, 4, 5, 7, 8, 21, 23, 24, 27]):
-        one_hot = [1.0 if d == 8 + k else 0.0 for d in range(64)]
-        rows.append((i, one_hot, 1))
+def test_sampled_ladder_truth_gated_by_auto_rate_sample(spark, tmp_path):
+    # Above saturation the md5 gate must cut the truth denominator.
+    # 2400 deterministic ±1 vectors (> 2048 ⇒ r = 2048/2400 < 1): ±1
+    # components make every dot an exact small integer in float32/64
+    # (any summation order), norms are exactly 64, and cos ≥ 0.3 ⟺
+    # dot ≥ 20 (19.2 is not an integer — no boundary ambiguity), so a
+    # numpy twin predicts the engine's sampled truth count EXACTLY.
+    import numpy as np
+
+    n = 2400
+    thr = _auto_thr(n)
+    ids = list(range(100, 100 + n))
+    rng = np.random.default_rng(7)
+    mat = (rng.integers(0, 2, size=(n, 64)) * 2 - 1).astype(np.float64)
+    # plant one identical pair INSIDE the sample (cos = 1 ⇒ truth) and
+    # one pair straddling the gate (must NOT reach the truth set)
+    in_ids = [i for i in ids if _in_auto_sample(i, n)]
+    out_ids = [i for i in ids if not _in_auto_sample(i, n)]
+    assert len(out_ids) > 0, "auto-rate gate vacuous at n=2400"
+    pos = {v: k for k, v in enumerate(ids)}
+    a1, a2 = in_ids[0], in_ids[1]
+    b1, b2 = in_ids[2], out_ids[0]
+    mat[pos[a2]] = mat[pos[a1]]
+    mat[pos[b2]] = mat[pos[b1]]
+
     spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<float>, label int"
+        [(i, [float(x) for x in mat[pos[i]]], 0) for i in ids],
+        "vec_id bigint, embedding array<float>, label int",
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    # numpy twin of the sampled truth set
+    s_idx = [pos[i] for i in sorted(in_ids)]
+    sub = mat[s_idx]
+    dots = sub @ sub.T
+    want_true = int((np.triu(dots, 1) >= 19.2).sum())
+    full = mat @ mat.T
+    full_true = int((np.triu(full, 1) >= 19.2).sum())
 
     samp = (
         R.ALL_QUERIES["lsh_width_ladder_sampled"](spark, str(tmp_path))
         .toPandas().sort_values("width").reset_index(drop=True)
     )
-    assert list(samp.n_true_sampled) == [1, 1, 1]
-    assert list(samp.n_caught_sampled) == [1, 1, 1]
-    assert list(samp.recall_ppm) == [1000000, 1000000, 1000000]
-
-    exact = (
-        R.ALL_QUERIES["lsh_width_ladder"](spark, str(tmp_path))
-        .toPandas().sort_values("width").reset_index(drop=True)
-    )
-    assert list(exact.n_true) == [2, 2, 2]
-    # both identical pairs are candidates at full width on BOTH queries
-    assert (samp.n_candidates >= 2).all()
-    assert list(samp.n_candidates) == list(exact.n_candidates)
+    assert list(samp.n_true_sampled) == [want_true] * 3
+    # the gate genuinely cut the denominator (pair b1-b2 among others)
+    assert want_true < full_true
+    assert (samp.n_caught_sampled <= samp.n_true_sampled).all()
+    # recall arithmetic is the pinned truncating ppm
+    for _, r in samp.iterrows():
+        assert r.recall_ppm == r.n_caught_sampled * 1000000 // want_true
 
 
 # ---------------------------------------------------------------- D286
