@@ -164,6 +164,32 @@ def main() -> None:
         .save()
     )
 
+    # Host-speed calibration probes (VERDICT r11 task 6): the panel
+    # band moved 14.5-14.9 -> 17.2-19.4 s across sessions with
+    # byte-identical plans — host tick speed, but proving that took a
+    # git-diff adjudication. These two pinned probes put the host's
+    # speed INSIDE the artifact so the gate can judge panel_total
+    # RELATIVE to them: (a) a fixed single-thread hash chain (pure
+    # CPU, no JVM/scheduler), (b) an empty 32-task shuffle job
+    # (pure scheduler tick + shuffle machinery, no data); median of 5
+    # reflects the tick-speed envelope rather than the best case.
+    import hashlib
+    import statistics
+
+    t0 = time.perf_counter()
+    _b = b"\x00" * 64
+    for _ in range(400_000):
+        _b = hashlib.sha256(_b).digest()
+    cpu_probe = round(time.perf_counter() - t0, 4)
+    shuffle_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(0, 32768, 1, 32).repartition(32).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        shuffle_times.append(time.perf_counter() - t0)
+    shuffle_probe = round(statistics.median(shuffle_times), 4)
+
     # One UNTIMED throwaway execution of the first measured query (in
     # measured order): the synthetic warmups above cover codegen/Arrow
     # machinery but not residual first-touch costs attributed to
@@ -257,6 +283,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_1m_start": LOAD_START,
         "loadavg_1m_end": load_end,
+        "cpu_probe_sec": cpu_probe,
+        "shuffle_probe_sec": shuffle_probe,
         "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if failures:

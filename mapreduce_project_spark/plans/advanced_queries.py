@@ -1566,3 +1566,227 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("cc_ppm"),
         )
     )
+
+
+# Sampled-pair betweenness (D296): generated level-synchronous BFS SQL
+# shared with the Spark driver loop — R rounds, K sources + K targets.
+_BTW_R, _BTW_K = 4, 4
+_BTW_GUARD = 3_000_000_000  # ss, st <= 3e9 keeps ss*st < int64max
+
+
+def _btw_bfs_ctes() -> str:
+    parts = [
+        """l0 AS (SELECT root, kind, root AS node, 0 AS dist,
+             CAST(1 AS BIGINT) AS sigma FROM roots),
+    v0 AS (SELECT root, kind, node, dist, sigma FROM l0)"""
+    ]
+    for k in range(1, _BTW_R + 1):
+        parts.append(
+            f"""f{k} AS (
+      SELECT p.root, p.kind, adj.v AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM v{k - 1} p JOIN adj ON adj.u = p.node
+      WHERE p.dist = {k - 1}
+      GROUP BY 1, 2, 3
+    ),
+    l{k} AS (
+      SELECT f.root, f.kind, f.node, {k} AS dist, f.sigma FROM f{k} f
+      WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} v WHERE v.root = f.root
+                        AND v.kind = f.kind AND v.node = f.node)
+    ),
+    v{k} AS (SELECT * FROM v{k - 1} UNION ALL SELECT * FROM l{k})"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BTW_ORACLE = f"""
+    WITH o AS (SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-01-15'),
+    raw AS (
+      SELECT x.l_suppkey AS s1, y.l_suppkey AS s2
+      FROM lineitem x
+      JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      JOIN o ON x.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT DISTINCT s1 AS a, s2 AS b FROM raw),
+    adj AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM adj),
+    rk AS (SELECT n, row_number() OVER (ORDER BY n) AS rna,
+                  row_number() OVER (ORDER BY n DESC) AS rnd FROM nodes),
+    roots AS MATERIALIZED (
+      SELECT n AS root, 's' AS kind FROM rk WHERE rna <= {_BTW_K}
+      UNION ALL
+      SELECT n AS root, 't' AS kind FROM rk WHERE rnd <= {_BTW_K} AND rna > {_BTW_K}
+    ),
+    {_btw_bfs_ctes()},
+    bfs AS MATERIALIZED (SELECT * FROM v{_BTW_R}),
+    src AS (SELECT root AS s, node, dist AS ds, sigma AS ss FROM bfs WHERE kind = 's'),
+    tgt AS (SELECT root AS t, node, dist AS dt, sigma AS st FROM bfs WHERE kind = 't'),
+    pairdist AS (
+      SELECT src.s, src.node AS t, src.ds AS d
+      FROM src JOIN roots r ON r.kind = 't' AND r.root = src.node
+      WHERE src.ds > 0
+    ),
+    mid AS (
+      SELECT a.node,
+             CASE WHEN greatest(a.ss, b.st) > {_BTW_GUARD} THEN
+               error('graph_betweenness_sampled: path counts exceed 64-bit'
+                     || ' product headroom — widen to DECIMAL(38,0)')
+             ELSE a.ss * b.st END AS paths
+      FROM pairdist p
+      JOIN src a ON a.s = p.s
+      JOIN tgt b ON b.t = p.t AND b.node = a.node
+      WHERE a.ds + b.dt = p.d AND a.node <> p.s AND a.node <> p.t
+    ),
+    sc AS (SELECT node, CAST(SUM(paths) AS BIGINT) AS score,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs FROM mid GROUP BY node)
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, node) AS BIGINT) AS rank,
+             node, score, n_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairdist) AS pairs_counted
+      FROM sc
+    ) WHERE rank <= 20
+    """
+
+
+@extra_query("graph_betweenness_sampled", _BTW_ORACLE)
+def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-pair BETWEENNESS centrality (D296) — the bridge/broker
+    statistic completing the graph family's centrality axis
+    (clustering coefficient D291: how clique-like a neighborhood;
+    PageRank D49: global influence; this: WHO SITS ON THE SHORTEST
+    PATHS — the node whose removal disconnects flows, in curation the
+    screen for broker/bridge suppliers and in dedup-graph hygiene the
+    cut vertices that chain unrelated near-dup families together).
+    Exact Brandes betweenness is all-pairs (O(V·E) — not a 100 TB
+    shape); the published scale path is PAIR SAMPLING, and integer
+    exactness picks the numerator form: for a PINNED deterministic
+    root sample (the K smallest node ids as sources, the K largest as
+    targets — replayable from each engine's own node set, no RNG),
+    score(v) = Σ over sampled (s,t) pairs of σ_s(v)·σ_t(v) for nodes
+    with d_s(v)+d_t(v) = d(s,t) — the exact COUNT of shortest s→t
+    paths through v, an integer (no σ_st division, so no rationals;
+    the Brandes dependency δ needs exactly that division, which is
+    why the sampled-NUMERATOR form is the hash-checkable one).
+
+    Plan shape (the D106/D255 bounded-round discipline): all 2K BFS
+    frontiers advance SIMULTANEOUSLY as one (root, kind)-keyed state
+    table — per level ONE frontier⋈adjacency join + ONE (root, node)
+    partial-agg σ-sum + ONE anti-join against the visited set, R = 4
+    levels, localCheckpoint per round; pairs whose true distance
+    exceeds R are excluded from the audit (bounded horizon — for every
+    counted pair the numerator is EXACT, since any on-path node sits
+    within d ≤ R of both ends). Graph: the first-two-weeks-of-Jan-1995
+    co-supply graph (the quarter graph is near-complete at small SF —
+    all-adjacent roots make betweenness vacuously zero). Headroom:
+    σ products guarded at inputs ≤ 3e9 (raise, never wrap — both
+    engines). Top-20 by (score DESC, node). Reference: the reference
+    engine has no graph surface; capability class per SURVEY §2 D296
+    (Brandes 2001 numerators + Brandes-Pich 2007 pair sampling, made
+    bounded-round and oracle-replayable)."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-01-15"))
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    adj = e.selectExpr("a AS u", "b AS v").unionAll(
+        e.selectExpr("b AS u", "a AS v")
+    )
+    nodes = adj.select(F.col("u").alias("n")).distinct()
+    # pinned deterministic roots: TakeOrdered head/tail of the node id
+    # set — a 2K-row driver list (metadata-scale, like the D286 COUNT)
+    lo = [r["n"] for r in nodes.orderBy("n").limit(_BTW_K).collect()]
+    hi = [
+        r["n"]
+        for r in nodes.orderBy(F.col("n").desc()).limit(_BTW_K).collect()
+        if r["n"] not in lo
+    ]
+    roots = spark.createDataFrame(
+        [(n, "s") for n in lo] + [(n, "t") for n in hi], "root bigint, kind string"
+    )
+    state = roots.select(
+        "root", "kind", F.col("root").alias("node"),
+        F.lit(0).cast("int").alias("dist"), F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, _BTW_R + 1):
+        frontier = state.filter(F.col("dist") == k - 1)
+        cand = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .groupBy("root", "kind", "v")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .withColumnRenamed("v", "node")
+        )
+        new = cand.join(
+            state.select("root", "kind", "node"), ["root", "kind", "node"], "left_anti"
+        ).select(
+            "root", "kind", "node", F.lit(k).cast("int").alias("dist"), "sigma"
+        )
+        state = state.unionByName(new).localCheckpoint(eager=True)
+    src = state.filter(F.col("kind") == "s").select(
+        F.col("root").alias("s"), "node",
+        F.col("dist").alias("ds"), F.col("sigma").alias("ss"),
+    )
+    tgt = state.filter(F.col("kind") == "t").select(
+        F.col("root").alias("t"), "node",
+        F.col("dist").alias("dt"), F.col("sigma").alias("st"),
+    )
+    pairdist = (
+        src.join(
+            F.broadcast(roots.filter(F.col("kind") == "t").select(
+                F.col("root").alias("node"))),
+            "node",
+        )
+        .filter(F.col("ds") > 0)
+        .select("s", F.col("node").alias("t"), F.col("ds").alias("d"))
+    )
+    mid = (
+        F.broadcast(pairdist)
+        .join(src, "s")
+        .join(tgt, ["t", "node"])
+        .filter(
+            (F.col("ds") + F.col("dt") == F.col("d"))
+            & (F.col("node") != F.col("s"))
+            & (F.col("node") != F.col("t"))
+        )
+        .select(
+            "node",
+            F.expr(
+                f"case when greatest(ss, st) > {_BTW_GUARD} then"
+                " raise_error('graph_betweenness_sampled: path counts exceed"
+                " 64-bit product headroom — widen to DECIMAL(38,0)')"
+                " else ss * st end"
+            ).alias("paths"),
+        )
+    )
+    sc = mid.groupBy("node").agg(
+        F.sum("paths").cast("bigint").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    npairs = pairdist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pairs_counted")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("node"))
+    return (
+        sc.crossJoin(F.broadcast(npairs))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "node", "score", "n_pairs", "pairs_counted")
+    )

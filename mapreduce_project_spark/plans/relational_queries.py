@@ -3287,3 +3287,146 @@ def q_partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+# D298: the engine pointed at its own round telemetry. REPO_ROOT is
+# derived, not hardcoded; both engines glob the same artifact files at
+# compare time, so parity holds whatever the artifact contents are.
+import pathlib as _pathlib
+
+_REPO_ROOT = str(_pathlib.Path(__file__).resolve().parents[2])
+
+_CORRECTNESS_REC = (
+    "rows_match boolean, schema_match boolean, hash_match boolean,"
+    " spark_rows bigint, oracle_rows bigint"
+)
+
+_TREND_ORACLE = f"""
+    WITH f AS (
+      SELECT filename, content
+      FROM read_text('{_REPO_ROOT}/CORRECTNESS_r*.json')
+    ),
+    k AS (
+      SELECT CAST(regexp_extract(filename, 'CORRECTNESS_r(\\d+)', 1) AS BIGINT)
+               AS rnd,
+             UNNEST(json_keys(content)) AS q, content
+      FROM f
+    ),
+    rec AS (
+      SELECT rnd, q,
+             CAST(json_extract(content, '$."' || q || '".hash_match')
+                  AS BOOLEAN) AS hm,
+             CAST(json_extract(content, '$."' || q || '".rows_match')
+                  AS BOOLEAN) AS rm
+      FROM k
+    ),
+    fr AS (SELECT q, MIN(rnd) AS first_rnd FROM rec GROUP BY q),
+    per AS (
+      SELECT rnd,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN hm THEN 1 ELSE 0 END) AS BIGINT) AS n_hash_green,
+             CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_green
+      FROM rec GROUP BY rnd
+    ),
+    ft AS (
+      SELECT first_rnd AS rnd, CAST(COUNT(*) AS BIGINT) AS n_first_time
+      FROM fr GROUP BY first_rnd
+    )
+    SELECT per.rnd AS round, per.n_checked, per.n_hash_green, per.n_rows_green,
+           CAST(COALESCE(ft.n_first_time, 0) AS BIGINT) AS n_first_time,
+           CAST(SUM(COALESCE(ft.n_first_time, 0))
+                OVER (ORDER BY per.rnd) AS BIGINT) AS cum_distinct_queries,
+           CAST(per.n_hash_green * 1000000 // per.n_checked AS BIGINT)
+             AS green_ppm
+    FROM per LEFT JOIN ft ON ft.rnd = per.rnd
+    """
+
+
+@extra_query("correctness_trend_report", _TREND_ORACLE)
+def q_correctness_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-round CORRECTNESS trend (D298) — the engine dogfooding its
+    own telemetry (VERDICT r11 task 7 candidate): the per-round driver
+    verdicts (`CORRECTNESS_r*.json`, a JSON object of query → {rows/
+    schema/hash match}) become a queryable table, answering the
+    questions the round process itself asks — how many queries held a
+    driver slot each round, how many hash-matched, how many were
+    FIRST-TIME slots (min round per query — the rotation-backlog burn
+    rate the round-11/12 waves were sized by), and the cumulative
+    distinct-query coverage curve. Semi-structured ingestion with
+    DYNAMIC keys (the D52 VARIANT lesson at file scope): Spark reads
+    each artifact as ONE wholetext row and `from_json`s it to a
+    map<query, struct>, exploding map entries; DuckDB walks
+    `json_keys` + per-key `json_extract` — two different engines'
+    idioms over the same files, value-identical.
+
+    Exactness: every figure is an integer count, a MIN, a running SUM
+    over a pinned order, or a truncating ppm. `sf_dir` is deliberately
+    unused — the telemetry corpus IS the repo's committed artifact
+    set, identical for both engines at compare time (the path is
+    derived from the module location, not hardcoded). Plan: the input
+    is one row per ROUND (file) fanned to one row per (round, query)
+    — bounded by 50·rounds, metadata scale; at a real deployment this
+    is the shape of any manifest/run-ledger audit over thousands of
+    runs: one wholetext scan, two partial aggs, one bounded window."""
+    # wholetext must be the reader kwarg — the .option() spelling is
+    # silently ignored by the text source and yields per-LINE rows
+    files = spark.read.text(
+        f"{_REPO_ROOT}/CORRECTNESS_r*.json", wholetext=True
+    )
+    rec = (
+        files.select(
+            F.regexp_extract(
+                F.input_file_name(), r"CORRECTNESS_r(\d+)", 1
+            )
+            .cast("bigint")
+            .alias("rnd"),
+            F.explode(
+                F.from_json(
+                    F.col("value"), f"map<string, struct<{_CORRECTNESS_REC}>>"
+                )
+            ).alias("q", "r"),
+        )
+        .select(
+            "rnd",
+            "q",
+            F.col("r.hash_match").alias("hm"),
+            F.col("r.rows_match").alias("rm"),
+        )
+    )
+    per = rec.groupBy("rnd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.expr("cast(sum(case when hm then 1 else 0 end) as bigint)").alias(
+            "n_hash_green"
+        ),
+        F.expr("cast(sum(case when rm then 1 else 0 end) as bigint)").alias(
+            "n_rows_green"
+        ),
+    )
+    ft = (
+        rec.groupBy("q")
+        .agg(F.min("rnd").alias("rnd"))
+        .groupBy("rnd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_first_time"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("rnd").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(ft, "rnd", "left")
+        .select(
+            F.col("rnd").alias("round"),
+            "n_checked",
+            "n_hash_green",
+            "n_rows_green",
+            F.coalesce("n_first_time", F.lit(0)).cast("bigint").alias(
+                "n_first_time"
+            ),
+            F.sum(F.coalesce("n_first_time", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_distinct_queries"),
+            F.expr(
+                "cast(n_hash_green * 1000000 div n_checked as bigint)"
+            ).alias("green_ppm"),
+        )
+    )

@@ -813,6 +813,8 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "source_zipf_slope",               # D294 first slot
             # round-12 additions
             "text_tfidf_cosine_pairs_lsh",     # D295 — takes D226's slot
+            "graph_betweenness_sampled",       # D296 first slot
+            "correctness_trend_report",        # D298 first slot
         ),
     ),
 )
@@ -1058,6 +1060,19 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # bit-length on both engines. After the round-12 wave the
 # never-driver-checked backlog is EMPTY: every oracle-equipped query
 # has held a driver slot at least once.
+#
+# Further round-12 additions (strict-EQUAL at 3 SFs, driver slots on
+# arrival): graph_betweenness_sampled (D296, exact-integer sampled-pair
+# Brandes numerators over simultaneous level-synchronous BFS frontiers
+# — the bridge-centrality member of the graph family) and
+# correctness_trend_report (D298, the engine dogfooding its own
+# CORRECTNESS_r*.json round ledger: wholetext map-JSON ingestion vs
+# DuckDB json_keys walk, first-timer attribution + cumulative
+# coverage). Streaming twin conformal_stream (D297, frozen-parameter
+# conformal-coverage monitor over D293's fit) stays pytest-pinned +
+# soaked. The ann_ingest_stream IVF sink is batch-id-scoped as of
+# round 12 (VERDICT r11 task 2) with read_ivf_tree/ivf_tree_compact
+# as the read/serving path, proven by scripts/ann_kill_matrix.py.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

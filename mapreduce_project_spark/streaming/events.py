@@ -410,6 +410,7 @@ def crawl_dedup_stream(
     n_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    fault_injector=None,
 ):
     """GROWING-corpus near-dup dedup as a stream — the streaming twin
     of `dedup_incremental_crawl`: each micro-batch of crawled docs is
@@ -442,6 +443,7 @@ def crawl_dedup_stream(
         _crawl_dedup_batch(
             spark, batch_df, batch_id, index_path, pairs_path,
             id_col, text_col, n, n_perm, bands, threshold,
+            fault_injector=fault_injector,
         )
 
     return (
@@ -473,13 +475,21 @@ def _crawl_dedup_batch(
     n_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    fault_injector=None,
 ) -> None:
     """One micro-batch of `crawl_dedup_stream`, factored out so the
     idempotence property (same batch_id replayed ⇒ identical final
     state) is directly unit-testable. The probe deliberately reads the
     index EXCLUDING this batch's own subdirectory, so a retry that
     already appended its signatures does not suddenly self-join the
-    batch (replay ≡ first play, byte-for-byte)."""
+    batch (replay ≡ first play, byte-for-byte).
+
+    ``fault_injector(point, batch_id)`` is test instrumentation for
+    the kill-placement matrix (scripts/ann_kill_matrix.py): called at
+    the named write boundaries ('after_pairs', 'after_sig') so a crash
+    can be planted DETERMINISTICALLY between any two effects instead
+    of hoping a timed stop lands there. Production callers leave it
+    None."""
     import glob as _glob
     import os as _os
 
@@ -515,7 +525,11 @@ def _crawl_dedup_batch(
         pairs.write.mode("overwrite").parquet(
             _os.path.join(pairs_path, f"batch-{batch_id}")
         )
+        if fault_injector is not None:
+            fault_injector("after_pairs", batch_id)
         sig.write.mode("overwrite").parquet(own)
+        if fault_injector is not None:
+            fault_injector("after_sig", batch_id)
     finally:
         sig.unpersist()
 
@@ -535,6 +549,7 @@ def ann_ingest_stream(
     n_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    fault_injector=None,
 ):
     """The composed streaming ANN ingestion pipeline (round-6 VERDICT
     task 7) — what a continuously crawled corpus actually runs: each
@@ -544,21 +559,32 @@ def ann_ingest_stream(
     SURVIVORS (docs that did not match any older document) are
     EMBEDDED with the vocabulary-free hashing featurizer
     (`operators/text.py:hashed_doc_vectors`, densified to a
-    ``dim``-vector), and (3) UPSERTED into the cell-partitioned
-    parquet IVF index with the touched-cell MERGE discipline
-    (`ivf_index_upsert` — frozen centroid geometry between retrains,
-    O(batch + touched cells), never O(index)).
+    ``dim``-vector), and (3) LANDED as cell-assigned vectors in the
+    index's own ``batch-<id>/`` subdirectory.
 
-    Exactly-once across kill/restart, by composition of the parts'
-    own disciplines: step (1)'s two writes are batch-id-scoped
-    directory overwrites (replay rewrites only its own directories,
-    and the probe excludes the batch's own subdirectory so a retry
-    never self-joins); steps (2)-(3) are deterministic functions of
-    the batch content, and the IVF MERGE is idempotent — replaying
-    the same upserts replaces the same keys with the same rows, so a
-    crash anywhere in (1)-(3) converges to the identical index state
-    on the checkpoint-driven retry (pinned in tests/test_streaming.py
-    and the round soak).
+    Exactly-once across kill/restart at ANY placement: all THREE
+    effects are batch-id-scoped directory overwrites — the retry of a
+    crashed batch rewrites exactly its own three directories and
+    touches nothing else, so replay is a content-identical no-op by
+    construction. Round-12 redesign (VERDICT r11 task 2): the
+    previous sink MERGED into one shared cell-partitioned table
+    (`ivf_index_upsert`) from inside the stream, whose multi-partition
+    dynamic overwrite is not crash-atomic on a plain filesystem — a
+    kill landing mid-commit could leave a cell with both old and new
+    files (the soak's one observed 2325-vs-2324 row excess under
+    load). No shared-table mutation remains in the stream path;
+    readers resolve the batch tree with `read_ivf_tree` (last-writer-
+    wins per id), and the serving-side cell-partitioned layout is
+    produced by the OFFLINE `ivf_tree_compact` maintenance job
+    (derived state, rerunnable), where a driver-retried batch job is
+    the right place for `ivf_index_upsert`'s MERGE. Proven by the
+    deterministic kill-placement matrix (scripts/ann_kill_matrix.py:
+    a planted crash at EVERY batch index × every write boundary,
+    restart, state == sequential batch reference).
+
+    ``fault_injector(point, batch_id)``: test instrumentation for
+    that matrix ('after_pairs', 'after_sig', 'after_ivf'); production
+    callers leave it None.
 
     Returns the started StreamingQuery (availableNow trigger)."""
 
@@ -566,7 +592,7 @@ def ann_ingest_stream(
         _ann_ingest_batch(
             spark, batch_df, batch_id, dedup_index_path, pairs_path,
             ivf_index_path, cents, id_col, text_col, dim, n, n_perm,
-            bands, threshold,
+            bands, threshold, fault_injector=fault_injector,
         )
 
     return (
@@ -592,13 +618,14 @@ def _ann_ingest_batch(
     n_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    fault_injector=None,
 ) -> None:
     """One micro-batch of `ann_ingest_stream`, factored out (same
     pattern as `_crawl_dedup_batch`) so batch-replay idempotence is
     directly unit-testable."""
     import os as _os
 
-    from mapreduce_project_spark.operators.similarity import ivf_index_upsert
+    from mapreduce_project_spark.operators.similarity import ivf_assign_cells
     from mapreduce_project_spark.operators.text import hashed_doc_vectors
 
     batch_df = batch_df.cache()  # consumed by the dedup probe AND the embed
@@ -606,6 +633,7 @@ def _ann_ingest_batch(
         _crawl_dedup_batch(
             spark, batch_df, batch_id, dedup_index_path, pairs_path,
             id_col, text_col, n, n_perm, bands, threshold,
+            fault_injector=fault_injector,
         )
         pairs = spark.read.parquet(_os.path.join(pairs_path, f"batch-{batch_id}"))
         dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
@@ -626,9 +654,119 @@ def _ann_ingest_batch(
                 ).alias("embedding"),
             )
         )
-        ivf_index_upsert(spark, ivf_index_path, dense, id_col, "embedding", cents)
+        # batch-id-scoped landing (round-12, VERDICT r11 task 2): cell
+        # assignment stays the zero-shuffle broadcast projection, but
+        # the write is an overwrite of THIS batch's own subdirectory —
+        # never an in-place merge of shared state, so a crashed
+        # batch's retry is a content-identical no-op at any placement.
+        assigned = ivf_assign_cells(dense, id_col, "embedding", cents)
+        assigned.withColumn("src_batch", F.lit(batch_id).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(ivf_index_path, f"batch-{batch_id}"))
+        if fault_injector is not None:
+            fault_injector("after_ivf", batch_id)
     finally:
         batch_df.unpersist()
+
+
+def read_ivf_tree(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve an `ann_ingest_stream` IVF batch tree to current state:
+    recursive read of the ``batch-<id>/`` subdirectories, last-writer-
+    wins per id (max ``src_batch`` — a re-ingested id's newest vector
+    shadows older ones, the read-time equivalent of the MERGE the
+    stream no longer performs in place). Output contract matches the
+    old merged table: (id, v, cell)."""
+    from pyspark.sql import Window
+
+    tree = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    w = Window.partitionBy("id").orderBy(F.col("src_batch").desc())
+    return (
+        tree.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def ivf_tree_compact(spark: SparkSession, tree_path: str, serving_path: str) -> int:
+    """OFFLINE maintenance: fold the stream's batch tree into the
+    cell-partitioned serving layout (`partitionBy(cell)` — the layout
+    `topk_ivf`'s nprobe pruning reads). Runs as a periodic batch job
+    OUTSIDE the exactly-once surface: the output is derived state,
+    so a crashed compaction is simply rerun (and `ivf_index_upsert`
+    remains the driver-retried batch path for merging INTO a serving
+    table). Returns the number of vectors landed."""
+    cur = read_ivf_tree(spark, tree_path).cache()
+    try:
+        n = cur.count()
+        cur.write.mode("overwrite").partitionBy("cell").parquet(serving_path)
+    finally:
+        cur.unpersist()
+    return n
+
+
+def conformal_stream(
+    events: DataFrame, params: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Streaming CONFORMAL-COVERAGE monitor (D297) — the stateful twin
+    of the batch split-conformal intervals (`conformal_value_intervals`,
+    D293): the per-type point prediction and conformal radius are
+    FROZEN inputs (``params``: event_type → (pred_cents, qhat_cents) —
+    they ship with the model artifact exactly like psi_stream's
+    reference bins and burst_stream's fitted rates), while the stream
+    maintains the running held-out coverage those intervals actually
+    achieve on arriving traffic. This is the live guarantee-validity
+    dashboard a serving layer watches: split-conformal promises
+    coverage ≥ 1−α on exchangeable data, so a sustained dip below the
+    band means the exchangeability assumption broke (drift) and the
+    model needs re-fitting — the streaming completion of the
+    model-eval family.
+
+    Input rows: (``event_type`` string, ``cents`` BIGINT). State: two
+    integers (n_seen, n_covered). Emission per type per batch: the
+    cumulative counts, coverage in truncating ppm, and an ``alarm``
+    flag — 1 when n_seen ≥ 100 (binomial burn-in) and coverage_ppm <
+    850000 (the 0.9-target band minus ~3σ at the burn-in size; both
+    constants pinned). A reading after N rows is bit-identical
+    whether the rows arrived in one batch or twenty (the reading
+    depends only on cumulative integer counts — kill/restart safe)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, n_seen long, n_covered long,"
+        " coverage_ppm long, alarm long"
+    )
+    state_schema = "n long, cov long"
+
+    def update(key, pdfs, state: GroupState):
+        parts = list(pdfs)
+        if not parts:
+            return
+        rows = pd.concat(parts)
+        n, cov = (int(v) for v in state.get) if state.exists else (0, 0)
+        pq = params.get(key[0])
+        if pq is None:  # type absent from the frozen artifact: skip
+            return
+        pred, qhat = pq
+        for c in rows["cents"]:
+            n += 1
+            if abs(int(c) - pred) <= qhat:
+                cov += 1
+        state.update((n, cov))
+        ppm = cov * 1000000 // n
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "n_covered": [cov],
+                "coverage_ppm": [ppm],
+                "alarm": [1 if n >= 100 and ppm < 850000 else 0],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
 
 
 def heavy_hitters_stream(events: DataFrame, budget: int = 64) -> DataFrame:

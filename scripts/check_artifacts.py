@@ -75,6 +75,69 @@ def check_bench(repo_root: str) -> bool:
         )
         return False
     print(f"BENCH gate: {name} loadavg_1m_start={load} — quiet host, OK")
+    return check_bench_relative(repo_root, path, round_no, bench)
+
+
+# Host-speed-normalized panel band (VERDICT r11 task 6): panel_total
+# is judged RELATIVE to the in-artifact calibration probes, so a slow
+# host no longer reads as a plan regression (round 11 needed a git
+# adjudication to separate the two). The allowed panel growth vs the
+# previous probed BENCH is the measured host slowdown (the larger of
+# the two probe ratios) times a noise margin.
+PANEL_REL_MARGIN = 1.30
+
+
+def check_bench_relative(
+    repo_root: str, path: str, round_no: int, bench: dict
+) -> bool:
+    name = os.path.basename(path)
+    cpu, shf = bench.get("cpu_probe_sec"), bench.get("shuffle_probe_sec")
+    if cpu is None or shf is None:
+        if round_no <= 11:  # probes land in round 12
+            print(f"BENCH gate: {name} predates the calibration probes — skip")
+            return True
+        print(
+            f"GATE FAIL: {name} carries no cpu/shuffle calibration probes — "
+            "regenerate with the probing bench.py"
+        )
+        return False
+    prev = None
+    for r in range(round_no - 1, 0, -1):
+        cand = os.path.join(repo_root, f"BENCH_r{r:02d}.json")
+        if not os.path.exists(cand):
+            cand = os.path.join(repo_root, f"BENCH_r{r}.json")
+        if os.path.exists(cand):
+            prev = json.load(open(cand, encoding="utf-8"))
+            prev_name = os.path.basename(cand)
+            break
+    if not prev or prev.get("cpu_probe_sec") is None:
+        print(
+            f"BENCH gate: {name} is the first probed BENCH "
+            f"(cpu={cpu}s shuffle={shf}s) — baseline recorded, relative "
+            "check starts next round"
+        )
+        return True
+    host_ratio = max(
+        cpu / prev["cpu_probe_sec"], shf / prev["shuffle_probe_sec"], 1.0
+    )
+    cur_p, prev_p = bench.get("panel_total"), prev.get("panel_total")
+    if not cur_p or not prev_p:
+        print(f"BENCH gate: {name} or {prev_name} lacks panel_total — skip")
+        return True
+    allowed = prev_p * host_ratio * PANEL_REL_MARGIN
+    print(
+        f"BENCH gate: {name} panel_total={cur_p}s vs {prev_name} "
+        f"{prev_p}s; host ratio {host_ratio:.3f} "
+        f"(cpu {cpu}/{prev['cpu_probe_sec']}, shuffle "
+        f"{shf}/{prev['shuffle_probe_sec']}) — allowed "
+        f"{allowed:.1f}s"
+    )
+    if cur_p > allowed:
+        print(
+            f"GATE FAIL: panel_total {cur_p}s exceeds the host-normalized "
+            f"band {allowed:.1f}s — a plan regression, not host speed"
+        )
+        return False
     return True
 
 

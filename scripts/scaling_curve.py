@@ -240,8 +240,10 @@ SF1_QUERIES = [
     "search_query_likelihood",
     "conformal_value_intervals",
     "source_zipf_slope",
-    # round-12 additions
+    # round-12 additions (correctness_trend_report is omitted: its
+    # corpus is the repo's own artifact ledger, invariant across SFs)
     "text_tfidf_cosine_pairs_lsh",
+    "graph_betweenness_sampled",
 ]
 SF1_REPS = 2
 

@@ -610,6 +610,7 @@ def main() -> int:
     from mapreduce_project_spark.streaming.events import (
         _ann_ingest_batch,
         ann_ingest_stream,
+        read_ivf_tree,
     )
 
     DIM = 32
@@ -661,7 +662,7 @@ def main() -> int:
     def ivf_state(path):
         return {
             (r["id"], r["cell"], tuple(r["v"]))
-            for r in spark.read.parquet(path).collect()
+            for r in read_ivf_tree(spark, path).collect()
         }
 
     vs, vb = ivf_state(ai_ivf_s), ivf_state(ai_ivf_b)
@@ -683,6 +684,14 @@ def main() -> int:
     wm_src = os.path.join(work, "wmsrc")
     os.makedirs(wm_src)
     wm_slices = []
+    # event_id is REASSIGNED as a global arrival counter across slices:
+    # the monitor's semantics are a function of arrival order (it sorts
+    # each micro-batch by event_id), and availableNow is entitled to
+    # merge adjacent files into one trigger on a restart — sequential
+    # ids make the processing trajectory invariant to wherever the
+    # engine places batch boundaries (one observed 19-trigger run
+    # diverged from the 20-slice replay for exactly this reason).
+    _wm_seq = 0
     for i in range(N_BATCHES):
         sl = (
             spark.read.parquet(os.path.join(ev_src, f"b{i:02d}.parquet"))
@@ -693,6 +702,10 @@ def main() -> int:
         )
         if not rows:
             continue
+        rows = [
+            (_wm_seq + j, et, us) for j, (_eid, et, us) in enumerate(rows)
+        ]
+        _wm_seq += len(rows)
         wm_slices.append(rows)
         spark.createDataFrame(
             rows, "event_id long, event_type string, us long"
@@ -747,7 +760,15 @@ def main() -> int:
                 flat_hi = flat_lo
         return flat_lo * 100 + (flat_hi - flat_lo) * (frac if frac else 0)
 
-    want_wm = set()
+    # Boundary-agnostic prefix oracle: a type's reading after its n-th
+    # event is a pure function of the global arrival prefix ending at
+    # that event (later other-type events only move rm, which cannot
+    # retroactively change this type's recorded lateness values) — so
+    # EVERY emitted generation must appear in the per-event prefix map,
+    # whatever batch boundaries the engine chose, and each type's
+    # final generation must be the full-corpus one.
+    want_map: dict = {}
+    finals: dict = {}
     rm = -(1 << 62)
     hists: dict = {}
     wmaxs: dict = {}
@@ -760,17 +781,23 @@ def main() -> int:
             b = min(late, 86400)
             h[b] = h.get(b, 0) + 1
             wmaxs[et] = max(wmaxs.get(et, 0), late)
-        for et in sorted(hists):
-            items = sorted(hists[et].items())
+            items = sorted(h.items())
             n = sum(c for _, c in items)
-            want_wm.add(
-                (
-                    et, n, hists[et].get(0, 0) * 1000000 // n,
-                    wm_pct(items, n, 50), wm_pct(items, n, 95),
-                    wm_pct(items, n, 99), wmaxs[et],
-                )
+            gen = (
+                et, n, h.get(0, 0) * 1000000 // n,
+                wm_pct(items, n, 50), wm_pct(items, n, 95),
+                wm_pct(items, n, 99), wmaxs[et],
             )
-    wm_match = got_wm == want_wm and bool(got_wm)
+            want_map[(et, n)] = gen
+            finals[et] = gen
+    wm_match = (
+        bool(got_wm)
+        and all(r == want_map.get((r[0], r[1])) for r in got_wm)
+        and all(
+            max((r for r in got_wm if r[0] == et), key=lambda r: r[1]) == fin
+            for et, fin in finals.items()
+        )
+    )
     meta.update({"rows": len(got_wm), "match_vs_replay": wm_match})
     report["streams"]["watermark"] = meta
     ok &= wm_match and meta["restarted"]
@@ -926,6 +953,328 @@ def main() -> int:
     meta.update({"rows": len(got_ps), "match_vs_replay": ps_match})
     report["streams"]["psi"] = meta
     ok &= ps_match and meta["restarted"]
+
+    # ---------- 12. cross-batch transitions (applyInPandasWithState) ----------
+    # The carrier of real per-user state the round-11 verdict named as
+    # the top missing soak row: last-event-type state spans batches, so
+    # a kill must neither drop nor duplicate a boundary transition.
+    from mapreduce_project_spark.queries_registry import ALL_QUERIES
+    from mapreduce_project_spark.streaming.events import transition_stream
+
+    tr_out, tr_ck = os.path.join(work, "tr_out"), os.path.join(work, "tr_ck")
+
+    def make_tr():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+        )
+        return (
+            transition_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", tr_out)
+            .option("checkpointLocation", tr_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_tr, "transition_stream")
+    got_tr = {
+        (r["event_type"], r["next_type"]): r["n"]
+        for r in spark.read.parquet(tr_out)
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    want_tr = {
+        (r["event_type"], r["next_type"]): r["n"]
+        for r in ALL_QUERIES["event_transition_matrix"](spark, SF_DIR).collect()
+    }
+    tr_match = got_tr == want_tr and bool(got_tr)
+    meta.update({"cells": len(got_tr), "match_vs_batch": tr_match})
+    report["streams"]["transitions"] = meta
+    ok &= tr_match and meta["restarted"]
+
+    # ---------- 13. per-user EWMA (carried integer state) ----------
+    from mapreduce_project_spark.operators.windows import ewma_fixed
+    from mapreduce_project_spark.streaming.events import ewma_stream
+
+    ew_out, ew_ck = os.path.join(work, "ew_out"), os.path.join(work, "ew_ck")
+
+    def make_ew():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+            .select(
+                "event_id", "user_id", "ts",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("bigint").alias("x"),
+            )
+        )
+        return (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", ew_out)
+            .option("checkpointLocation", ew_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_ew, "ewma_stream")
+    got_ew = {
+        (r["user_id"], r["ts"], r["x"], r["ewma_fx"])
+        for r in spark.read.parquet(ew_out).collect()
+    }
+    want_ew = {
+        (r["user_id"], r["ts"], r["x"], r["ewma_fx"])
+        for r in ewma_fixed(
+            ev.selectExpr(
+                "event_id", "user_id", "ts",
+                "cast(floor(value * 100.0 + 0.5) as bigint) as xc",
+            ),
+            "user_id", ["ts"], "xc", 1, 2,
+        ).collect()
+    }
+    ew_match = got_ew == want_ew and bool(got_ew)
+    meta.update({"rows": len(got_ew), "match_vs_batch": ew_match})
+    report["streams"]["ewma"] = meta
+    ok &= ew_match and meta["restarted"]
+
+    # ---------- 14. running per-user totals (applyInPandasWithState) ----------
+    from mapreduce_project_spark.streaming.events import (
+        running_user_totals_stream,
+    )
+
+    rt_out, rt_ck = os.path.join(work, "rt_out"), os.path.join(work, "rt_ck")
+    os.makedirs(rt_out)
+
+    # the operator emits in UPDATE mode (applyInPandasWithState), which
+    # the parquet sink cannot take — land each trigger's updated rows
+    # in a batch-scoped dir (overwrite ⇒ replay-idempotent)
+    def rt_sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(rt_out, f"batch-{bid}")
+        )
+
+    def make_rt():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+        )
+        return (
+            running_user_totals_stream(stream)
+            .writeStream.foreachBatch(rt_sink)
+            .option("checkpointLocation", rt_ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_rt, "running_user_totals_stream")
+    rt_rows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(rt_out).collect()
+    )
+    rt_final: dict = {}
+    for r in rt_rows:  # the per-user count is monotone: max = final
+        cur = rt_final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            rt_final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    want_rt = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    rt_match = rt_final == want_rt and bool(rt_final)
+    meta.update({"users": len(rt_final), "match_vs_batch": rt_match})
+    report["streams"]["running_user_totals"] = meta
+    ok &= rt_match and meta["restarted"]
+
+    # ---------- 15/16. streaming dedup, both variants ----------
+    # Exact global-distinct parity requires the watermark to exceed the
+    # corpus's event-time span (otherwise eviction legitimately
+    # re-admits a key recurring later — production tunes the delay to
+    # its real lateness bound); the soak pins the parity configuration.
+    from mapreduce_project_spark.streaming.events import (
+        dedup_stream,
+        dedup_within_watermark_stream,
+    )
+
+    for nm, fn in (
+        ("dedup", dedup_stream),
+        ("dedup_within_watermark", dedup_within_watermark_stream),
+    ):
+        dd_out = os.path.join(work, f"{nm}_out")
+        dd_ck = os.path.join(work, f"{nm}_ck")
+
+        def make_dd(fn=fn, dd_out=dd_out, dd_ck=dd_ck):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(ev_src + "/*/")
+            )
+            return (
+                fn(stream, ["user_id", "event_type"], watermark="87600 hours")
+                .writeStream.format("parquet")
+                .option("path", dd_out)
+                .option("checkpointLocation", dd_ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        meta = drive_with_kill(make_dd, f"{nm}_stream")
+        got_dd = {
+            (r["user_id"], r["event_type"])
+            for r in spark.read.parquet(dd_out)
+            .select("user_id", "event_type")
+            .collect()
+        }
+        n_out = spark.read.parquet(dd_out).count()
+        want_dd = {
+            (r["user_id"], r["event_type"])
+            for r in ev.select("user_id", "event_type").distinct().collect()
+        }
+        # set equality AND row count: a replayed duplicate would keep
+        # the set identical but inflate the emitted row count
+        dd_match = got_dd == want_dd and n_out == len(want_dd) and bool(got_dd)
+        meta.update(
+            {"keys": len(got_dd), "rows_emitted": n_out, "match_vs_batch": dd_match}
+        )
+        report["streams"][nm] = meta
+        ok &= dd_match and meta["restarted"]
+
+    # ---------- 17. session windows (native session_window state) ----------
+    # complete-mode aggregation through a batch-scoped foreachBatch
+    # sink (parquet sinks cannot take complete mode; the memory sink
+    # cannot recover a checkpoint): each trigger overwrites its own
+    # batch-<id> dir with the FULL result, the max-id dir is the final
+    # answer, and a replayed trigger is idempotent by construction.
+    from mapreduce_project_spark.operators.events import session_window_agg
+    from mapreduce_project_spark.streaming.events import session_stream
+
+    ss_out, ss_ck = os.path.join(work, "ss_out"), os.path.join(work, "ss_ck")
+
+    def write_complete(out_dir):
+        def h(bdf, bid):
+            bdf.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch-{bid}")
+            )
+
+        return h
+
+    def make_ss():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+        )
+        return (
+            session_stream(stream)
+            .writeStream.foreachBatch(write_complete(ss_out))
+            .option("checkpointLocation", ss_ck)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_ss, "session_stream")
+    last = max(
+        (d for d in os.listdir(ss_out) if d.startswith("batch-")),
+        key=lambda d: int(d.split("-")[1]),
+    )
+    got_ss = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(os.path.join(ss_out, last)).collect()
+    }
+    want_ss = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in session_window_agg(
+            ev, "ts", "30 minutes", ["user_id"], n_events=F.count(F.lit(1))
+        ).collect()
+    }
+    ss_match = got_ss == want_ss and bool(got_ss)
+    meta.update({"sessions": len(got_ss), "match_vs_batch": ss_match})
+    report["streams"]["sessions"] = meta
+    ok &= ss_match and meta["restarted"]
+
+    # ---------- 18. conformal-coverage monitor (D297) ----------
+    # Frozen (pred, qhat) from the batch D293 fit; the stream's running
+    # per-type coverage must equal the closed-form prefix replay at
+    # every emission across the kill/restart.
+    from mapreduce_project_spark.streaming.events import conformal_stream
+
+    conf_params = {
+        r["event_type"]: (r["pred_cents"], r["qhat_cents"])
+        for r in ALL_QUERIES["conformal_value_intervals"](
+            spark, SF_DIR
+        ).collect()
+    }
+    cf_src = os.path.join(work, "cfsrc")
+    os.makedirs(cf_src)
+    cf_slices = []
+    for i in range(N_BATCHES):
+        sl = spark.read.parquet(os.path.join(ev_src, f"b{i:02d}.parquet")).selectExpr(
+            "event_type",
+            "cast(floor(value * 100.0 + 0.5) AS bigint) AS cents",
+        )
+        rows_cf = sorted((r["event_type"], int(r["cents"])) for r in sl.collect())
+        if not rows_cf:
+            continue
+        cf_slices.append(rows_cf)
+        spark.createDataFrame(rows_cf, "event_type string, cents long").coalesce(
+            1
+        ).write.parquet(os.path.join(cf_src, f"b{i:02d}.parquet"))
+        stamp_batch_dir(os.path.join(cf_src, f"b{i:02d}.parquet"), i)
+    cf_out, cf_ck = os.path.join(work, "cf_out"), os.path.join(work, "cf_ck")
+
+    def make_cf():
+        stream = (
+            spark.readStream.schema("event_type string, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cf_src + "/*/")
+        )
+        return (
+            conformal_stream(stream, conf_params)
+            .writeStream.format("parquet")
+            .option("path", cf_out)
+            .option("checkpointLocation", cf_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_cf, "conformal_stream")
+    got_cf = {
+        (r["event_type"], r["n_seen"], r["n_covered"], r["coverage_ppm"],
+         r["alarm"])
+        for r in spark.read.parquet(cf_out).collect()
+    }
+    want_cf = set()
+    cf_counts: dict = {}
+    for chunk in cf_slices:
+        touched = set()
+        for typ, c in chunk:
+            if typ not in conf_params:
+                continue
+            pred, qhat = conf_params[typ]
+            n, cov = cf_counts.get(typ, (0, 0))
+            cf_counts[typ] = (n + 1, cov + (1 if abs(c - pred) <= qhat else 0))
+            touched.add(typ)
+        for typ in touched:
+            n, cov = cf_counts[typ]
+            ppm = cov * 1000000 // n
+            want_cf.add(
+                (typ, n, cov, ppm, 1 if n >= 100 and ppm < 850000 else 0)
+            )
+    cf_match = got_cf == want_cf and bool(got_cf)
+    meta.update({"rows": len(got_cf), "match_vs_replay": cf_match})
+    report["streams"]["conformal"] = meta
+    ok &= cf_match and meta["restarted"]
 
     report["all_green"] = bool(ok)
     with open(OUT, "w") as fh:
