@@ -249,6 +249,36 @@ SF1_REPS = 2
 
 # Appended verbatim after the table on every regeneration.
 FOOTNOTES = """
+## Round-12 notes: the scale-safe re-pins measured
+
+- **`lsh_width_ladder_sampled` (D285) re-pinned on the AUTO-RATE
+  sample: 25.4×/decade → 6.43× (62.1 → 17.2 s at sf≈1)** per VERDICT
+  r11 task 3. The truth GEMM is now ~constant (~2048 vectors at any
+  N, the D286 threshold formula); the residual slope is the EXACT
+  candidate-count stage itself — distinct-pair mass at the coarsest
+  width is ~N²/2⁸ per table on this deliberately near-orthogonal
+  fixture (random codes spread uniformly over 256 buckets), and that
+  mass is the audit's measured OBJECT, not overhead: sampling it away
+  would change what n_candidates means. On a real near-dup corpus
+  buckets concentrate on duplicate families and the same plan is
+  output-linear; the fixed-25% form survives only as documentation.
+- **`text_tfidf_cosine_pairs_lsh` (D295): 3.77×/decade (5.4 → 20.3 s)
+  vs the exact D226's 21.3×** — the registered TF-IDF cosine form no
+  longer rides the Σdf² shared-term join (VERDICT r11 task 4):
+  MinHash banding over the df-capped shingle space generates
+  candidates (one map-side-combining groupBy for all 16 hashes, band
+  self-join whose fan follows near-dup families), the exact integer
+  dot verifies candidates only. Recall vs exact: 28/28, 25/25,
+  137/140 — misses are J≈0.02 single-rare-shingle idf artifacts.
+- **`graph_betweenness_sampled` (D296): 3.37×/decade (7.3 → 24.6 s)**
+  — 2K simultaneous BFS frontiers, 4 bounded rounds, per-round
+  localCheckpoint; growth is edge mass through the frontier⋈adjacency
+  join (Jan-1-14 co-supply edges grow ~7× over the decade).
+- **`dedup_semantic_recall_cert` (D286) re-times at 4.51×/decade
+  after the integer-nb/saturation hardening (ADVICE r11)** — within
+  noise of its round-11 4.69×; the arithmetic changes were
+  exactness-only.
+
 ## Round-11 notes: audits join the decade, two retunes measured
 
 - **`text_winnow_pairs` 9.04 → 3.89 s at sf0.1, decade 1.68× → 1.55×
