@@ -1790,3 +1790,154 @@ def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("rank", "node", "score", "n_pairs", "pairs_counted")
     )
+
+
+# HITS (D301): 4 synchronous rounds, milli max-normalization, unrolled
+# for the oracle exactly like the PageRank/LPA/k-core discipline.
+_HITS_ROUNDS = 4
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """h0 AS (SELECT c, CAST(1000 AS BIGINT) AS h FROM cust)"""
+    ]
+    for t in range(1, _HITS_ROUNDS + 1):
+        # every CTE MATERIALIZED: DuckDB re-evaluates plain CTEs at
+        # each reference, and this 4-deep chain with double references
+        # blows up exponentially without it (the k-core lesson)
+        ctes.append(
+            f"""ar{t} AS MATERIALIZED (
+      SELECT e.s, CAST(SUM(h.h) AS BIGINT) AS raw
+      FROM e JOIN h{t - 1} h ON h.c = e.c GROUP BY e.s
+    ),
+    am{t} AS MATERIALIZED (SELECT MAX(raw) AS m FROM ar{t}),
+    a{t} AS MATERIALIZED (
+      SELECT s, CAST(raw * 1000 // (SELECT m FROM am{t}) AS BIGINT)
+             AS a FROM ar{t}),
+    hr{t} AS MATERIALIZED (
+      SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS raw
+      FROM e JOIN a{t} a ON a.s = e.s GROUP BY e.c
+    ),
+    hm{t} AS MATERIALIZED (SELECT MAX(raw) AS m FROM hr{t}),
+    h{t} AS MATERIALIZED (
+      SELECT c, CAST(raw * 1000 // (SELECT m FROM hm{t}) AS BIGINT)
+             AS h FROM hr{t})"""
+        )
+    r = _HITS_ROUNDS
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cust AS (SELECT DISTINCT c FROM e),
+    {','.join(ctes)}
+    SELECT * FROM (
+      SELECT 'authority' AS kind,
+             CAST(row_number() OVER (ORDER BY a DESC, s) AS BIGINT) AS rank,
+             s AS node, a AS score_milli
+      FROM a{r}
+    ) WHERE rank <= 20
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS kind,
+             CAST(row_number() OVER (ORDER BY h DESC, c) AS BIGINT) AS rank,
+             c AS node, h AS score_milli
+      FROM h{r}
+    ) WHERE rank <= 20
+    """
+
+
+@extra_query("graph_hits_bipartite", _hits_oracle())
+def q_graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (D301, Kleinberg 1999) over the
+    January-1995 customer→supplier bipartite order graph — the
+    DIRECTED-centrality member the graph family lacked (PageRank D49
+    ranks by random-walk mass on one node set; betweenness D296 by
+    path brokerage; HITS answers the two-sided question a bipartite
+    relation actually poses: which suppliers are endorsed by the
+    best-connected customers — authorities — and which customers
+    concentrate their orders on those suppliers — hubs; on a
+    user-item graph this is the classic co-ranking recommender
+    primitive). FOUR fully synchronous mutual-reinforcement rounds
+    (a ← Σ h over in-edges, h ← Σ a over out-edges), the bounded-round
+    contract of D49/D245/D255: the round count IS the spec, no
+    convergence collect, oracle-replayable as unrolled CTEs.
+
+    Exactness: the float HITS L2 normalization is replaced by MAX
+    milli-normalization (score·1000 div max — integer, truncating,
+    scale-equivalent ranking: both normalizations are positive
+    scalings, and HITS rank order is invariant to per-round positive
+    scaling); all sums exact BIGINTs (h ≤ 1000, so a_raw ≤ 1000·deg —
+    int64 headroom to degree ~9e15); ties pinned (score DESC, node).
+    Plan: per round one edge⋈score equi-join + one node-keyed partial
+    agg + one singleton MAX broadcast — 4 bounded shuffle stages with
+    O(V) state each side, localCheckpoint per round (the k-core
+    lineage discipline). Top-20 per side at any scale. Reference: no
+    graph surface in the reference; capability class per SURVEY §2
+    D301."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("c").distinct().withColumn(
+        "h", F.lit(1000).cast("bigint")
+    )
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            e.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("bigint").alias("raw"))
+        )
+        am = ar.agg(F.max("raw").alias("m"))
+        a = (
+            ar.crossJoin(F.broadcast(am))
+            .select("s", F.expr("cast(raw * 1000 div m as bigint)").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        hr = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("raw"))
+        )
+        hm = hr.agg(F.max("raw").alias("m"))
+        h = (
+            hr.crossJoin(F.broadcast(hm))
+            .select("c", F.expr("cast(raw * 1000 div m as bigint)").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    wa = Window.orderBy(F.col("a").desc(), F.col("s"))
+    wh = Window.orderBy(F.col("h").desc(), F.col("c"))
+    auth = (
+        a.withColumn("rank", F.row_number().over(wa).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.lit("authority").alias("kind"), "rank",
+            F.col("s").alias("node"), F.col("a").alias("score_milli"),
+        )
+    )
+    hubs = (
+        h.withColumn("rank", F.row_number().over(wh).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.lit("hub").alias("kind"), "rank",
+            F.col("c").alias("node"), F.col("h").alias("score_milli"),
+        )
+    )
+    return auth.unionByName(hubs)

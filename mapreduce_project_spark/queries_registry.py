@@ -815,6 +815,7 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "text_tfidf_cosine_pairs_lsh",     # D295 — takes D226's slot
             "graph_betweenness_sampled",       # D296 first slot
             "correctness_trend_report",        # D298 first slot
+            "similarity_topk_mips",            # D300 first slot
         ),
     ),
 )
@@ -1073,6 +1074,16 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # soaked. The ann_ingest_stream IVF sink is batch-id-scoped as of
 # round 12 (VERDICT r11 task 2) with read_ivf_tree/ivf_tree_compact
 # as the read/serving path, proven by scripts/ann_kill_matrix.py.
+#
+# Late round-12 additions (strict-EQUAL at 3 SFs): similarity_topk_mips
+# (D300, exact MIPS top-k with the norm-octave Cauchy-Schwarz pruning
+# certificate — pilot k-th from the md5 auto-rate sample, lossless by
+# the subset argument; takes the 50th driver slot) and
+# graph_hits_bipartite (D301, 4-round max-milli-normalized HITS over
+# the Jan-1995 customer→supplier graph — round-13 rotation seed, no
+# slot left this round). merge_join_view_delta/read_join_view_delta
+# (D299) extend D191's IVM with counting-algebra deletes —
+# pytest-pinned sink class.
 #
 # Round-6 rotation pool (added round 5, strict-EQUAL at sf0.001/0.01/
 # 0.1): multimodal_png_roundtrip (D157, the real deflate+filters PNG

@@ -830,3 +830,131 @@ def merge_join_view(
                 batch.withColumn("_b", F.lit(batch_id)).write.mode(
                     "overwrite"
                 ).partitionBy("_b").parquet(path)
+
+
+def merge_join_view_delta(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    a_batch: DataFrame | None,
+    b_batch: DataFrame | None,
+    a_key: str,
+    b_key: str,
+    op_col: str = "op",
+) -> None:
+    """DELETE-capable incremental equi-join view maintenance (D299) —
+    the counting-algebra completion of `merge_join_view` (D191,
+    insert-only): each side's delta rows carry ``op_col`` ∈
+    {'insert', 'delete'}, stored as a signed multiplicity m = ±1, and
+    the view is maintained under the SIGNED delta rule
+
+        ΔJ = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB,
+        m(ΔJ row) = m(a-side) · m(b-side)
+
+    — the classic multiset/Z-relation IVM (DBToaster / differential-
+    dataflow lineage): a delete on A emits m = −1, which multiplied
+    through old B's +1 rows retracts exactly the join rows that A row
+    had produced; a delete meeting a delete contributes +1 (both
+    retractions were already counted once each via the old sides —
+    the inclusion-exclusion term insert-only IVM never needs). The
+    CURRENT view is the net-positive aggregate, materialized by
+    `read_join_view_delta` (group over the view's columns, SUM m,
+    keep > 0 with the net count exposed as ``_m``).
+
+    Exactly-once under replay: identical batch-id-scoping to D191 —
+    every write for ``batch_id`` lands in the ``_b=batch_id``
+    partitions via dynamic overwrite and every "old" read excludes
+    that partition, so a crashed batch's retry recomputes the
+    identical signed ΔJ and overwrites it in place. Contract: a
+    delete must match a prior insert (standard IVM discipline); an
+    unmatched delete leaves a net-negative row which the reader
+    suppresses. Column-name constraints are D191's (disjoint sides,
+    '_b' and '_m' reserved). Scale: |Δ|·selectivity per batch, never
+    |A|·|B|; reading the view pays one keyed aggregate over net rows."""
+    a_dir, b_dir, j_dir = (f"{state_dir}/{s}" for s in ("a", "b", "j"))
+
+    def _signed(batch: DataFrame | None) -> DataFrame | None:
+        if batch is None:
+            return None
+        bad = (
+            batch.filter(~F.col(op_col).isin("insert", "delete"))
+            .select(op_col).distinct().limit(5).collect()
+        )
+        if bad:
+            raise ValueError(
+                f"merge_join_view_delta: unknown op values "
+                f"{[r[0] for r in bad]} — only 'insert' and 'delete'"
+            )
+        return batch.withColumn(
+            "_m",
+            F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+            .cast("bigint"),
+        ).drop(op_col)
+
+    a_s, b_s = _signed(a_batch), _signed(b_batch)
+    a_cols = set(a_s.columns) - {"_m"} if a_s is not None else None
+    b_cols = set(b_s.columns) - {"_m"} if b_s is not None else None
+    if a_cols and b_cols and (a_cols & b_cols):
+        raise ValueError(
+            "merge_join_view_delta requires disjoint column names across "
+            f"the two sides; overlapping: {sorted(a_cols & b_cols)}"
+        )
+    for cols in (a_cols, b_cols):
+        if cols and ({"_b", "_m"} & cols):
+            raise ValueError(
+                "merge_join_view_delta reserves the columns '_b' and '_m'"
+            )
+
+    def _old(path: str) -> DataFrame | None:
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        return spark.read.parquet(path).filter(
+            F.col("_b") != batch_id
+        ).drop("_b")
+
+    a_old, b_old = _old(a_dir), _old(b_dir)
+
+    def _term(x: DataFrame, y: DataFrame, xk: str, yk: str) -> DataFrame:
+        xx = x.withColumnRenamed("_m", "_ma")
+        yy = y.withColumnRenamed("_m", "_mb")
+        return (
+            xx.join(yy, xx[xk] == yy[yk])
+            .withColumn("_m", (F.col("_ma") * F.col("_mb")).cast("bigint"))
+            .drop("_ma", "_mb")
+        )
+
+    parts = []
+    if a_s is not None and b_old is not None:
+        parts.append(_term(a_s, b_old, a_key, b_key))
+    if a_old is not None and b_s is not None:
+        parts.append(_term(a_old, b_s, a_key, b_key))
+    if a_s is not None and b_s is not None:
+        parts.append(_term(a_s, b_s, a_key, b_key))
+    with _dynamic_overwrite(spark):
+        if parts:
+            dj = parts[0]
+            for p in parts[1:]:
+                dj = dj.unionByName(p)
+            dj.withColumn("_b", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("_b").parquet(j_dir)
+        for batch, path in ((a_s, a_dir), (b_s, b_dir)):
+            if batch is not None:
+                batch.withColumn("_b", F.lit(batch_id)).write.mode(
+                    "overwrite"
+                ).partitionBy("_b").parquet(path)
+
+
+def read_join_view_delta(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Materialize the CURRENT view from a `merge_join_view_delta`
+    state tree: net multiplicity per distinct row, net-positive rows
+    only, exposed with the count as ``_m``."""
+    j = spark.read.parquet(f"{state_dir}/j").drop("_b")
+    cols = [c for c in j.columns if c != "_m"]
+    return (
+        j.groupBy(*cols)
+        .agg(F.sum("_m").cast("bigint").alias("_m"))
+        .filter(F.col("_m") > 0)
+    )

@@ -161,7 +161,13 @@ def stream_stream_interval_join(
     null-extended — but only once the watermark has passed its join
     window (the engine must be sure no matching right event can still
     arrive), so outer results trail the inner ones by the watermark
-    delay; a terminated availableNow run emits the complete set.
+    delay. A terminating availableNow run therefore NEVER emits the
+    outer verdicts for left rows inside the final watermark delay
+    (measured in the round-12 soak: the last 2 h of left rows stayed
+    buffered at termination); a bounded replay that needs the COMPLETE
+    set must append a far-future sentinel event per side to advance
+    the watermark past every real event (the soak's pattern) — on a
+    true continuous stream the next arrivals play that role.
 
     Output: (key, l_ts, r_ts) plus the sides' id columns renamed
     ``l_event_id`` / ``r_event_id``."""

@@ -244,6 +244,8 @@ SF1_QUERIES = [
     # corpus is the repo's own artifact ledger, invariant across SFs)
     "text_tfidf_cosine_pairs_lsh",
     "graph_betweenness_sampled",
+    "similarity_topk_mips",
+    "graph_hits_bipartite",
 ]
 SF1_REPS = 2
 

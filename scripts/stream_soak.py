@@ -568,10 +568,46 @@ def main() -> int:
         return crawl_dedup_stream(spark, stream, idx_s, pairs_s, cd_ck)
 
     meta = drive_with_kill(make_cd, "crawl_dedup_stream")
-    # batch reference: the same 20 batches through the same handler,
-    # sequentially, without any streaming machinery
-    for i, bdf in enumerate(batch_dfs):
-        _crawl_dedup_batch(spark, bdf, i, idx_b, pairs_b)
+
+    # Batch reference: the same docs through the same handler,
+    # sequentially, without any streaming machinery — grouped by the
+    # STREAM'S OWN observed batches (read back from its batch-<id>/
+    # index dirs). The intended grouping is one file per trigger, but
+    # a q.stop()/restart can legally coalesce two source files into
+    # one trigger (observed: 19 triggers for 20 files), and crawl
+    # dedup's within-batch vs cross-batch semantics depend on the
+    # boundaries — the soak's claim is determinism + exactly-once for
+    # whatever boundaries the engine chose, so the replay must use
+    # the observed ones.
+    crawl_text = {}
+    for bdf in batch_dfs:
+        for r in bdf.collect():
+            crawl_text[r["doc_id"]] = r["text"]
+
+    def observed_groups(idx_tree):
+        import re as _re
+
+        groups = {}
+        for d in os.listdir(idx_tree):
+            m = _re.match(r"batch-(\d+)$", d)
+            if not m:
+                continue
+            ids = [
+                r["id"]
+                for r in spark.read.parquet(os.path.join(idx_tree, d))
+                .select("id").collect()
+            ]
+            groups[int(m.group(1))] = ids
+        return sorted(groups.items())
+
+    # NOTE: index batch dirs hold dedup SURVIVOR signatures only for
+    # the ann pipeline but FULL batch signatures here (crawl appends
+    # every doc's signature) — so the crawl grouping is total.
+    for bid, ids in observed_groups(idx_s):
+        bdf = spark.createDataFrame(
+            [(i, crawl_text[i]) for i in ids], "doc_id long, text string"
+        )
+        _crawl_dedup_batch(spark, bdf, bid, idx_b, pairs_b)
 
     def pair_set(path):
         return {
@@ -654,9 +690,15 @@ def main() -> int:
         )
 
     meta = drive_with_kill(make_ai, "ann_ingest_stream")
-    for i, bdf in enumerate(batch_dfs):
+    # same observed-grouping replay as the crawl section (the dedup
+    # step signs the FULL batch, so its index dirs record the stream's
+    # actual batch membership)
+    for bid, ids in observed_groups(ai_idx_s):
+        bdf = spark.createDataFrame(
+            [(i, crawl_text[i]) for i in ids], "doc_id long, text string"
+        )
         _ann_ingest_batch(
-            spark, bdf, i, ai_idx_b, ai_pairs_b, ai_ivf_b, cents, dim=DIM
+            spark, bdf, bid, ai_idx_b, ai_pairs_b, ai_ivf_b, cents, dim=DIM
         )
 
     def ivf_state(path):
@@ -930,16 +972,18 @@ def main() -> int:
         return round(math.log(x) * 1000000)
 
     ps_na10 = sum(ps_ref) + 10
-    want_ps = set()
+    # Boundary-agnostic prefix oracle (the watermark section's round-12
+    # pattern): a series' reading after its n-th row is a pure function
+    # of that prefix, so every emission must appear in the per-row
+    # prefix map and each series' max-n emission must be the full one —
+    # valid for WHATEVER batch boundaries availableNow chose.
+    ps_map: dict = {}
+    ps_final: dict = {}
     ps_counts: dict = {}
     for chunk in ps_slices:
-        touched = set()
         for s, c in chunk:
             cs = ps_counts.setdefault(s, [0] * 10)
             cs[sum(1 for e in ps_edges if e < c)] += 1
-            touched.add(s)
-        for s in touched:
-            cs = ps_counts[s]
             nb10 = sum(cs) + 10
             psi = 0
             for ca, cb in zip(ps_ref, cs):
@@ -948,8 +992,17 @@ def main() -> int:
                 term = _lnu(ca + 1) - _lnu(ps_na10) - _lnu(cb + 1) + _lnu(nb10)
                 raw = (pa - pb) * term
                 psi += raw // 1000000 if raw >= 0 else -((-raw) // 1000000)
-            want_ps.add((s, sum(cs), ",".join(map(str, cs)), psi))
-    ps_match = got_ps == want_ps and bool(got_ps)
+            gen = (s, sum(cs), ",".join(map(str, cs)), psi)
+            ps_map[(s, sum(cs))] = gen
+            ps_final[s] = gen
+    ps_match = (
+        bool(got_ps)
+        and all(r == ps_map.get((r[0], r[1])) for r in got_ps)
+        and all(
+            max((r for r in got_ps if r[0] == s), key=lambda r: r[1]) == fin
+            for s, fin in ps_final.items()
+        )
+    )
     meta.update({"rows": len(got_ps), "match_vs_replay": ps_match})
     report["streams"]["psi"] = meta
     ok &= ps_match and meta["restarted"]
@@ -1254,27 +1307,217 @@ def main() -> int:
          r["alarm"])
         for r in spark.read.parquet(cf_out).collect()
     }
-    want_cf = set()
+    # boundary-agnostic prefix oracle (same pattern as psi/watermark)
+    cf_map: dict = {}
+    cf_final: dict = {}
     cf_counts: dict = {}
     for chunk in cf_slices:
-        touched = set()
         for typ, c in chunk:
             if typ not in conf_params:
                 continue
             pred, qhat = conf_params[typ]
             n, cov = cf_counts.get(typ, (0, 0))
-            cf_counts[typ] = (n + 1, cov + (1 if abs(c - pred) <= qhat else 0))
-            touched.add(typ)
-        for typ in touched:
-            n, cov = cf_counts[typ]
+            n, cov = n + 1, cov + (1 if abs(c - pred) <= qhat else 0)
+            cf_counts[typ] = (n, cov)
             ppm = cov * 1000000 // n
-            want_cf.add(
-                (typ, n, cov, ppm, 1 if n >= 100 and ppm < 850000 else 0)
-            )
-    cf_match = got_cf == want_cf and bool(got_cf)
+            gen = (typ, n, cov, ppm, 1 if n >= 100 and ppm < 850000 else 0)
+            cf_map[(typ, n)] = gen
+            cf_final[typ] = gen
+    cf_match = (
+        bool(got_cf)
+        and all(r == cf_map.get((r[0], r[1])) for r in got_cf)
+        and all(
+            max((r for r in got_cf if r[0] == t2), key=lambda r: r[1]) == fin
+            for t2, fin in cf_final.items()
+        )
+    )
     meta.update({"rows": len(got_cf), "match_vs_replay": cf_match})
     report["streams"]["conformal"] = meta
     ok &= cf_match and meta["restarted"]
+
+    # ---------- 19. tumbling windowed aggregation ----------
+    # complete-mode through the batch-scoped foreachBatch sink (same
+    # contract as sessions): final full result == the batch twin.
+    from mapreduce_project_spark.operators.events import tumbling_window_agg
+    from mapreduce_project_spark.streaming.events import tumbling_counts_stream
+
+    # NOTE: path names must be unique per section — the TWAP section
+    # owns work/tw_out + work/tw_ck, and a second query pointed at the
+    # same checkpoint dir resumes it (same source pattern, every file
+    # already committed -> ZERO triggers; caught in round 12).
+    tb_out, tb_ck = os.path.join(work, "tb_out"), os.path.join(work, "tb_ck")
+
+    def make_tw():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+        )
+        return (
+            tumbling_counts_stream(stream)
+            .writeStream.foreachBatch(write_complete(tb_out))
+            .option("checkpointLocation", tb_ck)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_tw, "tumbling_counts_stream")
+    last_tw = max(
+        (d for d in os.listdir(tb_out) if d.startswith("batch-")),
+        key=lambda d: int(d.split("-")[1]),
+    )
+    got_tw = {
+        (r["window_start"], r["event_type"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in spark.read.parquet(os.path.join(tb_out, last_tw)).collect()
+    }
+    want_tw = {
+        (r["window_start"], r["event_type"], r["n_events"],
+         round(r["sum_value"], 6))
+        for r in tumbling_window_agg(
+            ev, "ts", "1 hour", ["event_type"],
+            n_events=F.count(F.lit(1)), sum_value=F.sum("value"),
+        ).collect()
+    }
+    tw_match = got_tw == want_tw and bool(got_tw)
+    meta.update({"windows": len(got_tw), "match_vs_batch": tw_match})
+    report["streams"]["tumbling"] = meta
+    ok &= tw_match and meta["restarted"]
+
+    # ---------- 20. stream-static broadcast join ----------
+    from mapreduce_project_spark.streaming.events import stream_static_join
+
+    sj_dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    sj_out, sj_ck = os.path.join(work, "sj_out"), os.path.join(work, "sj_ck")
+
+    def make_sj():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_src + "/*/")
+        )
+        return (
+            stream_static_join(stream, sj_dim, "event_type")
+            .select("event_id", "category")
+            .writeStream.format("parquet")
+            .option("path", sj_out)
+            .option("checkpointLocation", sj_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_sj, "stream_static_join")
+    sj_rows = spark.read.parquet(sj_out).collect()
+    got_sj = {(r["event_id"], r["category"]) for r in sj_rows}
+    want_sj = {
+        (r["event_id"], r["category"])
+        for r in ev.join(sj_dim, "event_type").select("event_id", "category")
+        .collect()
+    }
+    # set AND count: a replayed batch leaking past the sink's metadata
+    # log would duplicate rows without changing the set
+    sj_match = (
+        got_sj == want_sj and len(sj_rows) == len(want_sj) and bool(got_sj)
+    )
+    meta.update({"rows": len(sj_rows), "match_vs_batch": sj_match})
+    report["streams"]["stream_static_join"] = meta
+    ok &= sj_match and meta["restarted"]
+
+    # ---------- 21. stream-stream LEFT OUTER interval join ----------
+    # The last unsoaked operator: both sides buffered + watermarked,
+    # outer rows emitted only once the watermark clears their window.
+    # Outer results for left rows inside the final watermark delay are
+    # NEVER emitted by a terminating availableNow run (measured: the
+    # last 2 h of purchases, 64 rows at sf0.1, stayed buffered), so a
+    # far-future SENTINEL event per side advances the watermark past
+    # every real event before termination; sentinels are excluded from
+    # both sides of the comparison. This section must stay LAST: the
+    # sentinel file lands in the shared ev_src AFTER every other
+    # section has consumed it.
+    from mapreduce_project_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    SENT_ID = 1_000_000_000
+    max_us = ev.selectExpr("max(unix_micros(ts))").collect()[0][0]
+    sent = spark.createDataFrame(
+        [
+            (SENT_ID, "purchase"),
+            (SENT_ID + 1, "view"),
+        ],
+        "event_id long, event_type string",
+    ).selectExpr(
+        "event_id",
+        f"timestamp_micros({max_us} + 86400000000L) AS ts",
+        "cast(-1 as long) AS user_id",
+        "event_type",
+        "cast(0.0 as double) AS value",
+        "cast(null as string) AS props",
+    ).select(*ev.columns)
+    sent.coalesce(1).write.parquet(os.path.join(ev_src, "b20.parquet"))
+    stamp_batch_dir(os.path.join(ev_src, "b20.parquet"), N_BATCHES)
+
+    ij_out, ij_ck = os.path.join(work, "ij_out"), os.path.join(work, "ij_ck")
+
+    def make_ij():
+        def side(t):
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(ev_src + "/*/")
+                .filter(F.col("event_type") == t)
+            )
+
+        return (
+            stream_stream_interval_join(
+                side("purchase"), side("view"), how="left_outer"
+            )
+            .select("l_event_id", "r_event_id")
+            .writeStream.format("parquet")
+            .option("path", ij_out)
+            .option("checkpointLocation", ij_ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    meta = drive_with_kill(make_ij, "stream_stream_interval_join")
+    got_ij = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.read.parquet(ij_out).collect()
+        if r["l_event_id"] < SENT_ID
+    }
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_key"),
+        F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts"),
+    )
+    want_ij = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in bp.join(
+            bv,
+            (F.col("user_id") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 hour"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+            "left_outer",
+        ).collect()
+    }
+    ij_match = got_ij == want_ij and bool(got_ij)
+    ij_outer = sum(1 for _l, r in got_ij if r is None)
+    meta.update(
+        {"rows": len(got_ij), "outer_rows": ij_outer, "match_vs_batch": ij_match}
+    )
+    report["streams"]["stream_stream_interval_join"] = meta
+    ok &= ij_match and meta["restarted"] and ij_outer > 0
 
     report["all_green"] = bool(ok)
     with open(OUT, "w") as fh:
