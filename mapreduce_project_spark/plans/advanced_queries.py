@@ -1571,7 +1571,12 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
 # Sampled-pair betweenness (D296): generated level-synchronous BFS SQL
 # shared with the Spark driver loop — R rounds, K sources + K targets.
 _BTW_R, _BTW_K = 4, 4
-_BTW_GUARD = 3_000_000_000  # ss, st <= 3e9 keeps ss*st < int64max
+# ADVICE r12: the guard must bound the AGGREGATED score, not just each
+# ss*st product — SUM(paths) per node runs over up to K*K sampled pairs,
+# so the input cap is sqrt(int64max / K^2): 16 * 7.5e8^2 = 9.0e18 < 2^63-1.
+# (The old 3e9 cap kept each product under int64max but let the sum wrap
+# Spark-side while DuckDB raised on the HUGEINT->BIGINT cast.)
+_BTW_GUARD = 750_000_000
 
 
 def _btw_bfs_ctes() -> str:

@@ -3430,3 +3430,169 @@ def q_correctness_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("green_ppm"),
         )
     )
+
+
+# D302: the BENCH sibling of D298 (VERDICT r12 task 6) — the engine
+# answering "did we get faster?" from its own committed benchmark
+# ledger, with the round-12 calibration probes folded in so host speed
+# and plan quality separate mechanically. BENCH_r*.json ships in two
+# formats (builder: plain JSON; round driver: {n, rc, tail} where tail
+# is the truncated stdout line with escaped quotes), so both engines
+# extract fields from the RAW file text with the same optional-
+# backslash regex rather than parsing JSON.
+#
+# Exactness: decimal seconds are parsed to integer MICROseconds by
+# string surgery (split on '.', rpad the fraction) — no float parse —
+# and every derived figure is integer (truncating div on non-negative
+# operands; the signed delta uses the sign-safe -((-x) div k) form).
+_BENCH_NUM = r'\\?"{field}\\?":\s*([0-9]+\.?[0-9]*)'
+
+
+def _bench_micro_sql(expr: str) -> str:
+    """SQL rendering EXPR (a decimal-string column) as integer micros;
+    '' (regex miss) maps to NULL. Identical text runs in both engines."""
+    return (
+        f"case when {expr} = '' then cast(null as bigint) else "
+        f"cast(split_part({expr}, '.', 1) as bigint) * 1000000 + "
+        f"cast(substr(rpad(coalesce(nullif(split_part({expr}, '.', 2), ''),"
+        f" '0'), 6, '0'), 1, 6) as bigint) end"
+    )
+
+
+_BENCH_TREND_ORACLE = f"""
+    WITH f AS (
+      SELECT filename, content
+      FROM read_text('{_REPO_ROOT}/BENCH_r*.json')
+    ),
+    ex AS (
+      SELECT CAST(regexp_extract(filename, 'BENCH_r(\\d+)', 1) AS BIGINT)
+               AS round,
+             regexp_extract(content, '{_BENCH_NUM.format(field="panel_total")}', 1) AS p,
+             regexp_extract(content, '{_BENCH_NUM.format(field="cpu_probe_sec")}', 1) AS c,
+             regexp_extract(content, '{_BENCH_NUM.format(field="shuffle_probe_sec")}', 1) AS s,
+             regexp_extract(content, '{_BENCH_NUM.format(field="loadavg_1m_start")}', 1) AS l
+      FROM f
+    ),
+    m AS (
+      SELECT round,
+             {_bench_micro_sql("p")} AS panel_total_us,
+             {_bench_micro_sql("c")} AS cpu_probe_us,
+             {_bench_micro_sql("s")} AS shuffle_probe_us,
+             {_bench_micro_sql("l")} AS loadavg_upm
+      FROM ex
+      WHERE p <> ''
+    ),
+    ref AS (
+      SELECT cpu_probe_us AS ref_cpu_us FROM m
+      WHERE cpu_probe_us IS NOT NULL
+      ORDER BY round LIMIT 1
+    )
+    SELECT round, panel_total_us, cpu_probe_us, shuffle_probe_us, loadavg_upm,
+           CAST(CASE WHEN cpu_probe_us IS NULL THEN NULL
+                ELSE cpu_probe_us * 1000000 // (SELECT ref_cpu_us FROM ref)
+                END AS BIGINT) AS host_ratio_ppm,
+           CAST(CASE WHEN cpu_probe_us IS NULL THEN NULL
+                ELSE panel_total_us * (SELECT ref_cpu_us FROM ref)
+                     // cpu_probe_us
+                END AS BIGINT) AS panel_norm_us,
+           CAST(CASE
+                WHEN lag(panel_total_us) OVER (ORDER BY round) IS NULL
+                  THEN NULL
+                WHEN panel_total_us >= lag(panel_total_us) OVER (ORDER BY round)
+                  THEN (panel_total_us - lag(panel_total_us) OVER (ORDER BY round))
+                       * 1000000 // lag(panel_total_us) OVER (ORDER BY round)
+                ELSE -((lag(panel_total_us) OVER (ORDER BY round) - panel_total_us)
+                       * 1000000 // lag(panel_total_us) OVER (ORDER BY round))
+                END AS BIGINT) AS delta_vs_prev_ppm
+    FROM m
+    """
+
+
+@extra_query("bench_trend_report", _BENCH_TREND_ORACLE)
+def q_bench_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-round BENCH trend with probe normalization (D302, VERDICT
+    r12 task 6) — the performance twin of D298: the committed
+    `BENCH_r*.json` ledger becomes a queryable table with one row per
+    round, carrying the raw panel time, the in-artifact host
+    calibration probes (round-12), the host ratio vs the FIRST probed
+    round, the PROBE-NORMALIZED panel time (panel x ref_cpu / cpu —
+    "how fast would this round's plans be on the reference host"),
+    and the signed per-round delta. This is the query the round
+    process itself asks ("did we get faster, or did the host get
+    slower?") answered from the engine's own ledger instead of git
+    archaeology.
+
+    Cross-format, cross-engine: driver-format artifacts hold the
+    fields inside an escaped-JSON `tail` string, builder-format ones
+    at top level; one optional-backslash regex reads both, evaluated
+    on raw file text by BOTH engines (no JSON parse). Seconds become
+    integer MICROseconds via string surgery, so every output cell is
+    exact integer arithmetic (sign-safe truncating div for the
+    delta). `sf_dir` is deliberately unused — the ledger IS the
+    corpus, metadata-scale (one row per round); at deployment scale
+    this is the manifest-audit shape: wholetext scan, regex project,
+    one bounded window."""
+    files = spark.read.text(f"{_REPO_ROOT}/BENCH_r*.json", wholetext=True)
+    ex = files.select(
+        F.regexp_extract(F.input_file_name(), r"BENCH_r(\d+)", 1)
+        .cast("bigint")
+        .alias("round"),
+        F.regexp_extract(
+            F.col("value"), _BENCH_NUM.format(field="panel_total"), 1
+        ).alias("p"),
+        F.regexp_extract(
+            F.col("value"), _BENCH_NUM.format(field="cpu_probe_sec"), 1
+        ).alias("c"),
+        F.regexp_extract(
+            F.col("value"), _BENCH_NUM.format(field="shuffle_probe_sec"), 1
+        ).alias("s"),
+        F.regexp_extract(
+            F.col("value"), _BENCH_NUM.format(field="loadavg_1m_start"), 1
+        ).alias("l"),
+    )
+    m = ex.filter(F.col("p") != "").select(
+        "round",
+        F.expr(_bench_micro_sql("p")).alias("panel_total_us"),
+        F.expr(_bench_micro_sql("c")).alias("cpu_probe_us"),
+        F.expr(_bench_micro_sql("s")).alias("shuffle_probe_us"),
+        F.expr(_bench_micro_sql("l")).alias("loadavg_upm"),
+    )
+    # agg (not limit-1 + crossJoin of a possibly-EMPTY frame): with no
+    # probed round yet, DuckDB's scalar subquery is NULL while an empty
+    # cross join would erase every row — min_by over a one-row agg gives
+    # the same NULL semantics in both engines.
+    ref = (
+        m.filter(F.col("cpu_probe_us").isNotNull())
+        .agg(F.expr("min_by(cpu_probe_us, round)").alias("ref_cpu_us"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("round")
+    return (
+        m.crossJoin(F.broadcast(ref))
+        .withColumn("prev_us", F.lag("panel_total_us").over(w))
+        .select(
+            "round",
+            "panel_total_us",
+            "cpu_probe_us",
+            "shuffle_probe_us",
+            "loadavg_upm",
+            F.expr(
+                "cast(case when cpu_probe_us is null then null"
+                " else cpu_probe_us * 1000000 div ref_cpu_us end as bigint)"
+            ).alias("host_ratio_ppm"),
+            F.expr(
+                "cast(case when cpu_probe_us is null then null"
+                " else panel_total_us * ref_cpu_us div cpu_probe_us end"
+                " as bigint)"
+            ).alias("panel_norm_us"),
+            F.expr(
+                "cast(case"
+                " when prev_us is null then null"
+                " when panel_total_us >= prev_us then"
+                "   (panel_total_us - prev_us) * 1000000 div prev_us"
+                " else -((prev_us - panel_total_us) * 1000000 div prev_us)"
+                " end as bigint)"
+            ).alias("delta_vs_prev_ppm"),
+        )
+    )

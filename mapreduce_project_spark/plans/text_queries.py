@@ -3782,18 +3782,27 @@ _TFLSH_ORACLE = """
       JOIN w wa ON wa.doc_id = c.doc_a
       JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
       GROUP BY 1, 2
+    ),
+    guarded AS (
+      -- ADVICE r12: the 2^53 exact-double headroom guard must raise in BOTH
+      -- engines (same constant as the Spark raise_error), else the oracle
+      -- silently computes past the range the Spark side refuses.
+      SELECT d.doc_a, d.doc_b, d.shared_terms, d.dot,
+             na.nsq AS norm_a_sq, nb.nsq AS norm_b_sq,
+             CASE WHEN greatest(d.dot, na.nsq, nb.nsq) >= 9007199254740992
+               THEN error('text_tfidf_cosine_pairs_lsh: sums exceed'
+                          || ' exact-double range — rescale idf before'
+                          || ' trusting cosine')
+               ELSE CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             END AS cosine
+      FROM dots d
+      JOIN nrm na ON na.doc_id = d.doc_a
+      JOIN nrm nb ON nb.doc_id = d.doc_b
     )
-    SELECT d.doc_a, d.doc_b, d.shared_terms, d.dot,
-           na.nsq AS norm_a_sq, nb.nsq AS norm_b_sq,
-           CAST(d.dot AS DOUBLE)
-             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-             AS cosine
-    FROM dots d
-    JOIN nrm na ON na.doc_id = d.doc_a
-    JOIN nrm nb ON nb.doc_id = d.doc_b
-    WHERE CAST(d.dot AS DOUBLE)
-            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
-          >= 0.6
+    SELECT doc_a, doc_b, shared_terms, dot, norm_a_sq, norm_b_sq, cosine
+    FROM guarded
+    WHERE cosine >= 0.6
     """.format(
     toks=_TOKS,
     min_exprs=", ".join(_tflsh_min_exprs("u")),

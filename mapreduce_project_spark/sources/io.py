@@ -876,8 +876,14 @@ def merge_join_view_delta(
     def _signed(batch: DataFrame | None) -> DataFrame | None:
         if batch is None:
             return None
+        # ADVICE r12: ~isin() is NULL-evading (NULL op rows fall out of the
+        # filter, then .otherwise(-1) silently treats them as deletes) —
+        # include NULL explicitly so unknown AND missing ops both raise.
         bad = (
-            batch.filter(~F.col(op_col).isin("insert", "delete"))
+            batch.filter(
+                ~F.col(op_col).isin("insert", "delete")
+                | F.col(op_col).isNull()
+            )
             .select(op_col).distinct().limit(5).collect()
         )
         if bad:

@@ -18,9 +18,84 @@ batch twins.
 
 from __future__ import annotations
 
+import os as _osmod
+import threading as _threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------
+# Zombie-attempt write fencing (round 13, VERDICT r12 task 1).
+#
+# `StreamingQuery.stop()` interrupts the JVM micro-batch thread, but a
+# Python foreachBatch callback that is already executing keeps running
+# on the Py4J callback-server thread — `awaitTermination()` returns
+# while the superseded attempt is still alive. If the same process
+# then restarts the query from the checkpoint, the restarted run can
+# re-execute the same batch (possibly with re-grouped source files)
+# and the zombie's LATE writes clobber the live run's directories:
+# pairs/batch-N computed against a different index prefix than the
+# final signature tree implies. This was the intermittent
+# `crawl_dedup` soak mismatch (STREAMSOAK_r12: 226 pairs, 19
+# triggers) and the likely mechanism of round 11's ann_ingest +1-row
+# wobble — load-correlated because load widens the stop()-to-restart
+# overlap window.
+#
+# The fence: each logical stream (keyed by checkpoint path) carries a
+# monotonically increasing query GENERATION, bumped under the fence
+# lock when a new query is constructed. Every batch-scoped write
+# executes under the same lock and first re-checks that its attempt's
+# generation is still current — a stale attempt raises instead of
+# writing. The bump-and-check sharing one lock makes check-then-write
+# atomic: any zombie write that passes the check completed strictly
+# before the restarted query existed (and its re-run overwrites it);
+# any write after the bump is refused.
+#
+# Scope: a SAME-PROCESS restart (tests, notebooks, long-lived driver
+# apps). Across driver processes the zombie dies with its process and
+# batch-id-scoped overwrite idempotence alone suffices.
+# ------------------------------------------------------------------
+
+_STREAM_FENCES: dict[str, dict] = {}
+_STREAM_FENCES_GUARD = _threading.Lock()
+
+
+class StaleAttemptError(RuntimeError):
+    """A superseded (zombie) foreachBatch attempt tried to write after
+    a newer query generation restarted the stream."""
+
+
+def _fence_register(checkpoint_path: str) -> tuple[str, int]:
+    """Open a new query generation for the stream identified by its
+    checkpoint path; returns the token its batch handlers must present
+    at every batch-scoped write."""
+    key = _osmod.path.abspath(checkpoint_path)
+    with _STREAM_FENCES_GUARD:
+        fence = _STREAM_FENCES.setdefault(
+            key, {"gen": 0, "lock": _threading.Lock()}
+        )
+    with fence["lock"]:
+        fence["gen"] += 1
+        return key, fence["gen"]
+
+
+def _fenced_write(token: tuple[str, int] | None, label: str, write_fn):
+    """Run one batch-scoped write under the stream's fence lock,
+    refusing it if the attempt's generation has been superseded."""
+    if token is None:
+        return write_fn()
+    key, gen = token
+    fence = _STREAM_FENCES[key]
+    with fence["lock"]:
+        if fence["gen"] != gen:
+            raise StaleAttemptError(
+                f"{label}: fenced off — this attempt belongs to query "
+                f"generation {gen} but generation {fence['gen']} has since "
+                "restarted the stream (zombie foreachBatch after stop())"
+            )
+        return write_fn()
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source event stream (one parquet file per micro-batch read;
@@ -445,11 +520,13 @@ def crawl_dedup_stream(
     Returns the started StreamingQuery (availableNow trigger).
     """
 
+    fence_token = _fence_register(checkpoint_path)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         _crawl_dedup_batch(
             spark, batch_df, batch_id, index_path, pairs_path,
             id_col, text_col, n, n_perm, bands, threshold,
-            fault_injector=fault_injector,
+            fault_injector=fault_injector, fence_token=fence_token,
         )
 
     return (
@@ -482,6 +559,7 @@ def _crawl_dedup_batch(
     bands: int = 16,
     threshold: float = 0.8,
     fault_injector=None,
+    fence_token: tuple[str, int] | None = None,
 ) -> None:
     """One micro-batch of `crawl_dedup_stream`, factored out so the
     idempotence property (same batch_id replayed ⇒ identical final
@@ -528,12 +606,20 @@ def _crawl_dedup_batch(
         pairs = minhash_probe_pairs(
             index, None, id_col, text_col, n, n_perm, bands, threshold, new_sigs=sig
         )
-        pairs.write.mode("overwrite").parquet(
-            _os.path.join(pairs_path, f"batch-{batch_id}")
+        _fenced_write(
+            fence_token,
+            f"crawl_dedup pairs batch-{batch_id}",
+            lambda: pairs.write.mode("overwrite").parquet(
+                _os.path.join(pairs_path, f"batch-{batch_id}")
+            ),
         )
         if fault_injector is not None:
             fault_injector("after_pairs", batch_id)
-        sig.write.mode("overwrite").parquet(own)
+        _fenced_write(
+            fence_token,
+            f"crawl_dedup signatures batch-{batch_id}",
+            lambda: sig.write.mode("overwrite").parquet(own),
+        )
         if fault_injector is not None:
             fault_injector("after_sig", batch_id)
     finally:
@@ -594,11 +680,14 @@ def ann_ingest_stream(
 
     Returns the started StreamingQuery (availableNow trigger)."""
 
+    fence_token = _fence_register(checkpoint_path)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         _ann_ingest_batch(
             spark, batch_df, batch_id, dedup_index_path, pairs_path,
             ivf_index_path, cents, id_col, text_col, dim, n, n_perm,
             bands, threshold, fault_injector=fault_injector,
+            fence_token=fence_token,
         )
 
     return (
@@ -625,6 +714,7 @@ def _ann_ingest_batch(
     bands: int = 16,
     threshold: float = 0.8,
     fault_injector=None,
+    fence_token: tuple[str, int] | None = None,
 ) -> None:
     """One micro-batch of `ann_ingest_stream`, factored out (same
     pattern as `_crawl_dedup_batch`) so batch-replay idempotence is
@@ -639,7 +729,7 @@ def _ann_ingest_batch(
         _crawl_dedup_batch(
             spark, batch_df, batch_id, dedup_index_path, pairs_path,
             id_col, text_col, n, n_perm, bands, threshold,
-            fault_injector=fault_injector,
+            fault_injector=fault_injector, fence_token=fence_token,
         )
         pairs = spark.read.parquet(_os.path.join(pairs_path, f"batch-{batch_id}"))
         dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
@@ -666,9 +756,16 @@ def _ann_ingest_batch(
         # never an in-place merge of shared state, so a crashed
         # batch's retry is a content-identical no-op at any placement.
         assigned = ivf_assign_cells(dense, id_col, "embedding", cents)
-        assigned.withColumn("src_batch", F.lit(batch_id).cast("bigint")).write.mode(
-            "overwrite"
-        ).parquet(_os.path.join(ivf_index_path, f"batch-{batch_id}"))
+        landed = assigned.withColumn(
+            "src_batch", F.lit(batch_id).cast("bigint")
+        )
+        _fenced_write(
+            fence_token,
+            f"ann_ingest ivf batch-{batch_id}",
+            lambda: landed.write.mode("overwrite").parquet(
+                _os.path.join(ivf_index_path, f"batch-{batch_id}")
+            ),
+        )
         if fault_injector is not None:
             fault_injector("after_ivf", batch_id)
     finally:
@@ -685,7 +782,15 @@ def read_ivf_tree(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import Window
 
     tree = spark.read.option("recursiveFileLookup", "true").parquet(path)
-    w = Window.partitionBy("id").orderBy(F.col("src_batch").desc())
+    # ADVICE r12: duplicate ids WITHIN one micro-batch tie on src_batch and
+    # row_number would pick a partition-order-dependent row. Break the tie
+    # deterministically by content (vector hash, then cell); rows still tied
+    # after that are byte-identical, where the pick is immaterial.
+    w = Window.partitionBy("id").orderBy(
+        F.col("src_batch").desc(),
+        F.xxhash64("v").desc(),
+        F.col("cell").desc(),
+    )
     return (
         tree.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

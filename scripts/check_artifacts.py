@@ -47,16 +47,66 @@ MAX_BENCH_LOADAVG = 1.0
 FIRST_LOAD_STAMPED_ROUND = 11
 
 
+def _extract_driver_bench(bench: dict) -> dict | None:
+    """Normalize the round driver's BENCH format (VERDICT r12 task 2).
+
+    The driver records ``{"n", "rc", "cpus", "sf", "tail"}`` where ``tail``
+    is the (possibly head-truncated) last chunk of bench.py's one-line JSON
+    stdout — so ``loadavg_1m_start`` / probe fields live INSIDE the string.
+    Regex-extract the scalar fields the gate needs; returns None if this
+    isn't a driver-format artifact.
+    """
+    if "tail" not in bench or "loadavg_1m_start" in bench:
+        return None
+    tail = bench.get("tail") or ""
+    out = dict(bench)
+    out["_driver_format"] = True
+    num = r"(-?\d+(?:\.\d+)?)"
+    for key in (
+        "panel_total",
+        "loadavg_1m_start",
+        "cpu_probe_sec",
+        "shuffle_probe_sec",
+    ):
+        m = re.search(rf'\\?"{key}\\?":\s*{num}', tail)
+        if m:
+            out[key] = float(m.group(1))
+    return out
+
+
 def check_bench(repo_root: str) -> bool:
     path = newest_artifact(repo_root, "BENCH")
+    # A builder-recorded bench for the SAME round (BENCH_r{N}_builder.json)
+    # is the stricter record (quiet host enforced); prefer it when present.
+    if path:
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            builder = os.path.join(
+                repo_root, f"BENCH_r{int(m.group(1))}_builder.json"
+            )
+            if os.path.exists(builder):
+                path = builder
     if not path:
         print("BENCH gate: no BENCH_r*.json yet (pre-bench round) — skip")
         return True
-    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    m = re.search(r"BENCH_r(\d+)(?:_builder)?\.json$", path)
     round_no = int(m.group(1)) if m else 0
     bench = json.load(open(path, encoding="utf-8"))
+    driver_fmt = _extract_driver_bench(bench)
+    if driver_fmt is not None:
+        bench = driver_fmt
     load = bench.get("loadavg_1m_start")
     name = os.path.basename(path)
+    if driver_fmt is not None:
+        # The driver's host load is outside builder control; the in-artifact
+        # calibration probes (round-11 task 6) exist precisely to normalize
+        # host speed, so driver-format benches are judged RELATIVELY only.
+        print(
+            f"BENCH gate: {name} is driver-format (fields parsed from tail; "
+            f"loadavg_1m_start={load}) — absolute quiet-host cap waived, "
+            "probe-relative check applies"
+        )
+        return check_bench_relative(repo_root, path, round_no, bench)
     if load is None:
         if round_no < FIRST_LOAD_STAMPED_ROUND:
             print(f"BENCH gate: {name} predates the loadavg stamp — skip")
@@ -103,12 +153,17 @@ def check_bench_relative(
         return False
     prev = None
     for r in range(round_no - 1, 0, -1):
-        cand = os.path.join(repo_root, f"BENCH_r{r:02d}.json")
-        if not os.path.exists(cand):
-            cand = os.path.join(repo_root, f"BENCH_r{r}.json")
-        if os.path.exists(cand):
-            prev = json.load(open(cand, encoding="utf-8"))
-            prev_name = os.path.basename(cand)
+        for cand in (
+            os.path.join(repo_root, f"BENCH_r{r}_builder.json"),
+            os.path.join(repo_root, f"BENCH_r{r:02d}.json"),
+            os.path.join(repo_root, f"BENCH_r{r}.json"),
+        ):
+            if os.path.exists(cand):
+                prev = json.load(open(cand, encoding="utf-8"))
+                prev = _extract_driver_bench(prev) or prev
+                prev_name = os.path.basename(cand)
+                break
+        if prev is not None:
             break
     if not prev or prev.get("cpu_probe_sec") is None:
         print(
@@ -167,8 +222,15 @@ def main() -> int:
     ok = True
     if missing:
         ok = False
-        print(f"GATE FAIL: {len(missing)} oracle-equipped queries missing "
-              f"from {os.path.basename(sweep_path)}:")
+        # VERDICT r12 task 2: "registry changed ⇒ sweep re-runs before
+        # snapshot" is a ROUND-level rule — a snapshot commit that registers
+        # operators after the sweep was recorded fails the round, not just
+        # this script. Never commit past this message.
+        print(f"GATE FAIL (ROUND RULE): {len(missing)} oracle-equipped "
+              f"queries missing from {os.path.basename(sweep_path)} — the "
+              "registry changed after the sweep was recorded; re-run "
+              "scripts/sweep_sf01.py (SWEEP_JSON_MERGE=1) BEFORE the "
+              "snapshot commit:")
         for n in missing:
             print(f"  - {n}")
     if stale_extra:
