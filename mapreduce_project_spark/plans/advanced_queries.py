@@ -440,6 +440,121 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D303 (round 13, VERDICT r12 task 7): personalized / seeded PageRank —
+# the teleport-vector completion of D49. Unrolled 2-round oracle with
+# the identical integer fixed-point updates; seeds = NATION_7's customers
+# present in the trade graph.
+_PPR_ORACLE = """
+    WITH raw AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+    cn AS (
+      SELECT DISTINCT 2 * c_custkey AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    s AS (SELECT cn.node FROM cn JOIN deg ON deg.node = cn.node),
+    params AS (SELECT 1000000000000 // COUNT(*) AS r0 FROM s),
+    in1 AS (
+      SELECT e.dst AS node,
+             CAST(SUM((SELECT r0 FROM params) // deg.d) AS BIGINT) AS inflow
+      FROM e JOIN deg ON e.src = deg.node JOIN s ON s.node = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node,
+             (CASE WHEN s.node IS NOT NULL
+                   THEN (15 * (SELECT r0 FROM params)) // 100 ELSE 0 END
+              + (85 * COALESCE(in1.inflow, 0)) // 100) AS fx
+      FROM (SELECT node FROM deg) n
+      LEFT JOIN s ON s.node = n.node
+      LEFT JOIN in1 ON in1.node = n.node
+    ),
+    r1p AS (SELECT node, fx FROM r1 WHERE fx > 0),
+    in2 AS (
+      SELECT e.dst AS node, CAST(SUM(r1p.fx // deg.d) AS BIGINT) AS inflow
+      FROM e JOIN r1p ON e.src = r1p.node JOIN deg ON e.src = deg.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node,
+             (CASE WHEN s.node IS NOT NULL
+                   THEN (15 * (SELECT r0 FROM params)) // 100 ELSE 0 END
+              + (85 * COALESCE(in2.inflow, 0)) // 100) AS fx
+      FROM (SELECT node FROM deg) n
+      LEFT JOIN s ON s.node = n.node
+      LEFT JOIN in2 ON in2.node = n.node
+    ),
+    ranked AS (
+      SELECT node, fx,
+             row_number() OVER (ORDER BY fx DESC, node) AS rk
+      FROM r2 WHERE fx > 0
+    )
+    SELECT CAST(rk AS BIGINT) AS rk,
+           CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           CAST(fx AS BIGINT) AS rank_fx,
+           CAST(fx AS DOUBLE) / 1000000000000 AS rank
+    FROM ranked WHERE rk <= 100
+    """
+
+
+@extra_query("pagerank_personalized_seeded", _PPR_ORACLE)
+def q_pagerank_personalized_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seeded-teleport) PageRank over the trade graph
+    (D303) — the recommender-graph sibling of `pagerank_trade_graph`:
+    restart mass concentrates on ONE nation's customers, so the
+    ranking answers "which suppliers/customers matter to NATION_7's
+    buyers", not "who matters globally". Same integer fixed-point
+    discipline as D49 (`operators/graph.py:pagerank_personalized`),
+    hash-matched by an unrolled 2-round oracle.
+
+    Scale: the Spark loop carries the rank vector SPARSELY (only the
+    seed set's k-hop frontier holds mass — each round shuffles
+    O(frontier x degree), not O(V)); top-100 is a
+    TakeOrderedAndProject, never a global sort."""
+    from mapreduce_project_spark.operators.graph import (
+        pagerank_personalized,
+        symmetrize,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    seeds = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .distinct()
+    )
+    ranks = pagerank_personalized(symmetrize(raw), seeds, n_iter=2)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_fx").desc(), F.col("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "rk",
+            F.when(
+                F.col("node") % 2 == 0,
+                F.concat(F.lit("c"), F.expr("node div 2")),
+            )
+            .otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+            .alias("node"),
+            "rank_fx",
+            "rank",
+        )
+    )
+
+
 @query(
     "triangle_counts_cosupply",
     """

@@ -1204,6 +1204,109 @@ def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders_sum.unionByName(cust_sum)
 
 
+# D304 (round 13, VERDICT r12 task 7): GDPR-style cascading delete
+# AUDIT — the read side of a right-to-erasure request: given the data
+# subjects, enumerate every row in every reachable artifact that the
+# erasure must remove, with an order-independent fingerprint per
+# artifact so the post-delete re-run can prove emptiness by value
+# (n_rows = 0, checksum = 0), not by trust. The WRITE side
+# (apply_changelog deletes + D299 signed view deltas) is exercised
+# end-to-end in tests/test_round13_ops.py against this audit.
+_GDPR_ORACLE = """
+    WITH s AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 997 = 1),
+    cust AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             COALESCE(bit_xor(CAST('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)), 0) AS checksum
+      FROM customer JOIN s ON c_custkey = s.k
+    ),
+    ords AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             COALESCE(bit_xor(CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)), 0) AS checksum
+      FROM orders JOIN s ON o_custkey = s.k
+    ),
+    li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             COALESCE(bit_xor(CAST('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)), 0)
+               AS checksum
+      FROM lineitem
+      JOIN (SELECT o_orderkey FROM orders JOIN s ON o_custkey = s.k) o
+        ON l_orderkey = o.o_orderkey
+    ),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             COALESCE(bit_xor(CAST('0x' || substr(md5(
+               CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)), 0) AS checksum
+      FROM events JOIN s ON user_id = s.k
+    )
+    SELECT 'customer' AS artifact, n_rows, checksum FROM cust
+    UNION ALL SELECT 'orders', n_rows, checksum FROM ords
+    UNION ALL SELECT 'lineitem', n_rows, checksum FROM li
+    UNION ALL SELECT 'events', n_rows, checksum FROM ev
+    """
+
+
+@extra_query("gdpr_delete_audit", _GDPR_ORACLE)
+def q_gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit (D304): one deterministic data-
+    subject set (c_custkey % 997 = 1 — in production, the request's id
+    list) fans out to every artifact its data reaches — the customer
+    rows themselves, their orders, those orders' lineitems (a
+    TWO-hop cascade through a foreign key), and their event history —
+    and each artifact reports (row count, XOR-fold of a 60-bit md5
+    key digest). Running the audit before the erasure scopes the
+    delete; running it after proves completion by VALUE (0, 0).
+
+    Scale: the subject set and its order keys are broadcast semi-join
+    sides (an erasure request is thousands of ids, never table-scale),
+    so each artifact costs ONE scan with a map-side join and a
+    single-row partial agg — no global shuffle anywhere; XOR's
+    commutativity makes the fingerprint partitioning-invariant."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    s = c.filter(F.col("c_custkey") % 997 == 1).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def fold(df, key_expr, label):
+        return df.withColumn("_r", F.expr(key_expr)).agg(
+            F.lit(label).alias("artifact"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substr(md5(cast(_r AS binary)),"
+                    " 1, 15), 16, 10) AS bigint))"
+                ),
+                F.lit(0),
+            ).alias("checksum"),
+        )
+
+    cust = fold(
+        c.join(F.broadcast(s), c["c_custkey"] == s["k"]),
+        "cast(c_custkey as string)",
+        "customer",
+    )
+    subj_orders = o.join(F.broadcast(s), o["o_custkey"] == s["k"])
+    ords = fold(subj_orders, "cast(o_orderkey as string)", "orders")
+    okeys = subj_orders.select("o_orderkey")
+    lis = fold(
+        l.join(F.broadcast(okeys), l["l_orderkey"] == okeys["o_orderkey"]),
+        "concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))",
+        "lineitem",
+    )
+    evs = fold(
+        ev.join(F.broadcast(s), ev["user_id"] == s["k"]),
+        "cast(event_id as string)",
+        "events",
+    )
+    return cust.unionByName(ords).unionByName(lis).unionByName(evs)
+
+
 @extra_query(
     "fulfillment_latency_histogram",
     """

@@ -2940,51 +2940,15 @@ _MIPS_ORACLE = f"""
     """
 
 
-@extra_query("similarity_topk_mips", _MIPS_ORACLE)
-def q_similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT maximum-inner-product top-k with a norm-bound pruning
-    CERTIFICATE (D300) — the MIPS member completing the similarity
-    serving ladder (cosine exact/IVF/PQ/SQ8 rank by angle; recommender
-    scorers and un-normalized retrieval rank by RAW INNER PRODUCT,
-    where a vector's NORM matters and cosine machinery is simply
-    wrong). The classic MIPS scale lever is norm-based pruning: for
-    query q and any v, dot(q,v) ≤ ‖q‖·‖v‖ (Cauchy-Schwarz), so a
-    norm-bucketed corpus can skip every bucket whose max-norm bound
-    cannot reach the current k-th best.
-
-    Made one-shot and EXACT (no driver iteration, no recall loss):
-    (1) vectors land in norm² OCTAVE buckets (bucket = bit_length of
-    the integer milli-norm² — a map-side expression, NO global sort,
-    ≤ ~40 buckets ever); (2) a PILOT k-th score per query comes from
-    the md5 auto-rate sample (~256 vectors at any N — the D286
-    dial); (3) a bucket is pruned iff pilot_kth ≥ 0 AND pilot_kth² >
-    ‖q‖²·maxvn2(bucket) — every vector there has dot < pilot_kth ≤
-    true_kth (the pilot is a subset, so its k-th best can only be
-    lower), hence provably outside the top-k and unable to tie;
-    (4) the exact integer dot scans only surviving buckets, one final
-    per-query top-k window. Output carries the certificate columns
-    (buckets pruned/total, rows scanned per query) — on skewed-norm
-    corpora (the regime MIPS pruning exists for, planted in
-    tests/test_round12_ops.py) most octaves prune; on this fixture's
-    ~equal-norm vectors they honestly don't (the certificate SHOWS
-    the prune factor instead of asserting it).
-
-    Exactness: milli quantization (floor(x·1000+0.5) over the
-    float32→DOUBLE widening, the D82/D219 convention), all dots and
-    norms exact int64 (‖v‖² ≤ 64·10⁶ at unit-scale components; the
-    square-compare prune needs kth² ≤ ~3e17 — int64-safe), pinned
-    (dot DESC, vec_id) tie-break, queries = the 8 smallest vec_ids
-    (TakeOrdered + broadcast, no collect). Plan: ONE corpus scan
-    computes milli/norm/bucket; bucket maxima and the pilot are
-    KB-scale broadcasts; the scan side never shuffles corpus-wide —
-    survivors fan ×8 queries map-side into a per-query top-k
-    partial agg. Reference: no similarity surface in the reference;
-    capability class per SURVEY §2 D300 (Ram & Gray 2012 /
-    Teflioudi & Gemulla LEMP norm-pruning, made certificate-emitting
-    and oracle-replayable)."""
+def mips_topk_certified(emb: DataFrame) -> DataFrame:
+    """The D300 exact-MIPS pipeline over an arbitrary (vec_id,
+    embedding) frame — factored out of `q_similarity_topk_mips`
+    (identical expressions, value-identical) so the skewed-norm
+    decade measurement (scripts/mips_skew_decade.py, VERDICT r12
+    task 3) drives the SAME pruning pipeline on a norm-skewed
+    corpus instead of a private reimplementation."""
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings")
     bk = emb.select(
         "vec_id",
         F.expr(
@@ -3079,3 +3043,49 @@ def q_similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_scanned",
         )
     )
+
+
+@extra_query("similarity_topk_mips", _MIPS_ORACLE)
+def q_similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximum-inner-product top-k with a norm-bound pruning
+    CERTIFICATE (D300) — the MIPS member completing the similarity
+    serving ladder (cosine exact/IVF/PQ/SQ8 rank by angle; recommender
+    scorers and un-normalized retrieval rank by RAW INNER PRODUCT,
+    where a vector's NORM matters and cosine machinery is simply
+    wrong). The classic MIPS scale lever is norm-based pruning: for
+    query q and any v, dot(q,v) ≤ ‖q‖·‖v‖ (Cauchy-Schwarz), so a
+    norm-bucketed corpus can skip every bucket whose max-norm bound
+    cannot reach the current k-th best.
+
+    Made one-shot and EXACT (no driver iteration, no recall loss):
+    (1) vectors land in norm² OCTAVE buckets (bucket = bit_length of
+    the integer milli-norm² — a map-side expression, NO global sort,
+    ≤ ~40 buckets ever); (2) a PILOT k-th score per query comes from
+    the md5 auto-rate sample (~256 vectors at any N — the D286
+    dial); (3) a bucket is pruned iff pilot_kth ≥ 0 AND pilot_kth² >
+    ‖q‖²·maxvn2(bucket) — every vector there has dot < pilot_kth ≤
+    true_kth (the pilot is a subset, so its k-th best can only be
+    lower), hence provably outside the top-k and unable to tie;
+    (4) the exact integer dot scans only surviving buckets, one final
+    per-query top-k window. Output carries the certificate columns
+    (buckets pruned/total, rows scanned per query) — on skewed-norm
+    corpora (the regime MIPS pruning exists for, planted in
+    tests/test_round12_ops.py) most octaves prune; on this fixture's
+    ~equal-norm vectors they honestly don't (the certificate SHOWS
+    the prune factor instead of asserting it).
+
+    Exactness: milli quantization (floor(x·1000+0.5) over the
+    float32→DOUBLE widening, the D82/D219 convention), all dots and
+    norms exact int64 (‖v‖² ≤ 64·10⁶ at unit-scale components; the
+    square-compare prune needs kth² ≤ ~3e17 — int64-safe), pinned
+    (dot DESC, vec_id) tie-break, queries = the 8 smallest vec_ids
+    (TakeOrdered + broadcast, no collect). Plan: ONE corpus scan
+    computes milli/norm/bucket; bucket maxima and the pilot are
+    KB-scale broadcasts; the scan side never shuffles corpus-wide —
+    survivors fan ×8 queries map-side into a per-query top-k
+    partial agg. Reference: no similarity surface in the reference;
+    capability class per SURVEY §2 D300 (Ram & Gray 2012 /
+    Teflioudi & Gemulla LEMP norm-pruning, made certificate-emitting
+    and oracle-replayable)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return mips_topk_certified(emb)

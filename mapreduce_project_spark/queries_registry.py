@@ -818,6 +818,24 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
             "similarity_topk_mips",            # D300 first slot
         ),
     ),
+    # --- Round 13: graph_hits_bipartite (the r12 rotation seed) takes
+    # its first driver slot (VERDICT r12 task 3) alongside the three
+    # round-13 operators; four driver-r12 hash-green veterans hand
+    # back slots.
+    (
+        (
+            "events_max_drawdown",
+            "search_ndcg",
+            "events_conversion_lag",
+            "simpson_paradox_audit",
+        ),
+        (
+            "graph_hits_bipartite",            # D301 first slot
+            "bench_trend_report",              # D302 first slot
+            "pagerank_personalized_seeded",    # D303 first slot
+            "gdpr_delete_audit",               # D304 first slot
+        ),
+    ),
 )
 
 # Round-5 rotation candidates (oracle-equipped extras that have not yet
@@ -1094,6 +1112,15 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # train_test_split_leakage_safe (D162, cluster-keyed split),
 # doc_novelty_scores (D163, per-doc novelty). plus the rest of the never-checked backlog the
 # round-5 wave didn't fit (bm25_search stays pytest-tolerance-only).
+#
+# Round-13 additions (strict-EQUAL at 3 SFs): bench_trend_report (D302,
+# probe-normalized cross-round BENCH ledger — VERDICT r12 task 6),
+# pagerank_personalized_seeded (D303, seeded-teleport PageRank with the
+# sparse frontier carry), gdpr_delete_audit (D304, right-to-erasure
+# cascade enumeration with XOR-fold proofs; write side pinned e2e over
+# apply_changelog + D299 deltas in tests/test_round13_ops.py). The
+# round-13 wave below rotates in graph_hits_bipartite (the r12 seed)
+# plus these three; multi-green veterans hand back slots.
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:

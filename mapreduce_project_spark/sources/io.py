@@ -953,6 +953,72 @@ def merge_join_view_delta(
                 ).partitionBy("_b").parquet(path)
 
 
+def merge_edge_view_delta(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    op_col: str = "op",
+) -> None:
+    """Delete-capable incremental EDGE-SET maintenance (D305) — the
+    single-relation member of the D299 counting algebra, sized for
+    graph analytics over a MUTATING graph: each batch's edge rows
+    carry ``op_col`` ∈ {'insert', 'delete'}, stored as signed
+    multiplicity m = ±1 in the batch's OWN ``_b=batch_id`` partition
+    (dynamic overwrite — D191/D299's exactly-once discipline: a
+    crashed batch's retry rewrites its own partition and nothing
+    else, so replay is a content-identical no-op).
+
+    The CURRENT graph is the net-positive multiset collapsed to a set
+    (`read_edge_view`); centralities computed over it equal the
+    from-scratch graph at every prefix — pinned end-to-end against
+    `pagerank_fixed` in tests/test_round13_ops.py. Unmatched deletes
+    leave net-negative rows the reader suppresses (D299 contract).
+    Scale: each batch writes |Δ| rows, the view read is ONE keyed
+    partial-agg over net rows — never a rebuild of the edge list."""
+    # NULL ops must raise like unknown ones (~isin is NULL-evading —
+    # the round-12 advice lesson, same guard as merge_join_view_delta)
+    bad = (
+        edges.filter(
+            ~F.col(op_col).isin("insert", "delete") | F.col(op_col).isNull()
+        )
+        .select(op_col).distinct().limit(5).collect()
+    )
+    if bad:
+        raise ValueError(
+            f"merge_edge_view_delta: unknown op values "
+            f"{[r[0] for r in bad]} — only 'insert' and 'delete'"
+        )
+    signed = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.when(F.col(op_col) == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("_m"),
+    )
+    with _dynamic_overwrite(spark):
+        signed.withColumn("_b", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("_b").parquet(f"{state_dir}/e")
+
+
+def read_edge_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """CURRENT edge set from a `merge_edge_view_delta` state tree:
+    net multiplicity per (src, dst), net-positive rows collapsed to
+    SET semantics — (src, dst) columns, ready for the graph operators
+    (`pagerank_fixed`, `symmetrize`, HITS)."""
+    e = spark.read.parquet(f"{state_dir}/e").drop("_b")
+    return (
+        e.groupBy("src", "dst")
+        .agg(F.sum("_m").cast("bigint").alias("_m"))
+        .filter(F.col("_m") > 0)
+        .select("src", "dst")
+    )
+
+
 def read_join_view_delta(spark: SparkSession, state_dir: str) -> DataFrame:
     """Materialize the CURRENT view from a `merge_join_view_delta`
     state tree: net multiplicity per distinct row, net-positive rows

@@ -246,6 +246,10 @@ SF1_QUERIES = [
     "graph_betweenness_sampled",
     "similarity_topk_mips",
     "graph_hits_bipartite",
+    # round-13 additions (bench_trend_report is omitted: artifact-ledger
+    # corpus, invariant across SFs — the D298 rule)
+    "pagerank_personalized_seeded",
+    "gdpr_delete_audit",
 ]
 SF1_REPS = 2
 

@@ -155,3 +155,240 @@ def test_fenced_write_noop_without_token(spark, tmp_path):
     hit = []
     _fenced_write(None, "x", lambda: hit.append(1))
     assert hit == [1]
+
+
+# ---------------------------------------------------------------- D303
+
+
+def test_pagerank_personalized_closed_form_path_graph(spark):
+    # path 0-1-2 (symmetrized), seeds {0}: hand-computed fixed-point
+    # values after 2 damped rounds (SCALE 1e12, base 0.15e12):
+    #   r1: 0 -> 150_000_000_000, 1 -> 850_000_000_000
+    #   r2: 0 -> 150e9 + 85%*(850e9 div 2) = 511_250_000_000
+    #       1 -> 85%*150e9            = 127_500_000_000
+    #       2 -> 85%*(850e9 div 2)    = 361_250_000_000
+    # An oracle twin can't distinguish a shared mistake; this pins the
+    # spec against closed-form arithmetic.
+    from mapreduce_project_spark.operators.graph import (
+        pagerank_personalized,
+        symmetrize,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r["node"]: r["rank_fx"]
+        for r in pagerank_personalized(symmetrize(edges), seeds, n_iter=2).collect()
+    }
+    assert got == {0: 511_250_000_000, 1: 127_500_000_000, 2: 361_250_000_000}
+
+
+def test_pagerank_personalized_rejects_foreign_seeds(spark):
+    from mapreduce_project_spark.operators.graph import pagerank_personalized
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(99,)], "node bigint")
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank_personalized(edges, seeds)
+
+
+def test_pagerank_personalized_mass_stays_on_seed_component(spark):
+    # two disconnected 2-cycles; seeding one must leave the other at
+    # zero mass (absent from the sparse output) — the locality property
+    # the uniform variant cannot have.
+    from mapreduce_project_spark.operators.graph import pagerank_personalized
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    got = {r["node"] for r in pagerank_personalized(edges, seeds, n_iter=3).collect()}
+    assert got == {0, 1}
+
+
+# ---------------------------------------------------------------- D304
+
+
+def test_gdpr_cascade_delete_end_to_end(spark, tmp_path):
+    # the WRITE side of gdpr_delete_audit: erase subject ck=1 from a
+    # partitioned base table (apply_changelog delete) AND a derived
+    # incremental join view (D299 signed deltas); prove absence by
+    # value, survivors intact, and retry idempotence.
+    from mapreduce_project_spark.sources.io import (
+        apply_changelog,
+        merge_join_view_delta,
+        read_join_view_delta,
+    )
+
+    base = str(tmp_path / "cust")
+    seed = spark.createDataFrame(
+        [(1, "n1", "alice", "upsert"), (2, "n1", "bob", "upsert"),
+         (3, "n2", "carol", "upsert")],
+        "ck bigint, nat string, name string, op string",
+    )
+    apply_changelog(spark, base, seed, ["ck"], "nat")
+
+    view = str(tmp_path / "view")
+    a0 = spark.createDataFrame(
+        [(1, "alice", "insert"), (2, "bob", "insert")],
+        "ack bigint, aname string, op string",
+    )
+    b0 = spark.createDataFrame(
+        [(1, 100, "insert"), (1, 101, "insert"), (2, 200, "insert")],
+        "bck bigint, oid bigint, op string",
+    )
+    merge_join_view_delta(spark, view, 0, a0, b0, "ack", "bck")
+    assert read_join_view_delta(spark, view).count() == 3
+
+    # --- the erasure cascade for subject ck = 1 ---
+    apply_changelog(
+        spark, base,
+        spark.createDataFrame(
+            [(1, "n1", "alice", "delete")],
+            "ck bigint, nat string, name string, op string",
+        ),
+        ["ck"], "nat",
+    )
+    a_del = spark.createDataFrame(
+        [(1, "alice", "delete")], "ack bigint, aname string, op string"
+    )
+    merge_join_view_delta(spark, view, 1, a_del, None, "ack", "bck")
+
+    rows = {(r["ck"], r["name"]) for r in spark.read.parquet(base).collect()}
+    assert rows == {(2, "bob"), (3, "carol")}
+    vrows = {
+        (r["ack"], r["oid"]) for r in read_join_view_delta(spark, view).collect()
+    }
+    assert vrows == {(2, 200)}
+
+    # retry idempotence: replaying the view-delete batch and re-issuing
+    # the (now no-op) base delete changes nothing
+    merge_join_view_delta(spark, view, 1, a_del, None, "ack", "bck")
+    apply_changelog(
+        spark, base,
+        spark.createDataFrame(
+            [(1, "n1", "alice", "delete")],
+            "ck bigint, nat string, name string, op string",
+        ),
+        ["ck"], "nat",
+    )
+    assert {
+        (r["ck"], r["name"]) for r in spark.read.parquet(base).collect()
+    } == rows
+    assert {
+        (r["ack"], r["oid"]) for r in read_join_view_delta(spark, view).collect()
+    } == vrows
+
+
+def test_gdpr_audit_zero_state_reads_zero(spark, duck):
+    # the audit's emptiness contract: an empty subject match yields
+    # (0, 0) in BOTH engines (bit_xor over no rows is NULL -> coalesced)
+    drow = duck.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT),
+               COALESCE(bit_xor(CAST('0x' || substr(md5(CAST(x AS VARCHAR)),
+                 1, 15) AS BIGINT)), 0)
+        FROM (SELECT 1 AS x WHERE false)
+        """
+    ).fetchone()
+    assert drow == (0, 0)
+    srow = (
+        spark.createDataFrame([(1,)], "x bigint")
+        .filter("x < 0")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(cast(conv(substr(md5(cast(cast(x as string)"
+                    " AS binary)), 1, 15), 16, 10) AS bigint))"
+                ),
+                F.lit(0),
+            ).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (srow["n"], srow["c"]) == (0, 0)
+
+
+# ---------------------------------------------------------------- D305
+
+
+def test_edge_view_delta_centrality_tracks_full_recompute(spark, tmp_path):
+    # incremental centrality over a delete-capable graph view: after
+    # every batch of edge inserts/deletes (including delete-then-
+    # reinsert), PageRank over the maintained view must equal PageRank
+    # over the from-scratch edge set; a replayed batch is a no-op.
+    from mapreduce_project_spark.operators.graph import (
+        pagerank_fixed,
+        symmetrize,
+    )
+    from mapreduce_project_spark.sources.io import (
+        merge_edge_view_delta,
+        read_edge_view,
+    )
+
+    state = str(tmp_path / "g")
+    net: dict = {}
+
+    def apply_net(rows):
+        for s, d, op in rows:
+            net[(s, d)] = net.get((s, d), 0) + (1 if op == "insert" else -1)
+
+    def want_edges():
+        return {k for k, m in net.items() if m > 0}
+
+    def pr(edges_set):
+        if not edges_set:
+            return {}
+        df = spark.createDataFrame(
+            sorted(edges_set), "src bigint, dst bigint"
+        )
+        return {
+            r["node"]: r["rank_fx"]
+            for r in pagerank_fixed(symmetrize(df), n_iter=2).collect()
+        }
+
+    batches = [
+        [(1, 2, "insert"), (2, 3, "insert"), (3, 1, "insert")],
+        [(3, 4, "insert"), (1, 2, "insert")],   # duplicate insert (m=2)
+        [(2, 3, "delete")],                      # edge leaves the view
+        [(1, 2, "delete")],                      # m 2 -> 1: edge STAYS
+        [(2, 3, "insert")],                      # delete-then-reinsert
+    ]
+    for i, rows in enumerate(batches):
+        merge_edge_view_delta(
+            spark, state, i,
+            spark.createDataFrame(rows, "src bigint, dst bigint, op string"),
+        )
+        apply_net(rows)
+        got = {
+            (r["src"], r["dst"]) for r in read_edge_view(spark, state).collect()
+        }
+        assert got == want_edges(), f"edge view diverged after batch {i}"
+        assert pr(got) == pr(want_edges())
+    # the m=2 edge survived one delete
+    assert (1, 2) in want_edges()
+    # replay batch 2 (post-crash retry): identical final state
+    final = {(r["src"], r["dst"]) for r in read_edge_view(spark, state).collect()}
+    merge_edge_view_delta(
+        spark, state, 2,
+        spark.createDataFrame(batches[2], "src bigint, dst bigint, op string"),
+    )
+    assert {
+        (r["src"], r["dst"]) for r in read_edge_view(spark, state).collect()
+    } == final
+
+
+def test_edge_view_delta_rejects_bad_and_null_ops(spark, tmp_path):
+    from mapreduce_project_spark.sources.io import merge_edge_view_delta
+
+    bad = spark.createDataFrame(
+        [(1, 2, "upsert")], "src bigint, dst bigint, op string"
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        merge_edge_view_delta(spark, str(tmp_path / "a"), 0, bad)
+    nul = spark.createDataFrame(
+        [(1, 2, None)], "src bigint, dst bigint, op string"
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        merge_edge_view_delta(spark, str(tmp_path / "b"), 0, nul)
