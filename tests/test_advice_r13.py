@@ -162,3 +162,59 @@ def test_read_ivf_tree_cross_batch_lww_still_wins(spark, tmp_path):
     ).write.parquet(f"{tree}/batch-4")
     rows = read_ivf_tree(spark, tree).collect()
     assert len(rows) == 1 and rows[0]["cell"] == 9 and rows[0]["v"] == [6.0]
+
+
+# --- task 6 pin: bench_trend_report replay (artifact files, metadata
+# scale — the D298 discipline: a pure-python replay of the committed
+# ledger must equal the engine's answer cell for cell).
+
+
+def test_bench_trend_replay_matches_committed_ledger(spark):
+    import glob
+    import re as _re
+
+    from mapreduce_project_spark.queries_registry import ALL_QUERIES
+
+    got = {
+        r["round"]: (
+            r["panel_total_us"], r["cpu_probe_us"], r["host_ratio_ppm"],
+            r["panel_norm_us"], r["delta_vs_prev_ppm"],
+        )
+        for r in ALL_QUERIES["bench_trend_report"](spark, "unused").collect()
+    }
+
+    def micros(s):
+        if not s:
+            return None
+        ip, _, fp = s.partition(".")
+        return int(ip) * 1_000_000 + int((fp or "0").ljust(6, "0")[:6])
+
+    num = r'\\?"{f}\\?":\s*([0-9]+\.?[0-9]*)'
+    rows = {}
+    for path in glob.glob("/root/repo/BENCH_r*.json"):
+        if "_builder" in path:
+            continue
+        txt = open(path, encoding="utf-8").read()
+        rnd = int(_re.search(r"BENCH_r(\d+)", path).group(1))
+        p = _re.search(num.format(f="panel_total"), txt)
+        if not p:
+            continue
+        c = _re.search(num.format(f="cpu_probe_sec"), txt)
+        rows[rnd] = (micros(p.group(1)), micros(c.group(1)) if c else None)
+    assert rows, "vacuous: no parseable BENCH artifacts"
+    probed = [r for r in sorted(rows) if rows[r][1] is not None]
+    ref_cpu = rows[probed[0]][1] if probed else None
+    prev = None
+    for rnd in sorted(rows):
+        pus, cus = rows[rnd]
+        host = cus * 1_000_000 // ref_cpu if cus is not None else None
+        norm = pus * ref_cpu // cus if cus is not None else None
+        if prev is None:
+            delta = None
+        elif pus >= prev:
+            delta = (pus - prev) * 1_000_000 // prev
+        else:
+            delta = -((prev - pus) * 1_000_000 // prev)
+        assert got[rnd] == (pus, cus, host, norm, delta), f"round {rnd}"
+        prev = pus
+    assert set(got) == set(rows)
