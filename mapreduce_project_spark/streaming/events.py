@@ -798,6 +798,73 @@ def read_ivf_tree(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def erase_ids_from_tree(
+    spark: SparkSession,
+    tree_path: str,
+    ids: DataFrame,
+    id_col: str = "id",
+) -> int:
+    """GDPR erasure applied to a STREAMING batch tree (D306) — the
+    write-side completion of `gdpr_delete_audit` for the artifacts the
+    batch cascade cannot reach: the `batch-<id>/` directory trees the
+    streaming sinks maintain (`crawl_dedup_stream`'s signature index,
+    `ann_ingest_stream`'s IVF tree). A data subject's rows must leave
+    DERIVED state too, and a batch tree cannot anti-join in place —
+    so each TOUCHED batch directory is rewritten without the subject's
+    rows (same batch-scoped overwrite the sinks themselves use: a
+    crashed/retried erasure rewrites the same directories to the same
+    bytes — idempotent), and untouched directories are never opened
+    for write. Returns the number of rows erased.
+
+    Scale: the touched-directory set comes from ONE pruned scan of the
+    tree against the broadcast subject ids (an erasure request is
+    thousands of ids, never corpus-scale); rewrite cost is
+    O(rows in touched batches), not O(tree). Run it OUTSIDE an active
+    stream (maintenance window or the offline compaction slot —
+    erasure is a batch job by nature); a concurrent stream appending
+    NEW batches is safe (new dirs are not in the touched set), but a
+    concurrent writer to the SAME batch dir is not, exactly like
+    `ivf_tree_compact`."""
+    import os as _os
+
+    id_df = ids.select(F.col(ids.columns[0]).alias("_erase_id")).distinct()
+    tree = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(tree_path)
+        .withColumn("_f", F.input_file_name())
+    )
+    hit_files = (
+        tree.join(
+            F.broadcast(id_df), F.col(id_col) == F.col("_erase_id"), "left_semi"
+        )
+        .select("_f")
+        .distinct()
+        .collect()
+    )  # bounded: one file path per touched batch file — request-scale
+    touched_dirs = sorted(
+        {
+            _os.path.dirname(r["_f"].removeprefix("file:"))
+            for r in hit_files
+        }
+    )
+    erased = 0
+    for d in touched_dirs:
+        cur = spark.read.parquet(d)
+        keep = cur.join(
+            F.broadcast(id_df), F.col(id_col) == F.col("_erase_id"), "left_anti"
+        )
+        n_before = cur.count()
+        # materialize the survivors BEFORE overwriting the directory
+        # they are read from (lineage would otherwise re-read replaced
+        # files mid-write)
+        keep = keep.cache()
+        n_after = keep.count()
+        keep.write.mode("overwrite").parquet(d)
+        keep.unpersist()
+        erased += n_before - n_after
+    return erased
+
+
 def ivf_tree_compact(spark: SparkSession, tree_path: str, serving_path: str) -> int:
     """OFFLINE maintenance: fold the stream's batch tree into the
     cell-partitioned serving layout (`partitionBy(cell)` — the layout

@@ -392,3 +392,73 @@ def test_edge_view_delta_rejects_bad_and_null_ops(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown op"):
         merge_edge_view_delta(spark, str(tmp_path / "b"), 0, nul)
+
+
+# ---------------------------------------------------------------- D306
+
+
+def test_erase_ids_from_streaming_trees(spark, tmp_path):
+    # GDPR erasure through the STREAMING artifacts: a subject's rows
+    # must leave the signature index AND the IVF tree; untouched batch
+    # dirs are never rewritten; a retried erasure is a no-op.
+    from mapreduce_project_spark.operators.dedup import minhash_index_build
+    from mapreduce_project_spark.streaming.events import (
+        _crawl_dedup_batch,
+        erase_ids_from_tree,
+        read_ivf_tree,
+        read_signature_tree,
+    )
+
+    corpus, f0, f1, f2 = _mk_batches(spark)
+    base = str(tmp_path / "er")
+    idx, pairs = f"{base}/idx", f"{base}/pairs"
+    minhash_index_build(corpus, "doc_id", "text", 3, 64).write.parquet(idx)
+    for i, b in enumerate((f0, f1, f2)):
+        _crawl_dedup_batch(spark, b, i, idx, pairs)
+    subject = f0.limit(1).collect()[0]["doc_id"]
+    before_ids = {r["id"] for r in read_signature_tree(spark, idx).collect()}
+    assert subject in before_ids
+
+    import os
+
+    other_dir = f"{idx}/batch-2"
+    mt_before = {
+        f: os.stat(os.path.join(other_dir, f)).st_mtime_ns
+        for f in os.listdir(other_dir)
+    }
+    ids = spark.createDataFrame([(subject,)], "doc_id bigint")
+    n = erase_ids_from_tree(spark, idx, ids, id_col="id")
+    assert n >= 1
+    after_ids = {r["id"] for r in read_signature_tree(spark, idx).collect()}
+    assert subject not in after_ids
+    assert after_ids == before_ids - {subject}
+    # batch-2 (no subject rows) was never rewritten
+    assert {
+        f: os.stat(os.path.join(other_dir, f)).st_mtime_ns
+        for f in os.listdir(other_dir)
+    } == mt_before
+    # retry is a no-op
+    assert erase_ids_from_tree(spark, idx, ids, id_col="id") == 0
+    assert {
+        r["id"] for r in read_signature_tree(spark, idx).collect()
+    } == after_ids
+
+
+def test_erase_ids_from_ivf_tree(spark, tmp_path):
+    from mapreduce_project_spark.streaming.events import (
+        erase_ids_from_tree,
+        read_ivf_tree,
+    )
+
+    tree = str(tmp_path / "ivf")
+    spark.createDataFrame(
+        [(1, [1.0], 0, 0), (2, [2.0], 1, 0)],
+        "id bigint, v array<double>, cell int, src_batch bigint",
+    ).write.parquet(f"{tree}/batch-0")
+    spark.createDataFrame(
+        [(3, [3.0], 0, 1)],
+        "id bigint, v array<double>, cell int, src_batch bigint",
+    ).write.parquet(f"{tree}/batch-1")
+    ids = spark.createDataFrame([(2,), (99,)], "id bigint")
+    assert erase_ids_from_tree(spark, tree, ids) == 1
+    assert {r["id"] for r in read_ivf_tree(spark, tree).collect()} == {1, 3}
