@@ -38,6 +38,9 @@ def loadavg() -> float:
 def main() -> int:
     from pyspark.sql import functions as F
 
+    # registry first: importing a plans module directly would run the
+    # registry's rotation waves before every module has registered
+    import mapreduce_project_spark.queries_registry  # noqa: F401
     from mapreduce_project_spark.plans.similarity_queries import (
         mips_topk_certified,
     )
@@ -46,16 +49,32 @@ def main() -> int:
 
     spark = get_spark("mips-skew-decade")
     spark.sparkContext.setLogLevel("ERROR")
+    # two skew shapes: 'multiscale' spreads norms uniformly over 32
+    # scales (mass concentrates in the top octaves — modest row
+    # pruning); 'popularity' puts 10% of vectors at 16x norm (the
+    # recommender regime norm-pruning exists for: hot items dominate
+    # every top-k, the cold-norm mass proves prunable). Measured
+    # design constraint worth keeping: the pilot k-th only reflects
+    # the hot regime when the pilot SAMPLES >= k hot vectors
+    # (hot_fraction x ~256 >= k) — at 2% hot the pilot's 10th-best is
+    # a cold dot and the certificate honestly reports zero pruning
+    # (lossless-conservative, never wrong).
+    SKEWS = {
+        "multiscale": "transform(embedding, x -> x * cast(1 + vec_id % 32 as float))",
+        "popularity": (
+            "transform(embedding, x -> x * cast(case when vec_id % 10 = 0"
+            " then 16 else 1 end as float))"
+        ),
+    }
     out = []
-    for label, sf_dir in SF_DIRS:
+    for (label, sf_dir), (skew, expr) in [
+        ((l, d), (s, e)) for l, d in SF_DIRS for s, e in SKEWS.items()
+    ]:
         if not os.path.isdir(sf_dir):
             print(f"skip {label}: {sf_dir} missing")
             continue
         emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> x * cast(1 + vec_id % 32 as float))"
-            ).alias("embedding"),
+            "vec_id", F.expr(expr).alias("embedding")
         )
         n = emb.count()
         best = None
@@ -77,6 +96,7 @@ def main() -> int:
         full = n * len(per_q)  # rows a pruning-free scan would score
         rec = {
             "sf": label,
+            "skew": skew,
             "corpus_rows": n,
             "queries": len(per_q),
             "buckets_pruned": pruned,
@@ -90,17 +110,23 @@ def main() -> int:
         }
         out.append(rec)
         print(json.dumps(rec), flush=True)
-    if len(out) == 2:
-        print(
-            json.dumps(
-                {
-                    "decade_time_ratio": round(out[1]["sec"] / out[0]["sec"], 2),
-                    "decade_scan_ratio": round(
-                        out[1]["rows_scanned"] / max(1, out[0]["rows_scanned"]), 2
-                    ),
-                }
+    by_skew = {}
+    for r in out:
+        by_skew.setdefault(r["skew"], []).append(r)
+    for skew, rs in by_skew.items():
+        if len(rs) == 2:
+            print(
+                json.dumps(
+                    {
+                        "skew": skew,
+                        "decade_time_ratio": round(rs[1]["sec"] / rs[0]["sec"], 2),
+                        "decade_scan_ratio": round(
+                            rs[1]["rows_scanned"] / max(1, rs[0]["rows_scanned"]),
+                            2,
+                        ),
+                    }
+                )
             )
-        )
     return 0
 
 
