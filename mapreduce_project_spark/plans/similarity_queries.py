@@ -3089,3 +3089,147 @@ def q_similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     and oracle-replayable)."""
     emb = t(spark, sf_dir, "embeddings")
     return mips_topk_certified(emb)
+
+
+# D307 (round 13): LSH parameter PLANNER — the design-time advisor
+# completing the MinHash family (the width LADDER measures recall/cost
+# for chosen widths on real data; the planner answers "which (bands,
+# rows) should I configure for threshold t and budget n_perm" from the
+# closed-form S-curve, before touching data — the standard
+# Leskovec/Rajaraman/Ullman b·r analysis made exact-integer and
+# engine-replayable). All arithmetic is truncating ppm: s^r evaluated
+# by r-fold acc*i div 100 (each step stays <= 1e6 — no overflow, no
+# libm pow), (1 - s^r)^b by b-fold acc*q div 1e6; identical folds in
+# both engines, so the plan ranking is hash-matched, not approximate.
+_LSHP_NPERM = 64
+_LSHP_THRESH_PCT = 80  # target Jaccard threshold 0.80
+_LSHP_MAX_R = 16
+
+
+def _lshp_pairs() -> list[tuple[int, int]]:
+    return [
+        (b, r)
+        for r in range(1, _LSHP_MAX_R + 1)
+        for b in range(1, _LSHP_NPERM + 1)
+        if b * r <= _LSHP_NPERM
+    ]
+
+
+_LSHP_ORACLE = f"""
+    WITH cand AS (
+      SELECT b, r FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _lshp_pairs())})
+        AS t(b, r)
+    ),
+    grid AS (
+      SELECT b, r, i,
+             list_reduce(
+               list_prepend(CAST(1000000 AS BIGINT),
+                            list_transform(generate_series(1, r), x -> CAST(i AS BIGINT))),
+               (acc, x) -> acc * x // 100) AS sr_ppm
+      FROM cand, unnest(generate_series(1, 99)) AS u(i)
+    ),
+    prob AS (
+      SELECT b, r, i,
+             1000000 - list_reduce(
+               list_prepend(CAST(1000000 AS BIGINT),
+                            list_transform(generate_series(1, b),
+                                           x -> 1000000 - sr_ppm)),
+               (acc, x) -> acc * x // 1000000) AS p_ppm
+      FROM grid
+    ),
+    agg AS (
+      SELECT b, r,
+             CAST(SUM(CASE WHEN i < {_LSHP_THRESH_PCT} THEN p_ppm ELSE 0 END)
+                  AS BIGINT) AS fp_mass_ppm,
+             CAST(SUM(CASE WHEN i >= {_LSHP_THRESH_PCT} THEN 1000000 - p_ppm
+                  ELSE 0 END) AS BIGINT) AS fn_mass_ppm
+      FROM prob GROUP BY b, r
+    ),
+    ranked AS (
+      SELECT b AS bands, r AS rows_per_band, b * r AS perms_used,
+             fp_mass_ppm, fn_mass_ppm,
+             fp_mass_ppm + fn_mass_ppm AS cost_ppm,
+             row_number() OVER (ORDER BY fp_mass_ppm + fn_mass_ppm, b, r)
+               AS rank
+      FROM agg
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(perms_used AS BIGINT) AS perms_used,
+           fp_mass_ppm, fn_mass_ppm, CAST(cost_ppm AS BIGINT) AS cost_ppm
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@extra_query("lsh_param_planner", _LSHP_ORACLE)
+def q_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands × rows) PLANNER for the MinHash dedup family (D307)
+    — the design-time member of the advisor family (join-order,
+    join-size-preflight, partition-layout): for the corpus-wide
+    threshold t = 0.8 and permutation budget 64, rank every feasible
+    (b, r) by the S-curve's deviation from the ideal step function —
+    below-threshold collision mass (FP: candidate pairs the verify
+    stage must discard) plus above-threshold miss mass (FN: true
+    near-dups the banding never surfaces). The registered production
+    widths (8×2 crawl probe, auto-width D285) were hand-derived;
+    this query derives them mechanically and exposes the whole
+    frontier.
+
+    Exactness: s^r and (1−s^r)^b are truncating-ppm FOLDS (acc·i div
+    100 r times; acc·q div 10⁶ b times) — every intermediate ≤ 10⁶,
+    zero libm, identical in both engines, so the ranking hash-matches.
+    `sf_dir` is deliberately unused: the planner is pure design math
+    (its input is the parameter lattice, not data) — at 100 TB it runs
+    in milliseconds on the driver-sized 679-row lattice while the
+    ladder it complements (D285) measures the chosen width on real
+    data. Plan: one in-memory lattice, a 99-point grid explode
+    (≤ ~67k rows), one partial agg, one bounded window."""
+    cand = spark.createDataFrame(_lshp_pairs(), "b int, r int")
+    grid = cand.join(
+        spark.range(1, 100).select(F.col("id").cast("int").alias("i"))
+    )
+    sr = grid.withColumn(
+        "sr_ppm",
+        F.expr(
+            "aggregate(sequence(1, r), cast(1000000 as bigint),"
+            " (acc, x) -> acc * i div 100)"
+        ),
+    )
+    prob = sr.withColumn(
+        "p_ppm",
+        F.expr(
+            "1000000 - aggregate(sequence(1, b), cast(1000000 as bigint),"
+            " (acc, x) -> acc * (1000000 - sr_ppm) div 1000000)"
+        ),
+    )
+    agg = prob.groupBy("b", "r").agg(
+        F.expr(
+            f"cast(sum(case when i < {_LSHP_THRESH_PCT} then p_ppm else 0 end)"
+            " as bigint)"
+        ).alias("fp_mass_ppm"),
+        F.expr(
+            f"cast(sum(case when i >= {_LSHP_THRESH_PCT} then 1000000 - p_ppm"
+            " else 0 end) as bigint)"
+        ).alias("fn_mass_ppm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        (F.col("fp_mass_ppm") + F.col("fn_mass_ppm")), F.col("b"), F.col("r")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            F.col("b").cast("bigint").alias("bands"),
+            F.col("r").cast("bigint").alias("rows_per_band"),
+            (F.col("b") * F.col("r")).cast("bigint").alias("perms_used"),
+            "fp_mass_ppm",
+            "fn_mass_ppm",
+            (F.col("fp_mass_ppm") + F.col("fn_mass_ppm"))
+            .cast("bigint")
+            .alias("cost_ppm"),
+        )
+    )

@@ -2198,3 +2198,112 @@ def q_assemble_training_set_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(doc_id as string)) as binary)), 1, 15), 16, 10) as bigint))"
         ).alias("release_checksum"),
     )
+
+
+# D308 (round 13): preference-PAIR assembly — the reward-model /
+# DPO data-prep primitive: within each (source, lang) cohort, rank
+# documents by a deterministic integer quality score and pair the
+# top half against the mirrored bottom half (rank i vs rank n+1-i),
+# emitting (chosen, rejected, margin). The score here is the
+# alpha-character ratio (ppm) with doc_id tie-breaks — in production
+# swap in any integer score column (D173 LM buckets, D247
+# readability); the PAIRING algebra is what this operator owns.
+_PREF_ORACLE = """
+    WITH scored AS (
+      SELECT source, lang, doc_id,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  * 1000000 // greatest(1, length(text)) AS BIGINT)
+               AS score_ppm
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, lang, doc_id, score_ppm,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score_ppm DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source, lang) AS n
+      FROM scored
+    ),
+    pairs AS (
+      SELECT hi.source, hi.lang,
+             CAST(hi.rn AS BIGINT) AS pair_rank,
+             hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+             hi.score_ppm AS chosen_score_ppm,
+             lo.score_ppm AS rejected_score_ppm,
+             hi.score_ppm - lo.score_ppm AS margin_ppm
+      FROM ranked hi
+      JOIN ranked lo ON lo.source = hi.source AND lo.lang = hi.lang
+                    AND lo.rn = hi.n + 1 - hi.rn
+      WHERE hi.rn * 2 <= hi.n
+    )
+    SELECT source, lang, pair_rank, chosen_id, rejected_id,
+           chosen_score_ppm, rejected_score_ppm,
+           CAST(margin_ppm AS BIGINT) AS margin_ppm
+    FROM pairs
+    WHERE margin_ppm > 0
+    """
+
+
+@extra_query("assemble_preference_pairs", _PREF_ORACLE)
+def q_assemble_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for reward-model / DPO training
+    (D308) — the data-prep step between quality scoring and pairwise
+    training: within each (source, lang) cohort, documents rank by a
+    deterministic integer quality score (alpha-ratio ppm here; any
+    integer score column plugs in) and rank i pairs with rank n+1−i —
+    the mirrored-extremes scheme that maximizes per-pair margin while
+    using each document at most once (no quadratic pair explosion,
+    no repeated-chosen bias). Zero-margin pairs are dropped (a
+    tie teaches nothing).
+
+    Exactness: score = alpha_chars·10⁶ div total_chars (truncating;
+    identical regex class both engines), pairing via two window
+    functions and a self-join on the mirrored rank. Scale: one scan +
+    ONE window shuffle keyed by (source, lang); the pair join is a
+    self-equi-join on (source, lang, mirrored rank) — same key, so it
+    reuses the window's partitioning; output is |docs|/2 rows max.
+    At 100 TB the cohort cardinality bounds the window state, and a
+    skewed cohort salts like any keyed window (SCALE.md)."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.expr(
+            "cast(length(regexp_replace(text, '[^a-zA-Z]', ''))"
+            " * 1000000 div greatest(1, length(text)) as bigint)"
+        ).alias("score_ppm"),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("source", "lang")
+    w = wp.orderBy(F.col("score_ppm").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "source", "lang", "doc_id", "score_ppm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    hi = ranked.filter(F.col("rn") * 2 <= F.col("n")).select(
+        "source", "lang",
+        F.col("rn").cast("bigint").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score_ppm").alias("chosen_score_ppm"),
+        (F.col("n") + 1 - F.col("rn")).alias("_mirror"),
+    )
+    lo = ranked.select(
+        F.col("source").alias("source"),
+        F.col("lang").alias("lang"),
+        F.col("rn").alias("_mirror"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score_ppm").alias("rejected_score_ppm"),
+    )
+    return (
+        hi.join(lo, ["source", "lang", "_mirror"])
+        .select(
+            "source", "lang", "pair_rank", "chosen_id", "rejected_id",
+            "chosen_score_ppm", "rejected_score_ppm",
+            (F.col("chosen_score_ppm") - F.col("rejected_score_ppm"))
+            .cast("bigint")
+            .alias("margin_ppm"),
+        )
+        .filter(F.col("margin_ppm") > 0)
+    )

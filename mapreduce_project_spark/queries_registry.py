@@ -1120,7 +1120,12 @@ _ROTATION_WAVES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
 # cascade enumeration with XOR-fold proofs; write side pinned e2e over
 # apply_changelog + D299 deltas in tests/test_round13_ops.py). The
 # round-13 wave below rotates in graph_hits_bipartite (the r12 seed)
-# plus these three; multi-green veterans hand back slots.
+# plus these three; multi-green veterans hand back slots. Late
+# round-13 additions (strict-EQUAL at 3 SFs, round-14 rotation
+# seeds): lsh_param_planner (D307, exact-integer S-curve (b, r)
+# advisor) and assemble_preference_pairs (D308, mirrored-extremes
+# DPO pair assembly). erase_ids_from_tree (D306) is sink-class,
+# pytest-pinned beside D299/D305.
 
 for _out, _in in _ROTATION_WAVES:
     for _name in _out:

@@ -250,6 +250,8 @@ SF1_QUERIES = [
     # corpus, invariant across SFs — the D298 rule)
     "pagerank_personalized_seeded",
     "gdpr_delete_audit",
+    # D308 (D307 is sf-invariant design math — the D298 rule)
+    "assemble_preference_pairs",
 ]
 SF1_REPS = 2
 

@@ -462,3 +462,108 @@ def test_erase_ids_from_ivf_tree(spark, tmp_path):
     ids = spark.createDataFrame([(2,), (99,)], "id bigint")
     assert erase_ids_from_tree(spark, tree, ids) == 1
     assert {r["id"] for r in read_ivf_tree(spark, tree).collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------- D307
+
+
+def test_lsh_param_planner_matches_pure_python_fold(spark):
+    # replay the exact truncating-ppm folds in python for the whole
+    # lattice and pin the query's top-10 (twin-wrong protection: both
+    # engines share the SQL shape, this does not)
+    # registry first: a direct plans import would run the rotation
+    # waves before every module has registered
+    from mapreduce_project_spark.queries_registry import ALL_QUERIES
+    from mapreduce_project_spark.plans.similarity_queries import (
+        _LSHP_THRESH_PCT,
+        _lshp_pairs,
+    )
+
+    def cost(b, r):
+        fp = fn = 0
+        for i in range(1, 100):
+            sr = 1_000_000
+            for _ in range(r):
+                sr = sr * i // 100
+            q = 1_000_000
+            for _ in range(b):
+                q = q * (1_000_000 - sr) // 1_000_000
+            p = 1_000_000 - q
+            if i < _LSHP_THRESH_PCT:
+                fp += p
+            else:
+                fn += 1_000_000 - p
+        return fp, fn
+
+    lattice = sorted(
+        ((b, r, *cost(b, r)) for b, r in _lshp_pairs()),
+        key=lambda t: (t[2] + t[3], t[0], t[1]),
+    )
+    want = {
+        (i + 1, b, r, b * r, fp, fn, fp + fn)
+        for i, (b, r, fp, fn) in enumerate(lattice[:10])
+    }
+    got = {
+        tuple(row)
+        for row in ALL_QUERIES["lsh_param_planner"](spark, "unused").collect()
+    }
+    assert got == want
+    # the winner uses (nearly) the full permutation budget and its
+    # S-curve midpoint sits near the 0.8 threshold
+    rank1 = lattice[0]
+    b1, r1 = rank1[0], rank1[1]
+    assert b1 * r1 >= 48
+    mid = (1 / b1) ** (1 / r1)  # s where collision prob = ~0.5
+    assert 0.7 < mid < 0.9
+
+
+# ---------------------------------------------------------------- D308
+
+
+def test_preference_pairs_planted_cohort(spark):
+    # planted cohort of 5 docs with hand-computed alpha-ratio scores:
+    # ranks pair 1<->5, 2<->4; the middle doc sits out; zero-margin
+    # pairs drop.
+    from mapreduce_project_spark.queries_registry import ALL_QUERIES
+    import tempfile
+
+    rows = [
+        (1, "aaaaa", "s", "en", 5),       # score 1e6
+        (2, "aaaa1", "s", "en", 5),       # 800000
+        (3, "aaa11", "s", "en", 5),       # 600000
+        (4, "aa111", "s", "en", 5),       # 400000
+        (5, "a1111", "s", "en", 5),       # 200000
+        (6, "bbbb", "t", "en", 4),        # lone-cohort pair partner
+        (7, "b111", "t", "en", 4),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, lang string, n_chars bigint"
+        ).write.parquet(f"{td}/documents.parquet")
+        got = {
+            (r["chosen_id"], r["rejected_id"], r["margin_ppm"])
+            for r in ALL_QUERIES["assemble_preference_pairs"](
+                spark, td
+            ).collect()
+        }
+    assert got == {
+        (1, 5, 800000),
+        (2, 4, 400000),
+        (6, 7, 750000),
+    }
+
+
+def test_preference_pairs_each_doc_used_at_most_once(spark):
+    from collections import Counter
+
+    from mapreduce_project_spark.queries_registry import ALL_QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = ALL_QUERIES["assemble_preference_pairs"](spark, SF_DIR).collect()
+    assert rows, "vacuous"
+    used = Counter()
+    for r in rows:
+        used[r["chosen_id"]] += 1
+        used[r["rejected_id"]] += 1
+    assert max(used.values()) == 1
+    assert all(r["margin_ppm"] > 0 for r in rows)
