@@ -52,7 +52,12 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
     )
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    canonical: bool = False,
+) -> DataFrame:
     """(node, n_tri) — the number of triangles each node participates
     in, over an undirected simple graph given as an edge list (either
     direction, duplicates/self-loops tolerated).
@@ -73,12 +78,24 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     Every join key is an equi-key and the struct comparison
     (d, node) is a total order (node ids unique), so the output is
     deterministic and engine-portable — the DuckDB oracle counts the
-    identical triangle set with the id-ordered 3-way join."""
-    e = (
-        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    identical triangle set with the id-ordered 3-way join.
+
+    ``canonical=True`` declares the input ALREADY canonical (a < b,
+    self-loop-free, distinct — e.g. a materialized edge table the
+    caller also uses for degrees): the normalization shuffle is skipped
+    outright instead of re-deduplicating an already-unique table
+    (guide §2.4 — a `distinct` on data that is already unique is an
+    accidental exchange)."""
+    if canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -151,8 +168,17 @@ def pagerank_fixed(
     # build in pagerank_trade_graph) would be recomputed n_iter+1 times.
     # Persisting the edges is the standard iterative-graph discipline —
     # at cluster scale this is MEMORY_AND_DISK and amortizes the build
-    # across rounds.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    # across rounds. Partitioning by src BEFORE the cache makes every
+    # round's edges⋈contributions join and the degree groupBy reuse the
+    # cached layout (InMemoryRelation keeps outputPartitioning): the
+    # big side is shuffled ONCE at build time instead of once per round
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .cache()
+    )
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -162,10 +188,15 @@ def pagerank_fixed(
     n_nodes = deg.count()  # scalar only — sizes the init literal
     r0 = _PR_SCALE // n_nodes
     base = (100 - damping_pct) * r0 // 100
-    ranks = deg.select("node", F.lit(r0).alias("fx"))
+    # ranks carry the node's out-degree alongside fx: the contribution
+    # projection then needs NO ranks⋈deg join (one join per round
+    # removed outright — guide §2.4); the post-inflow deg join both
+    # restores zero-inflow nodes and re-attaches d for the next round.
+    # Arithmetic is unchanged, so values stay bit-identical.
+    ranks = deg.select("node", "d", F.lit(r0).alias("fx"))
     live = None  # the currently materialized lineage cut, if any
     for i in range(n_iter):
-        rd = ranks.join(deg, "node").select(
+        rd = ranks.select(
             F.col("node").alias("src"), F.expr("fx div d").alias("c")
         )
         inflow = (
@@ -174,10 +205,10 @@ def pagerank_fixed(
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            deg.select("node")
-            .join(inflow, "node", "left")
+            deg.join(inflow, "node", "left")
             .select(
                 "node",
+                "d",
                 (
                     F.lit(base)
                     + F.expr(
@@ -231,6 +262,13 @@ def pagerank_personalized(
     uniform variant must materialize every node each round. The fx>0
     filter is semantics-free (zero-mass nodes contribute zero inflow
     and render no output row)."""
+    # Plain cache, NOT src-partitioned (unlike `pagerank_fixed`): the
+    # per-round contributions side is the sparse seed frontier —
+    # broadcast-scale by the operator's own contract — so the
+    # edges⋈contributions join never shuffles the edge side anyway,
+    # and a pre-partitioning shuffle would be pure overhead (measured
+    # +106% on the seeded query when it was tried; guide §1.1 —
+    # the empirical loop overrides the first-principles sketch).
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     deg = (
         e.groupBy("src")

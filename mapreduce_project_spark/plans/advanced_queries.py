@@ -610,7 +610,18 @@ def q_triangle_counts_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
         .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
     )
-    return triangle_counts(raw)
+    # Materialize the canonical edge set once so the triangle pipeline's
+    # three `oriented` consumers replay a checkpointed edge table, not
+    # the lineitem self-join (same discipline as
+    # `graph_clustering_coefficient`; src < dst already holds, so the
+    # canonical form equals the operator's internal normalization).
+    e = (
+        raw.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return triangle_counts(e, src="a", dst="b", canonical=True)
 
 
 _RCTE_SQL = """
@@ -1537,6 +1548,12 @@ def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w5 = Window.partitionBy("nprobe", "query_id").orderBy(
         F.col("cos").desc(), "neighbor_id"
     )
+    # NOTE (r13): caching a narrow (nprobe, query_id, neighbor_id, cos)
+    # projection of `cand` for the two consumers (rank + tally) was
+    # tried and measured SLOWER in interleaved A/B reps (+31% min-of-6,
+    # positive in every instrument): the candidate subtree is
+    # broadcast-join-only and its recompute is cheaper than the cache
+    # materialization barrier. Left uncached per guide §1.1/§5.
     ivf5 = (
         cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
         .withColumn("rk", F.row_number().over(w5))
@@ -1654,12 +1671,21 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
         .select(F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst"))
     )
+    # Materialize the canonical distinct edge set ONCE: it feeds the
+    # degree union (2 branches) AND the whole triangle pipeline (which
+    # previously re-ran the lineitem self-join + re-deduplicated via
+    # its own internal distinct). `canonical=True` skips that second
+    # dedup shuffle outright (guide §2.4/§5 — the betweenness/HITS
+    # edge-materialization discipline). `raw` already has src < dst per
+    # orderkey pair, so least/greatest+distinct here equals the
+    # operator's internal normalization — triangle set unchanged.
     e = (
         raw.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -1667,7 +1693,7 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    tri = triangle_counts(raw)
+    tri = triangle_counts(e, src="a", dst="b", canonical=True)
     return (
         deg.join(tri, "node", "left")
         .select(
@@ -1815,6 +1841,13 @@ def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     x, y = li.alias("x"), li.alias("y")
+    # The lineitem self-join + distinct is the expensive subtree and is
+    # consumed by SEVEN separate actions (two root TakeOrdereds + four
+    # per-level eager checkpoints + the final job); exchange reuse never
+    # applies across actions, so materialize it ONCE (guide §2.4 /
+    # §5 — the `pagerank_fixed` edge-cache discipline, which this query
+    # predated). The symmetrized adj view stays a narrow union over the
+    # checkpointed edges — computed per action but shuffle-free.
     e = (
         x.join(
             y,
@@ -1824,6 +1857,7 @@ def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("x.l_orderkey") == F.col("o_orderkey"))
         .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     adj = e.selectExpr("a AS u", "b AS v").unionAll(
         e.selectExpr("b AS u", "a AS v")
@@ -2017,28 +2051,34 @@ def q_graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = e.select("c").distinct().withColumn(
         "h", F.lit(1000).cast("bigint")
     )
+    # Checkpoint the RAW per-round sums, not the normalized scores: the
+    # singleton MAX and the normalized projection both consume the raw
+    # table, so materializing `ar`/`hr` runs the edge⋈score join+agg
+    # ONCE per half-round, whereas checkpointing `a`/`h` ran it twice
+    # (once to build the max broadcast, once for the checkpoint —
+    # guide §5: materialize the subtree every consumer shares).
+    # Lineage stays bounded: each round's scores are one crossJoin
+    # projection above a checkpoint. Arithmetic unchanged.
     for _ in range(_HITS_ROUNDS):
         ar = (
             e.join(h, "c")
             .groupBy("s")
             .agg(F.sum("h").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         am = ar.agg(F.max("raw").alias("m"))
-        a = (
-            ar.crossJoin(F.broadcast(am))
-            .select("s", F.expr("cast(raw * 1000 div m as bigint)").alias("a"))
-            .localCheckpoint(eager=True)
+        a = ar.crossJoin(F.broadcast(am)).select(
+            "s", F.expr("cast(raw * 1000 div m as bigint)").alias("a")
         )
         hr = (
             e.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hm = hr.agg(F.max("raw").alias("m"))
-        h = (
-            hr.crossJoin(F.broadcast(hm))
-            .select("c", F.expr("cast(raw * 1000 div m as bigint)").alias("h"))
-            .localCheckpoint(eager=True)
+        h = hr.crossJoin(F.broadcast(hm)).select(
+            "c", F.expr("cast(raw * 1000 div m as bigint)").alias("h")
         )
     from pyspark.sql import Window
 

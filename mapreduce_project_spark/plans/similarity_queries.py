@@ -1656,6 +1656,11 @@ def q_lsh_width_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tables, widths, threshold = 16, (8, 12, 16), 0.3
     emb = t(spark, sf_dir, "embeddings")
     signs = rademacher_signs_pc(n_tables, max(widths), 64)
+    # NOTE (r13): caching this coded table was tried (the Arrow code
+    # kernel feeds both sides of the self-join) and measured SLOWER at
+    # bench scale in interleaved A/B reps (+52% min-of-6 on the plain
+    # ladder); the kernel is cheap relative to the cache materialization
+    # barrier it introduces. Left uncached per guide §1.1/§5.
     coded = lsh_codes_exact(emb, "vec_id", "embedding", signs).select(
         "id",
         "table",
@@ -1847,6 +1852,11 @@ def q_lsh_width_ladder_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tables, widths, threshold = 16, (8, 12, 16), 0.3
     emb = t(spark, sf_dir, "embeddings")
     signs = rademacher_signs_pc(n_tables, max(widths), 64)
+    # NOTE (r13): caching this coded table was tried (the Arrow code
+    # kernel feeds both sides of the self-join) and measured SLOWER at
+    # bench scale in interleaved A/B reps (+52% min-of-6 on the plain
+    # ladder); the kernel is cheap relative to the cache materialization
+    # barrier it introduces. Left uncached per guide §1.1/§5.
     coded = lsh_codes_exact(emb, "vec_id", "embedding", signs).select(
         "id",
         "table",
@@ -2066,9 +2076,15 @@ def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit_length(ceil(N/8) - 1) exactly for integer N >= 1 — no float
     # log2 whose 1-ulp rounding could flip nb at a 2^k boundary.
     nb = max(8, min(24, ((max(1, n_rows) + 7) // 8 - 1).bit_length()))
+    # coded feeds both sides of the truth⋈codes check and truth feeds
+    # both the hit join and the certificate count; both subtrees end in
+    # Arrow kernels with no exchange, so each extra consumer re-runs
+    # the Python stage (before-plan: 4 ArrowEvalPython + 4
+    # FlatMapGroupsInPandas for ONE code kernel + ONE GEMM — guide §4).
+    # Cache both (codes are 32 ints/vector; truth is sample-scale).
     coded = lsh_codes_exact(
         emb, "vec_id", "embedding", rademacher_signs_pc(n_tables, nb, 64)
-    )
+    ).cache()
     # auto-rate sample threshold from the same COUNT that sized nb:
     # identical integer formula to the oracle's w2 CTE. N <= 2048
     # saturates r at 1 — sample the FULL corpus instead of filtering
@@ -2082,7 +2098,7 @@ def q_dedup_semantic_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     truth = cosine_pairs_gemm(
         samp.withColumn("blk", F.lit(0)), "vec_id", "embedding", threshold, "blk"
-    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib")).cache()
     ca = coded.select(
         F.col("id").alias("ia"), "table", F.col("code").alias("code_a")
     )
@@ -2949,6 +2965,12 @@ def mips_topk_certified(emb: DataFrame) -> DataFrame:
     corpus instead of a private reimplementation."""
     from pyspark.sql import Window
 
+    # Four branches consume this projection (bucket maxes, the query
+    # head, the pilot sample, the surviving-bucket scan); it is
+    # exchange-free, so without a materialization each branch re-runs
+    # the 64-wide fixed-point transform over the whole corpus. Cache it
+    # once (guide §5: reused AND expensive to recompute; MEMORY_AND_DISK
+    # at cluster scale — ~0.5 KB/row, smaller than the raw embedding).
     bk = emb.select(
         "vec_id",
         F.expr(
@@ -2960,7 +2982,7 @@ def mips_topk_certified(emb: DataFrame) -> DataFrame:
         F.expr("aggregate(transform(vm, x -> x * x), 0L, (a, x) -> a + x)"),
     ).withColumn(
         "bkt", F.expr("cast(length(conv(vn2, 10, 2)) as bigint)")
-    )
+    ).cache()
     bmax = bk.groupBy("bkt").agg(F.max("vn2").alias("maxvn2"))
     nbuckets = bmax.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets_total")

@@ -3861,6 +3861,12 @@ def q_text_tfidf_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # NOTE (r13): caching this weight table for its four consumers
+    # (norms, minhash signatures, both dot-join sides) was tried and
+    # measured SLOWER in interleaved A/B reps (+42% min-of-6): the
+    # recompute is a broadcast-join projection over the tf aggregate,
+    # cheaper than the cache materialization barrier. Left uncached
+    # per guide §1.1/§5.
     w = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))
@@ -5070,6 +5076,15 @@ def q_search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dlen", F.size("tk").cast("bigint"))
         .filter(F.col("dlen") > 0)
     )
+    # NOTE (r13): a projection form for the seed-match count
+    # (size(filter(tk, x -> array_contains(seeds, x)))) was tried —
+    # it removes the explode and its shuffle — but measured SLOWER in
+    # interleaved A/B reps (+74% min-of-6, positive in every
+    # instrument): the per-element lambda evaluation over every token
+    # of every document costs more than the codegen'd explode +
+    # isin-filter + partial-aggregated shuffle it replaces (the filter
+    # prunes to seed matches before the exchange, so the shuffle is
+    # tiny). Kept in the explode form per guide §1.1.
     matched = (
         docs.select("doc_id", F.explode("tk").alias("term"))
         .filter(F.col("term").isin(*seeds))
@@ -5199,6 +5214,13 @@ def q_text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .select("source", F.explode(tokens("text")).alias("term"))
     )
+    # NOTE (r13): two variants were tried and both measured SLOWER in
+    # interleaved A/B reps — caching st for its four consumers (the
+    # recompute is cheaper than the cache materialization barrier),
+    # and folding the grand total out of ss (without the cache it ADDS
+    # an exchange: nn's branch re-derives st then ss instead of one
+    # partial agg straight off st). Kept in the direct form per
+    # guide §1.1.
     st = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("a")
     )
@@ -5378,6 +5400,14 @@ def q_text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("stok") > 0)
     )
+    # frags (the sentence-split + tokenize pass) feeds the token table,
+    # the sentence table and the final render; pairs (the bounded
+    # sentence-similarity self-join — the expensive subtree) is read by
+    # BOTH damping rounds and the strength rollup, and round 2's plan
+    # nests round 1's, so without materialization the self-join is
+    # replayed ~3× and the scan ~5× (guide §5; pairs stay ≤ 30²/doc —
+    # linear in documents, cache-safe at cluster scale).
+    frags = frags.cache()
     sents = frags.select("doc_id", "sidx", "sentence")
     st = frags.select(
         "doc_id", "sidx", F.explode("stok").alias("token")
@@ -5389,6 +5419,7 @@ def q_text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i") != F.col("j"))
         .groupBy("doc_id", "i", "j")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .cache()
     )
     strength = pairs.groupBy("doc_id", "j").agg(
         F.sum("w").cast("bigint").alias("wj")
@@ -5514,46 +5545,54 @@ def q_search_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_project_spark.functions import tokens
 
     terms = ("spark", "shuffle", "vector")
-    toked = t(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("tk")
-    )
-    d = toked.select(
-        "doc_id", F.size("tk").cast("bigint").alias("dlen")
-    ).filter(F.col("dlen") > 0)
-    tt = toked.agg(
-        F.coalesce(F.sum(F.size("tk")), F.lit(0)).cast("bigint").alias("t")
-    )
-    occ = (
-        toked.select("doc_id", F.explode("tk").alias("tok"))
-        .filter(F.col("tok").isin(*terms))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    cf = occ.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cf"))
-    qterms = spark.createDataFrame([(x,) for x in terms], "tok string")
-    grid = (
-        d.crossJoin(F.broadcast(qterms))
-        .crossJoin(F.broadcast(tt))
-        .join(occ, ["doc_id", "tok"], "left")
-        .join(F.broadcast(cf), "tok", "left")
-        .select(
-            "doc_id",
-            "dlen",
-            "t",
-            F.coalesce("tf", F.lit(0)).cast("bigint").alias("tf"),
-            F.coalesce("cf", F.lit(0)).cast("bigint").alias("cf"),
+    # ONE tokenize+explode pass feeds everything (the previous form ran
+    # the tokenizer three times — for lengths, total count and term
+    # occurrences — then re-assembled them over a 3-term grid join;
+    # guide §1.2 step 1: don't compute things twice). Per-doc dlen and
+    # the three per-term tfs come out of a single doc_id-keyed
+    # partial-aggregated groupBy (a doc has dlen > 0 iff it survives
+    # the explode); T and the corpus cfs are one singleton rollup of
+    # that table, broadcast back; the score is then a pure projection
+    # — no occ/cf/grid joins at all. Values are identical: same
+    # tokenizer, same integer tf/cf/T, same micro-ln expression,
+    # summed over the same three query terms.
+    perdoc = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dlen"),
+            *[
+                F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, term in enumerate(terms)
+            ],
         )
     )
-    scored = grid.groupBy("doc_id", "dlen").agg(
+    totals = perdoc.agg(
+        F.sum("dlen").cast("bigint").alias("t"),
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(len(terms))
+        ],
+    )
+    per_term = " + ".join(
+        f"cast(round(ln(cast(greatest(1, tf{i} * t + 2000 * cf{i})"
+        " as double)) * 1000000, 0) as bigint)"
+        " - cast(round(ln(cast((dlen + 2000) * t as double))"
+        " * 1000000, 0) as bigint)"
+        for i in range(len(terms))
+    )
+    scored = perdoc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "dlen",
         F.expr(
-            "cast(sum(case when t > 2300000000000 or dlen > 1000000 then"
+            "cast(case when t > 2300000000000 or dlen > 1000000 then"
             " raise_error('search_query_likelihood: corpus exceeds 64-bit"
             " Dirichlet headroom — widen to DECIMAL(38,0)')"
-            " else cast(round(ln(cast(greatest(1, tf * t + 2000 * cf)"
-            " as double)) * 1000000, 0) as bigint)"
-            " - cast(round(ln(cast((dlen + 2000) * t as double))"
-            " * 1000000, 0) as bigint) end) as bigint)"
-        ).alias("score_micro")
+            f" else {per_term} end as bigint)"
+        ).alias("score_micro"),
     )
     from pyspark.sql import Window
 
@@ -5660,24 +5699,29 @@ def q_source_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    sums = pts.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-    )
+    # ONE aggregation over the top-64 points instead of sums + a
+    # broadcast-join second pass (which re-ran the tokenize→tf→window
+    # subtree — guide §1.2 step 1): the centered integer moments expand
+    # EXACTLY in raw integer moments — Σ(n·x−Sx)(n·y−Sy) = n²Σxy−n·Sx·Sy
+    # (and likewise for suu/svv), every term a bigint product far under
+    # int64 (|x|,|y| ≤ ~28000 milli-ln, n ≤ 64), so the emitted values
+    # are bit-identical to the joined centered form the oracle replays.
     cent = (
-        pts.join(F.broadcast(sums), "source")
-        .groupBy("source", "n")
+        pts.groupBy("source")
         .agg(
-            F.expr("cast(sum((n * x - sx) * (n * y - sy)) as bigint)").alias(
-                "suv"
-            ),
-            F.expr("cast(sum((n * x - sx) * (n * x - sx)) as bigint)").alias(
-                "suu"
-            ),
-            F.expr("cast(sum((n * y - sy) * (n * y - sy)) as bigint)").alias(
-                "svv"
-            ),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.expr("cast(sum(x * y) as bigint)").alias("rxy"),
+            F.expr("cast(sum(x * x) as bigint)").alias("rxx"),
+            F.expr("cast(sum(y * y) as bigint)").alias("ryy"),
+        )
+        .select(
+            "source",
+            "n",
+            F.expr("cast(n * n * rxy - n * sx * sy as bigint)").alias("suv"),
+            F.expr("cast(n * n * rxx - n * sx * sx as bigint)").alias("suu"),
+            F.expr("cast(n * n * ryy - n * sy * sy as bigint)").alias("svv"),
         )
     )
     return cent.select(

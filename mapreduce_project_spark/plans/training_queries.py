@@ -462,8 +462,22 @@ def q_assemble_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
         doc_fingerprint("text").alias("fp"),
     ).filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
-    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = scored.join(keep, ["fp", "doc_id"]).select("doc_id", "source", "text")
+    # survivor pick as ONE fp-keyed window instead of groupBy(min) +
+    # join-back: the join form re-ran the scan+score subtree for the
+    # second consumer and paid two exchanges ((fp) agg + (fp, doc_id)
+    # join); rank-1-by-doc_id over the fp partition selects the
+    # IDENTICAL min-doc_id survivor row in one exchange and one pass
+    # (guide §2.4; doc_id is unique so the rank-1 row is exact).
+    from pyspark.sql import Window as _W
+
+    deduped = (
+        scored.withColumn(
+            "_rn",
+            F.row_number().over(_W.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "text")
+    )
     cleaned = decontaminate(
         deduped.filter(~is_test), docs.filter(is_test), "doc_id", "text", 5
     )
@@ -1967,9 +1981,23 @@ def q_assemble_training_set_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    keep = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
+    # digest-dedup survivors as ONE digest-keyed window instead of
+    # groupBy(min) + join-back (same rewrite as `assemble_training_set`:
+    # identical min-doc_id survivor set — doc_id unique — in one
+    # exchange/one scan, and the join on `keep` disappears because the
+    # windowed frame carries source directly).
+    from pyspark.sql import Window as _W
+
+    keep_docs = (
+        docs.select(
+            "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("dg")
+        )
+        .withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("dg").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source")
+    )
     kn = q_text_kn_bigram_score(spark, sf_dir).select("doc_id", "avg_nll_micro")
     rd = q_text_readability_scores(spark, sf_dir).select(
         "doc_id", "n_words", "fkgl_milli"
@@ -2024,8 +2052,7 @@ def q_assemble_training_set_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        docs.select("doc_id", "source")
-        .join(keep, "doc_id")
+        keep_docs
         .join(kn, "doc_id")
         .join(rd, "doc_id")
         .join(vec, "doc_id", "left")
@@ -2150,16 +2177,29 @@ def q_assemble_training_set_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    keep = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("dg")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
+    # digest-dedup survivors as ONE digest-keyed window instead of
+    # groupBy(min) + join-back (same rewrite as `assemble_training_set`:
+    # identical min-doc_id survivor set — doc_id unique — in one
+    # exchange/one scan, and the join on `keep` disappears because the
+    # windowed frame carries source directly).
+    from pyspark.sql import Window as _W
+
+    keep_docs = (
+        docs.select(
+            "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("dg")
+        )
+        .withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("dg").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source")
+    )
     kn = q_text_kn_bigram_score(spark, sf_dir).select("doc_id", "avg_nll_micro")
     rd = q_text_readability_scores(spark, sf_dir).select(
         "doc_id", "n_words", "fkgl_milli"
     )
     surv = (
-        docs.select("doc_id", "source")
-        .join(keep, "doc_id")
+        keep_docs
         .join(kn, "doc_id")
         .join(rd, "doc_id")
     )
