@@ -1864,34 +1864,60 @@ def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = adj.select(F.col("u").alias("n")).distinct()
     # pinned deterministic roots: TakeOrdered head/tail of the node id
-    # set — a 2K-row driver list (metadata-scale, like the D286 COUNT)
-    lo = [r["n"] for r in nodes.orderBy("n").limit(_BTW_K).collect()]
-    hi = [
-        r["n"]
-        for r in nodes.orderBy(F.col("n").desc()).limit(_BTW_K).collect()
-        if r["n"] not in lo
-    ]
+    # set — a 2K-row driver list (metadata-scale, like the D286 COUNT).
+    # Both TakeOrdereds ride ONE action (union of the two limits): the
+    # node-set distinct underneath is a shuffle over 2|E| rows, and two
+    # separate collects ran it twice; in one plan the second branch
+    # reuses the first's exchange (ReusedExchange), and one job
+    # round-trip disappears. The head/tail lists are identical.
+    picked = (
+        nodes.orderBy("n").limit(_BTW_K)
+        .select("n", F.lit("s").alias("kind"))
+        .unionAll(
+            nodes.orderBy(F.col("n").desc()).limit(_BTW_K)
+            .select("n", F.lit("t").alias("kind"))
+        )
+        .collect()
+    )
+    lo = [r["n"] for r in picked if r["kind"] == "s"]
+    hi = [r["n"] for r in picked if r["kind"] == "t" and r["n"] not in lo]
     roots = spark.createDataFrame(
         [(n, "s") for n in lo] + [(n, "t") for n in hi], "root bigint, kind string"
     )
-    state = roots.select(
+    # Incremental BFS state: checkpoint each level's INCREMENT, not the
+    # cumulative table — the cumulative checkpoint re-wrote O(round ·
+    # state) rows across the R rounds (every round copied all prior
+    # levels into a fresh RDD). The cumulative view stays a lazy union
+    # over the checkpointed increments: the round-k frontier IS the
+    # round-(k-1) increment (exactly the rows with dist == k-1, so the
+    # dist filter disappears), and the anti-join's visited set is the
+    # union of increment keys — identical rows either way.
+    inc = roots.select(
         "root", "kind", F.col("root").alias("node"),
         F.lit(0).cast("int").alias("dist"), F.lit(1).cast("bigint").alias("sigma"),
     ).localCheckpoint(eager=True)
+    incs = [inc]
     for k in range(1, _BTW_R + 1):
-        frontier = state.filter(F.col("dist") == k - 1)
+        frontier = inc
         cand = (
             frontier.join(adj, frontier["node"] == adj["u"])
             .groupBy("root", "kind", "v")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .withColumnRenamed("v", "node")
         )
+        visited = incs[0].select("root", "kind", "node")
+        for prev in incs[1:]:
+            visited = visited.unionByName(prev.select("root", "kind", "node"))
         new = cand.join(
-            state.select("root", "kind", "node"), ["root", "kind", "node"], "left_anti"
+            visited, ["root", "kind", "node"], "left_anti"
         ).select(
             "root", "kind", "node", F.lit(k).cast("int").alias("dist"), "sigma"
         )
-        state = state.unionByName(new).localCheckpoint(eager=True)
+        inc = new.localCheckpoint(eager=True)
+        incs.append(inc)
+    state = incs[0]
+    for part in incs[1:]:
+        state = state.unionByName(part)
     src = state.filter(F.col("kind") == "s").select(
         F.col("root").alias("s"), "node",
         F.col("dist").alias("ds"), F.col("sigma").alias("ss"),
