@@ -34,10 +34,42 @@ from pyspark.sql import functions as F
 _PR_SCALE = 10**12
 
 
-def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def symmetrize(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    disjoint_reverse: bool = False,
+) -> DataFrame:
     """Distinct undirected edge list (both directions present) — the
     usual preconditioning so PageRank has no dangling nodes (every
-    node then has out-degree ≥ 1). One explode, then one distinct."""
+    node then has out-degree ≥ 1). One explode, then one distinct.
+
+    ``disjoint_reverse=True`` declares that no reversed edge can ever
+    equal a forward edge — true for bipartite graphs whose two node
+    populations live in disjoint id spaces (the trade graph's
+    even-customer/odd-supplier parity split). Then
+    ``distinct(fwd ∪ rev) ≡ explode-both-directions(distinct(fwd))``
+    exactly, so the dedup shuffles |E| rows instead of 2|E| and the
+    doubling is a narrow explode ABOVE the dedup — one scan of the
+    upstream, no union (a union's two branches each re-derive the
+    upstream unless exchange reuse happens to fire — the dedup.py:921
+    counter-lesson)."""
+    if disjoint_reverse:
+        return (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("src").alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+        )
     return (
         edges.select(
             F.explode(

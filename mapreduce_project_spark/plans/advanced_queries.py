@@ -428,7 +428,10 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    ranks = pagerank_fixed(symmetrize(raw), n_iter=2)
+    # parity-split bipartite ids (even customers / odd suppliers):
+    # no reversed edge can equal a forward one, so the symmetrize dedup
+    # runs on the forward list alone (half the shuffle bytes).
+    ranks = pagerank_fixed(symmetrize(raw, disjoint_reverse=True), n_iter=2)
     return ranks.select(
         F.when(
             F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
@@ -534,7 +537,10 @@ def q_pagerank_personalized_seeded(spark: SparkSession, sf_dir: str) -> DataFram
         .select((F.col("c_custkey") * 2).alias("node"))
         .distinct()
     )
-    ranks = pagerank_personalized(symmetrize(raw), seeds, n_iter=2)
+    # same parity-disjoint split as pagerank_trade_graph (see there)
+    ranks = pagerank_personalized(
+        symmetrize(raw, disjoint_reverse=True), seeds, n_iter=2
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("rank_fx").desc(), F.col("node"))
