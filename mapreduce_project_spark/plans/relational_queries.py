@@ -3568,10 +3568,11 @@ _BENCH_TREND_ORACLE = f"""
       FROM read_text('{_REPO_ROOT}/BENCH_r*.json')
     ),
     ex AS (
-      -- one row per ROUND: the builder's quiet-host twin
-      -- (BENCH_r*_builder.json) would duplicate the round key and make
-      -- the lag window order-ambiguous; the driver artifact is the
-      -- round's record here
+      -- one row per ROUND: ONLY the bare driver artifact
+      -- BENCH_r<digits>.json is the round's record. Any suffixed twin
+      -- (BENCH_r*_builder, _opt, _final, _c8, ...) would duplicate the
+      -- round key and make the lag window order-ambiguous (VERDICT r13
+      -- item 1), so the filter is an exact-name match, not a denylist.
       SELECT CAST(regexp_extract(filename, 'BENCH_r(\\d+)', 1) AS BIGINT)
                AS round,
              regexp_extract(content, '{_BENCH_NUM.format(field="panel_total")}', 1) AS p,
@@ -3579,7 +3580,7 @@ _BENCH_TREND_ORACLE = f"""
              regexp_extract(content, '{_BENCH_NUM.format(field="shuffle_probe_sec")}', 1) AS s,
              regexp_extract(content, '{_BENCH_NUM.format(field="loadavg_1m_start")}', 1) AS l
       FROM f
-      WHERE filename NOT LIKE '%_builder%'
+      WHERE regexp_matches(filename, 'BENCH_r\\d+\\.json$')
     ),
     m AS (
       SELECT round,
@@ -3641,9 +3642,12 @@ def q_bench_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the manifest-audit shape: wholetext scan, regex project,
     one bounded window."""
     files = spark.read.text(f"{_REPO_ROOT}/BENCH_r*.json", wholetext=True)
-    # the builder's quiet-host twin would duplicate the round key (see
-    # the oracle's NOT LIKE) — the driver artifact is the round record
-    files = files.filter(~F.input_file_name().like("%_builder%"))
+    # one row per round: ONLY the bare BENCH_r<digits>.json driver
+    # artifact counts; suffixed twins (_builder, _opt, _final, _c8)
+    # would duplicate the round key and make the lag window
+    # order-ambiguous (VERDICT r13 item 1) — exact-name match, not a
+    # denylist, mirroring the oracle's regexp_matches
+    files = files.filter(F.input_file_name().rlike(r"BENCH_r\d+\.json$"))
     ex = files.select(
         F.regexp_extract(F.input_file_name(), r"BENCH_r(\d+)", 1)
         .cast("bigint")

@@ -192,7 +192,10 @@ def test_bench_trend_replay_matches_committed_ledger(spark):
     num = r'\\?"{f}\\?":\s*([0-9]+\.?[0-9]*)'
     rows = {}
     for path in glob.glob("/root/repo/BENCH_r*.json"):
-        if "_builder" in path:
+        # one record per round: only the bare BENCH_r<digits>.json
+        # driver artifact (VERDICT r13 item 1) — suffixed twins
+        # (_builder, _opt, _final, _c8) are excluded by exact match
+        if not _re.search(r"BENCH_r\d+\.json$", path):
             continue
         txt = open(path, encoding="utf-8").read()
         rnd = int(_re.search(r"BENCH_r(\d+)", path).group(1))
