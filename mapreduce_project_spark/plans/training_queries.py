@@ -2051,13 +2051,23 @@ def q_assemble_training_set_v8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vstatus"),
         )
     )
+    # Materialize the composition boundary ONCE with an eager
+    # localCheckpoint instead of cache(): the five downstream consumers
+    # (drops / ns / ranked / kndrops / kept) then plan against a flat
+    # LogicalRDD leaf rather than re-analyzing the full kn+rd+vec
+    # composition tree per action — cache() dedups the COMPUTATION but
+    # leaves the 400+-Exchange logical plan to Catalyst on every
+    # consumer, and planning time was a measured slice of this query's
+    # wall-clock (guide §5 / §3.3: materializing an intermediate
+    # truncates the plan). All columns are integer/string, so the
+    # checkpointed rows are bit-identical to the lazy form.
     cand = (
         keep_docs
         .join(kn, "doc_id")
         .join(rd, "doc_id")
         .join(vec, "doc_id", "left")
         .withColumn("vstatus", F.coalesce(F.col("vstatus"), F.lit("missing")))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     drops = cand.groupBy("source").agg(
         F.expr("sum(case when vstatus = 'missing' then 1 else 0 end)")
@@ -2198,10 +2208,15 @@ def q_assemble_training_set_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
     rd = q_text_readability_scores(spark, sf_dir).select(
         "doc_id", "n_words", "fkgl_milli"
     )
+    # Same composition-boundary materialization as v8: one eager
+    # localCheckpoint so the three consumers (ns / ranked / kept) plan
+    # against a LogicalRDD leaf instead of re-analyzing the kn+rd
+    # composition subtree per action (guide §5 / §3.3).
     surv = (
         keep_docs
         .join(kn, "doc_id")
         .join(rd, "doc_id")
+        .localCheckpoint(eager=True)
     )
     ns = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = global_rank(

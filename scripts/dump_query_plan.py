@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries into plans/r13/.
+"""Dump .explain("formatted") for named queries into plans/r14/.
 
 Usage: python scripts/dump_query_plan.py <suffix> <query> [<query> ...]
-Writes plans/r13/<query>_<suffix>.txt (suffix = "before" / "after").
+Writes plans/r14/<query>_<suffix>.txt (suffix = "before" / "after").
 
 The optimization-round evidence files: the judge diffs these against
-plan claims in OPTIMIZATION_r13.md without running Spark.
+plan claims in OPTIMIZATION_r14.md without running Spark.
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
 
 
 def main() -> int:
