@@ -301,6 +301,16 @@ def pagerank_personalized(
     # and a pre-partitioning shuffle would be pure overhead (measured
     # +106% on the seeded query when it was tried; guide §1.1 —
     # the empirical loop overrides the first-principles sketch).
+    # NOTE (r14): swapping this cache for an eager localCheckpoint was
+    # tried (it cuts the seeded query's explain from 248 Exchange /
+    # 173 parquet scans to a LogicalRDD leaf) and measured SLOWER in
+    # 4 interleaved A/B cycles (pooled ~4.7 s cache vs ~5.3 s
+    # checkpoint, before faster in 3 of 4 paired cycles): the edge
+    # table is re-scanned by deg + every round's inflow join, and the
+    # cache's columnar InMemoryRelation re-scans faster than the
+    # row-based RDD leaf — plan mass was not this query's bottleneck.
+    # Checkpoint wins only where planning dominates re-scan cost
+    # (assemble_training_set_v7/v8); kept as cache here.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     deg = (
         e.groupBy("src")

@@ -1875,7 +1875,10 @@ def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node-set distinct underneath is a shuffle over 2|E| rows, and two
     # separate collects ran it twice; in one plan the second branch
     # reuses the first's exchange (ReusedExchange), and one job
-    # round-trip disappears. The head/tail lists are identical.
+    # round-trip disappears. Row order after unionAll is not
+    # guaranteed, but only SET equality with the prior two-collect
+    # form matters: lo/hi are consumed as membership sets and `roots`
+    # is rebuilt from them (ADVICE r13).
     picked = (
         nodes.orderBy("n").limit(_BTW_K)
         .select("n", F.lit("s").alias("kind"))
@@ -1890,40 +1893,38 @@ def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = spark.createDataFrame(
         [(n, "s") for n in lo] + [(n, "t") for n in hi], "root bigint, kind string"
     )
-    # Incremental BFS state: checkpoint each level's INCREMENT, not the
-    # cumulative table — the cumulative checkpoint re-wrote O(round ·
-    # state) rows across the R rounds (every round copied all prior
-    # levels into a fresh RDD). The cumulative view stays a lazy union
-    # over the checkpointed increments: the round-k frontier IS the
-    # round-(k-1) increment (exactly the rows with dist == k-1, so the
-    # dist filter disappears), and the anti-join's visited set is the
-    # union of increment keys — identical rows either way.
-    inc = roots.select(
+    # Cumulative BFS state, one localCheckpoint per level.
+    # NOTE (r14, VERDICT r13 item 7 — the §16 increment-checkpoint keep
+    # REVERTED on quiet-host confirmation): checkpointing only each
+    # level's increment (cumulative view as a lazy union over the R
+    # increment RDDs) writes O(state) instead of O(R·state) checkpoint
+    # rows, but it measured consistently SLOWER here — 5 of 5
+    # interleaved A/B cycles in both orderings, pooled min 4.07 s
+    # cumulative vs 4.77 s increments (+8–17% per paired cycle): with
+    # R=4 tiny levels, the per-round anti-join and the final state view
+    # each fan into k RDD leaves, and the extra task/scheduler ticks
+    # cost more than the duplicated checkpoint rows save. At a scale
+    # where state is large and R deep, the increment form wins on
+    # bytes; re-evaluate there rather than carrying a measured local
+    # regression in the driver bench.
+    state = roots.select(
         "root", "kind", F.col("root").alias("node"),
         F.lit(0).cast("int").alias("dist"), F.lit(1).cast("bigint").alias("sigma"),
     ).localCheckpoint(eager=True)
-    incs = [inc]
     for k in range(1, _BTW_R + 1):
-        frontier = inc
+        frontier = state.filter(F.col("dist") == k - 1)
         cand = (
             frontier.join(adj, frontier["node"] == adj["u"])
             .groupBy("root", "kind", "v")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .withColumnRenamed("v", "node")
         )
-        visited = incs[0].select("root", "kind", "node")
-        for prev in incs[1:]:
-            visited = visited.unionByName(prev.select("root", "kind", "node"))
         new = cand.join(
-            visited, ["root", "kind", "node"], "left_anti"
+            state.select("root", "kind", "node"), ["root", "kind", "node"], "left_anti"
         ).select(
             "root", "kind", "node", F.lit(k).cast("int").alias("dist"), "sigma"
         )
-        inc = new.localCheckpoint(eager=True)
-        incs.append(inc)
-    state = incs[0]
-    for part in incs[1:]:
-        state = state.unionByName(part)
+        state = state.unionByName(new).localCheckpoint(eager=True)
     src = state.filter(F.col("kind") == "s").select(
         F.col("root").alias("s"), "node",
         F.col("dist").alias("ds"), F.col("sigma").alias("ss"),
