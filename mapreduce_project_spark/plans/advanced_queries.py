@@ -1566,6 +1566,14 @@ def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("nprobe", "query_id", "neighbor_id")
     )
+    # NOTE (r14): caching this 50-row table for its two consumers
+    # (denominator + hit join) was tried and measured SLOWER in 3 of 3
+    # interleaved A/B cycles (pooled min 4.18 s uncached vs 4.43 s
+    # cached): both consumers live in ONE final plan, so the
+    # brute-force subtree's exchanges are deduplicated at runtime by
+    # AQE ReusedExchange and the cache only adds a materialization
+    # barrier — the same counter-lesson as the r13 cand-cache attempt
+    # below. Left uncached.
     exact5 = topk_bruteforce(
         emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5
     ).select("query_id", "neighbor_id")
@@ -2092,6 +2100,13 @@ def q_graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guide §5: materialize the subtree every consumer shares).
     # Lineage stays bounded: each round's scores are one crossJoin
     # projection above a checkpoint. Arithmetic unchanged.
+    # NOTE (r14): dropping the `ar` checkpoint (one checkpoint per
+    # round instead of two, betting on AQE ReusedExchange to dedup the
+    # max-broadcast and projection branches inside the hr action) was
+    # tried and measured SLOWER in 3 of 3 interleaved cycles (pooled
+    # min 2.84 vs 3.56 s) with MORE jobs (57 -> 70): the agg-over-ar
+    # broadcast branch materializes its own stages and the reuse does
+    # not cover them. The r13 two-checkpoint form stands.
     for _ in range(_HITS_ROUNDS):
         ar = (
             e.join(h, "c")
