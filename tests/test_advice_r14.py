@@ -62,3 +62,31 @@ def test_bench_trend_ignores_planted_duplicate(spark):
     finally:
         os.remove(planted)
     assert after == before
+
+
+# --- VERDICT r13 item 3 pin: the flagship compositions materialize
+# their composition boundary with a lineage-truncating localCheckpoint,
+# so every downstream consumer plans against a flat RDD leaf instead of
+# re-analyzing the 400+-Exchange kn/rd/vec subtree (the r14 win:
+# v8 418 -> 28 Exchange / 192 -> 0 scans, v7 142 -> 12 / 56 -> 0).
+
+
+def _final_plan(spark, name, sf_dir="/root/testdata/sf0.001"):
+    from mapreduce_project_spark import queries_registry as R
+
+    df = {**R.QUERIES, **R.EXTRA_QUERIES}[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_training_set_compositions_plan_against_checkpoint_leaf(spark):
+    for name, max_exchanges in (
+        ("assemble_training_set_v8", 60),
+        ("assemble_training_set_v7", 30),
+    ):
+        plan = _final_plan(spark, name)
+        assert "Scan parquet" not in plan, f"{name}: parquet scan above boundary"
+        assert "Scan ExistingRDD" in plan, f"{name}: no checkpoint leaf"
+        n_ex = plan.count("Exchange")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} Exchange nodes"
